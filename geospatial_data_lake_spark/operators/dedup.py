@@ -1,0 +1,372 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a declared query over the ``documents`` table:
+
+- exact dedup           (hash-groupBy)                      dd01 / dd02
+- n-gram Jaccard        (token-set self-join)               dd03
+- MinHash + LSH         (shingle->minhash->band->bucket)    dd04
+- SimHash               (sign-bit sketch + pigeonhole join) dd05
+- embedding near-dup    (cosine over vectors)               dd06
+
+Scale analysis (the design point is billions of documents):
+
+- dd01/dd02: one hash-shuffle on a 16-byte digest — the cheapest possible
+  distribution; partial aggregation collapses per-partition duplicates
+  before the shuffle.
+- dd03 (exact pairwise) is quadratic in documents-per-shared-token; it is
+  the *oracle* for the LSH path, not the scale path.
+- dd04 is the scale path: signature cost O(n_tokens * n_perms) per doc
+  (all JVM: xxhash64 + min agg), candidate generation is an equi-join on
+  band keys (shuffle on band hash — no quadratic blowup), and only
+  candidates pay the exact-verify join. With b=16 bands of r=2 rows,
+  P(candidate | j=0.8) = 1-(1-0.8^2)^16 ≈ 1-8e-8, so the verified output
+  equals the exact-Jaccard pairs at threshold 0.8 almost surely — which is
+  why dd04 can carry a SQL oracle at all.
+- dd05: constant-size sketch per doc; the pigeonhole band join finds all
+  pairs within Hamming distance <= 3 without comparing all pairs.
+- dd06: brute-force here (the oracle); the LSH-bucketed variant for scale
+  is ss02 in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+N_PERM = 32  # minhash permutations
+N_BANDS = 16  # bands of r=2 rows -> s-curve threshold ~0.55, steep at 0.8
+
+
+def _doc_words(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_id, word) pairs — the token-set representation."""
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+
+
+def _exact_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
+    """All (d1 < d2) pairs with token-set Jaccard >= threshold.
+
+    The Jaccard value is a ratio of integers, so both engines compute the
+    identical double — the threshold filter is cross-engine deterministic.
+    """
+    words = _doc_words(documents)
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = words.alias("a")
+    b = words.alias("b")
+    common = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dd01_exact_dedup_summary",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+        FROM documents
+    """,
+    tags=("dedup", "exact"),
+)
+def dd01_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: corpus-level duplicate census. One
+    shuffle of 16-byte digests regardless of document size."""
+    t = tables(spark, sf_dir)
+    return t.documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+@register(
+    "dd02_fingerprint_groups",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS fingerprint
+            FROM documents
+        )
+        SELECT fingerprint,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM fp
+        GROUP BY fingerprint
+        HAVING count(*) > 1
+    """,
+    tags=("dedup", "fingerprint"),
+)
+def dd02_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form dedup: token-set fingerprint (sorted distinct words ->
+    md5) groups docs that differ only by word order/repetition; the min
+    doc_id is the kept representative — the standard keep-one policy."""
+    t = tables(spark, sf_dir)
+    fp = t.documents.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH w AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {threshold}
+"""
+
+
+@register(
+    "dd03_jaccard_pairs",
+    oracle=_JACCARD_ORACLE.format(threshold=0.9),
+    tags=("dedup", "jaccard"),
+)
+def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup pairs at >= 0.9. Quadratic
+    in docs sharing a token — correct at any SF but the oracle path; dd04
+    is the LSH path that scales."""
+    t = tables(spark, sf_dir)
+    return _exact_jaccard_pairs(t.documents, 0.9)
+
+
+@register(
+    "dd04_minhash_lsh_pairs",
+    oracle=_JACCARD_ORACLE.format(threshold=0.8),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, exact-verified at threshold 0.8.
+
+    Pipeline: token sets -> 32 minhash signatures (xxhash64 with per-
+    permutation salt, min-aggregated — all JVM expressions) -> 16 band keys
+    of 2 rows -> equi-self-join per band for candidates -> exact Jaccard
+    verify on candidates only. With these parameters the LSH miss
+    probability at j>=0.8 is < 1e-7, so the output equals the exact pairs
+    (the SQL oracle) almost surely, while the join is linear in candidates
+    rather than quadratic in documents.
+    """
+    t = tables(spark, sf_dir)
+    words = _doc_words(t.documents)
+
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"h{i}")
+            for i in range(N_PERM)
+        ]
+    )
+    rows_per_band = N_PERM // N_BANDS
+    band_cols = []
+    for band in range(N_BANDS):
+        members = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(F.lit(band), *members).alias(f"b{band}"))
+    banded = sig.select("doc_id", *band_cols)
+
+    # candidates: docs agreeing on at least one band
+    band_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_long.alias("a")
+    b = band_long.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    # exact verify on the candidate set only
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w1 = words.select(F.col("doc_id").alias("d1"), "word")
+    w2 = words.select(F.col("doc_id").alias("d2"), "word")
+    common = (
+        candidates.join(w1, "d1")
+        .join(w2, ["d2", "word"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dd05_simhash_pairs",
+    oracle=None,  # hash-function-specific sketch — no SQL oracle; tested in tests/
+    tags=("dedup", "simhash"),
+)
+def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit sign sketch of the token multiset, pairs
+    within Hamming distance <= 3 found via the pigeonhole band join (4 bands
+    of 8 bits: any pair at distance <=3 agrees on >=1 band). Constant-size
+    state per doc; no quadratic compare."""
+    t = tables(spark, sf_dir)
+    words = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    # bit i contribution: +1 if bit set else -1; sign of the sum is bit i of the sketch
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(32)
+        ]
+    )
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+                for i in range(32)
+            ],
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    bands = simhash.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    band_long = bands.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("key"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_long.alias("a")
+    b = band_long.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("d1", "d2", F.col("hamming").cast("bigint").alias("hamming"))
+    )
+
+
+@register(
+    "dd06_embedding_neardup",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.4). Brute-force pair join
+    with the dot product as a JVM higher-order function (zip_with +
+    aggregate — no Python). This is the oracle path; the bucketed/ANN path
+    for billions of vectors is ss02 in similarity.py."""
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+        (
+            dot(F.col("a.v"), F.col("b.v"))
+            / (norm(F.col("a.v")) * norm(F.col("b.v")))
+        ).alias("cos_raw"),
+    )
+    return pairs.filter(F.col("cos_raw") >= 0.4).select(
+        "v1", "v2", F.round("cos_raw", 4).alias("cosine")
+    )

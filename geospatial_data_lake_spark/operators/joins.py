@@ -1,0 +1,336 @@
+"""Join operators — SURVEY.md §2.3 (J1-J9).
+
+The reference performs joins procedurally (per-row DynamoDB lookups inside
+loops, service composition); here every join is declared relationally and
+Catalyst/AQE picks the physical strategy. Explicit choices for scale:
+
+- dimension sides (part, supplier, nation, region, bucket dims) are
+  broadcast — no shuffle of the fact table;
+- fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
+  skew splitting;
+- the recursive traversal (J6) and as-of (J9) use the helpers in graph.py /
+  asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.operators.asof import asof_join
+from geospatial_data_lake_spark.operators.graph import reachable
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+
+@register(
+    "j01_lookup_join_broadcast",
+    oracle="""
+        SELECT p_brand,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size > 40
+        GROUP BY p_brand
+    """,
+    tags=("join", "J1", "J7"),
+)
+def j01_lookup_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row key lookup join (ref: get(hash_key, range_key) in the
+    checksum loop, backend/check_files_checksums/utils.py:55-66) —
+    re-expressed as a broadcast hash join: the filtered dimension is
+    replicated to every executor, the fact table never shuffles."""
+    t = tables(spark, sf_dir)
+    dim = t.part.filter(F.col("p_size") > 40).select("p_partkey", "p_brand")
+    return (
+        t.lineitem.join(F.broadcast(dim), t.lineitem.l_partkey == dim.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j02_fk_chain_join",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+    """,
+    tags=("join", "J2", "tpch_q3"),
+)
+def j02_fk_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK chain dataset->versions->assets (ref: import_dataset fetches the
+    dataset row then its assets, backend/import_dataset/task.py:81-98) —
+    TPC-H Q3 shape: filtered dim broadcast, fact-fact join shuffles on the
+    order key."""
+    t = tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        t.orders.filter(F.col("o_orderdate") < "1998-06-01")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t.lineitem.filter(F.col("l_shipdate") > "1998-06-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "j03_left_outer_join",
+    oracle="""
+        SELECT c_custkey,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    tags=("join", "J3"),
+)
+def j03_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer status enrichment (ref: import-status merges execution
+    output with possibly-empty validation errors,
+    backend/import_status/get.py:63-92). count() over the null-extended side
+    yields 0 for childless rows."""
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j04_semi_join",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+    """,
+    tags=("join", "J4"),
+)
+def j04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence check as left-semi join (ref: title-duplicate check /
+    any-objects-with-prefix probe, backend/datasets/create.py:33,
+    backend/datasets/delete.py:38-45). Semi join short-circuits per key —
+    no fan-out of matches."""
+    t = tables(spark, sf_dir)
+    finished = t.orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return t.customer.join(
+        finished, t.customer.c_custkey == finished.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j05_anti_join",
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE NOT EXISTS (
+            SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey
+        )
+    """,
+    tags=("join", "J5"),
+)
+def j05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence gate as left-anti join (ref: delete allowed only when no
+    version objects exist, backend/datasets/delete.py:41-45)."""
+    t = tables(spark, sf_dir)
+    return t.nation.join(
+        t.supplier, t.nation.n_nationkey == t.supplier.s_nationkey, "left_anti"
+    ).select("n_nationkey", "n_name")
+
+
+@register(
+    "j06_graph_reachability",
+    oracle="""
+        WITH RECURSIVE
+        edges(src, dst) AS (
+            SELECT 'R' || CAST(n_regionkey AS VARCHAR),
+                   'N' || CAST(n_nationkey AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT 'N' || CAST(s_nationkey AS VARCHAR),
+                   'S' || CAST(s_suppkey AS VARCHAR) FROM supplier
+        ),
+        reach(node) AS (
+            SELECT 'R0'
+            UNION
+            SELECT e.dst FROM edges e JOIN reach r ON e.src = r.node
+        )
+        SELECT DISTINCT node FROM reach
+    """,
+    tags=("join", "J6", "U1"),
+)
+def j06_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive link-graph traversal to fixpoint (ref: STAC links[].href
+    walk with traversed_urls cycle suppression,
+    backend/check_stac_metadata/utils.py:126-130). Driver-side BFS loop of
+    broadcast frontier joins + dropDuplicates; see operators/graph.py for
+    the scale analysis."""
+    t = tables(spark, sf_dir)
+    region_nation = t.nation.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("dst"),
+    )
+    nation_supplier = t.supplier.select(
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("dst"),
+    )
+    edges = region_nation.unionByName(nation_supplier)
+    seeds = spark.createDataFrame([("R0",)], ["node"])
+    return reachable(edges, seeds)
+
+
+@register(
+    "j07_star_join_broadcast",
+    oracle="""
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey   = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("join", "J7", "tpch_q5"),
+)
+def j07_star_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with replicated dimension chain (ref: a DynamoDB GSI acts
+    as a replicated lookup side, backend/datasets_model.py:27-40). All three
+    dims broadcast; the fact table is scanned exactly once with zero
+    shuffles before the final aggregation."""
+    t = tables(spark, sf_dir)
+    dims = (
+        t.supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        t.lineitem.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j08_range_join",
+    oracle="""
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_price
+        FROM part
+        JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large'))
+             AS b(lo, hi, label)
+          ON p_size BETWEEN lo AND hi
+        GROUP BY label
+    """,
+    tags=("join", "J8"),
+)
+def j08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval containment join (ref data shape: STAC temporal
+    interval containment, tests/stac_objects.py:24-26). The interval side is
+    tiny -> broadcast nested-loop join, which is the right physical plan; for
+    two large interval sets, bucketize the range key first."""
+    t = tables(spark, sf_dir)
+    buckets = spark.createDataFrame(
+        [(1, 10, "small"), (11, 25, "medium"), (26, 50, "large")], ["lo", "hi", "label"]
+    )
+    return (
+        t.part.join(
+            F.broadcast(buckets),
+            F.col("p_size").between(F.col("lo"), F.col("hi")),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "j09_asof_join",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT p.event_id,
+                   e.event_id AS prev_event_id,
+                   e.event_type AS prev_event_type,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY e.ts DESC, e.event_id DESC
+                   ) AS rn
+            FROM purchases p
+            JOIN events e ON e.user_id = p.user_id AND e.ts < p.ts
+        )
+        SELECT p.event_id,
+               r.prev_event_id,
+               r.prev_event_type
+        FROM purchases p
+        LEFT JOIN ranked r ON r.event_id = p.event_id AND r.rn = 1
+    """,
+    tags=("join", "J9"),
+)
+def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event strictly before each purchase, per user
+    (ref: time-ordered ULID version ids make 'current version at time t'
+    an as-of lookup, backend/dataset_versions/create.py:58-59). Implemented
+    with the union+window composition in operators/asof.py — one shuffle,
+    no quadratic blowup (the SQL oracle's O(n^2) self-join is only viable
+    at oracle scale)."""
+    t = tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    rights = t.events.select("user_id", "ts", "event_id", "event_type")
+    joined = asof_join(
+        purchases,
+        rights.withColumnRenamed("event_id", "r_event_id").withColumnRenamed(
+            "event_type", "r_event_type"
+        ),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["r_event_id", "r_event_type"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        F.col("asof_r_event_id").alias("prev_event_id"),
+        F.col("asof_r_event_type").alias("prev_event_type"),
+    )

@@ -1,0 +1,107 @@
+"""Multimodal (binary) column operators.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs. The Spark-side plumbing — schema, partitioning, Arrow batch shape
+through mapInPandas — is real and tested; the actual codec step is a
+deterministic stub (the image/audio libraries are not in this container),
+clearly marked, with the same signature a real decoder would have.
+
+Scale notes: binary payloads ride in the same parquet row groups as their
+metadata; ``spark.sql.files.maxPartitionBytes`` bounds partition memory;
+decode/feature-extract runs per Arrow batch inside mapInPandas so one
+executor core streams batches without materializing the whole partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, mime string, width int, height int, channels int"
+)
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder: derives deterministic fake dimensions from the payload
+    hash. A real deployment replaces this body with PIL/libvips decode —
+    the Spark plumbing (batching, schema, partitioning) is unchanged.
+    """
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    channels = 1 + digest[2] % 3
+    return width, height, channels
+
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one metadata frame out."""
+    for pdf in batches:
+        dims = pdf["content"].map(decode_image_stub)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["content"].map(len),
+                "mime": "image/stub",
+                "width": dims.map(lambda d: d[0]),
+                "height": dims.map(lambda d: d[1]),
+                "channels": dims.map(lambda d: d[2]),
+            }
+        )
+
+
+def as_blob_table(documents: DataFrame) -> DataFrame:
+    """Model a multimodal table: (doc_id, content binary, meta struct)."""
+    return documents.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            F.lit("image/stub").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "mm01_blob_metadata",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               'image/stub' AS mime,
+               substr(sha256(text), 1, 16) AS content_id
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm01_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: size, mime, content-id.
+    (Document text bytes stand in for image bytes; the schema shape is the
+    real thing.) All JVM expressions."""
+    t = tables(spark, sf_dir)
+    blobs = as_blob_table(t.documents)
+    return blobs.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.substring(F.sha2("content", 256), 1, 16).alias("content_id"),
+    )
+
+
+@register(
+    "mm02_decode_features",
+    oracle=None,  # decode is a stubbed non-SQL kernel; shape tested in tests/
+    tags=("multimodal", "mapInPandas"),
+)
+def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract via mapInPandas (stubbed codec, real
+    plumbing): binary in, typed feature struct out, Arrow-batched."""
+    t = tables(spark, sf_dir)
+    blobs = as_blob_table(t.documents).select("doc_id", "content")
+    return blobs.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)

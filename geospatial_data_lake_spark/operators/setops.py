@@ -1,0 +1,111 @@
+"""Set operations — SURVEY.md §2.7 (U1-U4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+
+@register(
+    "u01_distinct",
+    oracle="""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("setop", "U1"),
+)
+def u01_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by key (ref: traversed_urls duplicate suppression,
+    backend/check_stac_metadata/utils.py:129). Partial distinct runs
+    map-side before the shuffle."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "u02_union_discriminated",
+    oracle="""
+        SELECT nationkey, kind, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+        )
+        GROUP BY nationkey, kind
+    """,
+    tags=("setop", "U2"),
+)
+def u02_union_discriminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two row classes discriminated by a type column (ref:
+    metadata + data rows in one table split by sk prefix,
+    backend/check_stac_metadata/utils.py:84-97)."""
+    t = tables(spark, sf_dir)
+    cust = t.customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    supp = t.supplier.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return cust.unionByName(supp).groupBy("nationkey", "kind").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "u03_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "U3"),
+)
+def u03_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (capability-parity U3: absence checks the reference does via
+    anti-join)."""
+    t = tables(spark, sf_dir)
+    # subtract == EXCEPT (set semantics); exceptAll would keep leftover
+    # multiplicities, which is EXCEPT ALL
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "u04_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "U3"),
+)
+def u04_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (capability-parity U3)."""
+    t = tables(spark, sf_dir)
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "u05_duplicate_consistency",
+    oracle="""
+        SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING count(DISTINCT l_suppkey) > 3
+    """,
+    tags=("setop", "U4"),
+)
+def u05_duplicate_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-reference consistency check (ref: the same asset referenced
+    twice must carry identical multihash, USAGE.md:76-79) — keys whose
+    repeated references disagree."""
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .filter(F.col("n_suppliers") > 3)
+    )

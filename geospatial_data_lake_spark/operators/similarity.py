@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns.
+
+- ss01: brute-force cosine top-k — the exactness baseline (and oracle).
+- ss02: random-hyperplane LSH bucketed ANN — the scale path: candidates
+  come from bucket-equi-joins, exact rerank only within candidates.
+
+Scale analysis: brute force is O(Q x N) dot products; fine when the query
+set is small and broadcastable (it is here: the probe side broadcasts, the
+corpus scans once, no shuffle). For corpus-x-corpus at billions of vectors,
+ss02's bucket join bounds compare counts by bucket occupancy; multiple hash
+tables (L repetitions) trade recall for cost — the classic LSH knob. An IVF
+variant (k-means coarse quantizer) drops in by replacing the bucket id with
+the nearest-centroid id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+_DIM = 64
+_N_PLANES = 16
+_SEED = 42
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+
+
+def _cosine_pairs(e: DataFrame, queries: DataFrame) -> DataFrame:
+    """All (query, candidate) cosine similarities, query side broadcast."""
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+
+
+@register(
+    "ss01_cosine_topk",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   list_cosine_similarity(q.v, c.v) AS cos_raw
+            FROM q JOIN e c ON c.vec_id != q.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cos_raw,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos_raw DESC, c_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT q_id, c_id, round(cos_raw, 4) AS cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vectors (vec_id < 5).
+    Dot product via zip_with/aggregate — JVM higher-order functions, no
+    Python serialization. Probe side broadcast: corpus scanned once, zero
+    shuffles before the per-query top-k window."""
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = e.filter(F.col("vec_id") < 5)
+    scored = _cosine_pairs(e, queries)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "c_id", F.round("cos_raw", 4).alias("cosine"), "rnk")
+    )
+
+
+def _hyperplanes() -> np.ndarray:
+    rng = np.random.default_rng(_SEED)
+    return rng.standard_normal((_N_PLANES, _DIM))
+
+
+@register(
+    "ss02_lsh_ann_topk",
+    oracle=None,  # LSH bucketing is hash-specific; recall vs ss01 asserted in tests/
+    tags=("similarity", "ann", "lsh"),
+)
+def ss02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 16 sign bits -> 4 bucket bands of 4
+    bits (pigeonhole: pairs within angular distance agree on some band with
+    high probability); exact cosine rerank within candidate buckets; top-3
+    per query. The sign projection runs as one vectorized pandas UDF
+    (Arrow-batched numpy matmul)."""
+    t = tables(spark, sf_dir)
+    planes = _hyperplanes()
+
+    @F.pandas_udf(T.LongType())
+    def sign_bits(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(_N_PLANES)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("sig", sign_bits("v"))
+    bands = e.select(
+        "vec_id",
+        "v",
+        *[
+            F.shiftright(F.col("sig"), 4 * i).bitwiseAND(F.lit(0xF)).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    band_long = bands.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("key"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    queries = band_long.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band", "key"
+    )
+    candidates = (
+        band_long.join(F.broadcast(queries), ["band", "key"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qv", F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .distinct()
+    )
+    scored = candidates.select(
+        "q_id",
+        "c_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            )
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "c_id", F.round("cos_raw", 4).alias("cosine"), "rnk")
+    )

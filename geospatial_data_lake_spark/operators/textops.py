@@ -1,0 +1,179 @@
+"""Text-analysis operators for training-data pipelines.
+
+Token counting, quality scoring, language-ID, and fingerprinting over the
+``documents`` table — all pure Catalyst expressions (split/filter/aggregate
+higher-order functions), so they run JVM-side at full codegen speed; no
+Python anywhere. Each is oracle-checked against the identical formula in
+DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+_STOPWORDS = ("the", "a", "of", "and")
+# Marker vocabularies for the n-gram language heuristic (deterministic
+# scoring; the fixture text is synthetic so the point is the operator, not
+# linguistic accuracy — the `agrees` column reports true accuracy).
+_LANG_MARKERS = {
+    "en": ("the", "a", "value", "table"),
+    "de": ("der", "und", "die", "batch"),
+    "fr": ("le", "la", "et", "stream"),
+}
+
+
+@register(
+    "tx01_token_stats",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+                   strlen(replace(text, ' ', '')) AS letters
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+               round(letters * 1.0 / len(toks), 4) AS avg_token_len,
+               round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr
+        FROM s
+    """,
+    tags=("text", "tokens"),
+)
+def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, average token
+    length, type-token ratio. All array expressions — codegen'd."""
+    t = tables(spark, sf_dir)
+    s = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.split("text", " ").alias("toks"),
+        F.octet_length(F.regexp_replace("text", " ", "")).alias("letters"),
+    )
+    return s.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct_tokens"),
+        F.round(F.col("letters") / F.size("toks"), 4).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 4).alias("ttr"),
+    )
+
+
+@register(
+    "tx02_quality_score",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS n_stop
+            FROM s
+        )
+        SELECT doc_id,
+               round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+               (n_tokens BETWEEN 20 AND 1000 AND n_stop > 0) AS quality_pass
+        FROM m
+    """,
+    tags=("text", "quality"),
+)
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio + length gate (the standard
+    pretraining-corpus filter shape: Gopher/C4-style rules)."""
+    t = tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    )
+    n_tokens = F.size(toks)
+    return t.documents.select(
+        "doc_id",
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        (n_tokens.between(20, 1000) & (n_stop > 0)).alias("quality_pass"),
+    )
+
+
+@register(
+    "tx03_language_id",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> x IN ('the', 'a', 'value', 'table')))
+                       AS score_en,
+                   len(list_filter(toks, x -> x IN ('der', 'und', 'die', 'batch')))
+                       AS score_de,
+                   len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'stream')))
+                       AS score_fr
+            FROM s
+        )
+        SELECT doc_id, lang,
+               CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                    WHEN score_de >= score_fr THEN 'de'
+                    ELSE 'fr' END AS predicted_lang,
+               (CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                     WHEN score_de >= score_fr THEN 'de'
+                     ELSE 'fr' END = lang) AS agrees
+        FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-token scoring (the n-gram-profile
+    heuristic of Cavnar-Trenkle, reduced to word-level markers). Determin-
+    istic argmax with fixed tie-order en > de > fr."""
+    t = tables(spark, sf_dir)
+    toks = F.split("text", " ")
+
+    def marker_score(markers):
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("agrees"),
+    )
+
+
+@register(
+    "tx04_length_histogram",
+    oracle="""
+        SELECT CAST(len(string_split(text, ' ')) // 20 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+               CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        FROM documents
+        GROUP BY bucket
+    """,
+    tags=("text", "histogram"),
+)
+def tx04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (corpus shape audit — the first chart anyone
+    draws over a new pretraining source)."""
+    t = tables(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        t.documents.select(F.floor(n_tokens / 20).cast("bigint").alias("bucket"),
+                           n_tokens.alias("nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nt").cast("bigint").alias("min_tokens"),
+            F.max("nt").cast("bigint").alias("max_tokens"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Unit tests for custom operator kernels (the rows-only queries) over tiny
+controlled inputs — asof, graph fixpoint, LSH recall, simhash, multimodal
+batch shape."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark import load_all_queries
+from geospatial_data_lake_spark.operators.asof import asof_join
+from geospatial_data_lake_spark.operators.graph import reachable
+from geospatial_data_lake_spark.operators.multimodal import decode_image_stub
+
+
+def should_asof_join_pick_latest_strictly_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k", datetime(2026, 1, 1, 10, 0, 0)),
+            (2, "k", datetime(2026, 1, 1, 12, 0, 0)),
+            (3, "k", datetime(2026, 1, 1, 9, 0, 0)),  # before any right row
+        ],
+        "left_id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "k", datetime(2026, 1, 1, 9, 30, 0)),
+            (200, "k", datetime(2026, 1, 1, 10, 0, 0)),  # == left 1 ts: excluded
+            (300, "k", datetime(2026, 1, 1, 11, 59, 59)),
+        ],
+        "right_id int, k string, rts timestamp",
+    )
+    out = {
+        r.left_id: r.asof_right_id
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_value_cols=["right_id"], strict=True,
+        ).collect()
+    }
+    assert out == {1: 100, 2: 300, 3: None}
+
+
+def should_reach_fixpoint_with_cycles(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    nodes = {r.node for r in reachable(edges, seeds).collect()}
+    assert nodes == {"a", "b", "c", "d"}
+
+
+def should_lsh_ann_recall_match_bruteforce(spark, sf_dir):
+    """ss02 (LSH ANN) must recover most of ss01's exact top-3 neighbors."""
+    registry = load_all_queries()
+    exact = registry["ss01_cosine_topk"].fn(spark, sf_dir).collect()
+    approx = registry["ss02_lsh_ann_topk"].fn(spark, sf_dir).collect()
+    exact_pairs = {(r.q_id, r.c_id) for r in exact}
+    approx_pairs = {(r.q_id, r.c_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def should_simhash_agree_on_identical_docs(spark):
+    """Identical token streams must land at Hamming distance 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    # reuse the registered query logic by monkey-loading a Tables stand-in
+    from geospatial_data_lake_spark.operators import dedup
+
+    import geospatial_data_lake_spark.operators.dedup as dmod
+
+    class FakeTables:
+        documents = docs
+
+    orig = dmod.tables
+    dmod.tables = lambda spark, sf_dir: FakeTables()
+    try:
+        rows = dedup.dd05_simhash_pairs(spark, "ignored").collect()
+    finally:
+        dmod.tables = orig
+    pairs = {(r.d1, r.d2): r.hamming for r in rows}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def should_decode_stub_be_deterministic():
+    a = decode_image_stub(b"same-bytes")
+    b = decode_image_stub(b"same-bytes")
+    c = decode_image_stub(b"other-bytes")
+    assert a == b
+    assert a != c
+    w, h, ch = a
+    assert 64 <= w < 256 and 64 <= h < 256 and ch in (1, 2, 3)
+
+
+def should_decode_features_have_stable_schema(spark, sf_dir):
+    registry = load_all_queries()
+    df = registry["mm02_decode_features"].fn(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "n_bytes", "mime", "width", "height", "channels",
+    ]
+    rows = df.limit(5).collect()
+    assert all(r.mime == "image/stub" for r in rows)
+
+
+def should_entry_run_and_return_rows(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def should_every_query_have_unique_aliased_columns(spark):
+    """Guards the driver contract: no duplicate/auto-generated col names."""
+    registry = load_all_queries()
+    for name, spec in registry.items():
+        cols = spec.fn(spark, "/root/testdata/sf0.001").columns
+        assert len(cols) == len(set(cols)), f"{name} has duplicate columns"
+        for c in cols:
+            assert "(" not in c, f"{name} has unaliased column {c!r}"
