@@ -1,0 +1,357 @@
+"""Extended relational coverage: TPC-H classics, statistical aggregates,
+grouping sets, additional window/sort shapes, SQL subqueries, JSON
+explosion — rounding out SURVEY.md §2's capability-parity rows (A8, W3/W4,
+O4, F9, F11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch", "flagship"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pricing-summary query (entry() runs this shape at
+    sf0.001). One scan, map-side partial aggregation, 6-group result."""
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("agg", "tpch"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+agg — every predicate pushes into the scan;
+    the whole query is one codegen stage with no shuffle."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register(
+    "p02_in_list_predicate",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+    """,
+    tags=("filter", "P2"),
+)
+def p02_in_list_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list equality predicate (P2 generalization; ref equality filter
+    backend/import_status/get.py:125)."""
+    t = tables(spark, sf_dir)
+    return t.orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "a11_stats_aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_discount), 6) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "A8", "stats"),
+)
+def a11_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    capability-parity A8 catalog stats."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "a12_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "A8"),
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A8) — expressed in Spark SQL (same Catalyst
+    plan as the DataFrame API)."""
+    t = tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "a13_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0), 2)
+                   AS qty_open,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0), 2)
+                   AS qty_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "A8", "pivot"),
+)
+def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide aggregation) with an explicit value list — the bounded
+    form that scales (unbounded pivot needs a distinct-value collect)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    )
+
+
+@register(
+    "w06_ntile",
+    oracle="""
+        SELECT q, CAST(count(*) AS BIGINT) AS n,
+               round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+        FROM (
+            SELECT c_acctbal,
+                   ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+            FROM customer
+        )
+        GROUP BY q
+    """,
+    tags=("window", "W2", "W3"),
+)
+def w06_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile bucketing (W2's batch assignment, rank flavor).
+    Global-order ntile serializes one partition — acceptable for catalog-
+    sized inputs; at fact-table scale use approx percentiles as cutpoints."""
+    t = tables(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        t.customer.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "w07_first_last_value",
+    oracle="""
+        SELECT DISTINCT user_id,
+               first_value(event_type) OVER w AS first_event,
+               last_value(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_event,
+               CAST(count(*) OVER w AS BIGINT) AS n_events
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    tags=("window", "W4"),
+)
+def w07_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame: per-user first/last
+    event — the window form of the 'latest version' lookup (O3)."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t.events.select(
+            "user_id",
+            F.first_value("event_type").over(w).alias("first_event"),
+            F.last_value("event_type").over(w).alias("last_event"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_events"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "o05_offset_pagination",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 10
+    """,
+    tags=("sort", "O4"),
+)
+def o05_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination with a deterministic total order (page 2 of
+    the top-k). Offset pushes into the same TakeOrderedAndProject."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+@register(
+    "j10_correlated_exists_sql",
+    oracle="""
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        GROUP BY n_name
+    """,
+    tags=("join", "J4", "sql"),
+)
+def j10_correlated_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery in Spark SQL — Catalyst decorrelates it
+    into the same left-semi join the DataFrame API would declare (J4)."""
+    t = tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation")
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        GROUP BY n_name
+        """
+    )
+
+
+@register(
+    "f09_json_map_explode",
+    oracle="""
+        SELECT event_id, k AS prop_key,
+               CAST(json_extract(props, '$.' || k) AS BIGINT) AS prop_value
+        FROM events, unnest(json_keys(props)) u(k)
+        WHERE event_id % 25 = 0
+    """,
+    tags=("scalar", "F9", "S5"),
+)
+def f09_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON object -> exploded key/value rows (ref: .get("assets", {})
+    .values() iteration, backend/check_stac_metadata/utils.py:119-127).
+    from_json to a typed map, then explode — both JVM-side."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("event_id") % 25 == 0)
+        .select(
+            "event_id",
+            F.explode(
+                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+            ).alias("prop_key", "prop_value"),
+        )
+    )
+
+
+@register(
+    "f11_url_encode",
+    oracle=None,  # DuckDB 1.0 has no url_encode scalar — unit-tested instead
+    tags=("scalar", "F11"),
+)
+def f11_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-encode of composed object keys (ref: quote(dumps(params)) into
+    the copy manifest, backend/import_dataset/task.py:106). Spark 3.4+
+    url_encode is JVM-side; correctness pinned by unit test."""
+    t = tables(spark, sf_dir)
+    key = F.concat(F.lit("data files/"), F.col("source"), F.lit("/doc "), F.col("doc_id").cast("string"))
+    return t.documents.select(
+        "doc_id",
+        key.alias("key"),
+        F.url_encode(key).alias("encoded"),
+        F.url_decode(F.url_encode(key)).alias("roundtrip"),
+    )

@@ -151,6 +151,64 @@ def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx05_bigram_frequencies",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        b AS (
+            SELECT doc_id, toks[pos] || ' ' || toks[pos + 1] AS bigram
+            FROM s, generate_series(1, 1000) g(pos)
+            WHERE pos <= len(toks) - 1
+        )
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM b
+        GROUP BY bigram
+        HAVING count(*) >= 20
+    """,
+    tags=("text", "ngram"),
+)
+def tx05_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency table (n-gram generation — the shingling
+    primitive under MinHash and n-gram LM stats). Bigrams come from a
+    sequence+transform higher-order expression: zero Python, one shuffle
+    (map-side partial counts)."""
+    t = tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    )
+    return (
+        t.documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@register(
+    "tx06_regex_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+               CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels
+        FROM documents
+    """,
+    tags=("text", "tokens", "regex"),
+)
+def tx06_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer counts (the BPE-pretokenizer shape: letter-run and
+    character-class token counts via regexp)."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).cast("bigint").alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
+    )
+
+
+@register(
     "tx04_length_histogram",
     oracle="""
         SELECT CAST(len(string_split(text, ' ')) // 20 AS BIGINT) AS bucket,

@@ -71,6 +71,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         from geospatial_data_lake_spark.operators import (  # noqa: F401
             aggregates,
             dedup,
+            extended,
             filters,
             joins,
             multimodal,
