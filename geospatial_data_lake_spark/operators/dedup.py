@@ -177,33 +177,58 @@ def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, exact-verified at threshold 0.8.
 
-    Pipeline: token sets -> 32 minhash signatures (xxhash64 with per-
-    permutation salt, min-aggregated — all JVM expressions) -> 16 band keys
-    of 2 rows -> equi-self-join per band for candidates -> exact Jaccard
-    verify on candidates only. With these parameters the LSH miss
-    probability at j>=0.8 is < 1e-7, so the output equals the exact pairs
-    (the SQL oracle) almost surely, while the join is linear in candidates
-    rather than quadratic in documents.
+    Production-shaped pipeline (the order used by large training-data
+    dedup systems):
+
+    1. **Exact-set collapse first**: docs with identical token sets are
+       grouped (one hash shuffle); only one representative per distinct
+       set enters the sketching stage. Near-dup cost then scales with
+       *distinct* content, not raw row count — on heavily duplicated
+       crawls this alone removes most of the work.
+    2. **MinHash signatures** over representatives: 32 permutations as
+       xxhash64(salt, word) min-aggregated — all JVM expressions, one
+       shuffle keyed by rep.
+    3. **LSH banding**: 16 bands of r=2 rows -> band-key equi-self-join
+       for candidates. Miss probability at j>=0.8 is (1-0.8^2)^16 < 1e-7,
+       so the verified output equals the exact-Jaccard pairs (the SQL
+       oracle) almost surely.
+    4. **Exact verify via set arrays**: each candidate pair is checked
+       with size(array_intersect)/size(array_union) against the
+       broadcast (rep -> token array) table — per-pair codegen work, no
+       word-expansion shuffle (a candidate x words join would shuffle
+       |candidates| x |doc| rows; the array verify shuffles nothing).
+    5. **Group expansion**: verified rep pairs fan back out to doc pairs
+       through the membership lists (broadcast joins); identical-set
+       groups contribute their intra-group pairs at jaccard = 1.0.
     """
     t = tables(spark, sf_dir)
-    words = _doc_words(t.documents)
+    docs = t.documents.select(
+        "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks")
+    )
+    # 1. collapse identical token sets
+    groups = docs.groupBy("toks").agg(
+        F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("members")
+    )
+    reps = groups.select("rep", "toks")
 
-    sig = words.groupBy("doc_id").agg(
+    # 2. minhash signatures over representatives only
+    words = reps.select("rep", F.explode("toks").alias("word"))
+    sig = words.groupBy("rep").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"h{i}")
             for i in range(N_PERM)
         ]
     )
-    rows_per_band = N_PERM // N_BANDS
-    band_cols = []
-    for band in range(N_BANDS):
-        members = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(F.lit(band), *members).alias(f"b{band}"))
-    banded = sig.select("doc_id", *band_cols)
 
-    # candidates: docs agreeing on at least one band
+    # 3. band keys + candidate self-join (slim rows: rep ids + band key
+    # only — payload arrays must NOT ride through the pair-explosion join)
+    band_cols = [
+        F.xxhash64(F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("rep", *band_cols)
     band_long = banded.select(
-        "doc_id",
+        "rep",
         F.explode(
             F.array(
                 *[
@@ -212,7 +237,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("rep", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = band_long.alias("a")
     b = band_long.alias("b")
     candidates = (
@@ -220,32 +245,61 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.rep").alias("r1"), F.col("b.rep").alias("r2"))
         .distinct()
     )
 
-    # exact verify on the candidate set only
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    w1 = words.select(F.col("doc_id").alias("d1"), "word")
-    w2 = words.select(F.col("doc_id").alias("d2"), "word")
-    common = (
-        candidates.join(w1, "d1")
-        .join(w2, ["d2", "word"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # 4. exact verify: set jaccard via intersection of 64-bit-hashed token
+    # arrays (standard no-collision assumption) attached from the broadcast
+    # (rep -> htoks) side table — per-pair codegen work, no word-expansion
+    # shuffle, and integer compares instead of string compares
+    htok = reps.select(
+        "rep", F.array_sort(F.transform("toks", lambda w: F.xxhash64(w))).alias("h")
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    return (
-        common.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+    t1 = htok.select(F.col("rep").alias("r1"), F.col("h").alias("h1"))
+    t2 = htok.select(F.col("rep").alias("r2"), F.col("h").alias("h2"))
+    n_common = F.size(F.array_intersect("h1", "h2"))
+    verified = (
+        candidates.join(F.broadcast(t1), "r1")
+        .join(F.broadcast(t2), "r2")
+        .withColumn("nc", n_common)
         .withColumn(
-            "jaccard", F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+            "jaccard", F.col("nc") / (F.size("h1") + F.size("h2") - F.col("nc"))
         )
         .filter(F.col("jaccard") >= 0.8)
-        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+        .select("r1", "r2", "jaccard")
+    )
+
+    # 5. expand rep pairs back to doc pairs through group membership
+    membership = groups.select("rep", F.explode("members").alias("doc_id"))
+    m1 = membership.select(F.col("rep").alias("r1"), F.col("doc_id").alias("e1"))
+    m2 = membership.select(F.col("rep").alias("r2"), F.col("doc_id").alias("e2"))
+    inter = (
+        verified.join(F.broadcast(m1), "r1")
+        .join(F.broadcast(m2), "r2")
+        .select(
+            F.least("e1", "e2").alias("d1"),
+            F.greatest("e1", "e2").alias("d2"),
+            "jaccard",
+        )
+    )
+    intra = (
+        groups.filter(F.size("members") > 1)
+        .select(
+            F.explode("members").alias("e1"), F.col("members").alias("ms")
+        )
+        .select("e1", F.explode("ms").alias("e2"))
+        .filter(F.col("e1") < F.col("e2"))
+        .select(
+            F.col("e1").alias("d1"),
+            F.col("e2").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra).select(
+        "d1", "d2", F.round("jaccard", 4).alias("jaccard")
     )
 
 

@@ -99,6 +99,90 @@ def _hyperplanes() -> np.ndarray:
     return rng.standard_normal((_N_PLANES, _DIM))
 
 
+def _assign_clusters(df: DataFrame, centroids: np.ndarray, out_col: str) -> DataFrame:
+    """Nearest-centroid id per vector — one Arrow-batched numpy matmul per
+    batch (centroids are a closure broadcast to executors with the UDF)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        # cosine distance == ordering by normalized dot; centroids pre-normalized
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ centroids.T  # (batch, k)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, nearest("v"))
+
+
+@register(
+    "ss03_ivf_ann_topk",
+    oracle=None,  # coarse-quantizer assignment is centroid-specific; recall vs ss01 asserted in tests/
+    tags=("similarity", "ann", "ivf"),
+)
+def ss03_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF coarse quantization: k=16 centroids (deterministic seed
+    vectors, unit-normalized), every corpus vector assigned to its nearest
+    centroid (inverted list), each query probes its nprobe=4 nearest lists,
+    exact cosine rerank within the probed lists only.
+
+    Scale analysis: the corpus is scanned once to assign lists; the
+    candidate join is an equi-join on the list id, so compare count drops
+    from O(Q x N) to O(Q x N x nprobe/k). At billions of vectors the
+    centroids come from an offline k-means sample and the corpus side is
+    pre-partitioned (bucketed) by list id, so a probe touches only
+    nprobe/k of the data — the canonical IVF trade."""
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Deterministic "training": the k lowest-id vectors are the seeds.
+    # (Real deployments run k-means offline; the engine-side plumbing —
+    # assignment, inverted lists, probe join, rerank — is identical.)
+    k, nprobe = 16, 4
+    seed_rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = np.stack([np.asarray(r.v, dtype=np.float64) for r in seed_rows])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    corpus = _assign_clusters(e, cents, "list_id")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cents.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    probed = queries.withColumn("list_id", F.explode(probe_lists("qv")))
+    candidates = (
+        corpus.join(F.broadcast(probed), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qv", F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    )
+    scored = candidates.select(
+        "q_id",
+        "c_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            )
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "c_id", F.round("cos_raw", 4).alias("cosine"), "rnk")
+    )
+
+
 @register(
     "ss02_lsh_ann_topk",
     oracle=None,  # LSH bucketing is hash-specific; recall vs ss01 asserted in tests/

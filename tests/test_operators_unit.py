@@ -62,6 +62,17 @@ def should_lsh_ann_recall_match_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def should_ivf_ann_recall_match_bruteforce(spark, sf_dir):
+    """ss03 (IVF ANN) must recover most of ss01's exact top-3 neighbors."""
+    registry = load_all_queries()
+    exact = registry["ss01_cosine_topk"].fn(spark, sf_dir).collect()
+    approx = registry["ss03_ivf_ann_topk"].fn(spark, sf_dir).collect()
+    exact_pairs = {(r.q_id, r.c_id) for r in exact}
+    approx_pairs = {(r.q_id, r.c_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def should_simhash_agree_on_identical_docs(spark):
     """Identical token streams must land at Hamming distance 0."""
     docs = spark.createDataFrame(
