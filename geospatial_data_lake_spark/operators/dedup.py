@@ -205,7 +205,10 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select(
         "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks")
     )
-    # 1. collapse identical token sets
+    # 1. collapse identical token sets. NOTE: deliberately NOT cached —
+    # a cached 4k-row relation makes Catalyst broadcast the band table and
+    # collapse the pair-explosion join onto too few tasks (measured 6x
+    # slower); recomputing the small groupBy per branch is far cheaper.
     groups = docs.groupBy("toks").agg(
         F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("members")
     )
@@ -238,11 +241,18 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("rep", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = band_long.alias("a")
+    # The pair-explosion join's cost is its OUTPUT size, which Catalyst
+    # can't see from the (small) input stats. Partitioning by band key
+    # would put each giant LSH bucket on one task (skew); instead the
+    # build side (small: one row per rep per band) broadcasts and the
+    # probe side spreads evenly by rep, so every task generates pairs for
+    # an equal share of reps regardless of bucket skew.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = band_long.repartition(n_part, "rep").alias("a")
     b = band_long.alias("b")
     candidates = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.rep") < F.col("b.rep")),
