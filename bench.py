@@ -57,6 +57,11 @@ def main() -> None:
     spark = get_spark(app_name="gdl-bench")
     registry = load_all_queries()
 
+    # Untimed warmup: exercise scan/shuffle/broadcast/noop codepaths once so
+    # per-query timings measure steady-state cost, not first-query JIT.
+    warm = registry["j01_lookup_join_broadcast"].fn(spark, sf_dir)
+    warm.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]

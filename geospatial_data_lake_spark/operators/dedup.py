@@ -410,26 +410,22 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the dot product as a JVM higher-order function (zip_with +
     aggregate — no Python). This is the oracle path; the bucketed/ANN path
     for billions of vectors is ss02 in similarity.py."""
+    from geospatial_data_lake_spark.operators.similarity import _dot
+
     t = tables(spark, sf_dir)
     e = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
     )
+    e = e.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = e.alias("a")
     b = e.alias("b")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-        )
-
-    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("v1"),
         F.col("b.vec_id").alias("v2"),
-        (
-            dot(F.col("a.v"), F.col("b.v"))
-            / (norm(F.col("a.v")) * norm(F.col("b.v")))
-        ).alias("cos_raw"),
+        (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
+            "cos_raw"
+        ),
     )
     return pairs.filter(F.col("cos_raw") >= 0.4).select(
         "v1", "v2", F.round("cos_raw", 4).alias("cosine")

@@ -30,25 +30,40 @@ _SEED = 42
 
 
 def _dot(x, y):
-    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+    """Fixed-dimension dot product unrolled into a flat codegen expression.
+
+    zip_with/aggregate lambdas are evaluated interpreted (no whole-stage
+    codegen for higher-order functions), which dominated the pair loop;
+    the unrolled sum is pure codegen and keeps the identical left-to-right
+    summation order, so results are bit-for-bit the same."""
+    terms = F.lit(0.0)
+    for i in range(1, _DIM + 1):
+        terms = terms + F.element_at(x, i) * F.element_at(y, i)
+    return terms
 
 
 def _cosine_pairs(e: DataFrame, queries: DataFrame) -> DataFrame:
-    """All (query, candidate) cosine similarities, query side broadcast."""
-    q = queries.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    """All (query, candidate) cosine similarities, query side broadcast.
+    Norms are computed once per row (not once per pair): both sides carry
+    a precomputed norm column into the join."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"),
+    )
     return (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",
             "c_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cos_raw"),
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_raw"
+            ),
         )
     )
 

@@ -1,0 +1,122 @@
+"""Source/sink connector tests — S5 (json+corrupt), S6 (binary), S7
+(manifest csv), S8 (keyed upsert)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geospatial_data_lake_spark.sources.binary_source import (
+    read_binary_files,
+    with_sha256,
+)
+from geospatial_data_lake_spark.sources.json_source import read_json_documents
+from geospatial_data_lake_spark.sources.sinks import upsert_parquet, write_manifest_csv
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def should_split_good_and_corrupt_json(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": "a", "type": "Collection", "n": 1}\n'
+        "{this is not json}\n"
+        '{"id": "b", "type": "Feature", "n": 2}\n'
+    )
+    good, corrupt = read_json_documents(spark, str(p), DOC_SCHEMA)
+    assert {r.id for r in good.collect()} == {"a", "b"}
+    assert corrupt.count() == 1
+    assert "not json" in corrupt.collect()[0][0]
+
+
+def should_read_binary_files_and_digest(spark, tmp_path):
+    data = b"hello spark binary source"
+    (tmp_path / "x.bin").write_bytes(data)
+    (tmp_path / "y.bin").write_bytes(data * 2)
+    inline, oversized = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert oversized.count() == 0
+    rows = {
+        os.path.basename(r.path): r.sha256 for r in with_sha256(inline).collect()
+    }
+    assert rows["x.bin"] == hashlib.sha256(data).hexdigest()
+    assert rows["y.bin"] == hashlib.sha256(data * 2).hexdigest()
+
+
+def should_route_oversized_binaries_separately(spark, tmp_path):
+    (tmp_path / "small.bin").write_bytes(b"x" * 10)
+    (tmp_path / "big.bin").write_bytes(b"x" * 1000)
+    inline, oversized = read_binary_files(
+        spark, str(tmp_path), glob="*.bin", max_inline_bytes=100
+    )
+    assert [os.path.basename(r.path) for r in inline.collect()] == ["small.bin"]
+    assert [os.path.basename(r.path) for r in oversized.collect()] == ["big.bin"]
+
+
+def should_write_manifest_csv_rows(spark, tmp_path):
+    manifest = spark.createDataFrame(
+        [("bucket-a", "k/1"), ("bucket-a", "k 2,with comma")],
+        "bucket string, key string",
+    )
+    out = tmp_path / "manifest"
+    write_manifest_csv(manifest, str(out))
+    back = spark.read.csv(str(out)).collect()
+    assert {(r[0], r[1]) for r in back} == {
+        ("bucket-a", "k/1"),
+        ("bucket-a", "k 2,with comma"),
+    }
+
+
+def should_upsert_replace_and_insert(spark, tmp_path):
+    path = str(tmp_path / "tbl.parquet")
+    base = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 2, "old")], "id string, v int, src string"
+    )
+    base.write.parquet(path)
+    updates = spark.createDataFrame(
+        [("b", 20, "new"), ("c", 30, "new")], "id string, v int, src string"
+    )
+    upsert_parquet(spark, path, updates, key_cols=["id"])
+    result = {r.id: (r.v, r.src) for r in spark.read.parquet(path).collect()}
+    assert result == {"a": (1, "old"), "b": (20, "new"), "c": (30, "new")}
+
+
+def should_upsert_create_when_missing(spark, tmp_path):
+    path = str(tmp_path / "fresh.parquet")
+    updates = spark.createDataFrame([("a", 1)], "id string, v int")
+    upsert_parquet(spark, path, updates, key_cols=["id"])
+    assert spark.read.parquet(path).count() == 1
+
+
+def should_upsert_rewrite_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "part.parquet")
+    base = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "b", 2), ("p2", "c", 3)],
+        "pt string, id string, v int",
+    )
+    base.write.partitionBy("pt").parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(path, "pt=p2", f))
+        for f in os.listdir(os.path.join(path, "pt=p2"))
+        if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame([("p1", "a", 10)], "pt string, id string, v int")
+    upsert_parquet(spark, path, updates, key_cols=["id"], partition_by=["pt"])
+    result = {
+        (r.pt, r.id): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert result == {("p1", "a"): 10, ("p1", "b"): 2, ("p2", "c"): 3}
+    after = {
+        f: os.path.getmtime(os.path.join(path, "pt=p2", f))
+        for f in os.listdir(os.path.join(path, "pt=p2"))
+        if f.endswith(".parquet")
+    }
+    assert before == after, "untouched partition p2 must not be rewritten"
