@@ -223,42 +223,45 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    # 3. band keys + candidate self-join (slim rows: rep ids + band key
-    # only — payload arrays must NOT ride through the pair-explosion join)
-    band_cols = [
-        F.xxhash64(F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"b{b}")
-        for b in range(N_BANDS)
-    ]
-    banded = sig.select("rep", *band_cols)
-    band_long = banded.select(
-        "rep",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("rep", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # The pair-explosion join's cost is its OUTPUT size, which Catalyst
-    # can't see from the (small) input stats. Partitioning by band key
-    # would put each giant LSH bucket on one task (skew); instead the
-    # build side (small: one row per rep per band) broadcasts and the
-    # probe side spreads evenly by rep, so every task generates pairs for
-    # an equal share of reps regardless of bucket skew.
+    # 3. band keys + candidate self-join. Three plan decisions, all made
+    # because the join's cost is its OUTPUT size, which Catalyst can't see
+    # from the (small) input stats:
+    #   (a) the build side broadcasts and the probe side spreads evenly by
+    #       rep — partitioning by band key would put each giant LSH bucket
+    #       on one task (skew);
+    #   (b) each row carries its full band-key array (16 longs) so a pair
+    #       agreeing on several bands is emitted only from the FIRST one —
+    #       a flat 15-term codegen predicate replaces a distinct() shuffle
+    #       of the ~7x-duplicated pair stream;
+    #   (c) only rep ids + band arrays ride through the explosion; token
+    #       payloads attach later from a broadcast side table.
+    bands_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    band_long = sig.select("rep", bands_arr.alias("bands")).select(
+        "rep", "bands", F.posexplode("bands").alias("band", "key")
+    )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = band_long.repartition(n_part, "rep").alias("a")
-    b = band_long.alias("b")
-    candidates = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.rep") < F.col("b.rep")),
+    a = band_long.repartition(n_part, "rep").select(
+        F.col("rep").alias("r1"), F.col("bands").alias("bd1"), "band", "key"
+    )
+    b = band_long.select(
+        F.col("rep").alias("r2"), F.col("bands").alias("bd2"), "band", "key"
+    )
+    earlier_band_matched = F.lit(False)
+    for j in range(N_BANDS - 1):
+        earlier_band_matched = earlier_band_matched | (
+            (F.lit(j) < F.col("band"))
+            & (F.element_at("bd1", j + 1) == F.element_at("bd2", j + 1))
         )
-        .select(F.col("a.rep").alias("r1"), F.col("b.rep").alias("r2"))
-        .distinct()
+    candidates = (
+        a.join(F.broadcast(b), ["band", "key"])
+        .filter(F.col("r1") < F.col("r2"))
+        .filter(~earlier_band_matched)
+        .select("r1", "r2")
     )
 
     # 4. exact verify: set jaccard via intersection of 64-bit-hashed token
