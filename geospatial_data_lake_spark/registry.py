@@ -81,6 +81,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             sorts,
             streaming_queries,
             textops,
+            tpch_suite,
             windows,
         )
         from geospatial_data_lake_spark.functions import scalars  # noqa: F401

@@ -1,0 +1,109 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness tests prove a query returns the right rows at sf0.001; these
+prove it returns them with the *plan we designed for 100 TB*: filters
+pushed into the parquet scan, columns pruned at the reader, small sides
+broadcast, aggregations partial-then-final, top-k as a bounded heap
+instead of a global sort. A regression here is invisible at test scale
+and catastrophic at cluster scale, which is exactly why it is pinned.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geospatial_data_lake_spark import load_all_queries
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all_queries()
+
+
+def _plan(spark, registry, name, sf_dir) -> str:
+    import contextlib
+    import io
+
+    df = registry[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def should_push_point_lookup_filter_to_parquet(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "s01_point_lookup", sf_dir)
+    assert "PushedFilters: [" in plan
+    # the equality predicate itself (not just IsNotNull) must reach the scan
+    assert "EqualTo" in plan or "In(" in plan, plan
+
+
+def should_prune_columns_at_scan_for_narrow_aggregate(spark, registry, sf_dir):
+    # Q6 touches 4 of lineitem's 11 columns; the reader schema must shrink.
+    plan = _plan(spark, registry, "tpch_q6_forecast_revenue", sf_dir)
+    (read,) = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert "l_orderkey" not in read and "l_returnflag" not in read, read
+    assert "l_extendedprice" in read and "l_discount" in read, read
+
+
+def should_broadcast_small_side_of_lookup_join(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "j01_lookup_join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def should_broadcast_dimension_chain_in_star_join(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "j07_star_join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, (
+        "star dimension chain must not shuffle-sort: " + plan
+    )
+
+
+def should_broadcast_dims_in_q5_multiway_join(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "tpch_q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def should_split_disjunctive_predicate_to_both_scans(spark, registry, sf_dir):
+    # Q19's OR-of-ANDs: Catalyst must derive per-side filters — the brand
+    # IN-list on the part scan and the quantity envelope on lineitem.
+    plan = _plan(spark, registry, "tpch_q19_disjunctive_revenue", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    part_pushed = [l for l in pushed if "p_brand" in l]
+    line_pushed = [l for l in pushed if "l_quantity" in l]
+    assert part_pushed, plan
+    assert line_pushed, plan
+
+
+def should_partial_aggregate_before_shuffle(spark, registry, sf_dir):
+    # Q1: map-side partial agg collapses rows before the group shuffle.
+    plan = _plan(spark, registry, "tpch_q1_pricing_summary", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    (read,) = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert "l_partkey" not in read, "Q1 must not read join keys: " + read
+
+
+def should_run_topk_as_bounded_heap_not_global_sort(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "o04_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def should_run_q3_topk_as_bounded_heap(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "tpch_q3_shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def should_keep_window_to_single_shuffle(spark, registry, sf_dir):
+    # One partitionBy → exactly one exchange feeding the window sort.
+    import re
+
+    plan = _plan(spark, registry, "w03_rank_per_group", sf_dir)
+    # formatted mode prints each operator twice (tree + detail section);
+    # count only the numbered detail headers.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, f"rank window should shuffle once, saw {n_exchanges}:\n{plan}"
+
+
+def should_semi_join_existence_probe_without_full_join(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "j04_semi_join", sf_dir)
+    assert "LeftSemi" in plan, plan
