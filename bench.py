@@ -33,6 +33,10 @@ HEADLINE = [
     "j03_left_outer_join",
     "j07_star_join_broadcast",
     "j09_asof_join",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
     "a01_count_per_group",
     "a04_grouped_collect",
     "a08_rollup",

@@ -317,6 +317,91 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd07_duplicate_groups",
+    oracle="""
+        WITH RECURSIVE p AS (""" + _JACCARD_ORACLE.format(threshold=0.8) + """
+        ),
+        edges AS (
+            SELECT d1 AS u, d2 AS v FROM p
+            UNION ALL
+            SELECT d2, d1 FROM p
+        ),
+        reach(src, dst) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ),
+        comp AS (
+            SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+        )
+        SELECT doc_id, group_id,
+               CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+        FROM comp
+    """,
+    tags=("dedup", "graph", "connected-components"),
+)
+def dd07_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *group* resolution: connected components over the
+    dd04 pair graph, each doc labeled with its group's min doc_id — the
+    keep-one-representative step that turns pairwise matches into a
+    dedup decision.
+
+    Spark has no recursive SQL, so components are computed by iterative
+    min-label propagation to fixpoint: each round every node takes the
+    min of its own label and its neighbors' labels. Convergence needs
+    O(diameter) rounds — near-dup clusters are dense (almost cliques),
+    so 2-3 rounds settle real corpora. Each round is one shuffle-join +
+    one aggregation; ``localCheckpoint`` truncates the growing lineage
+    so round N's plan doesn't replay rounds 1..N-1. The fixpoint test is
+    an aggregate (count of changed labels) — no data ever collects to
+    the driver. The DuckDB oracle computes the same components with a
+    recursive CTE.
+    """
+    pairs = dd04_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    # The pair graph is orders of magnitude smaller than the corpus
+    # (only near-dup members appear); 8 partitions keep the per-round
+    # shuffles latency-bound rather than task-overhead-bound.
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        )
+        .repartition(8, "d2")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("d1").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(20):  # diameter bound; real clusters converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.d2 == labels.node)
+            .groupBy(F.col("d1").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        # one materialization per round: the checkpoint job computes both
+        # the new label and its changed flag; the fixpoint probe is then a
+        # cheap count over the checkpointed (tiny) frame
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", "nmin").alias("label"),
+                (F.col("nmin") < F.col("label")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("group_id"),
+        "group_size",
+    )
+
+
+@register(
     "dd05_simhash_pairs",
     oracle=None,  # hash-function-specific sketch — no SQL oracle; tested in tests/
     tags=("dedup", "simhash"),

@@ -1,0 +1,62 @@
+"""Custom aggregates (SURVEY.md §2.10 X4) as Arrow-vectorized pandas UDAFs.
+
+The reference's only custom aggregate is the streaming multihash fold
+(ref: backend/check_files_checksums/utils.py:101-106, covered by
+s06_content_digest / plans/checksums.py). This module adds the
+training-pipeline custom aggregate a relational engine can't express
+natively: a vector centroid over an embedding column — the kernel of IVF
+index training, per-class prototypes, and drift monitoring.
+
+Scale notes: a GROUPED_AGG pandas UDF executes as a real partial/final
+aggregate — per-partition batches reduce map-side, only per-group partial
+states shuffle. With 64-dim vectors and few groups the shuffle payload is
+KB regardless of corpus size. The per-batch work is one ``np.stack`` +
+``mean`` over an Arrow block — vectorized C, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+
+@register(
+    "x04_centroid_udaf",
+    oracle="""
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        flat AS (
+            SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+            FROM e
+        )
+        SELECT label, dim, round(avg(x), 4) AS centroid_val
+        FROM flat
+        GROUP BY label, dim
+    """,
+    tags=("udaf", "X4", "embedding"),
+)
+def x04_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via a GROUPED_AGG pandas UDF returning
+    an array, exploded to (label, dim, value) rows for the oracle compare.
+    The UDAF is the point: an array-valued custom aggregate Spark SQL has
+    no builtin for, running as partial+final agg with Arrow transfer."""
+
+    @F.pandas_udf("array<double>")
+    def centroid(v: pd.Series) -> list:
+        return np.stack(v.to_numpy()).mean(axis=0).tolist()
+
+    t = tables(spark, sf_dir)
+    cents = (
+        t.embeddings.select("label", F.col("embedding").cast("array<double>").alias("v"))
+        .groupBy("label")
+        .agg(centroid("v").alias("c"))
+    )
+    return cents.select(
+        "label", F.posexplode("c").alias("dim", "raw")
+    ).select("label", "dim", F.round("raw", 4).alias("centroid_val"))

@@ -82,6 +82,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             streaming_queries,
             textops,
             tpch_suite,
+            udafs,
             windows,
         )
         from geospatial_data_lake_spark.functions import scalars  # noqa: F401
