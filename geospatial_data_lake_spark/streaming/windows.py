@@ -67,6 +67,45 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id (at-least-once source -> effectively
+    -once downstream). ``dropDuplicatesWithinWatermark`` keeps one state
+    entry per key only until the watermark passes it, so state is bounded
+    by the lateness horizon, not by stream history — the property that
+    makes exact dedup viable on an unbounded 100 TB/day feed. (Plain
+    ``dropDuplicates`` on a stream would accrete key state forever.)"""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, views: DataFrame, max_delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: click events attributed to the view they
+    followed within ``max_delay``. Both sides are watermarked and the join
+    condition carries the time interval, so each side's buffered state is
+    evicted once the other side's watermark passes the interval bound —
+    the canonical bounded-state stream-stream join.
+    """
+    v = views.withWatermark("ts", max_delay).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.withWatermark("ts", max_delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select("c_user", "click_id", "view_id", "view_ts", "click_ts")
+
+
 def run_to_memory_sink(agg: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a bounded stream to completion synchronously (test harness):
     memory sink + processAllAvailable."""

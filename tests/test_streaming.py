@@ -44,6 +44,90 @@ def should_match_batch_tumbling_counts(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def should_dedup_duplicates_within_watermark(spark, tmp_path):
+    import pandas as pd
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 1, 3, 2],  # 1 and 2 arrive twice
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:06",
+                 "2024-01-01 10:10", "2024-01-01 10:07"]
+            ),
+            "user_id": [7, 7, 7, 8, 8],
+            "event_type": ["a", "b", "a", "c", "b"],
+            "value": [1.0, 2.0, 1.0, 3.0, 2.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    spark.createDataFrame(rows, sw.EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(src), mode="overwrite"
+    )
+    stream = sw.read_event_stream(spark, str(src))
+    query = sw.run_to_memory_sink(
+        sw.dedup_within_watermark(stream), "dedup_out", output_mode="append"
+    )
+    try:
+        got = sorted(
+            r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+    finally:
+        query.stop()
+    assert got == [1, 2, 3]
+
+
+def should_join_streams_within_interval(spark, tmp_path):
+    import pandas as pd
+
+    views = tmp_path / "views"
+    clicks = tmp_path / "clicks"
+    for d in (views, clicks):
+        d.mkdir()
+    view_rows = pd.DataFrame(
+        {
+            "event_id": [100, 101],
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00"]),
+            "user_id": [7, 7],
+            "event_type": ["view", "view"],
+            "value": [0.0, 0.0],
+            "props": ["{}"] * 2,
+        }
+    )
+    click_rows = pd.DataFrame(
+        {
+            # 200 follows view 100 within 1h; 201 is 2h after view 100
+            # (outside the interval) and 30min after view 101 (inside)
+            "event_id": [200, 201],
+            "ts": pd.to_datetime(["2024-01-01 10:30", "2024-01-01 12:30"]),
+            "user_id": [7, 7],
+            "event_type": ["click", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}"] * 2,
+        }
+    )
+    spark.createDataFrame(view_rows, sw.EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(views), mode="overwrite"
+    )
+    spark.createDataFrame(click_rows, sw.EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(clicks), mode="overwrite"
+    )
+    joined = sw.stream_stream_interval_join(
+        sw.read_event_stream(spark, str(clicks)),
+        sw.read_event_stream(spark, str(views)),
+    )
+    query = sw.run_to_memory_sink(joined, "attrib_out", output_mode="append")
+    try:
+        got = sorted(
+            (r.click_id, r.view_id)
+            for r in spark.sql("SELECT * FROM attrib_out").collect()
+        )
+    finally:
+        query.stop()
+    assert got == [(200, 100), (201, 101)]
+
+
 def should_ingest_available_now(spark, tmp_path):
     staging = tmp_path / "staging"
     staging.mkdir()
