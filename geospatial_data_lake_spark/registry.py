@@ -73,6 +73,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             dedup,
             extended,
             filters,
+            geo,
             joins,
             multimodal,
             scans,

@@ -107,3 +107,20 @@ def should_keep_window_to_single_shuffle(spark, registry, sf_dir):
 def should_semi_join_existence_probe_without_full_join(spark, registry, sf_dir):
     plan = _plan(spark, registry, "j04_semi_join", sf_dir)
     assert "LeftSemi" in plan, plan
+
+
+def should_pin_lsh_candidate_join_as_broadcast(spark, registry, sf_dir):
+    # dd04's pair-explosion join must stay broadcast(band-table) x
+    # rep-partitioned probe: a sort-merge or band-key-partitioned plan
+    # serializes giant LSH buckets onto single tasks (measured 6x slower).
+    plan = _plan(spark, registry, "dd04_minhash_lsh_pairs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def should_run_grid_spatial_join_without_cartesian(spark, registry, sf_dir):
+    # geo01 must pair boxes through the cell equi-join; a cartesian /
+    # broadcast-nested-loop plan is the quadratic shape the grid exists
+    # to avoid.
+    plan = _plan(spark, registry, "geo01_bbox_intersect_pairs", sf_dir)
+    assert "CartesianProduct" not in plan, plan
