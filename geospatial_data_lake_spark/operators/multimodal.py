@@ -105,3 +105,41 @@ def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     blobs = as_blob_table(t.documents).select("doc_id", "content")
     return blobs.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_off int, frame_digest string"
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: treat each payload as a fixed-stride frame
+    container (stub for a real demuxer); emit every 4th frame with a
+    digest of its byte range. One output frame per ~400 input bytes, so
+    the kernel *contracts* data — the shape that keeps executor memory
+    flat when real video decode replaces the stub."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_digest": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            n_frames = max(1, len(payload) // 100)
+            for idx in range(0, n_frames, 4):
+                off = idx * 100
+                chunk = bytes(payload[off : off + 100])
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_off"].append(off)
+                out["frame_digest"].append(hashlib.sha256(chunk).hexdigest()[:16])
+        yield pd.DataFrame(out)
+
+
+@register(
+    "mm03_frame_sample",
+    oracle=None,  # stub demuxer kernel — shape + determinism tested in tests/
+    tags=("multimodal", "mapInPandas", "video"),
+)
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: every 4th
+    100-byte 'frame', with offset and content digest. Stub demuxer,
+    real plumbing — Arrow batches in, typed exploded rows out, fully
+    parallel per partition with no driver involvement."""
+    t = tables(spark, sf_dir)
+    blobs = as_blob_table(t.documents).select("doc_id", "content")
+    return blobs.mapInPandas(sample_frames_batch, schema=_FRAME_SCHEMA)

@@ -235,3 +235,73 @@ def tx04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nt").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "tx07_winnowing_fingerprints",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, CAST(strlen(text) AS INT) - 4)) AS p
+            FROM documents
+            WHERE strlen(text) >= 5
+        ),
+        grams AS (
+            SELECT doc_id, p, md5(substr(text, p, 5)) AS h FROM pos
+        ),
+        wins AS (
+            SELECT doc_id, p,
+                   min(h) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS fp,
+                   count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM grams
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, fp FROM wins WHERE p <= n_grams - 3
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+        FROM sel GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def tx07_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    5-char shingle, slide a 4-hash window, keep each window's minimum —
+    guarantees any shared substring >= 8 chars yields a shared
+    fingerprint. Count of distinct selected prints per doc.
+
+    All relational: shingle explosion (sequence+explode), md5 (shared
+    verbatim with the oracle), sliding min as a rows-frame window, then
+    distinct + count. One shuffle on doc_id for the window; the
+    fingerprint-set size per doc is bounded by n_grams/w, so output
+    stays ~25x smaller than the shingle stream at any scale."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    grams = (
+        t.documents.filter(F.length("text") >= 5)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text").cast("int") - 4)
+            ).alias("p"),
+        )
+        .select("doc_id", "p", F.md5(F.expr("substring(text, p, 5)")).alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    wc = Window.partitionBy("doc_id")
+    sel = (
+        grams.select(
+            "doc_id",
+            "p",
+            F.min("h").over(w).alias("fp"),
+            F.count(F.lit(1)).over(wc).alias("n_grams"),
+        )
+        .filter(F.col("p") <= F.col("n_grams") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))

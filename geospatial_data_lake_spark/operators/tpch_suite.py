@@ -300,3 +300,54 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle="""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY cust_nation, supp_nation, l_year
+        ORDER BY cust_nation, supp_nation, l_year
+    """,
+    tags=("tpch", "join", "multiway"),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (generalized): cross-border trade volume for every
+    (customer nation, supplier nation) pair by ship year. Nation names
+    ride in via two broadcast dim joins; the inequality evaluates
+    post-join on two tiny tagged columns rather than re-joining nation
+    at fact scale."""
+    t = tables(spark, sf_dir)
+    nations = t.nation.select("n_nationkey", "n_name")
+    cust = t.customer.join(
+        F.broadcast(nations), t.customer.c_nationkey == nations.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    supp = t.supplier.join(
+        F.broadcast(nations), t.supplier.s_nationkey == nations.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    line = t.lineitem.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        line.join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            line.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
