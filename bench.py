@@ -52,6 +52,11 @@ HEADLINE = [
     "ss01_cosine_topk",
     "tx01_token_stats",
     "tx02_quality_score",
+    "tx07_winnowing_fingerprints",
+    "tpch_q7_nation_volume",
+    "geo01_bbox_intersect_pairs",
+    "geo02_point_in_bbox",
+    "x04_centroid_udaf",
 ]
 
 
