@@ -60,3 +60,29 @@ def x04_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "label", F.posexplode("c").alias("dim", "raw")
     ).select("label", "dim", F.round("raw", 4).alias("centroid_val"))
+
+
+@register(
+    "a14_sketch_percentiles",
+    oracle=None,  # t-digest style sketch — approximate by design; bounds unit-tested
+    tags=("agg", "sketch", "scale-path"),
+)
+def a14_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile): the scale path for
+    a10's exact percentiles. Exact percentiles need a full sort per group;
+    the sketch folds in one pass with bounded state (accuracy 1/10000),
+    merges associatively across partitions, and is the only viable plan
+    when a group holds billions of rows."""
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("pcts", 1), 2).alias("p50"),
+            F.round(F.element_at("pcts", 2), 2).alias("p95"),
+            F.round(F.element_at("pcts", 3), 2).alias("p99"),
+        )
+    )

@@ -139,3 +139,24 @@ def should_every_query_have_unique_aliased_columns(spark):
         assert len(cols) == len(set(cols)), f"{name} has duplicate columns"
         for c in cols:
             assert "(" not in c, f"{name} has unaliased column {c!r}"
+
+
+def should_sketch_percentiles_be_within_tolerance_of_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    registry = load_all_queries()
+    sketch = {
+        r.l_returnflag: (r.p50, r.p95, r.p99)
+        for r in registry["a14_sketch_percentiles"].fn(spark, sf_dir).collect()
+    }
+    from geospatial_data_lake_spark.tables import tables
+
+    exact_df = (
+        tables(spark, sf_dir)
+        .lineitem.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("p"))
+    )
+    exact = {r.l_returnflag: r.p for r in exact_df.collect()}
+    for flag, (p50, p95, p99) in sketch.items():
+        for got, want in zip((p50, p95, p99), exact[flag]):
+            assert abs(got - want) <= 0.02 * max(1.0, abs(want)), (flag, got, want)
