@@ -59,14 +59,14 @@ def _doc_boxes(documents: DataFrame) -> DataFrame:
 
 _BOX_SQL = """
         SELECT doc_id,
-               ((doc_id * 7919) % 900) / 10.0 - 45.0
-                   - (0.5 + (doc_id % 20) / 10.0) AS x1,
-               ((doc_id * 104729) % 425) / 10.0 - 21.25
-                   - (0.5 + (doc_id % 13) / 10.0) AS y1,
-               ((doc_id * 7919) % 900) / 10.0 - 45.0
-                   + (0.5 + (doc_id % 20) / 10.0) AS x2,
-               ((doc_id * 104729) % 425) / 10.0 - 21.25
-                   + (0.5 + (doc_id % 13) / 10.0) AS y2
+               ((doc_id * 7919) % 900) / CAST(10 AS DOUBLE) - 45.0
+                   - (0.5 + (doc_id % 20) / CAST(10 AS DOUBLE)) AS x1,
+               ((doc_id * 104729) % 425) / CAST(10 AS DOUBLE) - 21.25
+                   - (0.5 + (doc_id % 13) / CAST(10 AS DOUBLE)) AS y1,
+               ((doc_id * 7919) % 900) / CAST(10 AS DOUBLE) - 45.0
+                   + (0.5 + (doc_id % 20) / CAST(10 AS DOUBLE)) AS x2,
+               ((doc_id * 104729) % 425) / CAST(10 AS DOUBLE) - 21.25
+                   + (0.5 + (doc_id % 13) / CAST(10 AS DOUBLE)) AS y2
         FROM documents
 """
 
@@ -144,8 +144,8 @@ def geo01_bbox_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH b AS (""" + _BOX_SQL + """),
         p AS (
             SELECT event_id,
-                   ((event_id * 7919) % 900) / 10.0 - 45.0 AS px,
-                   ((event_id * 104729) % 425) / 10.0 - 21.25 AS py
+                   ((event_id * 7919) % 900) / CAST(10 AS DOUBLE) - 45.0 AS px,
+                   ((event_id * 104729) % 425) / CAST(10 AS DOUBLE) - 21.25 AS py
             FROM events
         )
         SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_points
