@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geospatial_data_lake_spark import schemas
+from geospatial_data_lake_spark.operators.ordinal import with_global_ordinal
 
 try:  # optional dependency — fall back to structural checks
     import jsonschema
@@ -203,14 +204,17 @@ def traverse_and_validate(
 
     key = [F.lit(dataset_id).alias("dataset_id"), F.lit(version_id).alias("version_id")]
 
-    # METADATA manifest rows: every successfully parsed doc, ordered by url
-    meta_w = Window.partitionBy(F.lit(1)).orderBy("url")
+    # METADATA manifest rows: every successfully parsed doc, ordered by
+    # url. Global contiguous index via range-partition + offsets (W1 at
+    # scale) — not a one-task window.
     metadata_assets = (
-        all_docs.filter(F.col("ok"))
+        with_global_ordinal(
+            all_docs.filter(F.col("ok")).select("url"), "url", "item_index"
+        )
         .select(
             *key,
             F.lit("METADATA").alias("item_type"),
-            (F.row_number().over(meta_w) - 1).cast("long").alias("item_index"),
+            F.col("item_index"),
             F.col("url"),
             F.lit(None).cast("string").alias("multihash"),
         )
@@ -247,13 +251,14 @@ def traverse_and_validate(
         ).alias("details"),
     )
 
-    data_w = Window.partitionBy(F.lit(1)).orderBy("url")
     data_assets = (
-        data_refs.dropDuplicates(["url"])
+        with_global_ordinal(
+            data_refs.dropDuplicates(["url"]), "url", "item_index"
+        )
         .select(
             *key,
             F.lit("DATA").alias("item_type"),
-            (F.row_number().over(data_w) - 1).cast("long").alias("item_index"),
+            F.col("item_index"),
             "url",
             "multihash",
         )

@@ -111,3 +111,18 @@ class _spark_conf:
             self.spark.conf.unset(self.key)
         else:
             self.spark.conf.set(self.key, self.prev)
+
+
+def write_assets_partitioned(assets: DataFrame, root: str) -> None:
+    """Write the assets manifest laid out for the catalog's access
+    pattern: directory-partitioned by (dataset_id, version_id), the keys
+    every per-version scan filters on (ref access shape:
+    backend/import_dataset/task.py:93-98). A filter on those columns then
+    prunes whole directories at planning time (PartitionFilters) — the
+    parquet analog of the reference's DynamoDB key condition, and the
+    layout that keeps per-version reads O(version), not O(lake)."""
+    (
+        assets.write.mode("overwrite")
+        .partitionBy("dataset_id", "version_id")
+        .parquet(root)
+    )

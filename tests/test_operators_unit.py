@@ -160,3 +160,18 @@ def should_sketch_percentiles_be_within_tolerance_of_exact(spark, sf_dir):
     for flag, (p50, p95, p99) in sketch.items():
         for got, want in zip((p50, p95, p99), exact[flag]):
             assert abs(got - want) <= 0.02 * max(1.0, abs(want)), (flag, got, want)
+
+
+def should_assign_global_ordinals_without_single_task_window(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.operators.ordinal import with_global_ordinal
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("url-"), F.format_string("%06d", (F.col("id") * 7919) % 1000003)).alias("url")
+    ).distinct()
+    out = with_global_ordinal(df, "url", "idx", num_partitions=8)
+    rows = out.orderBy("url").collect()
+    assert [r.idx for r in rows] == list(range(len(rows)))
+    # ordinal follows the url sort order exactly
+    assert rows == sorted(rows, key=lambda r: r.url)

@@ -120,3 +120,34 @@ def should_upsert_rewrite_only_touched_partitions(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert before == after, "untouched partition p2 must not be rewritten"
+
+
+def should_prune_partitions_on_version_scan(spark, tmp_path):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.sources.sinks import write_assets_partitioned
+
+    assets = spark.createDataFrame(
+        [
+            (f"d{i % 3}", f"v{i % 2}", "DATA", i, f"s3://b/{i}", None)
+            for i in range(60)
+        ],
+        "dataset_id string, version_id string, item_type string, "
+        "item_index long, url string, multihash string",
+    )
+    root = str(tmp_path / "assets")
+    write_assets_partitioned(assets, root)
+
+    scan = spark.read.parquet(root).filter(
+        (F.col("dataset_id") == "d1") & (F.col("version_id") == "v0")
+    )
+    assert scan.count() == 10
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    (pf_line,) = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert "dataset_id" in pf_line and "version_id" in pf_line, plan
