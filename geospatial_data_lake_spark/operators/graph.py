@@ -53,3 +53,52 @@ def reachable(
         visited = visited.union(next_frontier).localCheckpoint(eager=True)
         frontier = next_frontier
     return visited
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Iterative PageRank over (src, dst) edges — the canonical iterative
+    dataflow. Per iteration: one join (contributions) + one aggregation
+    (new ranks); lineage cut by localCheckpoint so iteration N's plan does
+    not replay 1..N-1. Out-degrees computed once and broadcast-joined.
+    Dangling mass is redistributed uniformly so total rank stays 1."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(F.broadcast(out_deg), "src")
+            .join(ranks, edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        linked_mass = (
+            ranks.join(F.broadcast(out_deg), ranks.node == out_deg.src, "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        dangling = 1.0 - linked_mass
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

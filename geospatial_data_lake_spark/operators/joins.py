@@ -334,3 +334,32 @@ def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_r_event_id").alias("prev_event_id"),
         F.col("asof_r_event_type").alias("prev_event_type"),
     )
+
+
+@register(
+    "pr01_link_pagerank",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; invariants unit-tested
+    tags=("graph", "iterative", "pagerank"),
+)
+def pr01_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic link graph on documents
+    (each doc links to 3 peers via multiplicative hashing): authority
+    scoring of catalog metadata documents — the iterative-dataflow shape
+    (bounded driver loop, per-iteration join+agg, checkpointed lineage)
+    that complements j06's BFS and dd07's label propagation."""
+    from geospatial_data_lake_spark.operators.graph import pagerank
+
+    t = tables(spark, sf_dir)
+    ids = t.documents.select(F.col("doc_id").cast("long").alias("src"))
+    n_docs = ids.count()
+    edges = ids.select(
+        "src",
+        F.explode(
+            F.array(
+                *[((F.col("src") * F.lit(m)) % F.lit(n_docs)).alias(f"t{m}") for m in (7919, 104729, 1299709)]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges).select(
+        "node", F.round("rank", 8).alias("rank")
+    )

@@ -86,3 +86,30 @@ def a14_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("pcts", 3), 2).alias("p99"),
         )
     )
+
+
+@register(
+    "a15_hll_sketch_partitioned",
+    oracle=None,  # sketch bytes are impl-specific; estimate bounds unit-tested
+    tags=("agg", "sketch", "hll", "scale-path"),
+)
+def a15_hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count state: per-group HLL sketches built with
+    hll_sketch_agg, merged across groups with hll_union_agg, estimates
+    read with hll_sketch_estimate. The storable/mergeable sketch column —
+    not just a scalar approx count — is what lets a 100 TB pipeline keep
+    per-partition distinct-counts as data and roll them up later without
+    rescanning (e.g. distinct tokens per shard -> corpus-wide estimate)."""
+    t = tables(spark, sf_dir)
+    per_source = t.documents.groupBy("source").agg(
+        F.hll_sketch_agg(F.md5("text"), 14).alias("sketch"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    rollup = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_all")
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        F.hll_sketch_estimate("sketch").alias("est_distinct_docs"),
+    ).crossJoin(F.broadcast(rollup))

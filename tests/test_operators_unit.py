@@ -175,3 +175,42 @@ def should_assign_global_ordinals_without_single_task_window(spark):
     assert [r.idx for r in rows] == list(range(len(rows)))
     # ordinal follows the url sort order exactly
     assert rows == sorted(rows, key=lambda r: r.url)
+
+
+def should_hll_sketch_estimates_be_within_two_percent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.tables import tables
+
+    registry = load_all_queries()
+    rows = registry["a15_hll_sketch_partitioned"].fn(spark, sf_dir).collect()
+    exact_all = (
+        tables(spark, sf_dir).documents.select(F.md5("text")).distinct().count()
+    )
+    est_all = rows[0].est_all
+    assert abs(est_all - exact_all) <= 0.02 * exact_all + 2, (est_all, exact_all)
+    exact_per = {
+        r.source: r.n
+        for r in tables(spark, sf_dir)
+        .documents.groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.est_distinct_docs - exact_per[r.source]) <= 0.02 * exact_per[r.source] + 2
+
+
+def should_pagerank_conserve_mass_and_rank_hubs_first(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.operators.graph import pagerank
+
+    # star: every spoke links to the hub; hub links to one spoke
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 10)] + [(0, 1)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iterations=15)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+    top = ranks.orderBy(F.col("rank").desc()).first()
+    assert top.node == 0  # the hub dominates
