@@ -109,3 +109,42 @@ def u05_duplicate_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
         .filter(F.col("n_suppliers") > 3)
     )
+
+
+@register(
+    "u06_except_all",
+    oracle="""
+        SELECT l_orderkey, l_partkey FROM lineitem
+        EXCEPT ALL
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop", "U3", "multiset"),
+)
+def u06_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference preserving leftover multiplicities
+    (duplicate (orderkey, partkey) line pairs survive with reduced count).
+    Catalyst plans this as a single aggregate-based set-op, no join."""
+    t = tables(spark, sf_dir)
+    base = t.lineitem.select("l_orderkey", "l_partkey")
+    returned = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_partkey"
+    )
+    return base.exceptAll(returned)
+
+
+@register(
+    "u07_intersect_all",
+    oracle="""
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    tags=("setop", "U3", "multiset"),
+)
+def u07_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: each orderkey appears
+    min(count_left, count_right) times."""
+    t = tables(spark, sf_dir)
+    a = t.lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = t.lineitem.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.intersectAll(b)

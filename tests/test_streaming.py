@@ -144,3 +144,58 @@ def should_ingest_available_now(spark, tmp_path):
     q.awaitTermination(60)
     assert sorted(seen) == [("d1", "u1"), ("d2", "u2")]
     shutil.rmtree(tmp_path / "chk", ignore_errors=True)
+
+
+def should_maintain_materialized_table_via_stream_upsert(spark, tmp_path):
+    """Incremental materialization: a validation-result stream drives
+    foreachBatch -> keyed parquet upsert. Late rows for an existing key
+    REPLACE the stale row (update-in-place table maintenance); re-running
+    after more data arrives must not duplicate earlier keys — the
+    streaming analog of the reference's save() upserts."""
+    import pandas as pd
+
+    from geospatial_data_lake_spark.sources.sinks import upsert_parquet
+
+    src = tmp_path / "vstream"
+    src.mkdir()
+    table = str(tmp_path / "status_table")
+    chk = str(tmp_path / "chk")
+
+    schema = "dataset_id string, version_id string, check string, url string, result string"
+
+    def write_rows(fname, rows):
+        pd.DataFrame(
+            rows, columns=["dataset_id", "version_id", "check", "url", "result"]
+        ).to_json(src / fname, orient="records", lines=True)
+
+    def on_batch(df, epoch_id):
+        upsert_parquet(
+            df.sparkSession, table, df, key_cols=["dataset_id", "version_id", "check", "url"]
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).json(str(src))
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    write_rows("b1.json", [("d1", "v1", "json", "u1", "Passed"),
+                           ("d1", "v1", "checksum", "u2", "Failed")])
+    drain()
+    # u2 re-checked and now passes; new url u3 appears
+    write_rows("b2.json", [("d1", "v1", "checksum", "u2", "Passed"),
+                           ("d1", "v1", "checksum", "u3", "Passed")])
+    drain()
+
+    final = {
+        (r.check, r.url): r.result for r in spark.read.parquet(table).collect()
+    }
+    assert final == {
+        ("json", "u1"): "Passed",
+        ("checksum", "u2"): "Passed",  # replaced, not duplicated
+        ("checksum", "u3"): "Passed",
+    }
