@@ -7,11 +7,16 @@ training-pipeline custom aggregate a relational engine can't express
 natively: a vector centroid over an embedding column — the kernel of IVF
 index training, per-class prototypes, and drift monitoring.
 
-Scale notes: a GROUPED_AGG pandas UDF executes as a real partial/final
-aggregate — per-partition batches reduce map-side, only per-group partial
-states shuffle. With 64-dim vectors and few groups the shuffle payload is
-KB regardless of corpus size. The per-batch work is one ``np.stack`` +
-``mean`` over an Arrow block — vectorized C, no per-row Python.
+Scale notes: a GROUPED_AGG pandas UDF has NO partial-aggregation phase —
+Spark shuffles every input row to its group's task and runs the kernel
+once per group (ArrowAggregatePython, pinned to a single exchange in
+tests/test_plan_shapes.py). That is the honest cost of arbitrary Python
+aggregation; it is acceptable when groups are few and rows are modest
+(per-class prototypes). When the reduction is expressible relationally —
+a centroid is per-dimension avg — the codegen path (posexplode + avg,
+x04's oracle shape) regains map-side partial aggregation and should be
+preferred at full scale; x04 keeps the UDAF form because X4's point is
+the extension mechanism itself.
 """
 
 from __future__ import annotations

@@ -124,3 +124,22 @@ def should_run_grid_spatial_join_without_cartesian(spark, registry, sf_dir):
     # to avoid.
     plan = _plan(spark, registry, "geo01_bbox_intersect_pairs", sf_dir)
     assert "CartesianProduct" not in plan, plan
+
+
+def should_shuffle_pandas_udaf_input_exactly_once(spark, registry, sf_dir):
+    # GROUPED_AGG pandas UDFs have no partial phase (ArrowAggregatePython
+    # runs after the group shuffle); the plan must shuffle the UDAF input
+    # exactly once — a second exchange would mean rows cross the wire
+    # twice for one aggregation.
+    import re
+
+    plan = _plan(spark, registry, "x04_centroid_udaf", sf_dir)
+    assert "ArrowAggregatePython" in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, plan
+
+
+def should_broadcast_box_cells_in_point_containment(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "geo02_point_in_bbox", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
