@@ -454,3 +454,57 @@ def f11_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.url_encode(key).alias("encoded"),
         F.url_decode(F.url_encode(key)).alias("roundtrip"),
     )
+
+
+@register(
+    "w08_distribution_ranks",
+    oracle="""
+        SELECT c_custkey,
+               c_mktsegment,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "W3", "distribution"),
+)
+def w08_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per segment — distribution position of
+    each customer's balance (the window family's relative-rank members;
+    one shuffle on the partition key, tie-broken for determinism)."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    )
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "f15_fuzzy_title_match",
+    oracle="""
+        SELECT a.n_name AS t1, b.n_name AS t2,
+               CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        FROM nation a JOIN nation b ON a.n_name < b.n_name
+        WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+    tags=("scalar", "fuzzy", "F14"),
+)
+def f15_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate-title detection via edit distance (the catalog's
+    title-uniqueness check extended to near-misses — typos, pluralization).
+    Broadcast self-join over the dimension-sized title list; at 100 TB the
+    title catalog is still dimension-sized, so the quadratic stays cheap
+    and broadcastable."""
+    t = tables(spark, sf_dir)
+    a = t.nation.select(F.col("n_name").alias("t1"))
+    b = t.nation.select(F.col("n_name").alias("t2"))
+    return (
+        a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+        .withColumn("dist", F.levenshtein("t1", "t2").cast("bigint"))
+        .filter(F.col("dist") <= 4)
+    )
