@@ -490,7 +490,7 @@ def w08_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.n_name AS t1, b.n_name AS t2,
                CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
         FROM nation a JOIN nation b ON a.n_name < b.n_name
-        WHERE levenshtein(a.n_name, b.n_name) <= 4
+        WHERE levenshtein(a.n_name, b.n_name) <= 1
     """,
     tags=("scalar", "fuzzy", "F14"),
 )
@@ -506,5 +506,5 @@ def f15_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
         .withColumn("dist", F.levenshtein("t1", "t2").cast("bigint"))
-        .filter(F.col("dist") <= 4)
+        .filter(F.col("dist") <= 1)
     )
