@@ -351,3 +351,85 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy("cust_nation", "supp_nation", "l_year")
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+        WITH trade AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE r_name = 'ASIA' AND p_type = (
+                SELECT min(p_type) FROM part
+            )
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE 0 END) / sum(volume), 6) AS mkt_share
+        FROM trade
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    tags=("tpch", "join", "8way"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a part-type's trade into a
+    region, by year — the widest join in the suite (lineitem x orders x
+    customer x nation x region x supplier x nation x part). Every
+    dimension chain broadcasts; the two fact joins shuffle once each; the
+    share is a conditional-sum ratio in one aggregation (no second pass).
+    The part-type filter uses min(p_type) so the constant tracks the
+    synthetic dictionary."""
+    t = tables(spark, sf_dir)
+    ptype = t.part.agg(F.min("p_type")).collect()[0][0]
+    parts = t.part.filter(F.col("p_type") == ptype).select("p_partkey")
+    asia_cust = (
+        t.customer.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+                    t.nation.n_regionkey == t.region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            t.customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    trade = (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(parts), t.lineitem.l_partkey == parts.p_partkey)
+        .join(
+            t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+        / F.sum("volume")
+    )
+    return (
+        trade.groupBy("o_year")
+        .agg(F.round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
