@@ -247,19 +247,19 @@ def tx04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE strlen(text) >= 5
         ),
         grams AS (
-            SELECT doc_id, p, md5(substr(text, p, 5)) AS h FROM pos
+            SELECT doc_id, p, text, md5(substr(text, p, 5)) AS h FROM pos
         ),
         wins AS (
-            SELECT doc_id, p,
+            SELECT doc_id, p, strlen(text) AS tl,
                    min(h) OVER (
                        PARTITION BY doc_id ORDER BY p
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
-                   ) AS fp,
-                   count(*) OVER (PARTITION BY doc_id) AS n_grams
+                   ) AS fp
             FROM grams
         ),
         sel AS (
-            SELECT DISTINCT doc_id, fp FROM wins WHERE p <= n_grams - 3
+            -- windows end at position strlen-4-3: no count() pass needed
+            SELECT DISTINCT doc_id, fp FROM wins WHERE p <= tl - 7
         )
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
         FROM sel GROUP BY doc_id
@@ -289,18 +289,24 @@ def tx07_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.length("text").cast("int") - 4)
             ).alias("p"),
         )
-        .select("doc_id", "p", F.md5(F.expr("substring(text, p, 5)")).alias("h"))
+        .select(
+            "doc_id",
+            "p",
+            F.length("text").alias("tl"),
+            F.md5(F.expr("substring(text, p, 5)")).alias("h"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
-    wc = Window.partitionBy("doc_id")
+    # the last full window starts at strlen-4-3; deriving the bound from
+    # the text length avoids a second (count-over-partition) window pass
     sel = (
         grams.select(
             "doc_id",
             "p",
+            "tl",
             F.min("h").over(w).alias("fp"),
-            F.count(F.lit(1)).over(wc).alias("n_grams"),
         )
-        .filter(F.col("p") <= F.col("n_grams") - 3)
+        .filter(F.col("p") <= F.col("tl") - 7)
         .select("doc_id", "fp")
         .distinct()
     )
