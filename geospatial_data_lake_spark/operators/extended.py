@@ -508,3 +508,45 @@ def f15_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("t1", "t2").cast("bigint"))
         .filter(F.col("dist") <= 1)
     )
+
+
+@register(
+    "o06_keyset_pagination",
+    oracle="""
+        WITH anchor AS (
+            SELECT o_totalprice AS ap, o_orderkey AS ak
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 9
+        )
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM orders, anchor
+        WHERE o_totalprice < ap OR (o_totalprice = ap AND o_orderkey > ak)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("sort", "O4", "keyset"),
+)
+def o06_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page 2 fetched by filtering strictly past
+    page 1's last (price, key) anchor, then top-10 again. Unlike OFFSET
+    (o05) — which must produce and discard every earlier row, O(pages^2)
+    over a deep scroll — the anchor predicate pushes into the scan and
+    each page stays O(page): the only pagination that survives a deep
+    scroll over a 100 TB table."""
+    t = tables(spark, sf_dir)
+    anchor = (
+        t.orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak"))
+    )
+    return (
+        t.orders.join(F.broadcast(anchor))
+        .filter(
+            (F.col("o_totalprice") < F.col("ap"))
+            | ((F.col("o_totalprice") == F.col("ap")) & (F.col("o_orderkey") > F.col("ak")))
+        )
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
