@@ -72,3 +72,23 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table: rows
+    hash-partitioned into ``n_buckets`` files by ``bucket_cols`` at WRITE
+    time. Two tables bucketed the same way join WITHOUT any exchange —
+    the shuffle is paid once at ingest instead of on every query, the
+    single biggest recurring-join optimization for fact-fact joins at
+    100 TB (verified shuffle-free in tests/test_layout.py). Sorted
+    buckets additionally let sort-merge join skip its sort."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

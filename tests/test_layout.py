@@ -53,3 +53,39 @@ def should_tighten_minmax_ranges_on_both_columns(spark, tmp_path):
         assert span_zord < 0.6 * span_plain, (
             f"{col}: zorder span {span_zord} vs plain {span_plain}"
         )
+
+
+def should_join_bucketed_tables_without_exchange(spark, tmp_path):
+    import contextlib
+    import io
+    import re
+
+    from geospatial_data_lake_spark.layout import write_bucketed
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v1")
+    )
+    right = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 89).alias("v2")
+    )
+    write_bucketed(left, "bkt_left", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", ["k"], n_buckets=8, sort_cols=["k"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+            assert joined.count() == 5_000
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+            assert n_exchanges == 0, (
+                "bucketed join must be exchange-free:\n" + plan
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
