@@ -151,3 +151,46 @@ def should_prune_partitions_on_version_scan(spark, tmp_path):
     plan = buf.getvalue()
     (pf_line,) = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert "dataset_id" in pf_line and "version_id" in pf_line, plan
+
+
+def should_merge_evolved_schemas_across_file_generations(spark, tmp_path):
+    """Schema evolution: a column added in later file generations must be
+    readable across the whole table (old files yield NULL), with explicit
+    mergeSchema — the lake-format behavior version upgrades rely on."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, title string"
+    ).write.parquet(root + "/gen=1")
+    spark.createDataFrame(
+        [(3, "c", "2024-01-01")], "id long, title string, created string"
+    ).write.parquet(root + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(merged.columns) >= {"id", "title", "created"}
+    rows = {r.id: r.created for r in merged.collect()}
+    assert rows[3] == "2024-01-01" and rows[1] is None and rows[2] is None
+
+
+def should_survive_corrupt_files_when_configured(spark, tmp_path):
+    """Operational tolerance: one corrupt parquet part must not kill a
+    10,000-file scan when ignoreCorruptFiles is on — and MUST fail loudly
+    when it is off (silent data loss is worse than a failed job)."""
+    import pytest
+
+    root = tmp_path / "mixed"
+    spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(
+        1
+    ).write.parquet(str(root))
+    (root / "part-corrupt.snappy.parquet").write_bytes(b"not a parquet file")
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(str(root)).count() == 10
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+    with pytest.raises(Exception):
+        spark.read.schema("id long").parquet(str(root)).count()
