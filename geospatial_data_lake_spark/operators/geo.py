@@ -235,3 +235,80 @@ def geo03_temporal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_overlapping"))
     )
+
+
+@register(
+    "j11_binned_interval_join",
+    oracle="""
+        WITH c AS (
+            SELECT n_nationkey, n_name,
+                   TIMESTAMP '1995-01-01' + INTERVAL (n_nationkey * 90) DAY
+                       AS c_start,
+                   TIMESTAMP '1995-01-01' + INTERVAL (n_nationkey * 90 + 180) DAY
+                       AS c_end
+            FROM nation
+        ),
+        o AS (
+            SELECT o_orderkey, o_orderdate AS o_start,
+                   o_orderdate + INTERVAL ((o_orderkey % 30) + 1) DAY AS o_end
+            FROM orders
+        )
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_overlapping
+        FROM o JOIN c ON o.o_start <= c.c_end AND c.c_start <= o.o_end
+        GROUP BY n_name
+    """,
+    tags=("geo", "temporal", "binned", "J8-scale"),
+)
+def j11_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME interval-overlap query as geo03, executed as an equi-join:
+    both sides explode to the 30-day time bins they span, pairs meet on
+    bin equality (hash shuffle — no nested loop), the exact overlap
+    predicate refines, and the reference-bin rule (report only in the
+    overlap's first bin) dedups without a distinct. geo03's broadcast
+    nested loop needs one side to be dimension-sized; this form scales to
+    interval x interval at fact size on BOTH sides — the dd03/dd04
+    pattern applied to time. Identical results, verified by the same
+    oracle."""
+    t = tables(spark, sf_dir)
+    bin_sec = 30 * 86400
+    base = F.to_timestamp(F.lit("1995-01-01"))
+    coll = t.nation.select(
+        "n_name",
+        F.timestamp_add("DAY", F.col("n_nationkey") * 90, base).alias("c_start"),
+        F.timestamp_add("DAY", F.col("n_nationkey") * 90 + 180, base).alias("c_end"),
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("c_start") / bin_sec),
+                F.floor(F.unix_timestamp("c_end") / bin_sec),
+            )
+        ),
+    )
+    items = t.orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("o_start"),
+        F.timestamp_add(
+            "DAY", (F.col("o_orderkey") % 30) + 1, F.col("o_orderdate")
+        ).alias("o_end"),
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("o_start") / bin_sec),
+                F.floor(F.unix_timestamp("o_end") / bin_sec),
+            )
+        ),
+    )
+    ref_bin = F.floor(
+        F.greatest(F.unix_timestamp("o_start"), F.unix_timestamp("c_start")) / bin_sec
+    )
+    return (
+        items.join(coll, "bin")
+        .filter(
+            (F.col("o_start") <= F.col("c_end")) & (F.col("c_start") <= F.col("o_end"))
+        )
+        .filter(F.col("bin") == ref_bin)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
