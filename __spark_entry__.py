@@ -28,27 +28,28 @@ from geospatial_data_lake_spark import load_all_queries  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: pricing-summary aggregation (TPC-H Q1 shape) over
     sf0.001 lineitem."""
+    from geospatial_data_lake_spark.functions.decimals import dec, dec_revenue, dsum, one
+
     lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     return (
         lineitem.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(dec_revenue()).alias("sum_disc_price"),
+            dsum(dec_revenue() * (one() + dec("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double")
+                / F.count("l_extendedprice"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count("l_discount"), 4)
+            .cast("double")
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -199,7 +199,8 @@ def a08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -210,7 +211,9 @@ def a08b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 

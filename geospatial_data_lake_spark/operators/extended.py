@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geospatial_data_lake_spark.functions.decimals import dec, dec_revenue, dsum, one
 from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.tables import tables
 
@@ -18,13 +19,20 @@ from geospatial_data_lake_spark.tables import tables
     oracle="""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                   AS sum_charge,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                              * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                          / count(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+               CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                          / count(l_discount), 4) AS DOUBLE) AS avg_disc,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -41,21 +49,22 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(dec_revenue()).alias("sum_disc_price"),
+            dsum(dec_revenue() * (one() + dec("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double")
+                / F.count("l_extendedprice"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_price"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count("l_discount"), 4
+            )
+            .cast("double")
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -64,7 +73,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(l_discount AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -82,7 +93,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1998-01-01")
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(dsum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"))
 
 
 @register(
@@ -154,11 +165,14 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     oracle="""
-        SELECT round(
-                   100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                    THEN l_extendedprice * (1 - l_discount)
-                                    ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        SELECT CAST(round(
+                   100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                    THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                         * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                    ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                   4) AS DOUBLE) AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-06-01'
           AND l_shipdate <  TIMESTAMP '1997-07-01'
@@ -169,7 +183,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share for one ship month. part is the
     small side — broadcast it so the fact scan never shuffles."""
     t = tables(spark, sf_dir)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = dec_revenue()
+    zero = F.lit(0).cast("decimal(18,4)")
     return (
         t.lineitem.filter(
             (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
@@ -177,9 +192,15 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
-            ).alias("promo_revenue_pct")
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
         )
     )
 
@@ -239,7 +260,8 @@ def a11_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 2) AS total
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -254,7 +276,8 @@ def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 2) AS total
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

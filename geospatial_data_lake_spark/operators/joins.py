@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geospatial_data_lake_spark.functions.decimals import (
+    SQL_REVENUE,
+    dec,
+    dec_revenue,
+    dsum,
+)
 from geospatial_data_lake_spark.operators.asof import asof_join
 from geospatial_data_lake_spark.operators.graph import reachable
 from geospatial_data_lake_spark.registry import register
@@ -56,7 +62,9 @@ def j01_lookup_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j02_fk_chain_join",
     oracle="""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
                o_orderpriority
         FROM customer
@@ -88,11 +96,7 @@ def j02_fk_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(dsum(dec_revenue()).alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
     )
 
@@ -102,7 +106,8 @@ def j02_fk_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey,
                CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+               CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0), 2)
+                    AS DOUBLE) AS total_spend
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
@@ -119,7 +124,9 @@ def j03_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            F.round(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_spend"),
         )
     )
 
@@ -210,7 +217,9 @@ def j06_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j07_star_join_broadcast",
     oracle="""
         SELECT r_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue,
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem
         JOIN supplier ON l_suppkey   = s_suppkey
@@ -237,9 +246,7 @@ def j07_star_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            dsum(dec_revenue()).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -250,7 +257,8 @@ def j07_star_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT label,
                CAST(count(*) AS BIGINT) AS n_parts,
-               round(avg(p_retailprice), 2) AS avg_price
+               CAST(round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+                          / count(p_retailprice), 2) AS DOUBLE) AS avg_price
         FROM part
         JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large'))
              AS b(lo, hi, label)
@@ -276,7 +284,11 @@ def j08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.round(
+                F.sum(dec("p_retailprice")).cast("double") / F.count("p_retailprice"), 2
+            )
+            .cast("double")
+            .alias("avg_price"),
         )
     )
 

@@ -21,7 +21,7 @@ from geospatial_data_lake_spark.tables import tables
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(value), 4) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -34,7 +34,7 @@ def t01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     return (
         t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -59,7 +59,7 @@ def t01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(value), 4) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS total_value
         FROM expanded
         GROUP BY 1, 2
     """,
@@ -72,7 +72,7 @@ def t02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     return (
         t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -104,7 +104,7 @@ def t02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 4) AS session_value
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS session_value
         FROM sessions
         GROUP BY user_id, session_id
     """,
@@ -121,7 +121,7 @@ def t03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("session_value"),
         )
         .select(
             "user_id",

@@ -26,20 +26,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geospatial_data_lake_spark.functions.decimals import dec_revenue, dsum
 from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.tables import tables
 
-def _revenue():
-    # built lazily: Column construction needs an active SparkContext,
-    # and this module imports at registry-load time (before any session)
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+# Revenue terms sum in exact decimal on both engines (order-independent
+# addition; see functions/decimals.py). Columns are built lazily: Column
+# construction needs an active SparkContext, and this module imports at
+# registry-load time (before any session).
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+)
 
 
 @register(
     "tpch_q3_shipping_priority",
     oracle="""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -69,7 +75,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
         .join(line, line.l_orderkey == ords.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dsum(dec_revenue()).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -84,7 +90,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle="""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -132,7 +140,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dsum(dec_revenue()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -141,7 +149,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpch_q10_returned_items",
     oracle="""
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue,
                round(c_acctbal, 2) AS acctbal,
                n_name
         FROM customer
@@ -178,7 +188,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         line.join(ords, line.l_orderkey == ords.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dsum(dec_revenue()).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -253,7 +263,9 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "tpch_q19_disjunctive_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -296,7 +308,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            dsum(dec_revenue()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -307,7 +319,9 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -348,7 +362,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dsum(dec_revenue()).alias("revenue"))
         .orderBy("cust_nation", "supp_nation", "l_year")
     )
 

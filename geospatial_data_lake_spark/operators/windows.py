@@ -121,10 +121,10 @@ def w03_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(lag(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ), 4) AS prev_value,
-               round(sum(value) OVER (
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 4) AS running_total
+               ), 4) AS DOUBLE) AS running_total
         FROM events
     """,
     tags=("window", "W4"),
@@ -140,7 +140,12 @@ def w04_lag_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value"), 4).alias("value_r"),
         F.round(F.lag("value").over(w), 4).alias("prev_value"),
-        F.round(F.sum("value").over(wf), 4).alias("running_total"),
+        # decimal running sum: DuckDB's segment-tree window aggregation adds
+        # in a different order than Spark's sequential frame — exact decimal
+        # addition makes both order-independent (see functions/decimals.py)
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")).over(wf), 4)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -148,10 +153,10 @@ def w04_lag_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w05_range_frame",
     oracle="""
         SELECT o_orderkey, o_custkey,
-               round(sum(o_totalprice) OVER (
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-               ), 2) AS spend_30d
+               ), 2) AS DOUBLE) AS spend_30d
         FROM orders
     """,
     tags=("window", "W4"),
@@ -165,10 +170,10 @@ def w05_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey,
-               round(sum(o_totalprice) OVER (
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-               ), 2) AS spend_30d
+               ), 2) AS DOUBLE) AS spend_30d
         FROM orders
         """
     )

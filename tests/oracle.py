@@ -45,7 +45,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
-            return f"{v:.6g}"
+            # full shortest-roundtrip repr: bit-identical doubles or bust.
+            # (%.6g previously masked 7th-digit drift the driver's hash
+            # caught — the decimal-sum convention makes exact match the bar.)
+            return repr(v)
         if isinstance(v, bool):
             return str(bool(v))
         return str(v)
