@@ -8,11 +8,28 @@ Scale design: each table is read with an explicit ``spark.read.parquet``
 scan so Catalyst predicate pushdown / column pruning reach the parquet
 reader.  At 100 TB the same loader points at partitioned table roots; no
 query in this engine assumes single-file inputs.
+
+Session hygiene:
+
+- ``Tables`` handles are memoized per (session, sf_dir): repeated queries
+  in one driver sweep reuse the analyzed scan relations instead of
+  re-listing files and re-reading footers per query.
+- The ``events`` TIMESTAMP(NANOS) workaround conf is scoped to the read
+  (set -> read -> restore): the analyzed DataFrame keeps working after the
+  restore (the scan snapshots the conf at analysis time), and later parquet
+  reads in the same session see the session's own setting again.
+- An untouched ``spark.sql.shuffle.partitions`` default (200) is replaced
+  once per session with the session's core count: at local/test scale 200
+  post-shuffle tasks are pure scheduling overhead (AQE coalesces them, but
+  planning 200 still costs), and a production deployment that tuned the
+  conf is left alone.
 """
 
 from __future__ import annotations
 
 import os
+import weakref
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +46,29 @@ TABLE_NAMES = (
     "documents",
     "embeddings",
 )
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of the block, then restore the
+    previous value (or unset if it was unset)."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, prev)
 
 
 class Tables:
@@ -50,13 +90,19 @@ class Tables:
             path = os.path.join(self._sf_dir, f"{name}.parquet")
             if name == "events":
                 # events.ts is TIMESTAMP(NANOS), which Spark's vectorized
-                # reader rejects; read the raw int64 and floor-truncate to
-                # micros (identical to DuckDB's nanos->micros semantics).
-                self._spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = self._spark.read.parquet(path)
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+                # reader rejects; read the raw int64 (conf scoped to this
+                # read) and floor-truncate to micros (identical to DuckDB's
+                # nanos->micros semantics).
+                with _scoped_conf(self._spark, _NANOS_CONF, "true"):
+                    df = self._spark.read.parquet(path)
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    ).select(
+                        "event_id", "ts", "user_id", "event_type", "value", "props"
+                    )
+                    # force analysis inside the scoped conf so the scan
+                    # snapshots nanosAsLong=true
+                    df.schema
             else:
                 df = self._spark.read.parquet(path)
             self._cache[name] = df
@@ -68,5 +114,29 @@ class Tables:
             getattr(self, name).createOrReplaceTempView(name)
 
 
+# per-session memo: {SparkSession -> {sf_dir -> Tables}}; weak keys so a
+# stopped session's handles don't pin the JVM gateway.
+_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, Tables]]" = (
+    weakref.WeakKeyDictionary()
+)
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _tune_session(spark: SparkSession) -> None:
+    if spark in _TUNED:
+        return
+    _TUNED.add(spark)
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 16)))
+    except Exception:
+        pass
+
+
 def tables(spark: SparkSession, sf_dir: str) -> Tables:
-    return Tables(spark, sf_dir)
+    _tune_session(spark)
+    per_session = _MEMO.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = Tables(spark, sf_dir)
+    return per_session[sf_dir]
