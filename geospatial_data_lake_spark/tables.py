@@ -140,3 +140,20 @@ def tables(spark: SparkSession, sf_dir: str) -> Tables:
     if sf_dir not in per_session:
         per_session[sf_dir] = Tables(spark, sf_dir)
     return per_session[sf_dir]
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure a scan feeding *heavy per-row compute* (shingle hashing,
+    minhash, feature kernels) uses all cores.
+
+    A parquet file parallelizes at row-group granularity; the synthetic
+    fixtures are written as a single row group, so a compute-bound stage
+    over them would otherwise run on one thread no matter the cluster
+    size.  When the scan already has >= one split per core — the normal
+    case for any production-size table — this is a no-op, so no shuffle
+    is ever added at scale.  Filters/pruning still push past the
+    round-robin exchange to the scan."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)

@@ -110,12 +110,36 @@ def should_semi_join_existence_probe_without_full_join(spark, registry, sf_dir):
 
 
 def should_pin_lsh_candidate_join_as_broadcast(spark, registry, sf_dir):
-    # dd04's pair-explosion join must stay broadcast(band-table) x
+    # The LSH path's pair-explosion join must stay broadcast(band-table) x
     # rep-partitioned probe: a sort-merge or band-key-partitioned plan
     # serializes giant LSH buckets onto single tasks (measured 6x slower).
-    plan = _plan(spark, registry, "dd04_minhash_lsh_pairs", sf_dir)
+    # Built via the internal sparse-regime entry point — the dd04 dispatcher
+    # routes this saturated fixture corpus to the exact join instead.
+    import contextlib
+    import io
+
+    from geospatial_data_lake_spark.operators.dedup import _minhash_lsh_pairs
+    from geospatial_data_lake_spark.tables import tables
+
+    df = _minhash_lsh_pairs(spark, tables(spark, sf_dir).documents)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def should_dispatch_dd04_to_exact_join_on_saturated_corpus(spark, registry, sf_dir):
+    # The synthetic corpus has background Jaccard ~0.58 — the dispatcher
+    # must route it to the inverted-index exact join (no band explosion).
+    from geospatial_data_lake_spark.operators.dedup import (
+        _sampled_background_jaccard,
+    )
+    from geospatial_data_lake_spark.tables import tables
+
+    bg = _sampled_background_jaccard(tables(spark, sf_dir).documents)
+    assert bg >= 0.2, f"fixture background jaccard unexpectedly sparse: {bg}"
 
 
 def should_run_grid_spatial_join_without_cartesian(spark, registry, sf_dir):
