@@ -340,6 +340,7 @@ def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_value_cols=["r_event_id", "r_event_type"],
         strict=True,
+        right_order="r_event_id",
     )
     return joined.select(
         "event_id",

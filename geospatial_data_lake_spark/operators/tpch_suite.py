@@ -372,7 +372,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH trade AS (
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-                   l_extendedprice * (1 - l_discount) AS volume,
+                   CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
                    sn.n_name AS supp_nation
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -387,8 +388,9 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                              ELSE 0 END) / sum(volume), 6) AS mkt_share
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
         FROM trade
         GROUP BY o_year
         ORDER BY o_year
@@ -434,13 +436,16 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            dec_revenue().alias("volume"),
             "supp_nation",
         )
     )
+    zero = F.lit(0).cast("decimal(18,4)")
     share = (
-        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-        / F.sum("volume")
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+        ).cast("double")
+        / F.sum("volume").cast("double")
     )
     return (
         trade.groupBy("o_year")

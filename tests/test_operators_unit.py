@@ -41,6 +41,31 @@ def should_asof_join_pick_latest_strictly_before(spark):
     assert out == {1: 100, 2: 300, 3: None}
 
 
+def should_asof_join_break_ts_ties_deterministically_and_atomically(spark):
+    """Two right rows share (key, ts): the greater right_order id must win,
+    and a NULL field in the winning row must NOT splice a value from the
+    losing row (the matched row is carried as one struct)."""
+    left = spark.createDataFrame(
+        [(1, "k", datetime(2026, 1, 1, 12, 0, 0))],
+        "left_id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "k", datetime(2026, 1, 1, 11, 0, 0), "older"),
+            (300, "k", datetime(2026, 1, 1, 11, 0, 0), None),  # winner: id 300
+        ],
+        "right_id int, k string, rts timestamp, label string",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_value_cols=["right_id", "label"], strict=True,
+        right_order="right_id",
+    ).collect()[0]
+    assert row.asof_right_id == 300
+    # row 300's label is NULL — must stay NULL, not borrow 'older' from 100
+    assert row.asof_label is None
+
+
 def should_reach_fixpoint_with_cycles(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "y")],
