@@ -61,22 +61,51 @@ def upsert_parquet(
 
     if partition_by and os.path.exists(table_path):
         # Partition-pruned rewrite: only touch partitions holding updated
-        # keys (dynamic partition overwrite).
-        touched = [
+        # keys (dynamic partition overwrite). "Touched" must cover BOTH
+        # sides of a key's move: the partitions the updates land in AND
+        # the partitions where those keys currently live — otherwise an
+        # update that changes a key's partition value leaves the old row
+        # stranded in an unrewritten partition (duplicate key).
+        touched = {
             tuple(r)
             for r in updates.select(*partition_by).distinct().collect()
-        ]
+        }
+        touched |= {
+            tuple(r)
+            for r in existing.join(
+                updates.select(*key_cols).hint("broadcast"), key_cols, "left_semi"
+            )
+            .select(*partition_by)
+            .distinct()
+            .collect()
+        }
         cond = F.lit(False)
         for values in touched:
             match = F.lit(True)
             for col, val in zip(partition_by, values):
                 match = match & (F.col(col) == F.lit(val))
             cond = cond | match
-        merged = merged.filter(cond)
+        # Materialize before the write: merged reads from table_path while
+        # the dynamic overwrite rewrites it — checkpointing severs the
+        # lineage so the job never scans files it is replacing.
+        merged = merged.filter(cond).localCheckpoint(eager=True)
+        remaining = {
+            tuple(r) for r in merged.select(*partition_by).distinct().collect()
+        }
         with _spark_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             merged.write.mode("overwrite").partitionBy(*partition_by).parquet(
                 table_path
             )
+        # A touched partition that ended up empty (its only rows moved
+        # away) is never emitted by the dynamic overwrite — drop its
+        # directory explicitly so the stale files don't resurrect rows.
+        for values in touched - remaining:
+            part_dir = os.path.join(
+                table_path,
+                *[f"{c}={v}" for c, v in zip(partition_by, values)],
+            )
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)
         return
 
     # Full rewrite with atomic swap (small/unpartitioned tables).

@@ -122,6 +122,38 @@ def should_upsert_rewrite_only_touched_partitions(spark, tmp_path):
     assert before == after, "untouched partition p2 must not be rewritten"
 
 
+def should_upsert_remove_old_row_when_key_changes_partition(spark, tmp_path):
+    """MERGE semantics across a partition move: updating key 'a' from
+    partition p1 to p2 must delete the p1 copy even though no update row
+    lands in p1 (the old partition still holds key 'b')."""
+    path = str(tmp_path / "move.parquet")
+    base = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "b", 2), ("p2", "c", 3)],
+        "pt string, id string, v int",
+    )
+    base.write.partitionBy("pt").parquet(path)
+    updates = spark.createDataFrame([("p2", "a", 10)], "pt string, id string, v int")
+    upsert_parquet(spark, path, updates, key_cols=["id"], partition_by=["pt"])
+    result = {(r.pt, r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert result == {("p1", "b"): 2, ("p2", "a"): 10, ("p2", "c"): 3}
+
+
+def should_upsert_drop_partition_emptied_by_key_move(spark, tmp_path):
+    """If the moved key was its old partition's only row, that partition's
+    directory must disappear (dynamic overwrite alone never rewrites an
+    empty partition, so the stale file would resurrect the row)."""
+    path = str(tmp_path / "empty.parquet")
+    base = spark.createDataFrame(
+        [("p1", "a", 1), ("p2", "c", 3)], "pt string, id string, v int"
+    )
+    base.write.partitionBy("pt").parquet(path)
+    updates = spark.createDataFrame([("p2", "a", 10)], "pt string, id string, v int")
+    upsert_parquet(spark, path, updates, key_cols=["id"], partition_by=["pt"])
+    result = {(r.pt, r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert result == {("p2", "a"): 10, ("p2", "c"): 3}
+    assert not os.path.exists(os.path.join(path, "pt=p1"))
+
+
 def should_prune_partitions_on_version_scan(spark, tmp_path):
     import contextlib
     import io
