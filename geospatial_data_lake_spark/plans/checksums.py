@@ -7,13 +7,19 @@ subsystem dissolves: ONE distributed job over the DATA manifest verifies
 every file; partitioning replaces manual batching, task retries replace
 Batch retry codes.
 
-Two physical paths:
+Hash-function dispatch mirrors the reference's multihash FUNCS lookup
+(`backend/check_files_checksums/utils.py:98-99`): the first multihash
+byte is the function code, resolved to a hashlib constructor per row, so
+a manifest may freely mix sha1 / sha2-256 / sha2-512 / sha3-* digests.
+An unregistered code fails the row with a distinct "unsupported hash
+function" detail rather than a misleading mismatch.
 
-- small files: ``binaryFile`` source + ``sha2(content, 256)`` — all JVM.
-- oversized files (> ``spark.sql.binaryFile.maxLength``): a mapInPandas
-  kernel streams each file in 1 MiB chunks through hashlib executor-side —
-  bounded memory per task, mirroring the reference's 1 KiB streamed read
-  (`utils.py:26,102`) at a chunk size tuned for object storage.
+Physical path: a mapInPandas kernel streams each file in 1 MiB chunks
+through hashlib executor-side — bounded memory per task, mirroring the
+reference's 1 KiB streamed read (`utils.py:26,102`) at a chunk size tuned
+for object storage. (Spark's builtin ``sha2(content, 256)`` would cover
+only one algorithm and require whole-file binaryFile rows; the streamed
+kernel handles any size and any registered function.)
 """
 
 from __future__ import annotations
@@ -30,8 +36,29 @@ from geospatial_data_lake_spark import schemas
 
 CHUNK_SIZE = 1 << 20  # 1 MiB streamed-read granularity
 
-# multihash constants — ref: backend/check_files_checksums/utils.py:98-105
-SHA2_256_CODE = "1220"  # fn 0x12 (sha2-256), length 0x20 (32 bytes)
+# multihash function-code registry — the subset of the public multihash
+# table (ref: backend/check_files_checksums/utils.py:9,98-99 `FUNCS`)
+# that hashlib provides everywhere. Keys are the first multihash byte.
+FUNCS: dict[int, str] = {
+    0x11: "sha1",
+    0x12: "sha256",
+    0x13: "sha512",
+    0x14: "sha3_512",
+    0x15: "sha3_384",
+    0x16: "sha3_256",
+    0x17: "sha3_224",
+}
+
+# Kept for callers that build sha2-256 multihashes (fn 0x12, len 0x20).
+SHA2_256_CODE = "1220"
+
+
+def make_multihash(data: bytes, algo: str = "sha256") -> str:
+    """Hex multihash of ``data``: fn-code byte + digest-length byte +
+    digest (single-byte varints only — true for every FUNCS entry)."""
+    code = {v: k for k, v in FUNCS.items()}[algo]
+    digest = hashlib.new(algo, data).digest()
+    return f"{code:02x}{len(digest):02x}{digest.hex()}"
 
 
 def _local_path(url: str) -> str:
@@ -40,13 +67,25 @@ def _local_path(url: str) -> str:
 
 
 def _streaming_digest_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-partition streamed sha256: constant memory regardless of file
-    size (A5/X4 — the custom-aggregate path)."""
+    """Per-partition streamed digest with per-row function dispatch:
+    constant memory regardless of file size (A5/X4 — the custom-aggregate
+    path)."""
     for pdf in batches:
         digests, errors = [], []
-        for url in pdf["url"]:
+        for url, multihash in zip(pdf["url"], pdf["multihash"]):
+            algo = None
+            if isinstance(multihash, str) and len(multihash) >= 4:
+                try:
+                    algo = FUNCS.get(int(multihash[:2], 16))
+                except ValueError:
+                    algo = None
+            if algo is None:
+                digests.append(None)
+                code = multihash[:2] if isinstance(multihash, str) else "??"
+                errors.append(f"unsupported hash function 0x{code}")
+                continue
             try:
-                digest = hashlib.sha256()
+                digest = hashlib.new(algo)
                 with open(_local_path(url), "rb") as fh:
                     while True:
                         chunk = fh.read(CHUNK_SIZE)
@@ -59,7 +98,14 @@ def _streaming_digest_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                 digests.append(None)
                 errors.append(str(exc))
         yield pd.DataFrame(
-            {"url": pdf["url"], "actual_sha256": digests, "read_error": errors}
+            {
+                "dataset_id": pdf["dataset_id"],
+                "version_id": pdf["version_id"],
+                "url": pdf["url"],
+                "multihash": pdf["multihash"],
+                "actual_digest": digests,
+                "read_error": errors,
+            }
         )
 
 
@@ -67,24 +113,28 @@ def verify_checksums(assets: DataFrame) -> DataFrame:
     """Verify every DATA asset's multihash; returns VALIDATION_RESULTS rows.
 
     Input: schemas.ASSETS rows. Expected digest = multihash minus the
-    2-byte fn/length prefix (ref utils.py:98-105).
+    2-byte fn/length prefix; the hash function itself is dispatched per
+    row from the fn code (ref utils.py:98-105).
     """
     data = assets.filter(F.col("item_type") == "DATA").select(
         "dataset_id", "version_id", "url", "multihash"
     )
     digested = data.mapInPandas(
         _streaming_digest_kernel,
-        schema="url string, actual_sha256 string, read_error string",
-    ).join(data, "url")
+        schema=(
+            "dataset_id string, version_id string, url string,"
+            " multihash string, actual_digest string, read_error string"
+        ),
+    )
 
     expected = F.when(
-        F.col("multihash").startswith(SHA2_256_CODE[:2]),
+        F.col("multihash").isNotNull() & (F.length("multihash") > 4),
         F.expr("substring(multihash, 5)"),
     )
     passed = (
         F.col("read_error").isNull()
         & F.col("multihash").isNotNull()
-        & (expected == F.col("actual_sha256"))
+        & (expected == F.col("actual_digest"))
     )
     return digested.select(
         "dataset_id",
@@ -104,7 +154,7 @@ def verify_checksums(assets: DataFrame) -> DataFrame:
                         F.lit("checksum mismatch: expected "),
                         F.coalesce(expected, F.lit("<none>")),
                         F.lit(" got "),
-                        F.coalesce(F.col("actual_sha256"), F.lit("<none>")),
+                        F.coalesce(F.col("actual_digest"), F.lit("<none>")),
                     ),
                 ),
             ),

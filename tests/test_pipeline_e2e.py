@@ -234,3 +234,61 @@ def should_stream_digest_match_reference_semantics(spark, tmp_path):
     )
     rows = checksums.verify_checksums(assets).collect()
     assert len(rows) == 1 and rows[0].result == "Passed"
+
+
+def should_dispatch_multihash_function_codes(spark, tmp_path):
+    """One manifest mixing sha1 / sha2-256 / sha2-512 / sha3-256
+    multihashes: every algorithm verifies via the FUNCS dispatch
+    (ref: check_files_checksums/utils.py:98-99)."""
+    payload = b"multi-algorithm payload"
+    f = tmp_path / "data.bin"
+    f.write_bytes(payload)
+    rows_in = [
+        ("d", "v", "DATA", i, str(f), checksums.make_multihash(payload, algo))
+        for i, algo in enumerate(["sha1", "sha256", "sha512", "sha3_256"])
+    ]
+    assets = spark.createDataFrame(
+        rows_in,
+        "dataset_id string, version_id string, item_type string,"
+        " item_index long, url string, multihash string",
+    )
+    rows = checksums.verify_checksums(assets).collect()
+    assert len(rows) == 4
+    assert all(r.result == "Passed" for r in rows), [
+        (r.result, r.details) for r in rows
+    ]
+
+
+def should_flag_unknown_multihash_code_as_unsupported(spark, tmp_path):
+    """An unregistered fn code fails with a distinct 'unsupported hash
+    function' detail, not a generic mismatch."""
+    f = tmp_path / "data.bin"
+    f.write_bytes(b"payload")
+    assets = spark.createDataFrame(
+        [("d", "v", "DATA", 0, str(f), "ff20" + "0" * 64)],
+        "dataset_id string, version_id string, item_type string,"
+        " item_index long, url string, multihash string",
+    )
+    rows = checksums.verify_checksums(assets).collect()
+    assert len(rows) == 1
+    assert rows[0].result == "Failed"
+    assert "unsupported hash function 0xff" in rows[0].details["message"]
+
+
+def should_detect_corrupted_payload_for_each_algorithm(spark, tmp_path):
+    """A wrong digest still fails per algorithm (mismatch path unaffected
+    by the dispatch)."""
+    f = tmp_path / "data.bin"
+    f.write_bytes(b"actual contents")
+    rows_in = [
+        ("d", "v", "DATA", i, str(f), checksums.make_multihash(b"other", algo))
+        for i, algo in enumerate(["sha1", "sha512"])
+    ]
+    assets = spark.createDataFrame(
+        rows_in,
+        "dataset_id string, version_id string, item_type string,"
+        " item_index long, url string, multihash string",
+    )
+    rows = checksums.verify_checksums(assets).collect()
+    assert all(r.result == "Failed" for r in rows)
+    assert all("checksum mismatch" in r.details["message"] for r in rows)
