@@ -237,6 +237,245 @@ def geo03_temporal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- polygon predicates (geo04/geo05) -------------------------------------
+#
+# The reference's STAC items carry real GeoJSON `geometry` rings
+# (ref: tests/stac_objects.py:36 and the geojson-spec submodule,
+# .gitmodules:5-8); bbox queries alone don't cover them. geo04/geo05 add
+# the two polygon predicates over synthetic rings whose vertices live on
+# an integer lattice (0.1-degree units), so every edge test is exact
+# 64-bit integer arithmetic — Spark and DuckDB agree bit-for-bit, with no
+# float-boundary drift on points that land exactly on an edge.
+#
+# geo04 runs the *general* even-odd ray-casting test over a GeoJSON-shaped
+# closed vertex ring (works for any simple polygon, not just these
+# fixtures); the oracle expands the identical crossing arithmetic per
+# edge. geo05 tests convex-polygon overlap by the separating-axis theorem
+# in a closed form over the generated diamonds. Both scale through the
+# same grid-cell equi-join as geo01/geo02 — polygon rings explode to
+# covering cells, candidates meet on cell id, the exact predicate refines.
+
+_U = 50  # grid cell size in 0.1-degree units (= _CELL * 10)
+
+
+def _doc_diamonds(documents: DataFrame) -> DataFrame:
+    """Deterministic convex quad (diamond) per document on the integer
+    lattice: center from multiplicative hashes of doc_id, half-extents
+    from doc_id mods. Same spatial distribution as _doc_boxes, integer
+    units."""
+    return documents.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 900 - 450).alias("ccx"),
+        ((F.col("doc_id") * 104729) % 425 - 212).alias("ccy"),
+        (5 + F.col("doc_id") % 20).alias("w"),
+        (5 + F.col("doc_id") % 13).alias("h"),
+    )
+
+
+_DIAMOND_SQL = """
+        SELECT doc_id,
+               (doc_id * 7919) % 900 - 450 AS ccx,
+               (doc_id * 104729) % 425 - 212 AS ccy,
+               5 + doc_id % 20 AS w,
+               5 + doc_id % 13 AS h
+        FROM documents
+"""
+
+
+def _sql_crossing(ax: str, ay: str, bx: str, by: str) -> str:
+    """DuckDB crossing-test term for one polygon edge (a->b) against the
+    +x ray from (px, py) — the division-free integer form of the classic
+    even-odd rule. Mirrors the Spark-side lambda in geo04 exactly."""
+    return (
+        f"(CASE WHEN (({ay}) > py) != (({by}) > py)"
+        f" AND (((px - ({ax})) * (({by}) - ({ay}))"
+        f" < (({bx}) - ({ax})) * (py - ({ay}))) = (({by}) > ({ay})))"
+        f" THEN 1 ELSE 0 END)"
+    )
+
+
+# the diamond ring's 4 edges, counter-clockwise, closed at v0
+_DIAMOND_EDGES = [
+    (("ccx + w", "ccy"), ("ccx", "ccy + h")),
+    (("ccx", "ccy + h"), ("ccx - w", "ccy")),
+    (("ccx - w", "ccy"), ("ccx", "ccy - h")),
+    (("ccx", "ccy - h"), ("ccx + w", "ccy")),
+]
+
+_SQL_INSIDE = (
+    "("
+    + " + ".join(_sql_crossing(a[0], a[1], b[0], b[1]) for a, b in _DIAMOND_EDGES)
+    + ") % 2 = 1"
+)
+
+
+@register(
+    "geo04_point_in_polygon",
+    oracle="""
+        WITH d AS (""" + _DIAMOND_SQL + """),
+        p AS (
+            SELECT event_id,
+                   (event_id * 7919) % 900 - 450 AS px,
+                   (event_id * 104729) % 425 - 212 AS py
+            FROM events
+        )
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_points
+        FROM p JOIN d ON """ + _SQL_INSIDE + """
+        GROUP BY d.doc_id
+    """,
+    tags=("geo", "polygon", "J8"),
+)
+def geo04_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside each dataset's polygon footprint — general even-odd
+    ray casting over a GeoJSON-shaped closed vertex ring.
+
+    The predicate is the division-free integer crossing test, evaluated
+    with `aggregate` over the ring array, so it handles ANY simple
+    polygon ring column, not just these quads. Scale shape = geo02's:
+    each point hashes to one grid cell; polygon rings explode to the
+    cells their bbox covers and that dimension-side table broadcasts, so
+    the event side never shuffles or replicates. The oracle expands the
+    identical crossing arithmetic per edge (quadratic join — oracle
+    scale only)."""
+    t = tables(spark, sf_dir)
+    d = _doc_diamonds(t.documents)
+    ring = d.select(
+        "doc_id",
+        (F.col("ccx") - F.col("w")).alias("x1"),
+        (F.col("ccy") - F.col("h")).alias("y1"),
+        (F.col("ccx") + F.col("w")).alias("x2"),
+        (F.col("ccy") + F.col("h")).alias("y2"),
+        F.array(
+            F.struct((F.col("ccx") + F.col("w")).alias("x"), F.col("ccy").alias("y")),
+            F.struct(F.col("ccx").alias("x"), (F.col("ccy") + F.col("h")).alias("y")),
+            F.struct((F.col("ccx") - F.col("w")).alias("x"), F.col("ccy").alias("y")),
+            F.struct(F.col("ccx").alias("x"), (F.col("ccy") - F.col("h")).alias("y")),
+            F.struct((F.col("ccx") + F.col("w")).alias("x"), F.col("ccy").alias("y")),
+        ).alias("ring"),
+    )
+    # polygon bbox -> covering cells (integer-unit variant of _cells)
+    ring_cells = ring.withColumn(
+        "cx",
+        F.explode(F.sequence(F.floor(F.col("x1") / _U), F.floor(F.col("x2") / _U))),
+    ).withColumn(
+        "cy",
+        F.explode(F.sequence(F.floor(F.col("y1") / _U), F.floor(F.col("y2") / _U))),
+    )
+    points = t.events.select(
+        ((F.col("event_id") * 7919) % 900 - 450).alias("px"),
+        ((F.col("event_id") * 104729) % 425 - 212).alias("py"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("px") / _U),
+            "cy": F.floor(F.col("py") / _U),
+        }
+    )
+    inside = F.expr(
+        "aggregate(sequence(1, size(ring) - 1), 0, (acc, i) -> acc +"
+        " IF(((element_at(ring, i).y > py) != (element_at(ring, i + 1).y > py))"
+        " AND (((px - element_at(ring, i).x)"
+        "       * (element_at(ring, i + 1).y - element_at(ring, i).y)"
+        "      < (element_at(ring, i + 1).x - element_at(ring, i).x)"
+        "       * (py - element_at(ring, i).y))"
+        "     = (element_at(ring, i + 1).y > element_at(ring, i).y)),"
+        " 1, 0)) % 2 = 1"
+    )
+    return (
+        points.join(F.broadcast(ring_cells), ["cx", "cy"])
+        .filter(inside)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def _sat_overlap_sql(ax: str, ay: str) -> str:
+    """DuckDB separating-axis interval-overlap term for one axis: the
+    diamonds' projections are center +/- max(|w*ax|, |h*ay|)."""
+    return (
+        f"abs((a.ccx - b.ccx) * ({ax}) + (a.ccy - b.ccy) * ({ay}))"
+        f" <= greatest(abs(a.w * ({ax})), abs(a.h * ({ay})))"
+        f"  + greatest(abs(b.w * ({ax})), abs(b.h * ({ay})))"
+    )
+
+
+_SQL_SAT = " AND ".join(
+    _sat_overlap_sql(ax, ay)
+    for ax, ay in [("a.h", "a.w"), ("a.h", "-a.w"), ("b.h", "b.w"), ("b.h", "-b.w")]
+)
+
+
+def _sat_overlap_col(ax: Column, ay: Column) -> Column:
+    proj = (F.col("a.ccx") - F.col("b.ccx")) * ax + (
+        F.col("a.ccy") - F.col("b.ccy")
+    ) * ay
+    ra = F.greatest(F.abs(F.col("a.w") * ax), F.abs(F.col("a.h") * ay))
+    rb = F.greatest(F.abs(F.col("b.w") * ax), F.abs(F.col("b.h") * ay))
+    return F.abs(proj) <= ra + rb
+
+
+@register(
+    "geo05_polygon_intersect_pairs",
+    oracle="""
+        WITH d AS (""" + _DIAMOND_SQL + """)
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE """ + _SQL_SAT + """
+    """,
+    tags=("geo", "polygon", "spatial-join", "J8"),
+)
+def geo05_polygon_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All dataset pairs whose polygon footprints intersect — convex
+    overlap by the separating-axis theorem (the polygons touch iff no
+    edge-normal axis separates their projections), evaluated in exact
+    integer arithmetic shared verbatim with the oracle.
+
+    Scale shape = geo01's grid spatial join: each polygon's bbox explodes
+    to covering cells, candidate pairs meet through the cell equi-join
+    (hash shuffle, never a cross join), the SAT predicate refines, and
+    the reference-point rule (report only in the cell holding the bbox
+    intersection's min corner) dedups without a distinct() shuffle."""
+    t = tables(spark, sf_dir)
+    d = _doc_diamonds(t.documents).select(
+        "doc_id",
+        "ccx",
+        "ccy",
+        "w",
+        "h",
+        (F.col("ccx") - F.col("w")).alias("x1"),
+        (F.col("ccy") - F.col("h")).alias("y1"),
+        (F.col("ccx") + F.col("w")).alias("x2"),
+        (F.col("ccy") + F.col("h")).alias("y2"),
+    )
+    cells = d.withColumn(
+        "cx",
+        F.explode(F.sequence(F.floor(F.col("x1") / _U), F.floor(F.col("x2") / _U))),
+    ).withColumn(
+        "cy",
+        F.explode(F.sequence(F.floor(F.col("y1") / _U), F.floor(F.col("y2") / _U))),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    sat = (
+        _sat_overlap_col(F.col("a.h"), F.col("a.w"))
+        & _sat_overlap_col(F.col("a.h"), -F.col("a.w"))
+        & _sat_overlap_col(F.col("b.h"), F.col("b.w"))
+        & _sat_overlap_col(F.col("b.h"), -F.col("b.w"))
+    )
+    ref_cx = F.floor(F.greatest(F.col("a.x1"), F.col("b.x1")) / _U)
+    ref_cy = F.floor(F.greatest(F.col("a.y1"), F.col("b.y1")) / _U)
+    return (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(sat)
+        .filter((F.col("a.cx") == ref_cx) & (F.col("a.cy") == ref_cy))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+
+
 @register(
     "j11_binned_interval_join",
     oracle="""

@@ -94,7 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "j04_semi_join",
     "j05_anti_join",
     "j07_star_join_broadcast",
-    "j08_range_join",
+    "geo05_polygon_intersect_pairs",  # J8 via the grid spatial join (+ polygon)
     "j09_asof_join",
     "j06_graph_reachability",
     # A rows (A1-A4, A6-A8)
@@ -126,10 +126,12 @@ _PRIORITY: tuple[str, ...] = (
     "f09_json_map_explode",
     "tx01_token_stats",
     "ss01_cosine_topk",
-    "dd01_exact_dedup_summary",
+    "geo04_point_in_polygon",  # ray-cast containment (geo02 was r1-green)
     "dd04_minhash_lsh_pairs",
     "mm01_blob_metadata",
     # --- 50-entry mark; remaining prioritized families follow ---
+    "j08_range_join",
+    "dd01_exact_dedup_summary",
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "tx07_winnowing_fingerprints",

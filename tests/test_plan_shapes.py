@@ -150,6 +150,22 @@ def should_run_grid_spatial_join_without_cartesian(spark, registry, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def should_run_polygon_intersect_join_without_cartesian(spark, registry, sf_dir):
+    # geo05 pairs polygons through the cell equi-join; the SAT predicate
+    # must refine candidates, never drive a cartesian/nested-loop plan.
+    plan = _plan(spark, registry, "geo05_polygon_intersect_pairs", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def should_broadcast_polygon_cells_in_point_containment(spark, registry, sf_dir):
+    # geo04: the point (fact) side must never shuffle — polygon ring
+    # cells are the broadcast dimension side, same shape as geo02.
+    plan = _plan(spark, registry, "geo04_point_in_polygon", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def should_shuffle_pandas_udaf_input_exactly_once(spark, registry, sf_dir):
     # GROUPED_AGG pandas UDFs have no partial phase (ArrowAggregatePython
     # runs after the group shuffle); the plan must shuffle the UDAF input
