@@ -41,9 +41,9 @@ except ImportError:  # pragma: no cover
     _HAVE_JSONSCHEMA = False
 
 STAC_TYPES = ("Catalog", "Collection", "Feature")
-# Minimal required keys per STAC type (subset of the vendored STAC
-# 1.0.0-rc.3 schemas the reference validates against —
-# tests/stac_objects.py:20-50).
+# Required keys per STAC type — mirrors the vendored schema tree's
+# ``required`` sets (plans/stac_schemas/); used as the fallback check when
+# jsonschema is unavailable, and for fast/clear missing-key messages.
 _REQUIRED_KEYS = {
     "Catalog": ("type", "stac_version", "id", "description", "links"),
     "Collection": ("type", "stac_version", "id", "description", "license", "extent", "links"),
@@ -73,7 +73,9 @@ def _parse_no_duplicates(text: str) -> dict:
 
 
 def _validate_structure(doc: dict) -> str | None:
-    """Required-key + type validation; returns an error message or None."""
+    """Full STAC draft-7 schema validation (vendored tree + RFC 3339
+    format checks — see plans/stac_schema.py); returns an error message
+    or None. Falls back to required-key checks without jsonschema."""
     doc_type = doc.get("type")
     if doc_type not in STAC_TYPES:
         return f"unknown STAC type: {doc_type!r}"
@@ -81,27 +83,13 @@ def _validate_structure(doc: dict) -> str | None:
     if missing:
         return f"missing required keys: {missing}"
     if _HAVE_JSONSCHEMA:
-        # Structural constraints expressible without the full vendored
-        # schema tree; the full draft-7 documents plug in here unchanged.
-        schema = {
-            "type": "object",
-            "properties": {
-                "stac_version": {"type": "string"},
-                "id": {"type": "string"},
-                "links": {
-                    "type": "array",
-                    "items": {
-                        "type": "object",
-                        "required": ["href", "rel"],
-                    },
-                },
-            },
-            "required": list(_REQUIRED_KEYS[doc_type]),
-        }
-        try:
-            jsonschema.validate(doc, schema)
-        except jsonschema.ValidationError as exc:  # pragma: no cover
-            return f"schema violation: {exc.message}"
+        from geospatial_data_lake_spark.plans.stac_schema import (
+            validate_stac_document,
+        )
+
+        error = validate_stac_document(doc)
+        if error is not None:
+            return f"schema violation: {error}"
     return None
 
 

@@ -200,7 +200,7 @@ def should_detect_conflicting_duplicate_asset_references(spark, tmp_path):
         "stac_version": "1.0.0-rc.3",
         "id": "i1",
         "geometry": None,
-        "properties": {},
+        "properties": {"datetime": "2026-01-01T00:00:00Z"},
         "links": [],
         "assets": {"a": {"href": "shared.bin", "file:checksum": "1220" + "a" * 64}},
     }
