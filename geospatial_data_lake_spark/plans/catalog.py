@@ -11,11 +11,25 @@ the same request semantics:
 - update: title uniqueness re-checked (`update.py:30`).
 - delete: guarded by the no-versions anti-join (`delete.py:38-45`).
 
-Storage: plain parquet with atomic directory swap (write new snapshot,
-rename). On a production lake this module is the one place that would swap
-to Delta ``MERGE INTO`` for serializable upserts — the call sites keep the
-same shape. Catalog tables are small (metadata, not data), so snapshot
-rewrite is O(catalog), never O(data).
+Storage: immutable parquet snapshots + a generation-numbered commit log.
+Each mutation writes a full new snapshot directory, then *commits* it by
+creating ``commits/<generation>`` with ``O_CREAT|O_EXCL`` — the POSIX
+atomic-create is the single commit point, so exactly one writer can own
+each generation (the filesystem analog of DynamoDB's conditional put,
+ref: backend/datasets/create.py:33-39). A writer that loses the race
+re-reads the new state, re-checks its preconditions (title uniqueness,
+existence), and retries — optimistic concurrency, serializable commits.
+Readers take the highest committed generation; a writer crash before its
+commit-create leaves only an unreferenced snapshot directory (garbage,
+never corruption). On a production lake this module is the one place
+that would swap to Delta/Iceberg ``MERGE INTO`` — the call sites keep
+the same shape. Catalog tables are small (metadata, not data), so
+snapshot rewrite is O(catalog), never O(data).
+
+Concurrency guarantee: linearizable catalog mutations for any number of
+concurrent writers sharing the catalog root on a POSIX filesystem (or
+any store with atomic create-if-absent). Tested by the races in
+tests/test_pipeline_e2e.py::should_serialize_concurrent_catalog_writers.
 """
 
 from __future__ import annotations
@@ -46,52 +60,132 @@ class ValidationError(Exception):
     pass
 
 
+class CommitConflict(Exception):
+    """Another writer committed the generation we targeted; retry."""
+
+
+_GC_KEEP = 5  # trailing generations kept for in-flight readers
+_MAX_RETRIES = 64
+
+
+class _Table:
+    """One catalog table: immutable snapshots + an append-only commit log.
+
+    ``commits/<gen>`` (zero-padded) names the snapshot directory holding
+    that generation's full state. Creating the commit file with
+    ``O_CREAT|O_EXCL`` is the atomic commit point."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.commits_dir = os.path.join(root, "commits")
+        self.snaps_dir = os.path.join(root, "snapshots")
+
+    def current(self) -> tuple[int, str | None]:
+        """(generation, snapshot path) of the latest commit; (0, None)
+        when the table has never been written."""
+        try:
+            names = sorted(os.listdir(self.commits_dir))
+        except FileNotFoundError:
+            return 0, None
+        if not names:
+            return 0, None
+        latest = names[-1]
+        with open(os.path.join(self.commits_dir, latest)) as fh:
+            snap = fh.read().strip()
+        return int(latest), os.path.join(self.snaps_dir, snap)
+
+    def commit(self, df: DataFrame, expected_gen: int) -> None:
+        """Write a snapshot and commit it as ``expected_gen + 1``.
+
+        Raises CommitConflict if any other writer got there first — the
+        caller must re-read state, re-check preconditions, and retry."""
+        os.makedirs(self.commits_dir, exist_ok=True)
+        os.makedirs(self.snaps_dir, exist_ok=True)
+        gen = expected_gen + 1
+        snap_name = f"{gen:020d}-{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.snaps_dir, snap_name)
+        )
+        try:
+            fd = os.open(
+                os.path.join(self.commits_dir, f"{gen:020d}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            # lost the race — our snapshot is unreferenced garbage
+            shutil.rmtree(
+                os.path.join(self.snaps_dir, snap_name), ignore_errors=True
+            )
+            raise CommitConflict(gen)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(snap_name)
+        self._gc(gen)
+
+    def _gc(self, committed_gen: int) -> None:
+        """Drop snapshots (and their commit entries) far enough behind the
+        new head that no reader can still be planning against them."""
+        try:
+            names = sorted(os.listdir(self.commits_dir))
+        except FileNotFoundError:
+            return
+        for name in names:
+            if int(name) <= committed_gen - _GC_KEEP:
+                path = os.path.join(self.commits_dir, name)
+                try:
+                    with open(path) as fh:
+                        snap = fh.read().strip()
+                    shutil.rmtree(
+                        os.path.join(self.snaps_dir, snap), ignore_errors=True
+                    )
+                    os.unlink(path)
+                except OSError:
+                    pass  # concurrent GC; harmless
+
+
 class DatasetCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self._datasets_path = os.path.join(root, "datasets")
-        self._versions_path = os.path.join(root, "dataset_versions")
+        self._datasets = _Table(os.path.join(root, "datasets"))
+        self._versions = _Table(os.path.join(root, "dataset_versions"))
 
     # -- storage helpers ---------------------------------------------------
-    def _read(self, path: str, schema) -> DataFrame:
-        if os.path.exists(path):
-            return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+    def _read(self, table: _Table, schema) -> tuple[int, DataFrame]:
+        gen, snap = table.current()
+        if snap is None:
+            return gen, self.spark.createDataFrame([], schema)
+        return gen, self.spark.read.schema(schema).parquet(snap)
 
     def datasets(self) -> DataFrame:
-        return self._read(self._datasets_path, schemas.DATASETS)
+        return self._read(self._datasets, schemas.DATASETS)[1]
 
     def versions(self) -> DataFrame:
-        return self._read(self._versions_path, schemas.DATASET_VERSIONS)
-
-    def _overwrite(self, df: DataFrame, path: str) -> None:
-        """Atomic snapshot swap (Delta MERGE stand-in)."""
-        tmp = f"{path}.__tmp__"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{path}.__old__"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        return self._read(self._versions, schemas.DATASET_VERSIONS)[1]
 
     # -- CRUD --------------------------------------------------------------
     def create_dataset(self, title: str) -> dict:
         """ref: backend/datasets/create.py:18-39 (validate -> uniqueness ->
-        put -> consistent re-read)."""
+        conditional put -> consistent re-read). The uniqueness check and
+        the insert are serialized by the commit protocol: if another
+        writer lands first, the precondition re-runs against their state."""
         if not TITLE_PATTERN.match(title or ""):
             raise ValidationError(f"title does not match {TITLE_PATTERN.pattern!r}")
-        existing = self.datasets()
-        # uniqueness probe = semi-join-shaped filter + limit-1 (A3/O2)
-        if not existing.filter(F.col("title") == title).isEmpty():
-            raise ConflictError(f"dataset with title {title!r} already exists")
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        dataset_id = uuid.uuid4().hex
-        row = self.spark.createDataFrame(
-            [(dataset_id, title, now, now)], schemas.DATASETS
-        )
-        self._overwrite(existing.unionByName(row), self._datasets_path)
-        return self.get_dataset(dataset_id=dataset_id)
+        for _ in range(_MAX_RETRIES):
+            gen, existing = self._read(self._datasets, schemas.DATASETS)
+            # uniqueness probe = semi-join-shaped filter + limit-1 (A3/O2)
+            if not existing.filter(F.col("title") == title).isEmpty():
+                raise ConflictError(f"dataset with title {title!r} already exists")
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            dataset_id = uuid.uuid4().hex
+            row = self.spark.createDataFrame(
+                [(dataset_id, title, now, now)], schemas.DATASETS
+            )
+            try:
+                self._datasets.commit(existing.unionByName(row), gen)
+            except CommitConflict:
+                continue
+            return self.get_dataset(dataset_id=dataset_id)
+        raise ConflictError("catalog contention: retries exhausted")
 
     def get_dataset(
         self, dataset_id: str | None = None, title: str | None = None
@@ -117,52 +211,70 @@ class DatasetCatalog:
         """ref: backend/datasets/update.py (title re-validated + unique)."""
         if not TITLE_PATTERN.match(title or ""):
             raise ValidationError(f"title does not match {TITLE_PATTERN.pattern!r}")
-        existing = self.datasets()
-        if existing.filter(F.col("dataset_id") == dataset_id).isEmpty():
-            raise NotFoundError(f"dataset not found: {dataset_id}")
-        if not existing.filter(
-            (F.col("title") == title) & (F.col("dataset_id") != dataset_id)
-        ).isEmpty():
-            raise ConflictError(f"dataset with title {title!r} already exists")
-        updated = existing.withColumn(
-            "title",
-            F.when(F.col("dataset_id") == dataset_id, F.lit(title)).otherwise(
-                F.col("title")
-            ),
-        ).withColumn(
-            "updated_at",
-            F.when(
-                F.col("dataset_id") == dataset_id,
-                F.lit(datetime.now(timezone.utc).replace(tzinfo=None)),
-            ).otherwise(F.col("updated_at")),
-        )
-        self._overwrite(updated, self._datasets_path)
-        return self.get_dataset(dataset_id=dataset_id)
+        for _ in range(_MAX_RETRIES):
+            gen, existing = self._read(self._datasets, schemas.DATASETS)
+            if existing.filter(F.col("dataset_id") == dataset_id).isEmpty():
+                raise NotFoundError(f"dataset not found: {dataset_id}")
+            if not existing.filter(
+                (F.col("title") == title) & (F.col("dataset_id") != dataset_id)
+            ).isEmpty():
+                raise ConflictError(f"dataset with title {title!r} already exists")
+            updated = existing.withColumn(
+                "title",
+                F.when(F.col("dataset_id") == dataset_id, F.lit(title)).otherwise(
+                    F.col("title")
+                ),
+            ).withColumn(
+                "updated_at",
+                F.when(
+                    F.col("dataset_id") == dataset_id,
+                    F.lit(datetime.now(timezone.utc).replace(tzinfo=None)),
+                ).otherwise(F.col("updated_at")),
+            )
+            try:
+                self._datasets.commit(updated, gen)
+            except CommitConflict:
+                continue
+            return self.get_dataset(dataset_id=dataset_id)
+        raise ConflictError("catalog contention: retries exhausted")
 
     def delete_dataset(self, dataset_id: str) -> None:
         """ref: backend/datasets/delete.py:38-45 — delete only when no
         versions exist (anti-join guard, J5)."""
-        existing = self.datasets()
-        if existing.filter(F.col("dataset_id") == dataset_id).isEmpty():
-            raise NotFoundError(f"dataset not found: {dataset_id}")
-        has_versions = not (
-            self.versions().filter(F.col("dataset_id") == dataset_id).isEmpty()
-        )
-        if has_versions:
-            raise ConflictError(f"dataset {dataset_id} still has versions")
-        self._overwrite(
-            existing.filter(F.col("dataset_id") != dataset_id), self._datasets_path
-        )
+        for _ in range(_MAX_RETRIES):
+            gen, existing = self._read(self._datasets, schemas.DATASETS)
+            if existing.filter(F.col("dataset_id") == dataset_id).isEmpty():
+                raise NotFoundError(f"dataset not found: {dataset_id}")
+            has_versions = not (
+                self.versions().filter(F.col("dataset_id") == dataset_id).isEmpty()
+            )
+            if has_versions:
+                raise ConflictError(f"dataset {dataset_id} still has versions")
+            try:
+                self._datasets.commit(
+                    existing.filter(F.col("dataset_id") != dataset_id), gen
+                )
+            except CommitConflict:
+                continue
+            return
+        raise ConflictError("catalog contention: retries exhausted")
 
     def register_version(
         self, dataset_id: str, version_id: str, metadata_url: str, status: str
     ) -> None:
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        row = self.spark.createDataFrame(
-            [(dataset_id, version_id, now, metadata_url, status)],
-            schemas.DATASET_VERSIONS,
-        )
-        self._overwrite(self.versions().unionByName(row), self._versions_path)
+        for _ in range(_MAX_RETRIES):
+            gen, existing = self._read(self._versions, schemas.DATASET_VERSIONS)
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            row = self.spark.createDataFrame(
+                [(dataset_id, version_id, now, metadata_url, status)],
+                schemas.DATASET_VERSIONS,
+            )
+            try:
+                self._versions.commit(existing.unionByName(row), gen)
+            except CommitConflict:
+                continue
+            return
+        raise ConflictError("catalog contention: retries exhausted")
 
 
 def mint_version_id(now: datetime | None = None, entropy: str | None = None) -> str:

@@ -193,6 +193,35 @@ def should_enforce_catalog_crud_invariants(spark, tmp_path):
         catalog.delete_dataset(ds["dataset_id"])  # anti-join guard (J5)
 
 
+def should_serialize_concurrent_catalog_writers(spark, tmp_path):
+    """The commit protocol's guarantee: N racing writers on one catalog
+    root produce a serializable history — no lost inserts, and duplicate
+    titles hit the uniqueness precondition in exactly one of the two
+    racers (never both succeed)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "race_store")
+    titles = ["t_a", "t_b", "t_c", "t_a", "t_b", "t_c", "only_one"]
+
+    def try_create(title):
+        cat = DatasetCatalog(spark, root)  # each writer: own handle, shared root
+        try:
+            cat.create_dataset(title)
+            return (title, "ok")
+        except ConflictError:
+            return (title, "conflict")
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        outcomes = list(pool.map(try_create, titles))
+
+    ok = sorted(t for t, s in outcomes if s == "ok")
+    assert ok.count("t_a") == 1 and ok.count("t_b") == 1 and ok.count("t_c") == 1
+    assert "only_one" in ok
+    final = DatasetCatalog(spark, root).datasets().collect()
+    assert sorted(r.title for r in final) == ["only_one", "t_a", "t_b", "t_c"]
+    assert len({r.dataset_id for r in final}) == 4  # no lost/duplicated inserts
+
+
 def should_detect_conflicting_duplicate_asset_references(spark, tmp_path):
     """U4: same asset referenced twice with different multihash => Failed."""
     item1 = {
