@@ -219,18 +219,45 @@ def a08b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a09_approx_distinct",
-    oracle=None,  # HLL sketch values are engine-specific — rows-only check
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS parts_within_bound,
+               TRUE AS orders_within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "A8", "approx"),
 )
 def a09_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per group — the 100 TB path for
     distinct counts (exact countDistinct shuffles every distinct value; the
-    sketch is mergeable and constant-size). Engine-specific sketch => no SQL
-    oracle; a01 carries the exact-count correctness check."""
+    sketch is mergeable and constant-size).
+
+    Oracle strategy (bounded comparison): the engine-specific sketch
+    estimate can never hash-match an exact count, so the query publishes
+    the *exact* per-group counts plus booleans asserting the sketch landed
+    within 5x its configured 1% rsd of them. DuckDB computes the exact
+    counts and literal TRUEs — the hash gate then verifies both the exact
+    values and that the sketch error bound held. HLL++ is deterministic
+    (hash-based, no RNG), so the booleans are stable run to run."""
     t = tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
+    approx = t.lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.col(e) * 0.05
+    )
+    return approx.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
+        within("approx_orders", "exact_orders").alias("orders_within_bound"),
     )
 
 

@@ -462,13 +462,30 @@ def f09_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f11_url_encode",
-    oracle=None,  # DuckDB 1.0 has no url_encode scalar — unit-tested instead
+    # DuckDB has no url_encode scalar, but this key domain's only
+    # non-alphanumerics are ' ' and '/', so the oracle replicates the
+    # x-www-form-urlencoded table for them explicitly (space -> '+',
+    # '/' -> '%2F') — a real cross-engine check of the encoding, not a
+    # tautology; the full-table behavior is additionally unit-tested.
+    oracle="""
+        WITH k AS (
+            SELECT doc_id,
+                   'data files/' || source || '/doc ' || CAST(doc_id AS VARCHAR)
+                       AS key
+            FROM documents
+        )
+        SELECT doc_id,
+               key,
+               replace(replace(key, '/', '%2F'), ' ', '+') AS encoded,
+               key AS roundtrip
+        FROM k
+    """,
     tags=("scalar", "F11"),
 )
 def f11_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-encode of composed object keys (ref: quote(dumps(params)) into
     the copy manifest, backend/import_dataset/task.py:106). Spark 3.4+
-    url_encode is JVM-side; correctness pinned by unit test."""
+    url_encode is JVM-side; encode/decode roundtrip must be identity."""
     t = tables(spark, sf_dir)
     key = F.concat(F.lit("data files/"), F.col("source"), F.lit("/doc "), F.col("doc_id").cast("string"))
     return t.documents.select(
