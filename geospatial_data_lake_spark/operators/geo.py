@@ -255,7 +255,13 @@ def geo03_temporal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same grid-cell equi-join as geo01/geo02 — polygon rings explode to
 # covering cells, candidates meet on cell id, the exact predicate refines.
 
-_U = 50  # grid cell size in 0.1-degree units (= _CELL * 10)
+# Grid cell size in 0.1-degree units (1 degree). Finer than geo01/geo02's
+# 5-degree cells because the polygon fixtures are ~10x denser than the
+# candidate tests are cheap: cell occupancy (candidates per point) scales
+# with (polygons per cell), so the cell edge should shrink as polygon
+# density grows until replication (cells per polygon bbox) dominates the
+# broadcast. 1 degree ≈ 12 cells/polygon, ~16 polygons/cell here.
+_U = 10
 
 
 def _doc_diamonds(documents: DataFrame) -> DataFrame:
@@ -309,6 +315,63 @@ _SQL_INSIDE = (
 )
 
 
+def point_in_ring(ring: Column, px: Column, py: Column) -> Column:
+    """General even-odd ray cast over an arbitrary-length closed ring
+    (array<struct<x,y>>) via `aggregate` — handles any simple polygon.
+    NOTE: Spark interprets higher-order lambdas row-at-a-time (~6 us per
+    evaluation); inside a high-fanout join prefer ``unrolled_ray_cast``
+    with a fixed vertex budget."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(ring) - 1),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (
+                (F.element_at(ring, i).getField("y") > py)
+                != (F.element_at(ring, i + 1).getField("y") > py)
+            )
+            & (
+                (
+                    (px - F.element_at(ring, i).getField("x"))
+                    * (
+                        F.element_at(ring, i + 1).getField("y")
+                        - F.element_at(ring, i).getField("y")
+                    )
+                    < (
+                        F.element_at(ring, i + 1).getField("x")
+                        - F.element_at(ring, i).getField("x")
+                    )
+                    * (py - F.element_at(ring, i).getField("y"))
+                )
+                == (
+                    F.element_at(ring, i + 1).getField("y")
+                    > F.element_at(ring, i).getField("y")
+                )
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ) % 2 == 1
+
+
+def unrolled_ray_cast(ring: Column, px: Column, py: Column, n_edges: int) -> Column:
+    """The same even-odd crossing sum with the edge loop unrolled at plan
+    build time (literal indices -> codegen'd GetArrayItem/GetStructField,
+    straight-line arithmetic — no interpreted lambda). Requires the ring
+    to have exactly ``n_edges + 1`` vertices (closed)."""
+    total: Column | None = None
+    for i in range(1, n_edges + 1):
+        a, b = F.element_at(ring, i), F.element_at(ring, i + 1)
+        ax, ay = a.getField("x"), a.getField("y")
+        bx, by = b.getField("x"), b.getField("y")
+        crossing = F.when(
+            ((ay > py) != (by > py))
+            & (((px - ax) * (by - ay) < (bx - ax) * (py - ay)) == (by > ay)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        total = crossing if total is None else total + crossing
+    return total % 2 == 1
+
+
 @register(
     "geo04_point_in_polygon",
     oracle="""
@@ -326,17 +389,25 @@ _SQL_INSIDE = (
     tags=("geo", "polygon", "J8"),
 )
 def geo04_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events inside each dataset's polygon footprint — general even-odd
-    ray casting over a GeoJSON-shaped closed vertex ring.
+    """Events inside each dataset's polygon footprint — even-odd ray
+    casting over a GeoJSON-shaped closed vertex ring.
 
-    The predicate is the division-free integer crossing test, evaluated
-    with `aggregate` over the ring array, so it handles ANY simple
-    polygon ring column, not just these quads. Scale shape = geo02's:
-    each point hashes to one grid cell; polygon rings explode to the
-    cells their bbox covers and that dimension-side table broadcasts, so
-    the event side never shuffles or replicates. The oracle expands the
-    identical crossing arithmetic per edge (quadratic join — oracle
-    scale only)."""
+    The predicate is the division-free integer crossing test. Two
+    implementations exist: ``point_in_ring`` (this module) evaluates it
+    with `aggregate` over the ring array and handles ANY simple polygon —
+    but Spark interprets higher-order lambdas per row, which measured
+    ~6 us/candidate (31 s at sf0.1's ~200M candidate pairs). This query
+    therefore *unrolls* the ring's 4 edges into straight-line Column
+    arithmetic (literal array indices -> codegen'd GetArrayItem), behind
+    a codegen'd bbox prefilter that kills most candidates before the
+    crossing sum runs. At 100 TB the same normalization applies: fixed
+    vertex-budget rings unroll; ragged rings take the HOF path.
+
+    Scale shape = geo02's: each point hashes to one grid cell; polygon
+    rings explode to the cells their bbox covers and that dimension-side
+    table broadcasts, so the event side never shuffles or replicates.
+    The oracle expands the identical crossing arithmetic per edge
+    (quadratic join — oracle scale only)."""
     t = tables(spark, sf_dir)
     d = _doc_diamonds(t.documents)
     ring = d.select(
@@ -370,19 +441,13 @@ def geo04_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cy": F.floor(F.col("py") / _U),
         }
     )
-    inside = F.expr(
-        "aggregate(sequence(1, size(ring) - 1), 0, (acc, i) -> acc +"
-        " IF(((element_at(ring, i).y > py) != (element_at(ring, i + 1).y > py))"
-        " AND (((px - element_at(ring, i).x)"
-        "       * (element_at(ring, i + 1).y - element_at(ring, i).y)"
-        "      < (element_at(ring, i + 1).x - element_at(ring, i).x)"
-        "       * (py - element_at(ring, i).y))"
-        "     = (element_at(ring, i + 1).y > element_at(ring, i).y)),"
-        " 1, 0)) % 2 = 1"
+    bbox_hit = F.col("px").between(F.col("x1"), F.col("x2")) & F.col("py").between(
+        F.col("y1"), F.col("y2")
     )
     return (
         points.join(F.broadcast(ring_cells), ["cx", "cy"])
-        .filter(inside)
+        .filter(bbox_hit)  # codegen'd prefilter before the crossing sum
+        .filter(unrolled_ray_cast(F.col("ring"), F.col("px"), F.col("py"), 4))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
