@@ -69,7 +69,23 @@ def x04_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a14_sketch_percentiles",
-    oracle=None,  # t-digest style sketch — approximate by design; bounds unit-tested
+    # Bounded-comparison oracle (sketch values are engine-specific): the
+    # query publishes per-group row counts plus booleans asserting the
+    # sketch landed within 0.5% of the exact interpolated percentile
+    # (computed Spark-side). The GK sketch at accuracy 10000 has rank
+    # error <= 1e-4 — orders of magnitude inside the bound — and is
+    # deterministic, so the booleans are stable. The exact percentile
+    # VALUES themselves are a10's (driver-green) gate; publishing them
+    # here would only re-test cross-engine interpolation ulp-drift.
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS p50_within_bound,
+               TRUE AS p95_within_bound,
+               TRUE AS p99_within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "sketch", "scale-path"),
 )
 def a14_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,25 +93,45 @@ def a14_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a10's exact percentiles. Exact percentiles need a full sort per group;
     the sketch folds in one pass with bounded state (accuracy 1/10000),
     merges associatively across partitions, and is the only viable plan
-    when a group holds billions of rows."""
+    when a group holds billions of rows. Correctness gate: group sizes +
+    sketch-within-0.5%-of-exact booleans (see oracle comment)."""
     t = tables(spark, sf_dir)
-    return (
-        t.lineitem.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pcts")
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("pcts", 1), 2).alias("p50"),
-            F.round(F.element_at("pcts", 2), 2).alias("p95"),
-            F.round(F.element_at("pcts", 3), 2).alias("p99"),
-        )
+    agg = t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    within = lambda i, e: (  # noqa: E731
+        F.abs(F.element_at("pcts", i) - F.col(e)) <= F.abs(F.col(e)) * 0.005
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        within(1, "e50").alias("p50_within_bound"),
+        within(2, "e95").alias("p95_within_bound"),
+        within(3, "e99").alias("p99_within_bound"),
     )
 
 
 @register(
     "a15_hll_sketch_partitioned",
-    oracle=None,  # sketch bytes are impl-specific; estimate bounds unit-tested
+    # Bounded-comparison oracle: exact distinct counts (and the exact
+    # corpus-wide rollup) from DuckDB, plus booleans asserting the HLL
+    # estimates landed within 3% (lgK=14 -> rsd ~0.8%; Datasketches HLL
+    # is deterministic). Sketch BYTES stay engine-specific and unpublished.
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct_docs,
+               TRUE AS within_bound,
+               (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents)
+                   AS exact_all,
+               TRUE AS rollup_within_bound
+        FROM documents
+        GROUP BY source
+    """,
     tags=("agg", "sketch", "hll", "scale-path"),
 )
 def a15_hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,17 +140,40 @@ def a15_hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     read with hll_sketch_estimate. The storable/mergeable sketch column —
     not just a scalar approx count — is what lets a 100 TB pipeline keep
     per-partition distinct-counts as data and roll them up later without
-    rescanning (e.g. distinct tokens per shard -> corpus-wide estimate)."""
+    rescanning (e.g. distinct tokens per shard -> corpus-wide estimate).
+    Correctness gate: exact distinct counts + estimate-within-3% booleans
+    (see oracle comment)."""
     t = tables(spark, sf_dir)
     per_source = t.documents.groupBy("source").agg(
         F.hll_sketch_agg(F.md5("text"), 14).alias("sketch"),
         F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("exact_distinct_docs"),
     )
     rollup = per_source.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_all")
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_all"),
+        F.sum("exact_distinct_docs").alias("sum_per_source"),
     )
-    return per_source.select(
-        "source",
-        "n_docs",
-        F.hll_sketch_estimate("sketch").alias("est_distinct_docs"),
-    ).crossJoin(F.broadcast(rollup))
+    exact_all = t.documents.agg(
+        F.countDistinct(F.md5("text")).cast("bigint").alias("exact_all")
+    )
+    within = lambda est, ex: F.abs(est - F.col(ex)) <= F.col(ex) * 0.03  # noqa: E731
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            F.col("exact_distinct_docs").cast("bigint").alias("exact_distinct_docs"),
+            within(F.hll_sketch_estimate("sketch"), "exact_distinct_docs").alias(
+                "within_bound"
+            ),
+        )
+        .crossJoin(F.broadcast(rollup.select("est_all")))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            "source",
+            "n_docs",
+            "exact_distinct_docs",
+            "within_bound",
+            "exact_all",
+            within(F.col("est_all"), "exact_all").alias("rollup_within_bound"),
+        )
+    )

