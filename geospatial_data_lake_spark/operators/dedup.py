@@ -479,17 +479,58 @@ def dd07_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd05_simhash_pairs",
-    oracle=None,  # hash-function-specific sketch — no SQL oracle; tested in tests/
+    # The pigeonhole band join is COMPLETE for hamming <= 3 (4 bands of 8
+    # bits: <=3 flipped bits leave >=1 band untouched), so the banded
+    # output equals the quadratic definition — which IS SQL-expressible
+    # once the token hash is engine-portable. Tokens hash through
+    # md5-prefix (identical integer in Spark conv() and DuckDB '0x' cast,
+    # verified), so both engines derive bit-identical sketches and the
+    # pair set hash-matches. Production would swap md5 for xxhash64 (the
+    # hash is pluggable); md5 buys cross-engine verifiability here.
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(word), 1, 15))::BIGINT AS h
+            FROM words
+        ),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed,
+                 (SELECT unnest(generate_series(0, 31)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     tags=("dedup", "simhash"),
 )
 def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit sign sketch of the token multiset, pairs
     within Hamming distance <= 3 found via the pigeonhole band join (4 bands
     of 8 bits: any pair at distance <=3 agrees on >=1 band). Constant-size
-    state per doc; no quadratic compare."""
+    state per doc; no quadratic compare. The oracle runs the quadratic
+    definition — identical output because the banding is complete for the
+    distance bound (see register comment)."""
     t = tables(spark, sf_dir)
     words = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    # engine-portable 60-bit token hash (md5 prefix — see register comment)
+    hashed = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
     # bit i contribution: +1 if bit set else -1; sign of the sum is bit i of the sketch
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
