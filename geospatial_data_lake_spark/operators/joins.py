@@ -376,3 +376,43 @@ def pr01_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(
         "node", F.round("rank", 8).alias("rank")
     )
+
+
+@register(
+    "pr01b_pagerank_audit",
+    # pr01's per-node ranks are an iterative double fixpoint — engine-
+    # specific summation order makes the values un-hashable. This audit
+    # publishes what IS deterministic and SQL-checkable: the node count of
+    # the generated link graph (the oracle rebuilds the same graph in SQL)
+    # plus booleans for PageRank's hard invariants — probability mass is
+    # conserved (sum(rank) = 1; dangling mass is redistributed) and every
+    # rank is positive (the teleport term floors ranks above zero).
+    oracle="""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),
+        n AS (SELECT count(*) AS c FROM ids),
+        edges AS (
+            SELECT src, (src * m.m) % (SELECT c FROM n) AS dst
+            FROM ids, (SELECT unnest([7919, 104729, 1299709]) AS m) m
+            WHERE src != (src * m.m) % (SELECT c FROM n)
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges)
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               TRUE AS mass_conserved,
+               TRUE AS all_positive
+        FROM nodes
+    """,
+    tags=("graph", "iterative", "pagerank", "audit"),
+)
+def pr01b_pagerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated audit of pr01 (see register comment)."""
+    ranks = pr01_link_pagerank(spark, sf_dir)
+    # ranks are rounded to 8 decimals, so the sum can drift from 1.0 by
+    # up to n_nodes * 5e-9 — 1e-4 is comfortably above that and far below
+    # any real mass leak (a single dangling node un-redistributed would
+    # lose ~0.85/n per iteration, orders of magnitude more).
+    return ranks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.abs(F.sum("rank") - F.lit(1.0)) < 1e-4).alias("mass_conserved"),
+        (F.min("rank") > 0).alias("all_positive"),
+    )
