@@ -96,7 +96,24 @@ def mm01_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm02_decode_features",
-    oracle=None,  # decode is a stubbed non-SQL kernel; shape tested in tests/
+    # The codec is a stub, but a *deterministic* one (dimensions derived
+    # from sha256 bytes of the payload) — and DuckDB has sha256, so the
+    # whole kernel is SQL-replicable and hash-gated. Payloads are the
+    # ASCII document texts, so byte and character offsets coincide. When
+    # a real decoder replaces the stub this oracle is dropped (a real
+    # codec is not SQL-expressible; the Arrow plumbing tests remain).
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               'image/stub' AS mime,
+               CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192
+                    AS INT) AS width,
+               CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192
+                    AS INT) AS height,
+               CAST(1 + ('0x' || substr(sha256(text), 5, 2))::INT % 3
+                    AS INT) AS channels
+        FROM documents
+    """,
     tags=("multimodal", "mapInPandas"),
 )
 def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +149,24 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 @register(
     "mm03_frame_sample",
-    oracle=None,  # stub demuxer kernel — shape + determinism tested in tests/
+    # Same deal as mm02: the stub demuxer is deterministic byte
+    # arithmetic + sha256, both SQL-replicable (ASCII payloads => byte
+    # offsets == char offsets; DuckDB substring is 1-based).
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   greatest(1, strlen(text) // 100) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i.i AS INT) AS frame_idx,
+               CAST(i.i * 100 AS INT) AS frame_off,
+               substr(sha256(substring(text, i.i * 100 + 1, 100)), 1, 16)
+                   AS frame_digest
+        FROM f, LATERAL (
+            SELECT unnest(generate_series(0, CAST(f.n_frames - 1 AS INT), 4)) AS i
+        ) i
+    """,
     tags=("multimodal", "mapInPandas", "video"),
 )
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
