@@ -166,6 +166,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             streaming_queries,
             textops,
             tpch_suite,
+            tpch_suite2,
             udafs,
             windows,
         )
