@@ -64,6 +64,10 @@ HEADLINE = [
     "tx02_quality_score",
     "tx07_winnowing_fingerprints",
     "tpch_q7_nation_volume",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo04_point_in_polygon",

@@ -1,0 +1,208 @@
+"""Product-analytics operators over the ``events`` stream table and the
+``documents`` corpus: funnel conversion, cohort retention, and TF-IDF
+term ranking.  These are the batch twins of the questions a status/
+metrics surface answers continuously (SURVEY.md §2.8 T3/T4 — the
+reference recomputes dataset status on every read,
+``backend/import_status/get.py:39-94``; funnels and cohorts are the same
+"derive a view from an event log" pattern at analytics complexity).
+
+Scale notes (1000 executors, ~100 TB of events):
+
+- Every query's only large shuffles key on ``user_id`` / ``(doc_id,
+  term)`` — the natural partition keys; per-user and per-doc state never
+  leaves the executors and no step collects to the driver.
+- The funnel is three filtered per-user min-aggregations chained by
+  shuffle joins on user_id (co-partitioned after the first, so AQE
+  reuses the exchange), not a per-user sort or a window over the whole
+  log.
+- Cohort retention joins each event to its user's first-event week —
+  a per-user scalar — then reduces to a (cohort_week, week_offset)
+  grid, which is tiny regardless of input scale.
+- TF-IDF's document-frequency table is vocabulary-sized; it broadcasts
+  here and would flip to a shuffle join on ``term`` past ~100M distinct
+  tokens (documented cliff, same dispatch shape as dd04's).
+
+Cross-engine determinism: events carry TIMESTAMP(NANOS); Spark reads
+micros (tables.py floor-truncates), so every oracle comparison
+truncates to microseconds explicitly — both engines then compare
+bit-identical instants.  TF-IDF scores use linear inverse document
+frequency ``tf * N / df`` (one IEEE double division of exact integers,
+identical in both engines) rather than a log transform whose libm
+rounding may differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+
+@register(
+    "ev01_funnel_conversion",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, date_trunc('microsecond', ts) AS ts
+            FROM events
+        ),
+        v AS (SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+               CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+               CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+    tags=("analytics", "events", "funnel"),
+)
+def ev01_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: users counted at each
+    step only if the step's first event strictly follows their first
+    event of the previous step.  Three per-user min-aggregations chained
+    by user_id joins — each stage's state is one row per surviving user,
+    so the funnel narrows the data monotonically; no window over the
+    full log, no driver-side state."""
+    t = tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return nv.join(F.broadcast(nc)).join(F.broadcast(np_))
+
+
+@register(
+    "ev02_cohort_retention",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id
+        )
+        SELECT strftime(date_trunc('week', ft), '%Y-%m-%d') AS cohort_week,
+               CAST(floor(date_diff('day', CAST(ft AS DATE), CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e
+        JOIN first ON e.user_id = first.user_id
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    tags=("analytics", "events", "cohort"),
+)
+def ev02_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; ``active_users`` counts distinct users from that cohort active
+    in each subsequent week (offset = whole weeks since first-event DAY,
+    so the boundary is date arithmetic — immune to the nanos-vs-micros
+    precision split).  The per-user first-event scalar joins back on
+    user_id (the aggregation's own partitioning, no extra shuffle), and
+    the output grid is (weeks x weeks) — tiny at any scale."""
+    t = tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("ft"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", "ft"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("ft")) / F.lit(7.0)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "tx08_tfidf_topterms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t AS term
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+                  FROM documents)
+            WHERE t <> ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               CAST(tf AS DOUBLE) * n_docs / df AS tfidf
+        FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                                tf.term
+                   ) AS rn
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        WHERE rn <= 3
+        ORDER BY doc_id, tfidf DESC, term
+    """,
+    tags=("analytics", "text", "tfidf"),
+)
+def tx08_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF with linear inverse document
+    frequency (``tf * N / df`` — exact-integer IEEE division, identical
+    across engines; a log() transform could differ in the last ulp and
+    flip the rank cut).  One token explode feeds both the term-frequency
+    aggregation and, from its (already deduplicated) output, the
+    document-frequency table — the corpus is scanned once.  df is
+    vocabulary-sized and broadcasts; ties on score break on the term
+    itself so the per-doc top-3 cut is total-ordered."""
+    t = tables(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

@@ -153,6 +153,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # Imports are side-effecting registrations.
         from geospatial_data_lake_spark.operators import (  # noqa: F401
             aggregates,
+            analytics,
             dedup,
             extended,
             filters,
