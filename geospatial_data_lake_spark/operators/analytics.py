@@ -176,11 +176,13 @@ def tx08_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by TF-IDF with linear inverse document
     frequency (``tf * N / df`` — exact-integer IEEE division, identical
     across engines; a log() transform could differ in the last ulp and
-    flip the rank cut).  One token explode feeds both the term-frequency
-    aggregation and, from its (already deduplicated) output, the
-    document-frequency table — the corpus is scanned once.  df is
-    vocabulary-sized and broadcasts; ties on score break on the term
-    itself so the per-doc top-3 cut is total-ordered."""
+    flip the rank cut).  The corpus is tokenized ONCE: document
+    frequency is a windowed count over the term-frequency aggregation
+    (partition by term, unbounded frame) instead of a second aggregate
+    joined back — Spark would re-tokenize the shared lineage for a
+    self-join, and a windowed df also removes any vocabulary-broadcast
+    size cliff.  Ties on score break on the term itself so the per-doc
+    top-3 cut is total-ordered."""
     t = tables(spark, sf_dir)
     tok = (
         t.documents.select(
@@ -190,10 +192,11 @@ def tx08_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(F.broadcast(n))
         .withColumn(
             "tfidf", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")

@@ -183,3 +183,72 @@ def should_broadcast_box_cells_in_point_containment(spark, registry, sf_dir):
     plan = _plan(spark, registry, "geo02_point_in_bbox", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def should_scan_lineitem_once_in_q16_bridge_distinct(spark, registry, sf_dir):
+    # Q16: the part prune must broadcast INTO the bridge distinct so
+    # lineitem is scanned exactly once; the complaints NOT-IN is a
+    # broadcast anti-join, never a shuffle.
+    import re
+
+    plan = _plan(spark, registry, "tpch_q16_supplier_part_counts", sf_dir)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 3, plan  # lineitem + part + supplier, once each
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def should_decorrelate_q17_avg_into_semi_plus_broadcast(spark, registry, sf_dir):
+    # Q17's correlated avg must appear as a brand semi-join prune plus a
+    # broadcast join of the per-part stats — no per-row subquery, no
+    # cartesian, and only the stats aggregation may shuffle.
+    import re
+
+    plan = _plan(spark, registry, "tpch_q17_small_qty_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+
+
+def should_collapse_q21_exists_pair_into_profile_aggregate(spark, registry, sf_dir):
+    # Q21: EXISTS + NOT-EXISTS must ride ONE per-order profile
+    # aggregation — lineitem appears at most twice (profile + probe),
+    # never four times (the naive two-self-joins shape).
+    import re
+
+    plan = _plan(spark, registry, "tpch_q21_waiting_suppliers", sf_dir)
+    scans = re.findall(r"\(\d+\) Scan parquet\s*\n\s*Output.*?\[([^\]]*)\]", plan)
+    lineitem_scans = [s for s in scans if "l_orderkey" in s]
+    assert len(lineitem_scans) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def should_run_funnel_without_full_log_window(spark, registry, sf_dir):
+    # ev01: the funnel is chained per-user aggregations; a Window over
+    # the whole event log (sort-per-user of every event) is the shape
+    # it must avoid.
+    plan = _plan(spark, registry, "ev01_funnel_conversion", sf_dir)
+    assert "(1) Window" not in plan and ") Window\n" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def should_tokenize_corpus_once_for_tfidf(spark, registry, sf_dir):
+    # tx08: document frequency is a windowed count over the tf
+    # aggregate — the explode (Generate) must appear exactly once, or
+    # the corpus is being tokenized twice for the self-join.
+    import re
+
+    plan = _plan(spark, registry, "tx08_tfidf_topterms", sf_dir)
+    n_generates = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_generates == 1, plan
+    assert "Window" in plan, plan
+
+
+def should_broadcast_q2_min_balance_join_back(spark, registry, sf_dir):
+    # Q2: the decorrelated per-part min joins back as a broadcast —
+    # after the part/region prune the candidate set is dimension-sized.
+    plan = _plan(spark, registry, "tpch_q2_min_acctbal_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
