@@ -131,3 +131,183 @@ def should_mm03_frames_be_deterministic_and_contracting(spark, sf_dir):
     ]
     # every 4th frame only
     assert all(r[1] % 4 == 0 for r in a)
+
+
+# --- ray casting: both implementations vs a pure-Python reference ------------
+
+def _py_point_in_ring(ring, px, py):
+    """Reference even-odd crossing test (same division-free form)."""
+    crossings = 0
+    for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+        if (ay > py) != (by > py) and (
+            ((px - ax) * (by - ay) < (bx - ax) * (py - ay)) == (by > ay)
+        ):
+            crossings += 1
+    return crossings % 2 == 1
+
+
+@st.composite
+def _convex_ring_and_points(draw):
+    """A random convex lattice polygon (closed ring, 3..8 distinct
+    vertices sorted by angle) plus query points landing in/near it."""
+    import math
+
+    n = draw(st.integers(min_value=3, max_value=8))
+    pts = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    ring = sorted(pts, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+    ring.append(ring[0])  # close
+    queries = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-60, max_value=60),
+                st.integers(min_value=-60, max_value=60),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    return ring, queries
+
+
+@settings(**_SETTINGS)
+@given(data=_convex_ring_and_points())
+def should_ray_cast_match_pure_python_reference(spark, data):
+    # Both the interpreted-HOF and the codegen-unrolled crossing sums
+    # must agree with a reference implementation on arbitrary convex
+    # lattice rings — pinning the 1-based array indexing and the
+    # edge-orientation handling of the division-free form.
+    from geospatial_data_lake_spark.operators.geo import (
+        point_in_ring,
+        unrolled_ray_cast,
+    )
+
+    ring, queries = data
+    n_edges = len(ring) - 1
+    rows = [
+        {"px": px, "py": py, "ring": [{"x": x, "y": y} for x, y in ring]}
+        for px, py in queries
+    ]
+    df = spark.createDataFrame(
+        rows, "px long, py long, ring array<struct<x: long, y: long>>"
+    )
+    out = df.select(
+        "px",
+        "py",
+        point_in_ring(F.col("ring"), F.col("px"), F.col("py")).alias("hof"),
+        unrolled_ray_cast(
+            F.col("ring"), F.col("px"), F.col("py"), n_edges
+        ).alias("unrolled"),
+    ).collect()
+    for r in out:
+        expected = _py_point_in_ring(ring, r.px, r.py)
+        assert r.hof == expected, (ring, r.px, r.py)
+        assert r.unrolled == expected, (ring, r.px, r.py)
+
+
+# --- upsert sink: model-based MERGE semantics --------------------------------
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),   # key
+                st.integers(min_value=0, max_value=2),   # partition value
+                st.integers(min_value=0, max_value=99),  # payload
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def should_upsert_match_dict_merge_model(spark, tmp_path_factory, batches):
+    # Apply a random sequence of upsert batches (keys move freely across
+    # partitions) and compare the final table to a dict model: last
+    # write per key wins, everything else survives. Guards the
+    # partition-move rewrite path (a key's OLD partition must be
+    # rewritten too, or the stale row survives).
+    from geospatial_data_lake_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path_factory.mktemp("upsert_prop") / "t")
+    model: dict[int, tuple[int, int]] = {}
+    for batch in batches:
+        dedup: dict[int, tuple[int, int]] = {}
+        for k, p, v in batch:
+            dedup[k] = (p, v)  # upsert dedups batch rows by key
+        df = spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in dedup.items()], "k long, p long, v long"
+        )
+        upsert_parquet(spark, path, df, key_cols=["k"], partition_by=["p"])
+        model.update(dedup)
+    got = {
+        r.k: (r.p, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == model, (got, model, batches)
+
+
+# --- winnowing: Spark expression vs pure-Python MOSS reference ---------------
+
+def _py_winnow_count(text, k=5, w=4):
+    import hashlib
+
+    if len(text) < k + w - 1:
+        return None
+    hs = [
+        hashlib.md5(text[i : i + k].encode()).hexdigest()
+        for i in range(len(text) - k + 1)
+    ]
+    return len({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=8,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def should_winnow_expression_match_python_reference(spark, texts):
+    # tx07's in-row sliding-min expression vs a literal MOSS reference:
+    # pins the 1-based substring/slice indexing (k=5, w=4) and the
+    # distinct-selection semantics for arbitrary lowercase inputs.
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    out = (
+        df.select(
+            "i",
+            F.expr(
+                "transform(sequence(1, length(text) - 4),"
+                " p -> md5(substring(text, p, 5)))"
+            ).alias("hs"),
+        )
+        .select(
+            "i",
+            F.expr(
+                "CAST(size(array_distinct("
+                " transform(sequence(1, size(hs) - 3),"
+                "  i -> array_min(slice(hs, i, 4))))) AS BIGINT)"
+            ).alias("n"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r.n == _py_winnow_count(texts[r.i]), texts[r.i]
