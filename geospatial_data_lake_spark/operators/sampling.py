@@ -1,0 +1,138 @@
+"""Deterministic sampling & split operators over the ``documents`` corpus
+— the reproducibility primitives of a training-data pipeline: Bernoulli
+sampling, per-stratum rate adjustment, and train/val/test splits.
+
+Everything here derives membership from a PORTABLE content hash
+(``md5`` of the stable key, compared against a hex-range threshold),
+never from ``rand()``:
+
+- re-running the pipeline — on any engine, any partitioning, any
+  cluster size — reproduces the exact same sample/split (rand() with a
+  seed is NOT stable across engines, Spark versions, or partition
+  layouts);
+- membership is a pure per-row function, so incremental appends keep
+  every existing row's assignment (critical when a 100 TB corpus grows
+  and you must not leak yesterday's training docs into today's test
+  split);
+- it is oracle-checkable: DuckDB computes the identical md5 hex and
+  the identical lexicographic range cut.
+
+Scale: all three queries are narrow per-row projections + one small
+aggregation — no joins, no skew surface; the hash is whole-stage
+codegen'd JVM work.  (Spark's built-in ``df.sample``/``sampleBy`` are
+fine for statistical sampling, but their seeded RNG walks the row order
+within each partition — membership changes whenever file splits do,
+which is exactly what a reproducible pipeline cannot accept.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+# first 4 hex chars of md5 -> uniform bucket in [0, 65536)
+_BUCKET_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+
+def _bucket() -> F.Column:
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+
+
+@register(
+    "sm01_hash_bernoulli_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_BUCKET_SQL} < '1999'
+        ORDER BY doc_id
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sm01_hash_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample (md5 bucket < 0x1999/0x10000 = 9.999%),
+    deterministic per doc_id: stable under re-runs, repartitioning, and
+    corpus growth.  A pure scan-side filter — at 100 TB it reads every
+    row once and shuffles nothing."""
+    t = tables(spark, sf_dir)
+    return (
+        t.documents.filter(_bucket() < "1999")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sm02_stratified_sample_counts",
+    oracle=f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN {_BUCKET_SQL} <
+                   CASE WHEN lang = 'en' THEN '0ccc' ELSE '4000' END
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("sampling", "pipeline", "stratified"),
+)
+def sm02_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) sampling audit: the dominant stratum
+    ('en') keeps ~5% (bucket < 0x0ccc), every other language ~25%
+    (bucket < 0x4000) — the classic rebalance a multilingual corpus
+    needs.  The per-stratum threshold is a CASE on the row itself, so
+    the whole operator is still one scan + one small aggregation (the
+    audit grid is |languages| rows); the sample itself would be the
+    same filter without the aggregation."""
+    t = tables(spark, sf_dir)
+    threshold = F.when(F.col("lang") == "en", F.lit("0ccc")).otherwise(
+        F.lit("4000")
+    )
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((_bucket() < threshold).cast("long")).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "sm03_train_test_split",
+    oracle=f"""
+        SELECT CASE WHEN {_BUCKET_SQL} < 'cccc' THEN 'train'
+                    WHEN {_BUCKET_SQL} < 'e666' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY split
+        ORDER BY split
+    """,
+    tags=("sampling", "pipeline", "split"),
+)
+def sm03_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash range (train <
+    0xcccc, val < 0xe666, test = rest), audited as per-split doc and
+    char counts.  Because assignment is a pure function of doc_id, a
+    document can never migrate between splits as the corpus grows —
+    the no-leakage invariant incremental training pipelines depend on."""
+    t = tables(spark, sf_dir)
+    b = _bucket()
+    split = (
+        F.when(b < "cccc", F.lit("train"))
+        .when(b < "e666", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t.documents.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split")
+    )

@@ -160,6 +160,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             geo,
             joins,
             multimodal,
+            sampling,
             scans,
             setops,
             similarity,
