@@ -209,3 +209,114 @@ def tx08_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+@register(
+    "ev03_rolling_active_users",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        spine AS (SELECT DISTINCT day FROM daily),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM daily GROUP BY day),
+        roll AS (SELECT s.day, CAST(count(DISTINCT d.user_id) AS BIGINT)
+                        AS active_7d
+                 FROM spine s
+                 JOIN daily d ON d.day <= s.day AND d.day >= s.day - 6
+                 GROUP BY s.day)
+        SELECT strftime(s.day, '%Y-%m-%d') AS day, dau.dau AS dau,
+               roll.active_7d AS active_7d
+        FROM spine s
+        JOIN dau ON s.day = dau.day
+        JOIN roll ON s.day = roll.day
+        ORDER BY day
+    """,
+    tags=("analytics", "events", "rolling-distinct"),
+)
+def ev03_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and rolling-7-day distinct active users.  Rolling DISTINCT
+    cannot be windowed from per-day partials (distinct counts don't
+    merge), so the scale shape is the CONTRIBUTION EXPLODE: each (user,
+    day) pair fans out to the <=7 window days it contributes to — a
+    bounded 7x row multiplier on the deduplicated activity table (tiny
+    vs the raw log) — and one count-distinct aggregation keyed by
+    window day finishes the job.  The oracle uses the equivalent range
+    join (quadratic in days — oracle scale only).  Days outside the
+    observed spine are dropped on both sides."""
+    t = tables(spark, sf_dir)
+    daily = (
+        t.events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    spine = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    )
+    roll = (
+        contrib.join(F.broadcast(spine), contrib.wday == spine.day, "left_semi")
+        .groupBy(F.col("wday").alias("rday"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+    return (
+        dau.join(roll, dau.day == F.col("rday"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "active_7d"
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "gr01_triangle_count",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM op a
+              JOIN op b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    tags=("graph", "join", "triangle"),
+)
+def gr01_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts sharing an
+    order).  Edge build is bounded fanout: (order, part) dedup first,
+    then a per-order self-join emits at most C(k,2) pairs per order (k
+    = lines per order, small and bounded by the schema).  Counting uses
+    the ordered-edge identity — every edge stored as u < v, triangles
+    found as e1=(a,b) x e2=(b,c) x e3=(a,c) — so each triangle is
+    produced exactly once and no orientation dedup pass is needed.
+    Both triangle joins are vertex-keyed shuffles; at 100 TB the wedge
+    join (e1 x e2) dominates and AQE's skew split handles hub vertices
+    (the classic refinement — degeneracy-ordering the edges — drops in
+    here if hubs exceed what skew-splitting absorbs)."""
+    t = tables(spark, sf_dir)
+    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
