@@ -14,10 +14,12 @@ Session hygiene:
 - ``Tables`` handles are memoized per (session, sf_dir): repeated queries
   in one driver sweep reuse the analyzed scan relations instead of
   re-listing files and re-reading footers per query.
-- The ``events`` TIMESTAMP(NANOS) workaround conf is scoped to the read
-  (set -> read -> restore): the analyzed DataFrame keeps working after the
-  restore (the scan snapshots the conf at analysis time), and later parquet
-  reads in the same session see the session's own setting again.
+- The ``events`` loader is schema-adaptive: fixtures have shipped ``ts``
+  as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS); the nanos branch scopes
+  the ``nanosAsLong`` conf to the read (set -> read -> restore) — the
+  analyzed DataFrame keeps working after the restore (the scan snapshots
+  the conf at analysis time), and later parquet reads in the same session
+  see the session's own setting again.
 - An untouched ``spark.sql.shuffle.partitions`` default (200) is replaced
   once per session with the session's core count: at local/test scale 200
   post-shuffle tasks are pure scheduling overhead (AQE coalesces them, but
@@ -89,24 +91,44 @@ class Tables:
         if name not in self._cache:
             path = os.path.join(self._sf_dir, f"{name}.parquet")
             if name == "events":
-                # events.ts is TIMESTAMP(NANOS), which Spark's vectorized
-                # reader rejects; read the raw int64 (conf scoped to this
-                # read) and floor-truncate to micros (identical to DuckDB's
-                # nanos->micros semantics).
-                with _scoped_conf(self._spark, _NANOS_CONF, "true"):
-                    df = self._spark.read.parquet(path)
-                    df = df.withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                    ).select(
-                        "event_id", "ts", "user_id", "event_type", "value", "props"
-                    )
-                    # force analysis inside the scoped conf so the scan
-                    # snapshots nanosAsLong=true
-                    df.schema
+                df = self._load_events(path)
             else:
                 df = self._spark.read.parquet(path)
             self._cache[name] = df
         return self._cache[name]
+
+    def _load_events(self, path: str) -> DataFrame:
+        """Schema-adaptive ``events`` loader.
+
+        The fixture's ``ts`` column has shipped with two physical parquet
+        encodings across driver rounds: TIMESTAMP(MICROS) (reads cleanly
+        as a Spark timestamp) and int64 TIMESTAMP(NANOS) (rejected by the
+        parquet reader unless ``nanosAsLong=true``, which then surfaces
+        it as raw int64 nanos).  Branch on what the footer actually
+        contains instead of assuming either encoding.
+        """
+        try:
+            df = self._spark.read.parquet(path)
+        except Exception:
+            # TIMESTAMP(NANOS) footer with nanosAsLong unset: the reader
+            # refuses the type at schema-inference time.
+            df = None
+        if df is not None and dict(df.dtypes).get("ts") not in ("bigint", "long"):
+            return df  # ts already landed on a timestamp type
+        # Legacy nanos fixture (or a session that globally set
+        # nanosAsLong): re-read with the conf scoped to this read and
+        # floor-truncate nanos -> micros (identical to DuckDB semantics).
+        with _scoped_conf(self._spark, _NANOS_CONF, "true"):
+            df = self._spark.read.parquet(path)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            ).select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            )
+            # force analysis inside the scoped conf so the scan snapshots
+            # nanosAsLong=true
+            df.schema
+        return df
 
     def register_views(self, *names: str) -> None:
         """Create temp views (for queries expressed in Spark SQL)."""

@@ -226,3 +226,55 @@ def should_survive_corrupt_files_when_configured(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.schema("id long").parquet(str(root)).count()
+
+
+def _write_events_fixture(dirpath, ts_array):
+    """Write a minimal events.parquet with the driver fixture's column set
+    and a caller-chosen physical encoding for ``ts``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(['{"a": 1}', "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(dirpath / "events.parquet"), version="2.6")
+
+
+def should_load_events_under_both_timestamp_encodings(spark, tmp_path):
+    """Fixture-drift guard: the driver has regenerated events.parquet with
+    ``ts`` as both int64 TIMESTAMP(NANOS) (rounds 1-2) and
+    TIMESTAMP(MICROS) (round 3+).  The Tables loader must normalize both
+    physical encodings to a Spark timestamp with identical values."""
+    import pyarrow as pa
+
+    from geospatial_data_lake_spark.tables import Tables
+
+    base_us = [1_700_000_000_000_000 + i * 1_000_000 for i in range(3)]
+    micros_dir = tmp_path / "micros"
+    nanos_dir = tmp_path / "nanos"
+    micros_dir.mkdir()
+    nanos_dir.mkdir()
+    _write_events_fixture(micros_dir, pa.array(base_us, pa.timestamp("us")))
+    _write_events_fixture(
+        nanos_dir, pa.array([v * 1000 + 999 for v in base_us], pa.timestamp("ns"))
+    )
+
+    out = {}
+    for label, d in (("micros", micros_dir), ("nanos", nanos_dir)):
+        df = Tables(spark, str(d)).events
+        assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz"), label
+        out[label] = [
+            r.s
+            for r in df.orderBy("event_id")
+            .select(F.col("ts").cast("string").alias("s"))
+            .collect()
+        ]
+    # nanos floor-truncate to micros == the micros encoding's exact values
+    assert out["micros"] == out["nanos"]
