@@ -432,9 +432,19 @@ def geo04_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cy",
         F.explode(F.sequence(F.floor(F.col("y1") / _U), F.floor(F.col("y2") / _U))),
     )
-    points = t.events.select(
-        ((F.col("event_id") * 7919) % 900 - 450).alias("px"),
-        ((F.col("event_id") * 104729) % 425 - 212).alias("py"),
+    # spread(): the broadcast cell join fans each point out to ~16
+    # candidate rings and the crossing sum runs per candidate, so the
+    # probe side must occupy every core even when the fixture parquet is
+    # a single row group (1 scan split).  No-op on any production-size
+    # table — see tables.spread.
+    from geospatial_data_lake_spark.tables import spread
+
+    points = spread(
+        spark,
+        t.events.select(
+            ((F.col("event_id") * 7919) % 900 - 450).alias("px"),
+            ((F.col("event_id") * 104729) % 425 - 212).alias("py"),
+        ),
     ).withColumns(
         {
             "cx": F.floor(F.col("px") / _U),
