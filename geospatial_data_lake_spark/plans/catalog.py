@@ -75,8 +75,9 @@ class _Table:
     that generation's full state. Creating the commit file with
     ``O_CREAT|O_EXCL`` is the atomic commit point."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, keep: int = _GC_KEEP):
         self.root = root
+        self.keep = keep
         self.commits_dir = os.path.join(root, "commits")
         self.snaps_dir = os.path.join(root, "snapshots")
 
@@ -93,6 +94,29 @@ class _Table:
         with open(os.path.join(self.commits_dir, latest)) as fh:
             snap = fh.read().strip()
         return int(latest), os.path.join(self.snaps_dir, snap)
+
+    def at(self, gen: int) -> str:
+        """Snapshot path of a specific committed generation (time travel).
+
+        Raises NotFoundError when the generation was never committed or
+        has been garbage-collected past the retention window."""
+        try:
+            with open(os.path.join(self.commits_dir, f"{gen:020d}")) as fh:
+                snap = fh.read().strip()
+        except FileNotFoundError:
+            raise NotFoundError(
+                f"generation {gen} not available (never committed, or GC'd "
+                f"past the {self.keep}-generation retention window)"
+            ) from None
+        return os.path.join(self.snaps_dir, snap)
+
+    def generations(self) -> list[int]:
+        """Committed generations still inside the retention window,
+        ascending."""
+        try:
+            return sorted(int(n) for n in os.listdir(self.commits_dir))
+        except FileNotFoundError:
+            return []
 
     def commit(self, df: DataFrame, expected_gen: int) -> None:
         """Write a snapshot and commit it as ``expected_gen + 1``.
@@ -129,7 +153,7 @@ class _Table:
         except FileNotFoundError:
             return
         for name in names:
-            if int(name) <= committed_gen - _GC_KEEP:
+            if int(name) <= committed_gen - self.keep:
                 path = os.path.join(self.commits_dir, name)
                 try:
                     with open(path) as fh:
