@@ -301,10 +301,34 @@ class DatasetCatalog:
         raise ConflictError("catalog contention: retries exhausted")
 
 
+_MINT_LOCK = __import__("threading").Lock()
+_MINT_STATE: list = [None, 0]  # [last millisecond prefix, last entropy int]
+
+
 def mint_version_id(now: datetime | None = None, entropy: str | None = None) -> str:
-    """Sortable, human-readable version id (ref ULID formatting,
-    backend/datasets_model.py:13-23): timestamp prefix keeps ids
-    lexicographically time-ordered."""
+    """Sortable, human-readable version id with ULID monotonicity
+    semantics (ref ULID formatting, backend/datasets_model.py:13-23).
+
+    The fixed-width millisecond timestamp prefix keeps ids
+    lexicographically time-ordered across ticks; within one millisecond
+    the 64-bit hex entropy suffix increments monotonically
+    (process-local, lock-serialized), so ids minted in the same tick
+    still sort in mint order and never collide — the ULID
+    monotonic-random rule.  A fresh tick draws new entropy with the top
+    bit clear (2^63 of increment headroom, mirroring ULID's cleared
+    high bits).  Passing explicit ``entropy`` bypasses the monotonic
+    state (the deterministic oracle/test path)."""
     now = now or datetime.now(timezone.utc)
-    entropy = entropy or uuid.uuid4().hex[:16]
-    return f"{now.strftime('%Y-%m-%dT%H-%M-%S-%f')[:-3]}Z_{entropy}"
+    prefix = f"{now.strftime('%Y-%m-%dT%H-%M-%S-%f')[:-3]}Z"
+    if entropy is None:
+        with _MINT_LOCK:
+            last_prefix, last_ent = _MINT_STATE
+            if prefix == last_prefix:
+                ent = last_ent + 1
+                if ent >= 1 << 64:
+                    raise OverflowError("version-id entropy overflow within one ms")
+            else:
+                ent = int.from_bytes(os.urandom(8), "big") >> 1
+            _MINT_STATE[0], _MINT_STATE[1] = prefix, ent
+            entropy = f"{ent:016x}"
+    return f"{prefix}_{entropy}"

@@ -311,3 +311,43 @@ def should_winnow_expression_match_python_reference(spark, texts):
     )
     for r in out:
         assert r.n == _py_winnow_count(texts[r.i]), texts[r.i]
+
+
+@settings(**_SETTINGS)
+@given(
+    tick_offsets_ms=st.lists(
+        st.integers(0, 5), min_size=2, max_size=40
+    ),  # 0 = same-millisecond mint, >0 = clock advance
+)
+def should_mint_lexicographically_monotonic_version_ids(tick_offsets_ms):
+    """ULID monotonicity (ref backend/datasets_model.py:13-23): ids minted
+    at non-decreasing wall-clock instants — including many inside the SAME
+    millisecond — are strictly increasing lexicographically, hence unique
+    and sortable in mint order."""
+    from datetime import datetime, timedelta, timezone
+
+    from geospatial_data_lake_spark.plans.catalog import mint_version_id
+
+    now = datetime(2026, 8, 13, 12, 0, 0, 0, tzinfo=timezone.utc)
+    ids = []
+    for off in tick_offsets_ms:
+        now = now + timedelta(milliseconds=off)
+        ids.append(mint_version_id(now=now))
+    assert ids == sorted(ids)
+    assert len(set(ids)) == len(ids)
+
+
+def should_mint_unique_ids_across_threads():
+    """The monotonic state is lock-serialized: concurrent minters in one
+    process never collide, even when they all land in one millisecond."""
+    from concurrent.futures import ThreadPoolExecutor
+    from datetime import datetime, timezone
+
+    from geospatial_data_lake_spark.plans.catalog import mint_version_id
+
+    frozen = datetime(2026, 8, 13, 12, 0, 0, 500000, tzinfo=timezone.utc)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        ids = list(pool.map(lambda _: mint_version_id(now=frozen), range(400)))
+    # mint order (lock acquisition order) is arbitrary across workers;
+    # the guarantee is zero collisions within the shared millisecond
+    assert len(set(ids)) == 400
