@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geospatial_data_lake_spark import schemas
+from geospatial_data_lake_spark.plans.logging_contract import log_error, log_event
 
 TITLE_PATTERN = re.compile(r"^[A-Za-z0-9_-]+$")  # ref: backend/datasets/create.py:11-12
 
@@ -192,12 +193,15 @@ class DatasetCatalog:
         conditional put -> consistent re-read). The uniqueness check and
         the insert are serialized by the commit protocol: if another
         writer lands first, the precondition re-runs against their state."""
+        log_event(__name__, {"task": "datasets_create", "title": title})
         if not TITLE_PATTERN.match(title or ""):
+            log_error(__name__, f"title does not match {TITLE_PATTERN.pattern!r}")
             raise ValidationError(f"title does not match {TITLE_PATTERN.pattern!r}")
         for _ in range(_MAX_RETRIES):
             gen, existing = self._read(self._datasets, schemas.DATASETS)
             # uniqueness probe = semi-join-shaped filter + limit-1 (A3/O2)
             if not existing.filter(F.col("title") == title).isEmpty():
+                log_error(__name__, f"dataset with title {title!r} already exists")
                 raise ConflictError(f"dataset with title {title!r} already exists")
             now = datetime.now(timezone.utc).replace(tzinfo=None)
             dataset_id = uuid.uuid4().hex

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geospatial_data_lake_spark import schemas
+from geospatial_data_lake_spark.plans.logging_contract import log_error, log_event
 
 CHUNK_SIZE = 1 << 20  # 1 MiB streamed-read granularity
 
@@ -116,6 +117,7 @@ def verify_checksums(assets: DataFrame) -> DataFrame:
     2-byte fn/length prefix; the hash function itself is dispatched per
     row from the fn code (ref utils.py:98-105).
     """
+    log_event(__name__, {"task": "check_files_checksums"})
     data = assets.filter(F.col("item_type") == "DATA").select(
         "dataset_id", "version_id", "url", "multihash"
     )
@@ -166,4 +168,7 @@ def validation_summary(validation: DataFrame) -> bool:
     """Per-version success = no Failed rows (ref: limit-1 existence probe,
     backend/validation_summary/task.py:33-40). isEmpty() short-circuits at
     the first failed row — the declarative analog of count(limit=1)."""
-    return validation.filter(F.col("result") == schemas.RESULT_FAILED).isEmpty()
+    ok = validation.filter(F.col("result") == schemas.RESULT_FAILED).isEmpty()
+    if not ok:
+        log_error(__name__, "some checks failed")  # ref validation_summary outcome
+    return ok

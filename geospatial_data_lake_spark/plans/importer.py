@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geospatial_data_lake_spark.plans.logging_contract import log_event
+
 
 def _local_path(url: str) -> str:
     parsed = urlparse(url)
@@ -35,6 +37,7 @@ def _local_path(url: str) -> str:
 def build_manifest(assets: DataFrame, target_prefix: str) -> DataFrame:
     """Manifest rows: (url, item_type, target) — A4/S7. Target key =
     prefix/basename (ref task.py:104)."""
+    log_event(__name__, {"task": "import_dataset", "target_prefix": target_prefix})
     basename = F.element_at(F.split(F.col("url"), "/"), -1)
     return assets.select(
         "url",
@@ -82,6 +85,7 @@ def _copy_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def run_copy(manifest: DataFrame) -> DataFrame:
     """Execute the distributed copy; returns per-file status rows."""
+    log_event(__name__, {"task": "import_asset_files"})
     return manifest.mapInPandas(
         _copy_kernel, schema="url string, target string, status string"
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geospatial_data_lake_spark import schemas
+from geospatial_data_lake_spark.plans.logging_contract import log_event
 from geospatial_data_lake_spark.operators.ordinal import with_global_ordinal
 
 try:  # optional dependency — fall back to structural checks
@@ -166,6 +167,15 @@ def traverse_and_validate(
     validation: schemas.VALIDATION_RESULTS rows (JSON parse / schema /
     duplicate-asset checks; ref utils.py:69-74,104-116 and USAGE.md:76-79).
     """
+    log_event(
+        __name__,
+        {
+            "task": "check_stac_metadata",
+            "dataset_id": dataset_id,
+            "version_id": version_id,
+            "metadata_url": root_url,
+        },
+    )
     frontier = spark.createDataFrame([(root_url,)], "url string")
     visited = frontier.localCheckpoint(eager=True)
     doc_frames: list[DataFrame] = []
