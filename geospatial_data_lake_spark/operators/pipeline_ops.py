@@ -1,0 +1,387 @@
+"""Training-data curation operators — contamination, PII redaction,
+sequence packing, mixture rebalancing, quantile filtering, boilerplate
+detection.
+
+These extend the pipeline families (dedup / sampling / text) with the
+remaining steps a 100 TB pretraining-corpus build runs between "raw
+documents" and "training batches".  Every operator is pure Catalyst
+(no Python in the hot path) and hash-deterministic so the DuckDB
+oracle can replay it bit-identically.
+
+Scale designs, per operator, are in the docstrings; the shared rules:
+
+- benchmark/dimension sides broadcast (contamination's gram set, the
+  per-group count tables, the global quantile scalar);
+- per-row derivations (n-grams, redaction, hash buckets) are
+  scan-side codegen — no shuffle until the one aggregation that
+  actually reduces;
+- nothing ever depends on partition layout or ``rand()``: membership
+  and packing are pure functions of row keys, so re-runs, appends,
+  and engine swaps reproduce byte-identical outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+# -- ct01: benchmark contamination --------------------------------------------
+
+_GRAM_N = 8  # word n-gram width for contamination matching
+
+
+@register(
+    "ct01_ngram_contamination",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - {_GRAM_N - 1})) AS pos
+            FROM toks
+        ),
+        bg AS (
+            SELECT DISTINCT array_to_string(tk[pos:pos+{_GRAM_N - 1}], ' ') AS gram
+            FROM pos WHERE doc_id % 97 = 0
+        ),
+        cg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(tk[pos:pos+{_GRAM_N - 1}], ' ') AS gram
+            FROM pos WHERE doc_id % 97 <> 0
+        )
+        SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM cg JOIN bg USING (gram)
+        GROUP BY cg.doc_id
+        ORDER BY cg.doc_id
+    """,
+    tags=("pipeline", "contamination", "ngram"),
+)
+def ct01_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing any word
+    8-gram with the held-out benchmark set (here: doc_id % 97 == 0),
+    scored by the number of distinct shared grams.
+
+    Scale shape: the benchmark side is always small relative to the
+    corpus (eval suites are thousands of docs, the corpus is billions),
+    so its distinct gram set BROADCASTS; the corpus side derives grams
+    scan-side (transform over positions — in-row, no positional
+    explode until the join key is needed) and meets the benchmark set
+    in a broadcast hash join.  One shuffle total, for the final per-doc
+    distinct count.  At 100 TB the gram strings would be xxhash64'd to
+    8-byte keys before the join; the oracle keeps the raw strings so
+    DuckDB can replay it."""
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    grams = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tk) - (_GRAM_N - 1), F.lit(0))),
+                lambda p: F.concat_ws(" ", F.slice(tk, p, _GRAM_N)),
+            )
+        ).alias("gram"),
+    )
+    benchmark = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0).dropDuplicates(
+        ["doc_id", "gram"]
+    )
+    return (
+        corpus.join(F.broadcast(benchmark), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+# -- px01: PII redaction ------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = "\\+[0-9][0-9-]{6,}"
+
+
+@register(
+    "px01_pii_redaction",
+    oracle=f"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-0' || CAST(doc_id AS VARCHAR)
+                       AS raw
+            FROM documents
+            WHERE doc_id % 11 = 0
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}'))
+                  + len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_pii
+        FROM enriched
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "pii", "redaction"),
+)
+def px01_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask email addresses and phone numbers, reporting
+    the per-document match count for the scrubbing audit.  The fixture
+    corpus carries no PII, so the query first injects a deterministic
+    email + phone per sampled document (identically on both engines) —
+    the redaction pass itself is exactly what runs on real data.
+
+    Scale shape: pure per-row regexp_replace/extract_all in whole-stage
+    codegen — no shuffle, no Python; the patterns deliberately avoid
+    backreferences/lookaround so Java and RE2 regex engines agree."""
+    t = tables(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        t.documents.filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            ).alias("redacted"),
+            (
+                F.size(F.regexp_extract_all(F.col("raw"), F.lit(_EMAIL_RE), F.lit(0)))
+                + F.size(
+                    F.regexp_extract_all(F.col("raw"), F.lit(_PHONE_RE), F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("n_pii"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- pk01: sequence packing ---------------------------------------------------
+
+_BLOCK = 2048  # tokens per training block
+_SHARDS = 8  # independent packing shards
+
+
+@register(
+    "pk01_sequence_packing",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   doc_id % {_SHARDS} AS shard,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tok,
+                   sum(n_tok) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM d
+        )
+        SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+               (cum - n_tok) // {_BLOCK} AS first_block,
+               ((cum - 1) // {_BLOCK}) - ((cum - n_tok) // {_BLOCK}) + 1
+                   AS n_blocks
+        FROM c
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "packing", "W4-analog"),
+)
+def pk01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each shard's token stream in doc_id
+    order and chunk it into fixed 2048-token training blocks; report
+    where every document lands (first block + blocks spanned) — the
+    exact bookkeeping a dataloader needs to pack examples.
+
+    Scale shape: packing is per-SHARD (doc_id % 8 here; one shard per
+    writer task in production), so the running sum is a windowed
+    cumulative partitioned by shard — every shard packs independently
+    and in parallel, and there is NO global window (a single-partition
+    window over the corpus would serialize the pipeline at scale).
+    Block ids derive from the running sum by integer division — pure
+    codegen arithmetic on top of one shuffle-by-shard."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % _SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {_BLOCK}").alias("first_block"),
+        (
+            F.expr(f"(cum - 1) div {_BLOCK}")
+            - F.expr(f"(cum - n_tok) div {_BLOCK}")
+            + F.lit(1)
+        ).alias("n_blocks"),
+    ).orderBy("doc_id")
+
+
+# -- mx01: mixture rebalance --------------------------------------------------
+
+
+@register(
+    "mx01_mixture_rebalance",
+    oracle="""
+        WITH c AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ),
+        m AS (SELECT min(n) AS mn FROM c)
+        SELECT d.source,
+               CAST(max(c.n) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN ((d.doc_id * 2654435761) % 65536) * c.n
+                               < m.mn * 65536
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d
+        JOIN c USING (source) CROSS JOIN m
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    tags=("pipeline", "mixture", "sampling"),
+)
+def mx01_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every source domain to the size
+    of the smallest one (uniform target mixture), audited as per-source
+    total vs kept counts.  Membership is ``hash(doc_id) * n_source <
+    n_min * 65536`` — integer arithmetic, no floats, no rand(): the
+    kept set is a pure function of (doc_id, per-source counts), stable
+    under re-runs and repartitioning.
+
+    Scale shape: pass 1 aggregates per-source counts (|sources| rows
+    — broadcasts); pass 2 re-scans with the count table broadcast-joined
+    on and evaluates the keep predicate scan-side.  Two scans, one tiny
+    shuffle.  (The 16-bit multiplicative hash is the oracle-portable
+    stand-in; at 100 TB use ``xxhash64(doc_id) & 0xffff`` — same plan.)"""
+    t = tables(spark, sf_dir)
+    counts = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    keep = ((F.col("doc_id") * F.lit(2654435761)) % 65536) * F.col("n") < F.col(
+        "mn"
+    ) * 65536
+    return (
+        t.documents.join(F.broadcast(counts), "source")
+        .join(F.broadcast(mn))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_total"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- qf01: quantile gate ------------------------------------------------------
+
+
+@register(
+    "qf01_quantile_filter",
+    oracle="""
+        WITH q AS (
+            SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75
+            FROM documents
+        )
+        SELECT doc_id, n_chars
+        FROM documents CROSS JOIN q
+        WHERE n_chars >= p75
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "quality", "quantile"),
+)
+def qf01_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile quality gate: keep documents at or above the corpus's
+    75th-percentile length — the 'top-quartile by signal X' filter
+    every curation pipeline applies with X = model-based quality in
+    production.
+
+    Scale shape: the quantile is ONE scalar from a single aggregation
+    pass (Spark's exact ``percentile`` here, matching DuckDB's
+    percentile_cont interpolation bit-for-bit on bigint inputs;
+    ``approx_percentile`` is the drop-in at 100 TB — same plan, sketch
+    merge instead of sort); it then broadcast-joins onto the re-scan
+    as a literal-like filter.  No global sort, no window."""
+    t = tables(spark, sf_dir)
+    q = t.documents.agg(F.expr("percentile(n_chars, 0.75)").alias("p75"))
+    return (
+        t.documents.join(F.broadcast(q))
+        .filter(F.col("n_chars") >= F.col("p75"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# -- rep01: boilerplate n-grams ----------------------------------------------
+
+
+@register(
+    "rep01_boilerplate_ngrams",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        g AS (
+            SELECT array_to_string(tk[pos:pos+4], ' ') AS gram
+            FROM (SELECT tk, unnest(generate_series(1, len(tk) - 4)) AS pos
+                  FROM toks)
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS n
+        FROM g
+        GROUP BY gram
+        HAVING count(*) >= 3
+        ORDER BY n DESC, gram
+        LIMIT 20
+    """,
+    tags=("pipeline", "boilerplate", "ngram", "O4-analog"),
+)
+def rep01_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the most-repeated word 5-grams across the
+    corpus (repeated headers/footers/navigation text that repetition
+    filters strip before training).
+
+    Scale shape: grams derive scan-side; the count is one hash
+    aggregation with map-side partial combine (the gram distribution
+    is heavy-tailed, and partial aggregation collapses the hot grams
+    before the shuffle); the >=3 floor prunes the long tail inside the
+    aggregate, and the top-20 is TakeOrderedAndProject — never a full
+    sort.  At 100 TB the gram key would be a 64-bit hash with a second
+    pass resolving the winning strings."""
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    grams = t.documents.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tk) - 4, F.lit(0))),
+                lambda p: F.concat_ws(" ", F.slice(tk, p, 5)),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )

@@ -184,6 +184,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             geo,
             joins,
             multimodal,
+            pipeline_ops,
             sampling,
             scans,
             setops,

@@ -252,3 +252,44 @@ def should_broadcast_q2_min_balance_join_back(spark, registry, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def should_broadcast_benchmark_grams_in_contamination_join(spark, registry, sf_dir):
+    # ct01: the benchmark gram set is the small side by construction —
+    # a shuffle join here would shuffle the full corpus gram stream.
+    plan = _plan(spark, registry, "ct01_ngram_contamination", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def should_broadcast_count_tables_in_mixture_rebalance(spark, registry, sf_dir):
+    # mx01: both the per-source count table and the min scalar broadcast;
+    # the corpus scan must never shuffle for the join.
+    plan = _plan(spark, registry, "mx01_mixture_rebalance", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def should_broadcast_quantile_scalar_in_filter(spark, registry, sf_dir):
+    # qf01: the p75 scalar joins the re-scan as a broadcast nested loop
+    # (single-row side) — never a shuffle.
+    plan = _plan(spark, registry, "qf01_quantile_filter", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def should_take_ordered_topk_for_boilerplate_grams(spark, registry, sf_dir):
+    # rep01: top-20 grams must be a bounded heap, not a global sort, and
+    # the gram count must partial-aggregate before the shuffle.
+    plan = _plan(spark, registry, "rep01_boilerplate_ngrams", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def should_window_packing_per_shard_not_globally(spark, registry, sf_dir):
+    # pk01: the cumulative sum partitions by shard — a global (empty
+    # partitionBy) window would serialize the corpus through one task.
+    plan = _plan(spark, registry, "pk01_sequence_packing", sf_dir)
+    assert "Window" in plan, plan
+    # hashpartitioning on the shard key, never SinglePartition, feeds it
+    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[0], plan
