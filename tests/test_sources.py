@@ -278,3 +278,50 @@ def should_load_events_under_both_timestamp_encodings(spark, tmp_path):
         ]
     # nanos floor-truncate to micros == the micros encoding's exact values
     assert out["micros"] == out["nanos"]
+
+
+def should_load_every_fixture_table_at_every_scale(spark):
+    """Fixture-drift tripwire: every table at every sf loads through the
+    Tables accessor, has its expected column set, and lands numeric/
+    temporal columns on workable logical types.  Round 3 was lost to a
+    silent physical-type change in one column — this fails loudly at
+    the first local run instead."""
+    import os
+
+    from geospatial_data_lake_spark.tables import TABLE_NAMES, Tables
+
+    expected_cols = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+        "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+        "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+        "orders": {
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        },
+        "lineitem": {
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        },
+        "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    temporal = {("events", "ts"), ("lineitem", "l_shipdate"), ("orders", "o_orderdate")}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        t = Tables(spark, sf_dir)
+        for name in TABLE_NAMES:
+            df = getattr(t, name)
+            assert set(df.columns) >= expected_cols[name], (sf, name, df.columns)
+            dtypes = dict(df.dtypes)
+            for tbl, col in temporal:
+                if tbl == name:
+                    assert dtypes[col] in ("timestamp", "timestamp_ntz", "date"), (
+                        sf, name, col, dtypes[col],
+                    )
+            assert df.limit(1).count() >= 0  # scan actually executes
