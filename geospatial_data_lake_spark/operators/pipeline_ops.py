@@ -385,3 +385,60 @@ def rep01_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "gram")
         .limit(20)
     )
+
+
+# -- rp01: repetition metrics -------------------------------------------------
+
+
+@register(
+    "rp01_repetition_metrics",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]
+                   ) AS bi
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(bi) AS BIGINT) AS n_bigram,
+               CAST(len(bi) - len(list_distinct(bi)) AS BIGINT) AS n_dup_bigram,
+               round((len(bi) - len(list_distinct(bi))) * 1.0 / len(bi), 4)
+                   AS dup_frac
+        FROM g
+        WHERE len(bi) > 0
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "repetition", "quality"),
+)
+def rp01_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics — the Gopher-rule family
+    (duplicate-n-gram fractions) that repetition filters threshold on
+    before training: per document, the bigram count, how many bigram
+    occurrences are repeats, and the repeated fraction.
+
+    Scale shape: entirely IN-ROW — the bigram list, its distinct size,
+    and the fraction all evaluate as codegen'd array expressions inside
+    the scan projection; zero shuffles, zero joins, zero Python.  The
+    thresholding filter a pipeline applies on top is a scan-side
+    predicate over these columns.  This is the shape to prefer whenever
+    a per-document statistic has a bounded intermediate (the token
+    array): an explode + groupBy formulation would shuffle every n-gram
+    occurrence of a 100 TB corpus to compute a per-row number."""
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    bi = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda p: F.concat_ws(" ", F.slice(tk, p, 2)),
+    )
+    d = t.documents.select("doc_id", bi.alias("bi")).filter(F.size("bi") > 0)
+    n = F.size("bi").cast("long")
+    dup = (F.size("bi") - F.size(F.array_distinct("bi"))).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_bigram"),
+        dup.alias("n_dup_bigram"),
+        F.round(dup / n, 4).alias("dup_frac"),
+    ).orderBy("doc_id")
