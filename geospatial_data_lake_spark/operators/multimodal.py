@@ -177,3 +177,122 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     blobs = as_blob_table(t.documents).select("doc_id", "content")
     return blobs.mapInPandas(sample_frames_batch, schema=_FRAME_SCHEMA)
+
+
+# -- mm04: a REAL decoder -----------------------------------------------------
+#
+# JPEG/PNG need codec libraries this container lacks (hence the stubs
+# above), but binary PPM (P6) is decodable with numpy alone — so this
+# operator runs a GENUINE decode: header token scan, ndarray reshape,
+# per-channel statistics. Payloads are synthesized deterministically
+# (the "read blob from object storage" stand-in), which is what keeps a
+# real codec hash-gateable against the SQL oracle.
+
+_PPM_SCHEMA = (
+    "doc_id bigint, width int, height int,"
+    " mean_r double, mean_g double, mean_b double"
+)
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 payload: width from doc_id, fixed height, pixel
+    bytes from a linear byte pattern (exactly reproducible in SQL)."""
+    w = 1 + doc_id % 16
+    h = 4
+    header = f"P6\n# synthetic {doc_id}\n{w} {h}\n255\n".encode()
+    n = w * h * 3
+    px = bytes((doc_id * 31 + i) % 256 for i in range(n))
+    return header + px
+
+
+def decode_ppm(payload: bytes):
+    """REAL binary-PPM (P6) decoder: whitespace/comment-tolerant header
+    scan, then a zero-copy numpy view reshaped to (h, w, 3).  Returns
+    (width, height, ndarray). Raises ValueError on malformed input."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    # token scanner: skip whitespace and '#' comments after the magic
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            i = payload.index(b"\n", i) + 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated ppm header")
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit ppm unsupported")
+    i += 1  # single whitespace after maxval, then raster
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, raster.reshape(h, w, 3)
+
+
+def ppm_stats_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel: synthesize the blob (storage-read stand-in),
+    then REALLY decode it and emit per-channel means."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "mean_r": [], "mean_g": [], "mean_b": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            w, h, arr = decode_ppm(synth_ppm(int(doc_id)))
+            means = arr.astype("float64").mean(axis=(0, 1))
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_r"].append(round(float(means[0]), 4))
+            rows["mean_g"].append(round(float(means[1]), 4))
+            rows["mean_b"].append(round(float(means[2]), 4))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm04_ppm_decode_stats",
+    # The pixel pattern is linear in the byte index, so the channel means
+    # are replayable in SQL: pixel (k, channel c) has value
+    # (doc_id*31 + 3k + c) % 256 over k in [0, w*h).
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 1 + doc_id % 16 AS w, 4 AS h
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, w * h - 1)) AS k
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               round(avg((doc_id * 31 + 3 * k + 0) % 256), 4) AS mean_r,
+               round(avg((doc_id * 31 + 3 * k + 1) % 256), 4) AS mean_g,
+               round(avg((doc_id * 31 + 3 * k + 2) % 256), 4) AS mean_b
+        FROM px
+        GROUP BY doc_id, w, h
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "real-codec"),
+)
+def mm04_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine image decode on Spark: binary-PPM payloads are parsed
+    (tolerant header scan) and decoded to (h, w, 3) uint8 arrays with
+    numpy inside a mapInPandas kernel; the query reports per-channel
+    pixel means.  Unlike mm02's declared stub, this codec path is REAL
+    and its fidelity is tested (tests/test_operators_unit.py) — the
+    pattern generalizes to any decoder importable on the executors.
+    Scale shape: decode is per-Arrow-batch executor work; one narrow
+    shuffle only for the deterministic output ordering."""
+    t = tables(spark, sf_dir)
+    ids = t.documents.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return ids.mapInPandas(ppm_stats_batch, schema=_PPM_SCHEMA).orderBy("doc_id")

@@ -260,3 +260,29 @@ def should_pagerank_conserve_mass_and_rank_hubs_first(spark):
     assert abs(total - 1.0) < 1e-6
     top = ranks.orderBy(F.col("rank").desc()).first()
     assert top.node == 0  # the hub dominates
+
+
+def should_decode_ppm_payloads_faithfully():
+    """mm04's codec is REAL — verify it against hand-crafted P6 payloads
+    (comment + mixed-whitespace header) and reject malformed input."""
+    import numpy as np
+    import pytest
+
+    from geospatial_data_lake_spark.operators.multimodal import decode_ppm, synth_ppm
+
+    crafted = b"P6\n# a comment\n  2\t3\n255\n" + bytes(range(18))
+    w, h, arr = decode_ppm(crafted)
+    assert (w, h) == (2, 3)
+    assert arr.shape == (3, 2, 3) and arr.dtype == np.uint8
+    assert arr[0, 0, 0] == 0 and arr[2, 1, 2] == 17  # raster order preserved
+
+    w2, h2, a2 = decode_ppm(synth_ppm(21))
+    assert (w2, h2) == (1 + 21 % 16, 4)
+    assert int(a2.reshape(-1)[0]) == (21 * 31) % 256
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(4))  # wrong magic (grayscale)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2")  # truncated header
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit unsupported
