@@ -296,3 +296,113 @@ def mm04_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     ids = t.documents.filter(F.col("doc_id") % 7 == 0).select("doc_id")
     return ids.mapInPandas(ppm_stats_batch, schema=_PPM_SCHEMA).orderBy("doc_id")
+
+
+# -- mm05: audio (WAV/PCM16) — also a real decoder ---------------------------
+
+_WAV_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint,"
+    " duration_ms double, rms double, peak int"
+)
+
+_WAV_RATE = 16000
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE payload: mono PCM16 @16 kHz, sample i =
+    ((doc_id*7 + i*13) % 4096) - 2048 — reproducible in SQL."""
+    import struct
+
+    n = 64 + (doc_id % 64)
+    samples = [((doc_id * 7 + i * 13) % 4096) - 2048 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    byte_rate = _WAV_RATE * 2
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 36 + len(data)), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, byte_rate, 2, 16),
+            b"data", struct.pack("<I", len(data)), data,
+        ]
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL RIFF/WAVE decoder for PCM16: chunk walk (not fixed offsets —
+    real files carry LIST/fact chunks), format validation, numpy int16
+    view of the data chunk. Returns (sample_rate, ndarray)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def wav_features_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "sample_rate": [], "n_samples": [],
+            "duration_ms": [], "rms": [], "peak": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            rate, x = decode_wav(synth_wav(int(doc_id)))
+            xf = x.astype("float64")
+            rows["doc_id"].append(int(doc_id))
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(len(x))
+            rows["duration_ms"].append(round(len(x) * 1000.0 / rate, 4))
+            rows["rms"].append(round(float((xf * xf).mean() ** 0.5), 4))
+            rows["peak"].append(int(abs(xf).max()))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm05_wav_features",
+    # sample i = ((doc_id*7 + i*13) % 4096) - 2048 over n = 64 + doc_id%64
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, 64 + doc_id % 64 AS n
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   ((doc_id * 7 + unnest(generate_series(0, n - 1)) * 13)
+                       % 4096) - 2048 AS x
+            FROM d
+        )
+        SELECT doc_id,
+               {_WAV_RATE} AS sample_rate,
+               CAST(max(n) AS BIGINT) AS n_samples,
+               round(max(n) * 1000.0 / {_WAV_RATE}, 4) AS duration_ms,
+               round(sqrt(avg(CAST(x AS DOUBLE) * x)), 4) AS rms,
+               CAST(max(abs(x)) AS INT) AS peak
+        FROM s
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "real-codec", "audio"),
+)
+def mm05_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine audio decode on Spark: RIFF/WAVE chunk walk + PCM16 numpy
+    view inside mapInPandas, reporting sample rate, duration, RMS
+    energy, and peak amplitude — the features an audio-corpus filter
+    thresholds on (silence/clipping detection).  Deterministic synth
+    payloads keep the real codec hash-gateable, exactly like mm04."""
+    t = tables(spark, sf_dir)
+    ids = t.documents.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    return ids.mapInPandas(wav_features_batch, schema=_WAV_SCHEMA).orderBy("doc_id")

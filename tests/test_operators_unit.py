@@ -286,3 +286,39 @@ def should_decode_ppm_payloads_faithfully():
         decode_ppm(b"P6\n2")  # truncated header
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit unsupported
+
+
+def should_decode_wav_payloads_faithfully():
+    """mm05's RIFF/WAVE decoder: chunk-walk correctness (extra chunks,
+    word alignment) and format rejection."""
+    import struct
+
+    import pytest
+
+    from geospatial_data_lake_spark.operators.multimodal import decode_wav, synth_wav
+
+    rate, x = decode_wav(synth_wav(26))
+    assert rate == 16000 and len(x) == 64 + 26 % 64
+    assert int(x[0]) == ((26 * 7) % 4096) - 2048
+
+    # real files interleave other chunks (LIST) and odd-sized chunks are
+    # word-aligned — the walker must skip both
+    data = struct.pack("<4h", 1, -2, 3, -4)
+    wav = b"".join([
+        b"RIFF", struct.pack("<I", 0), b"WAVE",
+        b"LIST", struct.pack("<I", 5), b"INFOx", b"\x00",  # odd size + pad
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16),
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+    rate2, x2 = decode_wav(wav)
+    assert rate2 == 8000 and list(x2) == [1, -2, 3, -4]
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))  # wrong container
+    stereo = b"".join([
+        b"RIFF", struct.pack("<I", 0), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16),
+        b"data", struct.pack("<I", 4), bytes(4),
+    ])
+    with pytest.raises(ValueError):
+        decode_wav(stereo)  # stereo unsupported
