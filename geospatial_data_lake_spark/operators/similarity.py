@@ -336,3 +336,87 @@ def ss02b_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ss03b_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated recall audit of ss03 (see _recall_audit)."""
     return _recall_audit(spark, sf_dir, "ss03_ivf_ann_topk")
+
+
+@register(
+    "em01_int8_quantization",
+    # quantized q_i = floor(x_i * 127 / s + 0.5) with s = max|x| — the
+    # half-up rounding is spelled as floor(.+0.5) so both engines share
+    # one deterministic form (round() tie-breaking differs across
+    # engines); all arithmetic is double with identical operation order.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> floor(x * 127.0 / scale + 0.5)) AS qv,
+                   v
+            FROM s WHERE scale > 0
+        )
+        SELECT vec_id,
+               CAST(len(qv) AS INT) AS n_dims,
+               round(scale, 6) AS scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, q -> q * q)) AS BIGINT) AS q_norm2,
+               -- list_reduce = left fold, matching Spark's `aggregate`
+               -- summation order bit-for-bit (list_sum may reorder)
+               round(list_reduce(
+                   list_transform(
+                       list_zip(v, qv),
+                       p -> abs(p[1] - p[2] * scale / 127.0)),
+                   (a, x) -> a + x), 6) AS abs_err
+        FROM q
+        ORDER BY vec_id
+    """,
+    tags=("similarity", "quantization", "pipeline"),
+)
+def em01_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth reduction step an ANN index applies before
+    sharding a 100 TB vector corpus — audited per vector with the
+    quantized checksum, squared norm, and total absolute reconstruction
+    error.
+
+    Scale shape: entirely per-row array expressions (scale = max|x|,
+    elementwise quantize, fold) in the scan projection — no shuffle, no
+    Python, no UDF.  The folds use `aggregate` HOFs: interpreted per
+    row, but this is a linear per-row audit (~64 terms), not a
+    quadratic join kernel — the unrolling treatment ss01 applies to its
+    pair loop would buy nothing measurable here."""
+    t = tables(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    e = t.embeddings.select("vec_id", v.alias("v"))
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    s = e.withColumn("scale", scale).filter(F.col("scale") > 0)
+    qv = F.transform(
+        "v", lambda x: F.floor(x * F.lit(127.0) / F.col("scale") + F.lit(0.5))
+    )
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    # abs_err is computed BEFORE the output projection: a sibling
+    # `round(scale) AS scale` alias in the same select list would shadow
+    # the source column for `F.col("scale")` inside the HOF lambda and
+    # silently sum errors against the rounded scale.
+    q = s.withColumn("qv", qv).withColumn(
+        "abs_err_raw",
+        fsum(
+            F.zip_with(
+                "v",
+                "qv",
+                lambda x, qq: F.abs(x - qq * F.col("scale") / F.lit(127.0)),
+            )
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.size("qv").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
+        fsum(F.col("qv")).cast("bigint").alias("q_sum"),
+        fsum(F.transform("qv", lambda x: x * x)).cast("bigint").alias("q_norm2"),
+        F.round("abs_err_raw", 6).alias("abs_err"),
+    ).orderBy("vec_id")
