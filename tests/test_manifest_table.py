@@ -1,0 +1,98 @@
+"""ManifestTable protocol tests — the fact-table lake contract:
+O(touched partitions) MERGE, snapshot-isolated reads, time travel,
+file-level reference carrying, GC refcounting, and serializable
+concurrent writers."""
+
+from __future__ import annotations
+
+import pytest
+
+from geospatial_data_lake_spark.plans.catalog import NotFoundError
+from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, part string, v string")
+
+
+def _state(df):
+    return {r.id: (r.part, r.v) for r in df.collect()}
+
+
+def _table(spark, tmp_path, **kw):
+    return ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"], **kw
+    )
+
+
+def should_merge_and_time_travel_partitioned(spark, tmp_path):
+    mt = _table(spark, tmp_path)
+    v1 = mt.upsert(_mk(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]))
+    v2 = mt.upsert(_mk(spark, [(2, "a", "Y2"), (4, "c", "w")]))
+    assert (v1, v2) == (1, 2)
+    assert _state(mt.read()) == {
+        1: ("a", "x"), 2: ("a", "Y2"), 3: ("b", "z"), 4: ("c", "w"),
+    }
+    assert _state(mt.read(version=1)) == {
+        1: ("a", "x"), 2: ("a", "y"), 3: ("b", "z"),
+    }
+
+
+def should_carry_untouched_partitions_by_reference(spark, tmp_path):
+    """The O(delta) property: an upsert touching partition 'a' must reuse
+    partition 'b's existing file list verbatim — no rewrite, no copy."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (3, "b", "z")]))
+    before = mt.partition_files()
+    mt.upsert(_mk(spark, [(1, "a", "x2")]))
+    after = mt.partition_files()
+    b_key = next(k for k in before if '"b"' in k)
+    a_key = next(k for k in before if '"a"' in k)
+    assert after[b_key] == before[b_key]  # carried by reference
+    assert after[a_key] != before[a_key]  # rewritten
+
+
+def should_handle_key_partition_moves(spark, tmp_path):
+    """An update that moves a key to another partition must rewrite BOTH
+    partitions — the old row may not survive in the old partition."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    mt.upsert(_mk(spark, [(1, "b", "moved")]))
+    assert _state(mt.read()) == {1: ("b", "moved"), 2: ("b", "y")}
+    # partition 'a' emptied out entirely -> dropped from the manifest
+    assert not any('"a"' in k for k in mt.partition_files())
+
+
+def should_bound_time_travel_and_refcount_gc(spark, tmp_path):
+    """GC drops expired versions but must NOT unlink data files still
+    referenced by retained manifests (files are shared by reference)."""
+    mt = _table(spark, tmp_path, keep_versions=2)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))  # v1
+    mt.upsert(_mk(spark, [(1, "a", "x2")]))  # v2 touches only 'a'
+    mt.upsert(_mk(spark, [(1, "a", "x3")]))  # v3 -> v1 expires
+    with pytest.raises(NotFoundError):
+        mt.read(version=1)
+    # v2's manifest still references partition 'b' files first written at
+    # v1 — the expired-version GC must have kept them
+    assert _state(mt.read(version=2)) == {1: ("a", "x2"), 2: ("b", "y")}
+    assert _state(mt.read()) == {1: ("a", "x3"), 2: ("b", "y")}
+
+
+def should_serialize_concurrent_manifest_writers(spark, tmp_path):
+    """Racing writers on distinct partitions: every upsert survives, the
+    version history is gap-free, and losers' orphaned files are cleaned."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "race_mt")
+    n = 6
+
+    def write(i):
+        mt = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+        return mt.upsert(_mk(spark, [(i, f"p{i}", f"w{i}")]))
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        versions = list(pool.map(write, range(n)))
+
+    assert sorted(versions) == list(range(1, n + 1))
+    final = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+    assert _state(final.read()) == {i: (f"p{i}", f"w{i}") for i in range(n)}
