@@ -96,3 +96,55 @@ def should_serialize_concurrent_manifest_writers(spark, tmp_path):
     assert sorted(versions) == list(range(1, n + 1))
     final = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
     assert _state(final.read()) == {i: (f"p{i}", f"w{i}") for i in range(n)}
+
+
+def should_materialize_cdc_stream_into_manifest_table(spark, tmp_path):
+    """Streaming CDC -> versioned lake: a change stream drives
+    foreachBatch -> ManifestTable.upsert. Each micro-batch lands as one
+    committed version (incremental materialization with time travel),
+    and because MERGE is idempotent on content, a redelivered batch —
+    foreachBatch is at-least-once across restarts — changes no state."""
+    import pandas as pd
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    mt = ManifestTable(
+        spark, str(tmp_path / "lake"), key_cols=["id"], partition_by=["part"]
+    )
+    schema = "id long, part string, v string"
+    delivered = []
+
+    def on_batch(df, epoch_id):
+        batch = df.localCheckpoint(eager=True)
+        delivered.append(batch)
+        mt.upsert(batch)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).json(str(src))
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    pd.DataFrame(
+        [(1, "a", "x"), (2, "b", "y")], columns=["id", "part", "v"]
+    ).to_json(src / "b1.json", orient="records", lines=True)
+    drain()
+    pd.DataFrame(
+        [(2, "b", "y2"), (3, "c", "z")], columns=["id", "part", "v"]
+    ).to_json(src / "b2.json", orient="records", lines=True)
+    drain()
+
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y2"), 3: ("c", "z")}
+    v_after = mt.current_version()
+    assert _state(mt.read(version=1)) == {1: ("a", "x"), 2: ("b", "y")}
+
+    # simulate at-least-once redelivery of the last batch
+    mt.upsert(delivered[-1])
+    assert mt.current_version() == v_after + 1  # a commit happened...
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y2"), 3: ("c", "z")}
+    # ...but the state is unchanged (idempotent MERGE)
