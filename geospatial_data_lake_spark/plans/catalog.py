@@ -187,6 +187,22 @@ class DatasetCatalog:
     def versions(self) -> DataFrame:
         return self._read(self._versions, schemas.DATASET_VERSIONS)[1]
 
+    # -- time travel -------------------------------------------------------
+    def datasets_at(self, generation: int) -> DataFrame:
+        """``VERSION AS OF`` over the datasets table: the exact catalog
+        state any in-flight round of a pipeline planned against, within
+        the retention window (the Delta time-travel analog the reference's
+        immutable dataset-version model implies,
+        ref backend/dataset_versions/create.py:58-75)."""
+        return self.spark.read.schema(schemas.DATASETS).parquet(
+            self._datasets.at(generation)
+        )
+
+    def catalog_history(self) -> list[int]:
+        """Committed dataset-table generations inside retention,
+        ascending — the DESCRIBE HISTORY analog."""
+        return self._datasets.generations()
+
     # -- CRUD --------------------------------------------------------------
     def create_dataset(self, title: str) -> dict:
         """ref: backend/datasets/create.py:18-39 (validate -> uniqueness ->

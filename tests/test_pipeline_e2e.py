@@ -321,3 +321,27 @@ def should_detect_corrupted_payload_for_each_algorithm(spark, tmp_path):
     rows = checksums.verify_checksums(assets).collect()
     assert all(r.result == "Failed" for r in rows)
     assert all("checksum mismatch" in r.details["message"] for r in rows)
+
+
+def should_time_travel_catalog_state(spark, tmp_path):
+    """Catalog time travel: each CRUD mutation is one generation; a
+    reader can replay the exact dataset table any earlier round planned
+    against, bounded by the retention window."""
+    import pytest
+
+    from geospatial_data_lake_spark.plans.catalog import NotFoundError
+
+    catalog = DatasetCatalog(spark, str(tmp_path / "tt_store"))
+    catalog.create_dataset("first")
+    catalog.create_dataset("second")
+    ds = catalog.get_dataset(title="second")
+    catalog.update_dataset(ds["dataset_id"], "second_renamed")
+
+    assert catalog.catalog_history() == [1, 2, 3]
+    assert {r.title for r in catalog.datasets_at(1).collect()} == {"first"}
+    assert {r.title for r in catalog.datasets_at(2).collect()} == {"first", "second"}
+    assert {r.title for r in catalog.datasets_at(3).collect()} == {
+        "first", "second_renamed",
+    }
+    with pytest.raises(NotFoundError):
+        catalog.datasets_at(99)
