@@ -293,3 +293,28 @@ def should_window_packing_per_shard_not_globally(spark, registry, sf_dir):
     assert "Window" in plan, plan
     # hashpartitioning on the shard key, never SinglePartition, feeds it
     assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def should_broadcast_allpairs_verify_in_saturated_dedup(spark, registry, sf_dir):
+    # dd04 on the saturated fixture: the hashed token-set table must
+    # broadcast (nested-loop on d1<d2) — never a shuffle join, and never
+    # the word-explosion join (no exploded-gram aggregate before output).
+    plan = _plan(spark, registry, "dd04_minhash_lsh_pairs", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def should_keep_spread_a_noop_at_adequate_parallelism(spark, registry, sf_dir):
+    # spread() exists to fix single-row-group fixtures; on a scan that
+    # already has >= one split per core it must add NO exchange.
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.tables import spread
+
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 10_000, 1, numPartitions=cores + 2).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    out = spread(spark, df)
+    assert out.rdd.getNumPartitions() == cores + 2  # untouched
+    assert out is df  # literally the same plan — no round-robin added
