@@ -50,3 +50,38 @@ def two_stage_agg(
         _MERGE[fn](F.col(out)).alias(out) for out, (_, fn) in aggs.items()
     ]
     return stage1.groupBy(*keys).agg(*merge_cols)
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted skew join: spread a hot probe key over ``n_salts`` tasks.
+
+    The probe side gets a random salt per row; the build side replicates
+    each row across ALL salts (explode of a literal range — build-side
+    cost × n_salts, the standard trade); the join key becomes
+    (keys..., salt), so one hot key's probe rows hash to n_salts
+    different reduce tasks instead of one.  Output is row-identical to
+    the unsalted join for ``inner`` and ``left`` joins (the salt never
+    filters anything — every probe salt finds its replicated build row).
+
+    AQE's skew-join splitting covers sort-merge joins adaptively; this
+    explicit form is for when the plan must be stable (broadcast is too
+    big, AQE disabled, or a downstream stage keys on the same columns
+    and re-skews).  The salt uses ``rand`` — join RESULTS never depend
+    on salt values, so nondeterministic salting is semantically safe.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_probe = probe.withColumn(
+        "__salt", (F.rand(seed=0) * n_salts).cast("int")
+    )
+    replicated_build = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_probe.join(replicated_build, [*keys, "__salt"], how)
+    return out.drop("__salt")
