@@ -259,11 +259,20 @@ _JACCARD_ORACLE = """
     tags=("dedup", "jaccard"),
 )
 def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (token-set) Jaccard near-dup pairs at >= 0.9. Quadratic
-    in docs sharing a token — correct at any SF but the oracle path; dd04
-    is the LSH path that scales."""
+    """Exact n-gram (token-set) Jaccard near-dup pairs at >= 0.9 —
+    exhaustive by definition (dd04 is the LSH path that scales), but the
+    exhaustive form still picks its physical shape: broadcast all-pairs
+    array-intersect while the set table broadcasts (65 s -> ~3 s at
+    sf0.1 vs the inverted-index word join), the word join past that
+    bound, and spread() so a single-row-group scan never serializes the
+    pair loop."""
+    from geospatial_data_lake_spark.tables import spread
+
     t = tables(spark, sf_dir)
-    return _exact_jaccard_pairs(t.documents, 0.9)
+    raw = spread(spark, t.documents)
+    if raw.count() <= _ALLPAIRS_MAX_DOCS:
+        return _allpairs_jaccard_pairs(raw, 0.9)
+    return _exact_jaccard_pairs(raw, 0.9)
 
 
 @register(
@@ -657,10 +666,16 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.4). Brute-force pair join
-    with the dot product as a JVM higher-order function (zip_with +
-    aggregate — no Python). This is the oracle path; the bucketed/ANN path
-    for billions of vectors is ss02 in similarity.py."""
+    with the unrolled codegen dot product (no Python, no interpreted
+    HOFs). This is the oracle path; the bucketed/ANN path for billions
+    of vectors is ss02 in similarity.py.
+
+    Physical shape: the build side broadcasts and the probe side runs
+    through spread() — the embeddings fixture is a single row group, and
+    without the spread the ~2M-pair x 64-dim loop runs on ONE core
+    (measured 82 s at sf0.1; ~3 s spread across the cluster)."""
     from geospatial_data_lake_spark.operators.similarity import _dot
+    from geospatial_data_lake_spark.tables import spread
 
     t = tables(spark, sf_dir)
     e = t.embeddings.select(
@@ -668,9 +683,9 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     e = e.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = e.alias("a")
+    a = spread(spark, e).alias("a")
     b = e.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("v1"),
         F.col("b.vec_id").alias("v2"),
         (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
