@@ -427,13 +427,19 @@ def rp01_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-document statistic has a bounded intermediate (the token
     array): an explode + groupBy formulation would shuffle every n-gram
     occurrence of a 100 TB corpus to compute a per-row number."""
+    from geospatial_data_lake_spark.tables import spread
+
     t = tables(spark, sf_dir)
     tk = F.split(F.col("text"), " ")
     bi = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0))),
         lambda p: F.concat_ws(" ", F.slice(tk, p, 2)),
     )
-    d = t.documents.select("doc_id", bi.alias("bi")).filter(F.size("bi") > 0)
+    d = (
+        spread(spark, t.documents)  # one-row-group fixture: keep the
+        .select("doc_id", bi.alias("bi"))  # in-row array work on all cores
+        .filter(F.size("bi") > 0)
+    )
     n = F.size("bi").cast("long")
     dup = (F.size("bi") - F.size(F.array_distinct("bi"))).cast("long")
     return d.select(

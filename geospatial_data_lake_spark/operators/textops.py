@@ -173,6 +173,8 @@ def tx05_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive under MinHash and n-gram LM stats). Bigrams come from a
     sequence+transform higher-order expression: zero Python, one shuffle
     (map-side partial counts)."""
+    from geospatial_data_lake_spark.tables import spread
+
     t = tables(spark, sf_dir)
     toks = F.split("text", " ")
     bigrams = F.expr(
@@ -180,7 +182,7 @@ def tx05_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
     )
     return (
-        t.documents.select(F.explode(bigrams).alias("bigram"))
+        spread(spark, t.documents).select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 20)
