@@ -318,3 +318,16 @@ def should_keep_spread_a_noop_at_adequate_parallelism(spark, registry, sf_dir):
     out = spread(spark, df)
     assert out.rdd.getNumPartitions() == cores + 2  # untouched
     assert out is df  # literally the same plan — no round-robin added
+
+
+def should_not_expand_sketches_with_distinct_aggregates(spark, registry, sf_dir):
+    # a09: HLL sketches and exact distinct counts must stay in separate
+    # aggregations joined on the group key — one combined agg plans an
+    # Expand that re-runs every sketch update per distinct-duplicated
+    # row (19s vs <2s at sf0.1).
+    plan = _plan(spark, registry, "a09_approx_distinct", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    before_join = plan.split("BroadcastHashJoin")[0]
+    assert "Expand" not in before_join or "Expand" not in plan.split(
+        "BroadcastHashJoin"
+    )[1], plan
