@@ -170,7 +170,10 @@ class ManifestTable:
         ]
         if not files:
             return self._spark.createDataFrame([], manifest["schema_ddl"])
-        return self._spark.read.parquet(*files)
+        # mergeSchema: partitions carried by reference may predate a
+        # schema-evolving commit — older files surface NULL for columns
+        # they don't have, the lake-format evolution contract
+        return self._spark.read.option("mergeSchema", "true").parquet(*files)
 
     def current_version(self) -> int:
         return self._current()[0]
@@ -252,7 +255,12 @@ class ManifestTable:
                         self.key_cols,
                         "left_anti",
                     )
-                    merged = survivors.unionByName(part_updates)
+                    # allowMissingColumns: a schema-evolving commit widens
+                    # updates relative to carried-forward files; survivors
+                    # take NULL for columns they predate
+                    merged = survivors.unionByName(
+                        part_updates, allowMissingColumns=True
+                    )
                 else:
                     merged = part_updates
                 rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")

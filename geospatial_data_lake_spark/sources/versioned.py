@@ -106,7 +106,9 @@ class VersionedTable:
             survivors = existing.join(
                 updates.select(*key_cols).hint("broadcast"), key_cols, "left_anti"
             )
-            return survivors.unionByName(updates)
+            # allowMissingColumns: schema-evolving upserts widen the
+            # update side; surviving rows take NULL for new columns
+            return survivors.unionByName(updates, allowMissingColumns=True)
 
         return self._commit_with_retry(merge)
 

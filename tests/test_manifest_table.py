@@ -148,3 +148,33 @@ def should_materialize_cdc_stream_into_manifest_table(spark, tmp_path):
     assert mt.current_version() == v_after + 1  # a commit happened...
     assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y2"), 3: ("c", "z")}
     # ...but the state is unchanged (idempotent MERGE)
+
+
+def should_evolve_schema_across_commits(spark, tmp_path):
+    """Schema evolution: a commit adding a column must not rewrite
+    untouched partitions — their carried-forward files simply surface
+    NULL for the new column on read (mergeSchema), and time travel
+    still returns each version under its own schema."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    before_b = mt.partition_files()[
+        next(k for k in mt.partition_files() if '"b"' in k)
+    ]
+
+    widened = spark.createDataFrame(
+        [(1, "a", "x2", "en")], "id long, part string, v string, lang string"
+    )
+    mt.upsert(widened)
+
+    cur = mt.read()
+    assert set(cur.columns) >= {"id", "part", "v", "lang"}
+    rows = {r.id: (r.v, r.lang) for r in cur.collect()}
+    assert rows[1] == ("x2", "en")
+    assert rows[2] == ("y", None)  # untouched partition: new column is NULL
+    # and partition b really was carried by reference, not rewritten
+    after_b = mt.partition_files()[
+        next(k for k in mt.partition_files() if '"b"' in k)
+    ]
+    assert after_b == before_b
+    # time travel: version 1 predates the column entirely
+    assert "lang" not in mt.read(version=1).columns
