@@ -193,6 +193,145 @@ class ManifestTable:
     def _pkey(values: tuple) -> str:
         return json.dumps([str(v) for v in values])
 
+    def append(self, batch: DataFrame) -> int:
+        """Blind append — the O(batch) ingest fast path: write one new
+        file per partition present in the batch and ADD it to that
+        partition's file list; nothing existing is read or rewritten.
+        No key dedup (use ``upsert`` for MERGE semantics).  Appends
+        accumulate files per partition; ``compact`` folds them back."""
+        batch = batch.localCheckpoint(eager=True)
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            partitions = dict(manifest["partitions"]) if manifest else {}
+            batch_dir = uuid.uuid4().hex
+            os.makedirs(os.path.join(self._data, batch_dir), exist_ok=True)
+            touched = {
+                self._pkey(tuple(r))
+                for r in batch.select(*self.partition_by).distinct().collect()
+            }
+            new_partitions = dict(partitions)
+            for pkey in sorted(touched):
+                values = json.loads(pkey)
+                cond = F.lit(True)
+                for col, val in zip(self.partition_by, values):
+                    cond = cond & (F.col(col).cast("string") == F.lit(val))
+                rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")
+                batch.filter(cond).write.mode("overwrite").parquet(
+                    os.path.join(self._data, rel)
+                )
+                new_partitions[pkey] = [*new_partitions.get(pkey, []), rel]
+            new_manifest = {
+                "partitions": new_partitions,
+                "schema_ddl": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in batch.schema.fields
+                ),
+            }
+            try:
+                self._publish(new_manifest, gen)
+            except CommitConflict:
+                shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
+                continue
+            return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def delete_where(self, condition) -> int:
+        """Partition-pruned delete (the GDPR path): scan once to find
+        partitions holding matching rows, rewrite only those without the
+        matches, carry everything else by reference.  A partition whose
+        rows all match disappears from the manifest."""
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                raise NotFoundError(f"table never committed: {self.root}")
+            partitions = dict(manifest["partitions"])
+            all_files = [
+                os.path.join(self._data, f)
+                for files in partitions.values()
+                for f in files
+            ]
+            current = self._spark.read.option("mergeSchema", "true").parquet(
+                *all_files
+            )
+            touched = {
+                self._pkey(tuple(r))
+                for r in current.filter(condition)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            }
+            new_partitions = dict(partitions)
+            batch_dir = uuid.uuid4().hex
+            os.makedirs(os.path.join(self._data, batch_dir), exist_ok=True)
+            for pkey in sorted(touched):
+                values = json.loads(pkey)
+                old_files = [
+                    os.path.join(self._data, f) for f in partitions[pkey]
+                ]
+                kept = (
+                    self._spark.read.option("mergeSchema", "true")
+                    .parquet(*old_files)
+                    .filter(~condition)
+                )
+                rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")
+                out = os.path.join(self._data, rel)
+                kept.write.mode("overwrite").parquet(out)
+                if self._spark.read.parquet(out).isEmpty():
+                    shutil.rmtree(out, ignore_errors=True)
+                    new_partitions.pop(pkey, None)
+                else:
+                    new_partitions[pkey] = [rel]
+            new_manifest = {
+                "partitions": new_partitions,
+                "schema_ddl": manifest["schema_ddl"],
+            }
+            try:
+                self._publish(new_manifest, gen)
+            except CommitConflict:
+                shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
+                continue
+            return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def compact(self, min_files: int = 2) -> int | None:
+        """Fold every partition holding >= ``min_files`` files into one
+        file — the maintenance job that keeps append-heavy tables from
+        degrading scans with tiny files.  Pure rewrite: row content is
+        unchanged, so a concurrent upsert losing to a compaction (or
+        vice versa) just retries as usual.  Returns the new version, or
+        None when nothing needed compacting."""
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                return None
+            partitions = dict(manifest["partitions"])
+            to_fold = {k: v for k, v in partitions.items() if len(v) >= min_files}
+            if not to_fold:
+                return None
+            new_partitions = dict(partitions)
+            batch_dir = uuid.uuid4().hex
+            os.makedirs(os.path.join(self._data, batch_dir), exist_ok=True)
+            for pkey, files in sorted(to_fold.items()):
+                merged = self._spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self._data, f) for f in files]
+                )
+                rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(self._data, rel)
+                )
+                new_partitions[pkey] = [rel]
+            new_manifest = {
+                "partitions": new_partitions,
+                "schema_ddl": manifest["schema_ddl"],
+            }
+            try:
+                self._publish(new_manifest, gen)
+            except CommitConflict:
+                shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
+                continue
+            return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def upsert(self, updates: DataFrame) -> int:
         """MERGE: update rows win on key collision, unmatched existing
         rows survive.  Only partitions holding updated keys (on EITHER

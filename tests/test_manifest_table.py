@@ -178,3 +178,41 @@ def should_evolve_schema_across_commits(spark, tmp_path):
     assert after_b == before_b
     # time travel: version 1 predates the column entirely
     assert "lang" not in mt.read(version=1).columns
+
+
+def should_append_blindly_and_compact(spark, tmp_path):
+    """append is the O(batch) ingest path: files accumulate per
+    partition with nothing read or rewritten; compact folds multi-file
+    partitions back to one without changing row content."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))
+    mt.append(_mk(spark, [(2, "a", "y"), (3, "b", "z")]))
+    a_key = next(k for k in mt.partition_files() if '"a"' in k)
+    assert len(mt.partition_files()[a_key]) == 2  # two appended files
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("a", "y"), 3: ("b", "z")}
+
+    v = mt.compact()
+    assert v == 3
+    assert len(mt.partition_files()[a_key]) == 1  # folded
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("a", "y"), 3: ("b", "z")}
+    assert mt.compact() is None  # nothing left to fold
+
+
+def should_delete_where_with_partition_pruning(spark, tmp_path):
+    """delete_where rewrites only partitions holding matching rows;
+    untouched partitions carry by reference, and a fully-deleted
+    partition leaves the manifest."""
+    from pyspark.sql import functions as F
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "c", "w")]))
+    files_before = mt.partition_files()
+    b_key = next(k for k in files_before if '"b"' in k)
+
+    mt.delete_where((F.col("id") == 1) | (F.col("part") == "c"))
+    assert _state(mt.read()) == {2: ("a", "y"), 3: ("b", "z")}
+    files_after = mt.partition_files()
+    assert files_after[b_key] == files_before[b_key]  # untouched, by reference
+    assert not any('"c"' in k for k in files_after)  # fully deleted partition
+    # time travel still sees the pre-delete state
+    assert len(_state(mt.read(version=1))) == 4
