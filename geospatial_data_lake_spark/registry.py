@@ -130,6 +130,10 @@ _PRIORITY: tuple[str, ...] = (
     "ev02_cohort_retention",
     "ev03_rolling_active_users",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
+    # (r5 rotation candidates: the round-4 additions ct01 px01 pk01 mx01
+    # qf01 rep01 rp01 em01 mm04 mm05 — all sf0.01-oracle-verified but
+    # never driver-checked — plus the remaining a/w/o/u/t/tx/dd/geo/j
+    # rows below and the rest of the TPC-H suite)
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",
