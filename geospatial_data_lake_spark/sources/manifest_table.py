@@ -152,6 +152,59 @@ class ManifestTable:
             except (OSError, NotFoundError):
                 pass  # concurrent GC; harmless
 
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Remove data files referenced by NO retained manifest — the
+        leftovers of writers that crashed between writing files and
+        publishing (publish-losers clean up after themselves; a killed
+        process cannot).  ``min_age_seconds`` protects in-flight
+        writers: a file younger than the horizon may belong to a commit
+        that has not published yet, so it is skipped (same contract as
+        Delta's VACUUM retention check).  Returns removed paths."""
+        import time as _time
+
+        referenced: set[str] = set()
+        try:
+            commit_names = os.listdir(self._commits)
+        except FileNotFoundError:
+            commit_names = []
+        for n in commit_names:
+            try:
+                m = self._load_manifest(int(n))
+            except (NotFoundError, ValueError):
+                continue
+            for files in m["partitions"].values():
+                referenced.update(files)
+        removed: list[str] = []
+        horizon = _time.time() - min_age_seconds
+        for dirpath, _dirnames, filenames in os.walk(self._data):
+            for fname in filenames:
+                full = os.path.join(dirpath, fname)
+                rel_dir = os.path.relpath(dirpath, self._data)
+                # data files live as <batch>/<uuid>.parquet/<part files>;
+                # a file is referenced iff some manifest lists an ancestor
+                parts = rel_dir.split(os.sep)
+                anchored = any(
+                    os.sep.join(parts[: i + 1]) in referenced
+                    for i in range(len(parts))
+                )
+                if anchored:
+                    continue
+                try:
+                    if os.stat(full).st_mtime >= horizon:
+                        continue
+                    os.unlink(full)
+                    removed.append(full)
+                except OSError:
+                    pass
+        # sweep now-empty directories bottom-up
+        for dirpath, dirnames, filenames in os.walk(self._data, topdown=False):
+            if dirpath != self._data and not dirnames and not filenames:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return removed
+
     # -- reads -------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         """Latest state, or ``VERSION AS OF version`` — one scan over the

@@ -216,3 +216,33 @@ def should_delete_where_with_partition_pruning(spark, tmp_path):
     assert not any('"c"' in k for k in files_after)  # fully deleted partition
     # time travel still sees the pre-delete state
     assert len(_state(mt.read(version=1))) == 4
+
+
+def should_vacuum_orphaned_files_respecting_age_horizon(spark, tmp_path):
+    """vacuum removes only files no retained manifest references, and
+    only past the age horizon (a young orphan may belong to a writer
+    that has not published yet)."""
+    import os
+    import time
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+
+    # fake a crashed writer: a data batch dir never published
+    orphan_dir = os.path.join(mt.root, "data", "deadbeef", "f.parquet")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    # young orphan survives the horizon
+    assert mt.vacuum(min_age_seconds=3600) == []
+    assert os.path.exists(orphan)
+
+    # age it past the horizon -> removed; referenced files untouched
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = mt.vacuum(min_age_seconds=3600)
+    assert removed == [orphan]
+    assert not os.path.exists(os.path.dirname(orphan))  # empty dirs swept
+    assert _state(mt.read()) == {1: ("a", "x")}  # table intact
