@@ -66,110 +66,125 @@ _LOADED = False
 # the first 50 entries.  The prefix is ROTATED each round: queries proven
 # driver-green at sf0.01 in a prior round step aside (keeping one canary
 # per family so a regression is still externally visible) and
-# never-driver-checked queries move up.  Round-4 prefix: the nine
-# events-timestamp queries broken in r3 (must re-prove green after the
-# tables.py fix), 13 family canaries, then 28 first-time entries (TPC-H
-# suite, scalar F-rows, sampling, recall audits, multimodal decode, event
-# analytics).  Everything not listed keeps its registration order after
-# the prioritized prefix; nothing is ever dropped.
+# never-driver-checked queries move up.  Round-5 prefix: ALL 42 queries
+# that have never had a driver CORRECTNESS row (the r4 curation family,
+# int8 quantization, real PPM/WAV codecs, remaining TPC-H / tx / u / w /
+# a / t rows, f02, dd05, gr01, j08, and the three rows-only ANN/graph
+# ops) plus 8 family canaries.  After this round cumulative driver-green
+# reaches the full registry; r6 should shrink the prefix back to ~25
+# canaries + newest additions.  Everything not listed keeps its
+# registration order after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # r3-ERR events queries — re-prove after the schema-adaptive loader fix
-    "s04_prefix_range_scan",
-    "s05_json_field_source",
-    "p08_schema_validity_predicate",
-    "j09_asof_join",
-    "a07_error_report",
-    "w04_lag_running_sum",
-    "t01_tumbling_window",
-    "f09_json_map_explode",
-    "geo04_point_in_polygon",
-    # family canaries — one r2/r3 driver-green representative each
+    # first driver check: training-data curation family (r4 additions)
+    "ct01_ngram_contamination",
+    "px01_pii_redaction",
+    "pk01_sequence_packing",
+    "mx01_mixture_rebalance",
+    "qf01_quantile_filter",
+    "rep01_boilerplate_ngrams",
+    "rp01_repetition_metrics",
+    # first driver check: embedding quantization + real codecs
+    "em01_int8_quantization",
+    "mm04_ppm_decode_stats",
+    "mm05_wav_features",
+    # first driver check: remaining scalar / dedup / graph / join / stream
+    "f02_href_resolve",
+    "dd05_simhash_pairs",
+    "gr01_triangle_count",
+    "j08_range_join",
+    "t02_sliding_window",
+    "t03_session_window",
+    "w05_range_frame",
+    # first driver check: multiset ops
+    "u04_intersect",
+    "u06_except_all",
+    "u07_intersect_all",
+    # first driver check: sketch/approx aggregates
+    "a09_approx_distinct",
+    "a14_sketch_percentiles",
+    "a15_hll_sketch_partitioned",
+    # first driver check: text analysis
+    "tx02_quality_score",
+    "tx03_language_id",
+    "tx04_length_histogram",
+    "tx05_bigram_frequencies",
+    "tx06_regex_token_count",
+    "tx07_winnowing_fingerprints",
+    "tx08_tfidf_topterms",
+    # first driver check: even-side TPC-H
+    "tpch_q2_min_acctbal_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    # first driver check (rows-only — no SQL-expressible oracle)
+    "ss02_lsh_ann_topk",
+    "ss03_ivf_ann_topk",
+    "pr01_link_pagerank",
+    # family canaries — driver-green in r2-r4, kept externally visible
     "s06_content_digest",  # S + A5/F6 checksum path
     "p07_conjunctive_predicate",  # P
     "j01_lookup_join_broadcast",  # J
     "a04_grouped_collect",  # A
-    "w03_rank_per_group",  # W
-    "o04_topk",  # O
-    "u05_duplicate_consistency",  # U
-    "x04_centroid_udaf",  # X custom aggregate
+    "o04_topk",  # O / W ordering
     "tx01_token_stats",  # text analysis
-    "ss01_cosine_topk",  # ANN
-    "dd04_minhash_lsh_pairs",  # dedup
-    "mm01_blob_metadata",  # multimodal
+    "dd04_minhash_lsh_pairs",  # dedup / ANN
     "geo05_polygon_intersect_pairs",  # spatial / J8
-    # first driver check: TPC-H suite
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # first driver check: scalar F-rows
-    "f01_url_parse",
-    "f04_composite_key_roundtrip",
-    "f05_multihash_decode",
-    "f07_datetime_functions",
-    "f08_version_id_mint",
-    "f11_url_encode",
-    "f12_case_mapping",
-    "f13_rolling_hash",
-    # first driver check: sampling / splits
-    "sm01_hash_bernoulli_sample",
-    "sm02_stratified_sample_counts",
-    "sm03_train_test_split",
-    # first driver check: recall audits, multimodal compute, event analytics
-    "ss02b_lsh_recall_audit",
-    "ss03b_ivf_recall_audit",
-    "pr01b_pagerank_audit",
-    "mm02_decode_features",
-    "mm03_frame_sample",
-    "ev01_funnel_conversion",
-    "ev02_cohort_retention",
-    "ev03_rolling_active_users",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
-    # (r5 rotation candidates: the round-4 additions ct01 px01 pk01 mx01
-    # qf01 rep01 rp01 em01 mm04 mm05 — all sf0.01-oracle-verified but
-    # never driver-checked — plus the remaining a/w/o/u/t/tx/dd/geo/j
-    # rows below and the rest of the TPC-H suite)
+    # (after r5 every registered query has at least one driver-green row;
+    # r6 rotation: shrink prefix to ~25 = one canary per family + any
+    # queries added in r5, per VERDICT r4 item 7)
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",
+    "s04_prefix_range_scan",
+    "s05_json_field_source",
     "s11_pruned_scan",
     "p01_projection_rename",
     "p02_in_list_predicate",
     "p04_regex_predicate",
     "p05_null_predicate",
     "p06_range_predicate",
+    "p08_schema_validity_predicate",
     "j02_fk_chain_join",
     "j03_left_outer_join",
     "j04_semi_join",
     "j05_anti_join",
     "j07_star_join_broadcast",
     "j06_graph_reachability",
+    "j09_asof_join",
     "a01_count_per_group",
     "a02_existence_probe",
     "a03_uniqueness_check",
     "a06_grouped_bool",
+    "a07_error_report",
     "a08_rollup",
     "w01_ordinal_assignment",
     "w02_batch_assignment",
+    "w03_rank_per_group",
+    "w04_lag_running_sum",
     "o01_ordered_iteration",
     "o02_exists_shortcircuit",
     "o03_top1_latest",
     "u01_distinct",
     "u02_union_discriminated",
     "u03_except",
-    "j08_range_join",
+    "u05_duplicate_consistency",
+    "x04_centroid_udaf",
+    "t01_tumbling_window",
+    "f01_url_parse",
+    "f09_json_map_explode",
+    "geo04_point_in_polygon",
+    "ss01_cosine_topk",
+    "mm01_blob_metadata",
     "dd01_exact_dedup_summary",
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
-    "tx07_winnowing_fingerprints",
-    "ss03_ivf_ann_topk",
     "dd07_duplicate_groups",
-    "t03_session_window",
 )
 
 
