@@ -33,6 +33,18 @@ from geospatial_data_lake_spark.tables import tables
 _GRAM_N = 8  # word n-gram width for contamination matching
 
 
+def _gram_starts(tk, n: int):
+    """Start positions (1-based) of every word ``n``-gram in token array
+    ``tk`` — EMPTY when the document is shorter than the gram width.
+    A bare ``sequence(1, greatest(size-n+1, 0))`` is wrong there: Spark
+    infers step -1 for sequence(1, 0), yielding [1, 0], and slice(tk, 0,
+    n) then throws at runtime (DuckDB's generate_series(1, 0) is empty)."""
+    return F.when(
+        F.size(tk) >= F.lit(n),
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
 @register(
     "ct01_ngram_contamination",
     oracle=f"""
@@ -80,7 +92,7 @@ def ct01_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(tk) - (_GRAM_N - 1), F.lit(0))),
+                _gram_starts(tk, _GRAM_N),
                 lambda p: F.concat_ws(" ", F.slice(tk, p, _GRAM_N)),
             )
         ).alias("gram"),
@@ -373,7 +385,7 @@ def rep01_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = t.documents.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(tk) - 4, F.lit(0))),
+                _gram_starts(tk, 5),
                 lambda p: F.concat_ws(" ", F.slice(tk, p, 5)),
             )
         ).alias("gram")
@@ -432,7 +444,7 @@ def rp01_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     tk = F.split(F.col("text"), " ")
     bi = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0))),
+        _gram_starts(tk, 2),
         lambda p: F.concat_ws(" ", F.slice(tk, p, 2)),
     )
     d = (

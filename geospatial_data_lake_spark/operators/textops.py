@@ -177,8 +177,13 @@ def tx05_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tables(spark, sf_dir)
     toks = F.split("text", " ")
+    # the size >= 2 guard matters: sequence(1, 0) is the DESCENDING
+    # [1, 0] in Spark, which would emit NULL bigrams for 1-token docs
+    # (DuckDB's generate_series(1, 0) is empty)
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "transform("
+        "if(size(split(text, ' ')) >= 2,"
+        "   sequence(1, size(split(text, ' ')) - 1), array()), "
         "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
     )
     return (

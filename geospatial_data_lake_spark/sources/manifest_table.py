@@ -1,32 +1,43 @@
 """Manifest-based versioned fact table — O(touched partitions) MERGE
-with snapshot isolation and time travel.
+with snapshot isolation, time travel, and file-level stats pruning.
 
 `sources/versioned.py` gives lake-format semantics to CATALOG tables by
 rewriting the full snapshot per commit — O(table), wrong for facts.
 This module is the FACT-table counterpart, shaped like Iceberg/Delta's
 actual mechanism (ref analog: the dataset-version model pins immutable
-snapshots, backend/dataset_versions/create.py:58-75):
+snapshots, backend/dataset_versions/create.py:58-75; the per-file
+min/max stats mirror the reference's GSI index selection,
+backend/datasets_model.py:27-40):
 
-- Data lives in immutable parquet files under ``data/``; a MANIFEST
-  (one JSON document per version) lists which files constitute each
-  partition of that version.
-- A commit writes only NEW data files for the partitions it touches,
-  then publishes a new manifest that carries forward every untouched
-  partition's existing files BY REFERENCE.  Commit cost is
-  O(touched partitions + manifest), never O(table).
+- Data lives in immutable parquet directories under ``data/``; a
+  MANIFEST (one JSON document per version) lists which files constitute
+  each partition of that version, plus per-file min/max column stats.
+- A commit writes only NEW data files for the partitions it touches —
+  as ONE ``partitionBy`` Spark job per commit, never a per-partition
+  driver loop — then publishes a new manifest that carries forward
+  every untouched partition's existing files BY REFERENCE.  Commit cost
+  is O(touched partitions + manifest) I/O and O(1) Spark jobs.
+- Partition routing uses a canonical derived key column (hex-encoded
+  JSON of the cast-to-string partition values), so NULL and boolean
+  partition values round-trip exactly; the original partition columns
+  stay in the data files, so reads never parse hive paths.
 - Publishing = creating ``commits/<gen>`` with ``O_CREAT|O_EXCL`` (the
   same atomic-create commit point as plans/catalog.py): exactly one
   writer owns each generation; losers re-read the winner's manifest,
   re-merge their delta, and retry — serializable multi-writer MERGE.
 - Readers resolve a manifest once and plan against its immutable file
-  list: snapshot isolation for free, and ``read(version=...)`` is time
-  travel.  Retention GC unlinks data files only when no retained
-  manifest references them.
+  list: snapshot isolation for free, ``read(version=...)`` is time
+  travel, and ``read(where=...)`` skips files whose min/max stats
+  cannot overlap the predicate (data skipping, the Iceberg manifest-
+  pruning analog).  Retention GC removes data files only when no
+  retained manifest references them.
 
 At 100 TB this is the design that actually works: a billion-row upsert
-batch touching 50 of 100k partitions rewrites ~0.05% of the data and
-one small JSON document.  On a real deployment the manifest moves into
-Iceberg/Delta metadata; every call site keeps its shape.
+batch touching 50 of 100k partitions rewrites ~0.05% of the data in one
+shuffle-free write job and one small JSON document, and a point read
+over stats-pruned files touches one partition's files instead of the
+table.  On a real deployment the manifest moves into Iceberg/Delta
+metadata; every call site keeps its shape.
 """
 
 from __future__ import annotations
@@ -38,6 +49,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from geospatial_data_lake_spark.plans.catalog import (
     CommitConflict,
@@ -45,6 +57,23 @@ from geospatial_data_lake_spark.plans.catalog import (
 )
 
 _MAX_RETRIES = 64
+
+# Derived partition-routing column: hex(UTF8(JSON of cast-string values)).
+# Hex keeps directory names safe (no hive escaping, no NULL sentinel) and
+# decodes bijectively back to the partition tuple on the driver.
+_PK_COL = "__mt_pk"
+
+# Column types whose min/max stats are recorded (atomic, orderable, and
+# JSON-round-trippable without precision or timezone ambiguity).
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+)
+_STATS_TYPES = _NUMERIC_TYPES + (T.StringType,)
 
 
 class ManifestTable:
@@ -117,9 +146,10 @@ class ManifestTable:
         self._gc(gen)
 
     def _gc(self, committed_gen: int) -> None:
-        """Drop commits past retention; unlink data files only when no
+        """Drop commits past retention; remove data files only when no
         RETAINED manifest still references them (files are shared across
-        manifests by design)."""
+        manifests by design).  Data entries are Spark output DIRECTORIES,
+        so removal is a recursive delete."""
         try:
             names = sorted(os.listdir(self._commits))
         except FileNotFoundError:
@@ -143,10 +173,9 @@ class ManifestTable:
                     mname = fh.read().strip()
                 for files in m["partitions"].values():
                     for f in set(files) - retained_files:
-                        try:
-                            os.unlink(os.path.join(self._data, f))
-                        except OSError:
-                            pass
+                        shutil.rmtree(
+                            os.path.join(self._data, f), ignore_errors=True
+                        )
                 os.unlink(os.path.join(self._commits, n))
                 os.unlink(os.path.join(self._manifests, mname))
             except (OSError, NotFoundError):
@@ -180,7 +209,7 @@ class ManifestTable:
             for fname in filenames:
                 full = os.path.join(dirpath, fname)
                 rel_dir = os.path.relpath(dirpath, self._data)
-                # data files live as <batch>/<uuid>.parquet/<part files>;
+                # data files live as <batch>/<partition dir>/<part files>;
                 # a file is referenced iff some manifest lists an ancestor
                 parts = rel_dir.split(os.sep)
                 anchored = any(
@@ -205,11 +234,177 @@ class ManifestTable:
                     pass
         return removed
 
+    # -- partition-key codec -----------------------------------------------
+    @staticmethod
+    def _pkey(values: tuple) -> str:
+        """Canonical partition key: JSON list of cast-to-string values
+        (None survives as JSON null — null-safe, unlike str())."""
+        return json.dumps(list(values))
+
+    def _pk_expr(self):
+        """The derived routing column: every row's partition tuple as
+        hex-encoded JSON of the CAST-TO-STRING values.  Using Spark's own
+        cast for both routing and the manifest key makes the two agree by
+        construction (no str(v)-vs-SQL-cast mismatch for booleans), and
+        JSON null keeps NULL partition values addressable."""
+        struct = F.struct(
+            *[F.col(c).cast("string").alias(c) for c in self.partition_by]
+        )
+        return F.hex(
+            F.encode(F.to_json(struct, {"ignoreNullFields": "false"}), "UTF-8")
+        )
+
+    def _pk_from_hex(self, hexv: str) -> str:
+        doc = json.loads(bytes.fromhex(hexv).decode("utf-8"))
+        return self._pkey(tuple(doc.get(c) for c in self.partition_by))
+
+    # -- single-job batch write + stats --------------------------------------
+    def _write_partitioned(self, df: DataFrame, batch_dir: str) -> dict[str, str]:
+        """ONE Spark write job: route ``df`` by the canonical partition
+        key into ``data/<batch_dir>/`` and return {pkey: rel_dir} for
+        every produced partition directory.  ``partitionBy`` strips only
+        the derived routing column; the real partition columns stay in
+        the data files, so readers never parse paths."""
+        out = os.path.join(self._data, batch_dir)
+        (
+            df.withColumn(_PK_COL, self._pk_expr())
+            .write.partitionBy(_PK_COL)
+            .mode("overwrite")
+            .parquet(out)
+        )
+        produced: dict[str, str] = {}
+        prefix = _PK_COL + "="
+        for d in os.listdir(out):
+            if d.startswith(prefix):
+                produced[self._pk_from_hex(d[len(prefix):])] = os.path.join(
+                    batch_dir, d
+                )
+        return produced
+
+    def _stats_columns(self, schema: T.StructType) -> list[str]:
+        wanted = set(self.key_cols) | set(self.partition_by)
+        return [
+            f.name
+            for f in schema.fields
+            if f.name in wanted and isinstance(f.dataType, _STATS_TYPES)
+        ]
+
+    def _collect_stats(self, df: DataFrame) -> dict[str, dict[str, list]]:
+        """{pkey: {col: [min, max]}} for the key/partition columns with
+        orderable atomic types — one aggregation job over the batch.
+        These become the manifest's per-file stats (each commit produces
+        exactly one file per touched partition)."""
+        cols = self._stats_columns(df.schema)
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            df.withColumn(_PK_COL, self._pk_expr())
+            .groupBy(_PK_COL)
+            .agg(*aggs)
+            .collect()
+        )
+        return {
+            self._pk_from_hex(r[_PK_COL]): {
+                c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols
+            }
+            for r in rows
+        }
+
+    def _carry_stats(
+        self,
+        manifest: dict | None,
+        new_partitions: dict[str, list[str]],
+        produced: dict[str, str],
+        batch_stats: dict[str, dict[str, list]],
+    ) -> dict[str, dict[str, list]]:
+        """Per-file stats for the new manifest: carried-forward files
+        keep their recorded stats, produced files take the batch's.
+        Files from pre-stats manifests simply have no entry (readers
+        treat missing stats as non-prunable)."""
+        prior = dict(manifest.get("stats", {})) if manifest else {}
+        live = {f for files in new_partitions.values() for f in files}
+        stats = {f: s for f, s in prior.items() if f in live}
+        for pkey, rel in produced.items():
+            if pkey in batch_stats:
+                stats[rel] = batch_stats[pkey]
+        return stats
+
+    def _merged_schema_ddl(self, batch_schema: T.StructType, manifest: dict | None) -> str:
+        """Union of the prior table schema and the batch schema (batch
+        type wins per field) — a narrower batch must not shrink the
+        recorded table schema after a schema-evolving commit."""
+        batch_fields = {
+            f.name: f.dataType.simpleString() for f in batch_schema.fields
+        }
+        ordered: list[tuple[str, str]] = []
+        if manifest and manifest.get("schema_ddl"):
+            for f in T.StructType.fromDDL(manifest["schema_ddl"]).fields:
+                ordered.append(
+                    (f.name, batch_fields.pop(f.name, f.dataType.simpleString()))
+                )
+        ordered.extend(batch_fields.items())
+        return ", ".join(f"{n} {t}" for n, t in ordered)
+
     # -- reads -------------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def _resolve_files(
+        self, manifest: dict, where: dict | None
+    ) -> list[str]:
+        """The manifest's file list, stats-pruned by ``where``: a file
+        is skipped only when its recorded min/max provably cannot
+        overlap the predicate.  Missing stats -> kept (conservative)."""
+        files = [
+            f for files in manifest["partitions"].values() for f in files
+        ]
+        if not where:
+            return files
+        stats = manifest.get("stats", {})
+        return [f for f in files if _file_overlaps(stats.get(f), where)]
+
+    @staticmethod
+    def _where_condition(where: dict):
+        """The Column predicate equivalent of a ``where`` spec — applied
+        to the pruned scan so results are exact regardless of stats."""
+        cond = F.lit(True)
+        for col, spec in where.items():
+            if isinstance(spec, tuple):
+                lo, hi = spec
+                if lo is not None:
+                    cond = cond & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(col) <= F.lit(hi))
+            else:
+                cond = cond & (F.col(col) == F.lit(spec))
+        return cond
+
+    def planned_files(
+        self, where: dict | None = None, version: int | None = None
+    ) -> list[str]:
+        """The data files a ``read(where=...)`` would scan (for tests
+        and EXPLAIN-style tooling)."""
+        if version is None:
+            _, manifest = self._current()
+            if manifest is None:
+                return []
+        else:
+            manifest = self._load_manifest(version)
+        return self._resolve_files(manifest, where)
+
+    def read(
+        self, version: int | None = None, where: dict | None = None
+    ) -> DataFrame:
         """Latest state, or ``VERSION AS OF version`` — one scan over the
         manifest's immutable file list (snapshot isolation: concurrent
-        commits cannot change the resolved files)."""
+        commits cannot change the resolved files).
+
+        ``where`` is an optional data-skipping spec, ``{col: value}``
+        for equality or ``{col: (lo, hi)}`` for an inclusive range
+        (None = unbounded): files whose recorded min/max cannot overlap
+        are never planned, and the predicate is ALSO applied to the
+        surviving files, so the result equals a full-scan filter."""
         if version is None:
             gen, manifest = self._current()
             if manifest is None:
@@ -218,15 +413,16 @@ class ManifestTable:
             manifest = self._load_manifest(version)
         files = [
             os.path.join(self._data, f)
-            for files in manifest["partitions"].values()
-            for f in files
+            for f in self._resolve_files(manifest, where)
         ]
         if not files:
-            return self._spark.createDataFrame([], manifest["schema_ddl"])
+            df = self._spark.createDataFrame([], manifest["schema_ddl"])
+            return df.filter(self._where_condition(where)) if where else df
         # mergeSchema: partitions carried by reference may predate a
         # schema-evolving commit — older files surface NULL for columns
         # they don't have, the lake-format evolution contract
-        return self._spark.read.option("mergeSchema", "true").parquet(*files)
+        df = self._spark.read.option("mergeSchema", "true").parquet(*files)
+        return df.filter(self._where_condition(where)) if where else df
 
     def current_version(self) -> int:
         return self._current()[0]
@@ -241,58 +437,59 @@ class ManifestTable:
             manifest = self._load_manifest(version)
         return {k: list(v) for k, v in manifest["partitions"].items()}
 
-    # -- writes ------------------------------------------------------------
-    @staticmethod
-    def _pkey(values: tuple) -> str:
-        return json.dumps([str(v) for v in values])
+    def file_stats(self, version: int | None = None) -> dict[str, dict[str, list]]:
+        """The manifest's per-file min/max stats (for tests/tools)."""
+        if version is None:
+            _, manifest = self._current()
+            if manifest is None:
+                return {}
+        else:
+            manifest = self._load_manifest(version)
+        return {k: dict(v) for k, v in manifest.get("stats", {}).items()}
 
+    # -- writes ------------------------------------------------------------
     def append(self, batch: DataFrame) -> int:
-        """Blind append — the O(batch) ingest fast path: write one new
-        file per partition present in the batch and ADD it to that
-        partition's file list; nothing existing is read or rewritten.
-        No key dedup (use ``upsert`` for MERGE semantics).  Appends
-        accumulate files per partition; ``compact`` folds them back."""
+        """Blind append — the O(batch) ingest fast path: ONE write job
+        routes the batch into per-partition files which are ADDed to
+        each partition's file list; nothing existing is read or
+        rewritten.  No key dedup (use ``upsert`` for MERGE semantics).
+        Appends accumulate files per partition; ``compact`` folds them
+        back."""
         batch = batch.localCheckpoint(eager=True)
+        # the batch's files and stats are independent of the manifest
+        # head, so write ONCE; a lost publish race only re-merges the
+        # manifest document.
+        batch_dir = uuid.uuid4().hex
+        produced = self._write_partitioned(batch, batch_dir)
+        batch_stats = self._collect_stats(batch)
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             partitions = dict(manifest["partitions"]) if manifest else {}
-            batch_dir = uuid.uuid4().hex
-            os.makedirs(os.path.join(self._data, batch_dir), exist_ok=True)
-            touched = {
-                self._pkey(tuple(r))
-                for r in batch.select(*self.partition_by).distinct().collect()
-            }
             new_partitions = dict(partitions)
-            for pkey in sorted(touched):
-                values = json.loads(pkey)
-                cond = F.lit(True)
-                for col, val in zip(self.partition_by, values):
-                    cond = cond & (F.col(col).cast("string") == F.lit(val))
-                rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")
-                batch.filter(cond).write.mode("overwrite").parquet(
-                    os.path.join(self._data, rel)
-                )
+            for pkey, rel in produced.items():
                 new_partitions[pkey] = [*new_partitions.get(pkey, []), rel]
             new_manifest = {
                 "partitions": new_partitions,
-                "schema_ddl": ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}"
-                    for f in batch.schema.fields
+                "stats": self._carry_stats(
+                    manifest, new_partitions, produced, batch_stats
                 ),
+                "schema_ddl": self._merged_schema_ddl(batch.schema, manifest),
             }
             try:
                 self._publish(new_manifest, gen)
             except CommitConflict:
-                shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
                 continue
             return gen + 1
+        shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
         raise CommitConflict("manifest-table contention: retries exhausted")
 
     def delete_where(self, condition) -> int:
         """Partition-pruned delete (the GDPR path): scan once to find
-        partitions holding matching rows, rewrite only those without the
-        matches, carry everything else by reference.  A partition whose
-        rows all match disappears from the manifest."""
+        partitions holding matching rows, rewrite only those WITHOUT the
+        matches (ONE write job), carry everything else by reference.  A
+        partition whose rows all match disappears from the manifest.
+        SQL DELETE semantics: only rows where ``condition`` is TRUE are
+        removed — NULL-predicate rows survive."""
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             if manifest is None:
@@ -307,41 +504,48 @@ class ManifestTable:
                 *all_files
             )
             touched = {
-                self._pkey(tuple(r))
+                r.pk
                 for r in current.filter(condition)
-                .select(*self.partition_by)
+                .select(self._pk_expr().alias("pk"))
                 .distinct()
                 .collect()
             }
+            touched = {self._pk_from_hex(h) for h in touched}
             new_partitions = dict(partitions)
             batch_dir = uuid.uuid4().hex
-            os.makedirs(os.path.join(self._data, batch_dir), exist_ok=True)
-            for pkey in sorted(touched):
-                values = json.loads(pkey)
+            produced: dict[str, str] = {}
+            batch_stats: dict[str, dict[str, list]] = {}
+            if touched:
                 old_files = [
-                    os.path.join(self._data, f) for f in partitions[pkey]
+                    os.path.join(self._data, f)
+                    for pkey in touched
+                    for f in partitions[pkey]
                 ]
                 kept = (
                     self._spark.read.option("mergeSchema", "true")
                     .parquet(*old_files)
-                    .filter(~condition)
+                    # DELETE drops TRUE rows only; NULL predicate -> keep
+                    .filter(~F.coalesce(condition, F.lit(False)))
                 )
-                rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")
-                out = os.path.join(self._data, rel)
-                kept.write.mode("overwrite").parquet(out)
-                if self._spark.read.parquet(out).isEmpty():
-                    shutil.rmtree(out, ignore_errors=True)
-                    new_partitions.pop(pkey, None)
-                else:
+                produced = self._write_partitioned(kept, batch_dir)
+                batch_stats = self._collect_stats(kept)
+                for pkey in touched:
+                    new_partitions.pop(pkey, None)  # emptied unless re-produced
+                for pkey, rel in produced.items():
                     new_partitions[pkey] = [rel]
             new_manifest = {
                 "partitions": new_partitions,
+                "stats": self._carry_stats(
+                    manifest, new_partitions, produced, batch_stats
+                ),
                 "schema_ddl": manifest["schema_ddl"],
             }
             try:
                 self._publish(new_manifest, gen)
             except CommitConflict:
-                shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
                 continue
             return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -349,10 +553,11 @@ class ManifestTable:
     def compact(self, min_files: int = 2) -> int | None:
         """Fold every partition holding >= ``min_files`` files into one
         file — the maintenance job that keeps append-heavy tables from
-        degrading scans with tiny files.  Pure rewrite: row content is
-        unchanged, so a concurrent upsert losing to a compaction (or
-        vice versa) just retries as usual.  Returns the new version, or
-        None when nothing needed compacting."""
+        degrading scans with tiny files — as ONE rewrite job across all
+        folded partitions.  Pure rewrite: row content is unchanged, so a
+        concurrent upsert losing to a compaction (or vice versa) just
+        retries as usual.  Returns the new version, or None when nothing
+        needed compacting."""
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             if manifest is None:
@@ -361,122 +566,180 @@ class ManifestTable:
             to_fold = {k: v for k, v in partitions.items() if len(v) >= min_files}
             if not to_fold:
                 return None
-            new_partitions = dict(partitions)
+            merged = self._spark.read.option("mergeSchema", "true").parquet(
+                *[
+                    os.path.join(self._data, f)
+                    for files in to_fold.values()
+                    for f in files
+                ]
+            )
             batch_dir = uuid.uuid4().hex
-            os.makedirs(os.path.join(self._data, batch_dir), exist_ok=True)
-            for pkey, files in sorted(to_fold.items()):
-                merged = self._spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self._data, f) for f in files]
-                )
-                rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")
-                merged.write.mode("overwrite").parquet(
-                    os.path.join(self._data, rel)
-                )
+            produced = self._write_partitioned(merged, batch_dir)
+            batch_stats = self._collect_stats(merged)
+            new_partitions = dict(partitions)
+            for pkey, rel in produced.items():
                 new_partitions[pkey] = [rel]
             new_manifest = {
                 "partitions": new_partitions,
+                "stats": self._carry_stats(
+                    manifest, new_partitions, produced, batch_stats
+                ),
                 "schema_ddl": manifest["schema_ddl"],
             }
             try:
                 self._publish(new_manifest, gen)
             except CommitConflict:
-                shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
                 continue
             return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
+    def _partitions_holding_keys(
+        self, partitions: dict[str, list[str]], updates: DataFrame
+    ) -> set[str]:
+        """Partitions where the update batch's keys CURRENTLY live — the
+        price of keys that can move between partitions.  Skipped
+        entirely (see ``upsert``) when ``key_cols`` subsume
+        ``partition_by``, because such keys provably cannot move."""
+        current_files = [
+            os.path.join(self._data, f)
+            for files in partitions.values()
+            for f in files
+        ]
+        if not current_files:
+            return set()
+        existing = self._spark.read.option("mergeSchema", "true").parquet(
+            *current_files
+        )
+        hexes = {
+            r.pk
+            for r in existing.join(
+                updates.select(*self.key_cols).hint("broadcast"),
+                self.key_cols,
+                "left_semi",
+            )
+            .select(self._pk_expr().alias("pk"))
+            .distinct()
+            .collect()
+        }
+        return {self._pk_from_hex(h) for h in hexes}
+
     def upsert(self, updates: DataFrame) -> int:
         """MERGE: update rows win on key collision, unmatched existing
         rows survive.  Only partitions holding updated keys (on EITHER
-        side of a key's partition move) are rewritten; every other
-        partition is carried forward by file reference.  Serializable
-        under concurrent writers via publish-retry.  Returns the
-        committed version."""
-        updates = updates.dropDuplicates(self.key_cols).localCheckpoint(eager=True)
+        side of a key's partition move) are rewritten — merged and
+        written as ONE job; every other partition is carried forward by
+        file reference.  When the key columns subsume the partition
+        columns (the common fact-table layout) keys cannot move
+        partitions, so the key-location probe over the current table is
+        skipped entirely.  Serializable under concurrent writers via
+        publish-retry.  Returns the committed version."""
+        updates = updates.dropDuplicates(self.key_cols).localCheckpoint(
+            eager=True
+        )
+        keys_pin_partitions = set(self.partition_by) <= set(self.key_cols)
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             partitions = dict(manifest["partitions"]) if manifest else {}
 
             # partitions the update batch lands in
             touched = {
-                self._pkey(tuple(r))
-                for r in updates.select(*self.partition_by).distinct().collect()
+                self._pk_from_hex(r.pk)
+                for r in updates.select(self._pk_expr().alias("pk"))
+                .distinct()
+                .collect()
             }
-            # ... plus partitions where updated keys currently live
-            # (scoped scan: only partitions already known to the manifest)
-            if manifest:
-                current_files = [
-                    os.path.join(self._data, f)
-                    for files in partitions.values()
-                    for f in files
-                ]
-                if current_files:
-                    existing = self._spark.read.parquet(*current_files)
-                    touched |= {
-                        self._pkey(tuple(r))
-                        for r in existing.join(
-                            updates.select(*self.key_cols).hint("broadcast"),
-                            self.key_cols,
-                            "left_semi",
-                        )
-                        .select(*self.partition_by)
-                        .distinct()
-                        .collect()
-                    }
+            # ... plus partitions where updated keys currently live —
+            # unnecessary when keys subsume the partition spec (a key's
+            # partition is a function of the key: it cannot move)
+            if partitions and not keys_pin_partitions:
+                touched |= self._partitions_holding_keys(partitions, updates)
 
-            new_partitions = dict(partitions)
+            old_files = [
+                os.path.join(self._data, f)
+                for pkey in touched
+                for f in partitions.get(pkey, [])
+            ]
+            if old_files:
+                old = self._spark.read.option("mergeSchema", "true").parquet(
+                    *old_files
+                )
+                # anti-join against ALL update keys, not just each
+                # partition's updates: a key that MOVED partitions has
+                # its new row land elsewhere, but its old row here must
+                # still be removed.
+                survivors = old.join(
+                    updates.select(*self.key_cols).hint("broadcast"),
+                    self.key_cols,
+                    "left_anti",
+                )
+                # allowMissingColumns: a schema-evolving commit widens
+                # updates relative to carried-forward files; survivors
+                # take NULL for columns they predate
+                merged = survivors.unionByName(
+                    updates, allowMissingColumns=True
+                )
+            else:
+                merged = updates
+
             batch_dir = uuid.uuid4().hex
-            os.makedirs(os.path.join(self._data, batch_dir), exist_ok=True)
-            for pkey in sorted(touched):
-                values = json.loads(pkey)
-                cond = F.lit(True)
-                for col, val in zip(self.partition_by, values):
-                    cond = cond & (F.col(col).cast("string") == F.lit(val))
-                part_updates = updates.filter(cond)
-                old_files = [
-                    os.path.join(self._data, f) for f in partitions.get(pkey, [])
-                ]
-                if old_files:
-                    old = self._spark.read.parquet(*old_files)
-                    # anti-join against ALL update keys, not just this
-                    # partition's updates: a key that MOVED partitions has
-                    # its new row land elsewhere, but its old row here must
-                    # still be removed.
-                    survivors = old.join(
-                        updates.select(*self.key_cols).hint("broadcast"),
-                        self.key_cols,
-                        "left_anti",
-                    )
-                    # allowMissingColumns: a schema-evolving commit widens
-                    # updates relative to carried-forward files; survivors
-                    # take NULL for columns they predate
-                    merged = survivors.unionByName(
-                        part_updates, allowMissingColumns=True
-                    )
-                else:
-                    merged = part_updates
-                rel = os.path.join(batch_dir, f"{uuid.uuid4().hex}.parquet")
-                out = os.path.join(self._data, rel)
-                merged.write.mode("overwrite").parquet(out)
-                # an empty merged partition (all rows moved away) keeps no files
-                if self._spark.read.parquet(out).isEmpty():
-                    shutil.rmtree(out, ignore_errors=True)
-                    new_partitions.pop(pkey, None)
-                else:
-                    new_partitions[pkey] = [rel]
+            produced = self._write_partitioned(merged, batch_dir)
+            batch_stats = self._collect_stats(merged)
+            new_partitions = dict(partitions)
+            for pkey in touched:
+                new_partitions.pop(pkey, None)  # emptied unless re-produced
+            for pkey, rel in produced.items():
+                new_partitions[pkey] = [rel]
 
             new_manifest = {
                 "partitions": new_partitions,
-                "schema_ddl": ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}"
-                    for f in updates.schema.fields
+                "stats": self._carry_stats(
+                    manifest, new_partitions, produced, batch_stats
                 ),
+                "schema_ddl": self._merged_schema_ddl(updates.schema, manifest),
             }
             try:
                 self._publish(new_manifest, gen)
             except CommitConflict:
                 # losers' freshly written files become garbage; drop them
-                shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
                 continue
             return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
+
+
+def _file_overlaps(file_stats: dict | None, where: dict) -> bool:
+    """Conservative min/max overlap test: prune a file only when some
+    ``where`` column's recorded [min, max] provably excludes every
+    requested value.  Missing stats, NULL bounds, or cross-type
+    comparisons keep the file."""
+    if not file_stats:
+        return True
+    for col, spec in where.items():
+        bounds = file_stats.get(col)
+        if not bounds:
+            continue
+        mn, mx = bounds
+        if mn is None or mx is None:
+            continue
+        lo, hi = spec if isinstance(spec, tuple) else (spec, spec)
+        if lo is not None and _safe_lt(mx, lo):
+            return False
+        if hi is not None and _safe_lt(hi, mn):
+            return False
+    return True
+
+
+def _safe_lt(a, b) -> bool:
+    """a < b when both are comparable (both numeric or both str); any
+    type mismatch compares as 'unknown' -> False (never prunes)."""
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return a < b
+    if isinstance(a, str) and isinstance(b, str):
+        return a < b
+    return False

@@ -114,12 +114,15 @@ class VersionedTable:
 
     def delete_where(self, condition) -> int:
         """MERGE ... WHEN MATCHED THEN DELETE analog: drop rows matching
-        ``condition`` (a Column predicate) as a new version."""
+        ``condition`` (a Column predicate) as a new version.  SQL DELETE
+        removes only rows where the predicate is TRUE — rows where it
+        evaluates to NULL survive (hence the coalesce, not a bare NOT)."""
+        from pyspark.sql import functions as F
 
         def drop(existing: DataFrame | None) -> DataFrame:
             if existing is None:
                 raise NotFoundError(f"table never committed: {self._table.root}")
-            return existing.filter(~condition)
+            return existing.filter(~F.coalesce(condition, F.lit(False)))
 
         return self._commit_with_retry(drop)
 

@@ -246,3 +246,198 @@ def should_vacuum_orphaned_files_respecting_age_horizon(spark, tmp_path):
     assert removed == [orphan]
     assert not os.path.exists(os.path.dirname(orphan))  # empty dirs swept
     assert _state(mt.read()) == {1: ("a", "x")}  # table intact
+
+
+def should_physically_remove_expired_unreferenced_files(spark, tmp_path):
+    """Retention GC must actually reclaim disk: a data file referenced
+    ONLY by expired versions is removed (data entries are parquet
+    directories, so removal is recursive)."""
+    import os
+
+    mt = _table(spark, tmp_path, keep_versions=2)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))  # v1
+    v1_files = mt.partition_files()
+    a_key = next(k for k in v1_files if '"a"' in k)
+    b_key = next(k for k in v1_files if '"b"' in k)
+    v1_a = os.path.join(mt.root, "data", v1_files[a_key][0])
+    v1_b = os.path.join(mt.root, "data", v1_files[b_key][0])
+
+    mt.upsert(_mk(spark, [(1, "a", "x2")]))  # v2 rewrites 'a'
+    mt.upsert(_mk(spark, [(1, "a", "x3")]))  # v3 -> v1 expires
+    # v1's 'a' file is referenced by no retained manifest -> gone
+    assert not os.path.exists(v1_a)
+    # v1's 'b' file is still referenced by v2/v3 (carried) -> kept
+    assert os.path.exists(v1_b)
+    assert _state(mt.read()) == {1: ("a", "x3"), 2: ("b", "y")}
+
+
+def should_keep_null_predicate_rows_on_delete(spark, tmp_path):
+    """SQL DELETE removes only rows where the predicate is TRUE: rows
+    where it evaluates to NULL must survive — including in partitions
+    that get rewritten because sibling rows matched."""
+    from pyspark.sql import functions as F
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", None), (3, "b", None), (4, "b", "x")],
+            "id long, part string, v string",
+        )
+    )
+    mt.delete_where(F.col("v") == "x")
+    # id=2 (NULL predicate, rewritten partition 'a') and id=3 (NULL
+    # predicate, rewritten partition 'b') both survive
+    assert _state(mt.read()) == {2: ("a", None), 3: ("b", None)}
+
+
+def should_roundtrip_null_and_boolean_partition_values(spark, tmp_path):
+    """NULL and boolean partition values must survive append/upsert/
+    delete — the str(v)-vs-SQL-cast mismatch ('None' vs NULL, 'True' vs
+    'true') used to silently drop these rows."""
+    from pyspark.sql import functions as F
+
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt_nb"),
+        key_cols=["id"],
+        partition_by=["flag"],
+    )
+    df = spark.createDataFrame(
+        [(1, True, "t"), (2, False, "f"), (3, None, "n")],
+        "id long, flag boolean, v string",
+    )
+    mt.append(df)
+    got = {r.id: (r.flag, r.v) for r in mt.read().collect()}
+    assert got == {1: (True, "t"), 2: (False, "f"), 3: (None, "n")}
+    assert len(mt.partition_files()) == 3  # one partition each, incl. NULL
+
+    # upsert into the boolean and NULL partitions
+    mt.upsert(
+        spark.createDataFrame(
+            [(1, True, "t2"), (3, None, "n2")],
+            "id long, flag boolean, v string",
+        )
+    )
+    got = {r.id: (r.flag, r.v) for r in mt.read().collect()}
+    assert got == {1: (True, "t2"), 2: (False, "f"), 3: (None, "n2")}
+
+    # delete out of the NULL partition
+    mt.delete_where(F.col("id") == 3)
+    got = {r.id: (r.flag, r.v) for r in mt.read().collect()}
+    assert got == {1: (True, "t2"), 2: (False, "f")}
+
+
+def should_not_shrink_schema_on_narrow_append(spark, tmp_path):
+    """A narrower batch after a schema-evolving upsert must not shrink
+    the recorded table schema (union-of-fields, as lake formats do)."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    mt.upsert(
+        spark.createDataFrame(
+            [(2, "b", "y", "en")], "id long, part string, v string, lang string"
+        )
+    )
+    mt.append(_mk(spark, [(3, "c", "z")]))  # narrower than the table
+    _, manifest = mt._current()
+    assert "lang" in manifest["schema_ddl"]
+    rows = {r.id: r.lang for r in mt.read().collect()}
+    assert rows == {1: None, 2: "en", 3: None}
+
+
+def should_commit_with_constant_job_count(spark, tmp_path):
+    """Commit latency must be O(1) Spark jobs, not O(touched
+    partitions): an append touching 12 partitions runs the same number
+    of jobs as one touching 2 (one partitionBy write + one stats agg +
+    the checkpoint), never a per-partition write loop."""
+
+    def jobs_for(label, rows):
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / f"mt_{label}"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup(label, label)
+        try:
+            mt.append(_mk(spark, rows))
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(label))
+
+    small = jobs_for("append-2p", [(i, f"p{i}", "v") for i in range(2)])
+    large = jobs_for("append-12p", [(i, f"p{i}", "v") for i in range(12)])
+    assert large <= small, (small, large)
+
+
+def should_skip_key_location_probe_when_keys_pin_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """When key_cols subsume partition_by a key cannot move partitions,
+    so upsert must not scan the table for key locations; when they
+    don't, the probe must run (partition moves depend on it)."""
+
+    def boom(self, partitions, updates):
+        raise AssertionError("key-location probe must be skipped")
+
+    # keys pin partitions: key (part, id) ⊇ partition (part)
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt_pin"), key_cols=["part", "id"],
+        partition_by=["part"],
+    )
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    monkeypatch.setattr(ManifestTable, "_partitions_holding_keys", boom)
+    mt.upsert(_mk(spark, [(1, "a", "x2")]))  # must not probe
+    assert _state(mt.read()) == {1: ("a", "x2"), 2: ("b", "y")}
+    monkeypatch.undo()
+
+    # keys do NOT pin partitions: the probe is required and called
+    called = []
+    orig = ManifestTable._partitions_holding_keys
+
+    def spy(self, partitions, updates):
+        called.append(1)
+        return orig(self, partitions, updates)
+
+    mt2 = _table(spark, tmp_path)  # key id, partition part
+    mt2.upsert(_mk(spark, [(1, "a", "x")]))
+    monkeypatch.setattr(ManifestTable, "_partitions_holding_keys", spy)
+    mt2.upsert(_mk(spark, [(1, "b", "moved")]))
+    assert called
+    assert _state(mt2.read()) == {1: ("b", "moved")}
+
+
+def should_prune_files_by_minmax_stats(spark, tmp_path):
+    """Commits record per-file min/max for key+partition columns; a
+    read(where=...) plans a strict subset of files and still returns
+    exactly what a full-scan filter would."""
+    mt = _table(spark, tmp_path)
+    # three partitions with disjoint id ranges
+    mt.upsert(
+        _mk(
+            spark,
+            [(i, "a", f"v{i}") for i in range(0, 10)]
+            + [(i, "b", f"v{i}") for i in range(100, 110)]
+            + [(i, "c", f"v{i}") for i in range(200, 210)],
+        )
+    )
+    all_files = mt.planned_files()
+    assert len(all_files) == 3
+    # point read on id -> only partition 'b' files survive pruning
+    pruned = mt.planned_files(where={"id": 105})
+    assert len(pruned) == 1
+    assert set(pruned) < set(all_files)
+    assert _state(mt.read(where={"id": 105})) == {105: ("b", "v105")}
+    # range read spanning two partitions
+    pruned2 = mt.planned_files(where={"id": (5, 105)})
+    assert len(pruned2) == 2
+    got = _state(mt.read(where={"id": (5, 105)}))
+    assert got == {
+        **{i: ("a", f"v{i}") for i in range(5, 10)},
+        **{i: ("b", f"v{i}") for i in range(100, 106)},
+    }
+    # partition-column equality prunes too
+    assert len(mt.planned_files(where={"part": "c"})) == 1
+    # stats survive carry-forward: touch only 'a', then prune on 'c'
+    mt.upsert(_mk(spark, [(0, "a", "v0x")]))
+    assert len(mt.planned_files(where={"id": 205})) == 1

@@ -322,3 +322,33 @@ def should_decode_wav_payloads_faithfully():
     ])
     with pytest.raises(ValueError):
         decode_wav(stereo)  # stereo unsupported
+
+
+def should_derive_ngrams_from_short_documents_without_crashing(spark):
+    """Documents shorter than the gram width must yield ZERO grams —
+    sequence(1, 0) in Spark is the DESCENDING [1, 0], and slice(tk, 0,
+    n) throws; the _gram_starts guard makes the position list empty
+    (matching DuckDB's empty generate_series(1, 0))."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.operators.pipeline_ops import _gram_starts
+
+    df = spark.createDataFrame(
+        [("one two three four five",), ("one two",), ("one",), ("",)],
+        "text string",
+    )
+    tk = F.split(F.col("text"), " ")
+    grams = df.select(
+        F.transform(
+            _gram_starts(tk, 5),
+            lambda p: F.concat_ws(" ", F.slice(tk, p, 5)),
+        ).alias("g")
+    ).collect()
+    assert [len(r.g) for r in grams] == [1, 0, 0, 0]
+    # bigram variant (rp01's shape): a 1-token doc has no bigrams
+    bi = df.select(
+        F.transform(
+            _gram_starts(tk, 2), lambda p: F.concat_ws(" ", F.slice(tk, p, 2))
+        ).alias("g")
+    ).collect()
+    assert [len(r.g) for r in bi] == [4, 1, 0, 0]

@@ -75,3 +75,16 @@ def should_serialize_concurrent_upsert_writers(spark, tmp_path):
     final = VersionedTable(spark, root)
     assert _state(final.read()) == {i: f"w{i}" for i in range(n)}
     assert final.current_version() == n
+
+
+def should_keep_null_predicate_rows_on_delete(spark, tmp_path):
+    """SQL DELETE removes only TRUE-predicate rows: a NULL predicate
+    (e.g. comparing a NULL column) must not delete the row."""
+    vt = VersionedTable(spark, str(tmp_path / "vt_null"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y")], "id long, v string"
+        )
+    )
+    vt.delete_where(F.col("v") == "x")
+    assert {r.id: r.v for r in vt.read().collect()} == {2: None, 3: "y"}
