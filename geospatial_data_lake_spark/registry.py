@@ -125,12 +125,13 @@ _PRIORITY: tuple[str, ...] = (
     "ss02_lsh_ann_topk",
     "ss03_ivf_ann_topk",
     "pr01_link_pagerank",
+    # first driver check: skew primitives (new in r5)
+    "sk01_salted_hotkey_agg",
+    "sk02_salted_dim_join",
     # family canaries — driver-green in r2-r4, kept externally visible
     "s06_content_digest",  # S + A5/F6 checksum path
-    "p07_conjunctive_predicate",  # P
-    "j01_lookup_join_broadcast",  # J
+    "j01_lookup_join_broadcast",  # J + P pushdown
     "a04_grouped_collect",  # A
-    "o04_topk",  # O / W ordering
     "tx01_token_stats",  # text analysis
     "dd04_minhash_lsh_pairs",  # dedup / ANN
     "geo05_polygon_intersect_pairs",  # spatial / J8
@@ -208,6 +209,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             scans,
             setops,
             similarity,
+            skew,
             sorts,
             streaming_queries,
             textops,

@@ -331,3 +331,22 @@ def should_not_expand_sketches_with_distinct_aggregates(spark, registry, sf_dir)
     assert "Expand" not in before_join or "Expand" not in plan.split(
         "BroadcastHashJoin"
     )[1], plan
+
+
+def should_aggregate_hot_keys_in_two_salted_stages(spark, registry, sf_dir):
+    """sk01 must show the salted two-stage shape: a shuffle keyed on
+    (event_type, __salt) feeding the stage-1 aggregate, then the final
+    merge keyed on event_type alone — never one exchange straight to a
+    per-key reduce."""
+    plan = _plan(spark, registry, "sk01_salted_hotkey_agg", sf_dir)
+    assert "__salt" in plan, plan
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("__salt" in l for l in exchanges), plan
+
+
+def should_join_hot_probe_keys_with_salt(spark, registry, sf_dir):
+    """sk02's join key must include the salt (the hot-key spread), and
+    the probe-side event_id bound must reach the parquet scan."""
+    plan = _plan(spark, registry, "sk02_salted_dim_join", sf_dir)
+    assert "__salt" in plan, plan
+    assert "PushedFilters" in plan and "LessThan(event_id" in plan, plan
