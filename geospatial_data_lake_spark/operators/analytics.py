@@ -270,6 +270,57 @@ def ev03_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oriented_copurchase_edges(t) -> DataFrame:
+    """The co-purchase edge list, DEGREE-ORIENTED: each undirected edge
+    {u, v} is stored exactly once, pointing from the lower-(degree, id)
+    endpoint to the higher (compact-forward / degeneracy ordering).
+    Every out-neighborhood is then O(sqrt(m)), so the wedge join's
+    volume — sum over vertices of C(outdeg, 2) — is minimized even on
+    hub-heavy graphs, where an id-ordered orientation lets a mid-id hub
+    fan out to its full degree.  Columns: src, dst, dst_d (the dst's
+    degree, carried so wedge endpoints can be rank-compared in-row).
+
+    Edge build is bounded fanout: (order, part) dedup first, then a
+    per-order self-join emits at most C(k, 2) pairs per order (k =
+    lines per order, small and bounded by the schema).  The degree
+    table is one row per vertex — tiny next to the edge list — and
+    broadcasts."""
+    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = e.join(
+        F.broadcast(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du")),
+        "u",
+    ).join(
+        F.broadcast(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv")),
+        "v",
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+    )
+
+
 @register(
     "gr01_triangle_count",
     oracle="""
@@ -287,36 +338,36 @@ def ev03_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gr01_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the co-purchase graph (parts sharing an
-    order).  Edge build is bounded fanout: (order, part) dedup first,
-    then a per-order self-join emits at most C(k,2) pairs per order (k
-    = lines per order, small and bounded by the schema).  Counting uses
-    the ordered-edge identity — every edge stored as u < v, triangles
-    found as e1=(a,b) x e2=(b,c) x e3=(a,c) — so each triangle is
-    produced exactly once and no orientation dedup pass is needed.
-    Both triangle joins are vertex-keyed shuffles; at 100 TB the wedge
-    join (e1 x e2) dominates and AQE's skew split handles hub vertices
-    (the classic refinement — degeneracy-ordering the edges — drops in
-    here if hubs exceed what skew-splitting absorbs)."""
+    order), via degree-oriented (compact-forward) edges: every triangle
+    {x, y, z} with rank x < y < z has all three edges pointing up-rank,
+    so it is found exactly once as the wedge (x→y, x→z), rank(y) <
+    rank(z), closed by the edge y→z — no orientation dedup pass.
+
+    Scale shape: the wedge join is the dominant cost of any triangle
+    count; degree orientation bounds each out-neighborhood by
+    O(sqrt(m)), so hub vertices cannot fan out quadratically (the
+    id-ordered variant's failure mode — a mid-id hub emits C(deg, 2)
+    wedges).  The fixture's co-purchase graph is near-regular, so the
+    measured cut there is modest (~1.15×, pinned in
+    tests/test_plan_shapes.py); the point of the orientation is the
+    WORST-CASE guarantee — on a power-law graph the id-ordered wedge
+    volume is unbounded per hub while this stays O(m^1.5) total.  Both
+    triangle joins stay vertex-keyed shuffles; the degree table
+    broadcasts.  The oracle keeps the naive ordered-edge SQL — same
+    count, replayable in DuckDB."""
     t = tables(spark, sf_dir)
-    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
+    o = _oriented_copurchase_edges(t)
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    rank_lt = (F.col("o1.dst_d") < F.col("o2.dst_d")) | (
+        (F.col("o1.dst_d") == F.col("o2.dst_d"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & rank_lt)
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            o3,
+            (F.col("o3.src") == F.col("o1.dst"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

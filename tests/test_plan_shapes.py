@@ -350,3 +350,43 @@ def should_join_hot_probe_keys_with_salt(spark, registry, sf_dir):
     plan = _plan(spark, registry, "sk02_salted_dim_join", sf_dir)
     assert "__salt" in plan, plan
     assert "PushedFilters" in plan and "LessThan(event_id" in plan, plan
+
+
+def should_orient_triangle_edges_by_degree(spark, registry, sf_dir):
+    """gr01's edges must be degree-oriented: total wedge volume
+    (sum over vertices of C(outdeg, 2)) no worse than the id-ordered
+    orientation, and the degree table must broadcast — the guarantee
+    that hub vertices cannot fan out quadratically in the wedge join."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.operators.analytics import (
+        _oriented_copurchase_edges,
+    )
+    from geospatial_data_lake_spark.tables import tables
+
+    t = tables(spark, sf_dir)
+
+    def wedge_volume(edges, src_col):
+        return (
+            edges.groupBy(src_col)
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("w"))
+            .collect()[0]
+            .w
+        )
+
+    oriented = _oriented_copurchase_edges(t)
+    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    id_ordered = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    assert wedge_volume(oriented, "src") < wedge_volume(id_ordered, "u")
+    plan = _plan(spark, registry, "gr01_triangle_count", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
