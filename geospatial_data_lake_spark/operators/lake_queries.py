@@ -1,0 +1,109 @@
+"""Registered queries driving the manifest-table lake engine end-to-end.
+
+The versioned-storage subsystems (sources/manifest_table.py,
+sources/versioned.py) are protocol-tested locally but — being stateful
+engines rather than pure queries — never had an external correctness
+row.  These queries close that gap: each one materializes a fresh
+ManifestTable from the fixture data, drives a real commit sequence
+(append -> MERGE -> partition-pruned delete), and returns a read whose
+expected content is plain SQL over the same fixture, so the driver's
+DuckDB gate checks the whole write/read path — manifest publishing,
+single-job partitioned commits, NULL-safe partition routing, stats
+pruning, snapshot isolation, and time travel — not just the operators.
+
+Each invocation builds into a fresh private temp directory (a registered
+query must be re-runnable; the table is a few fixture-MB and the dirs
+are OS-temp, reaped with the machine).  Ref analog: the dataset-version
+lifecycle create->update->read, backend/dataset_versions/create.py:58-75.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
+from geospatial_data_lake_spark.tables import tables
+
+_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """orders -> manifest table, through the full commit sequence:
+    blind append of the base data, a MERGE doubling every 100th order's
+    price, and a partition-pruned delete of 'F'-status orders ending in
+    3.  Partitioned by o_orderpriority (5 partitions), keyed by
+    o_orderkey — keys do NOT subsume the partition spec, so the upsert
+    exercises the key-location probe path."""
+    t = tables(spark, sf_dir)
+    base = t.orders.select(*_COLS)
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_q_"),
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    mt.append(base)  # v1
+    mt.upsert(  # v2: MERGE — update rows win on key collision
+        base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    mt.delete_where(  # v3: TRUE-predicate rows only
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 3)
+    )
+    return mt
+
+
+@register(
+    "vs01_manifest_merge_roundtrip",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM merged
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+          AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("lake", "manifest", "merge", "S8-analog"),
+)
+def vs01_manifest_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append + MERGE + delete into a manifest table, read back with a
+    stats-pruned partition filter — the result must equal the same
+    mutations replayed as plain SQL over the fixture.
+
+    The ``where`` read plans only the files whose recorded min/max
+    overlap o_orderpriority = '1-URGENT' (one partition of five) and
+    re-applies the predicate, so correctness never depends on the
+    stats; the doubled price is exact in binary floating point (×2), so
+    the comparison is bit-strict."""
+    mt = _build_lake(spark, sf_dir)
+    return mt.read(where={"o_orderpriority": "1-URGENT"}).select(*_COLS)
+
+
+@register(
+    "vs02_manifest_time_travel",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority = '5-LOW'
+    """,
+    tags=("lake", "manifest", "time-travel"),
+)
+def vs02_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VERSION AS OF 1`` after two further mutating commits: the
+    snapshot read resolves version 1's immutable file list, so the
+    MERGE (v2) and DELETE (v3) must be invisible — the result is the
+    original append, i.e. the fixture itself.  The ``where`` also
+    proves stats pruning against a HISTORICAL manifest, not just the
+    head version."""
+    mt = _build_lake(spark, sf_dir)
+    return mt.read(version=1, where={"o_orderpriority": "5-LOW"}).select(*_COLS)

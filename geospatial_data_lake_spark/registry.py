@@ -125,14 +125,15 @@ _PRIORITY: tuple[str, ...] = (
     "ss02_lsh_ann_topk",
     "ss03_ivf_ann_topk",
     "pr01_link_pagerank",
-    # first driver check: skew primitives (new in r5)
+    # first driver check: skew primitives + manifest lake engine (new in r5)
     "sk01_salted_hotkey_agg",
     "sk02_salted_dim_join",
+    "vs01_manifest_merge_roundtrip",
+    "vs02_manifest_time_travel",
     # family canaries — driver-green in r2-r4, kept externally visible
+    # (tx/a families are covered by their first-timer rows above)
     "s06_content_digest",  # S + A5/F6 checksum path
     "j01_lookup_join_broadcast",  # J + P pushdown
-    "a04_grouped_collect",  # A
-    "tx01_token_stats",  # text analysis
     "dd04_minhash_lsh_pairs",  # dedup / ANN
     "geo05_polygon_intersect_pairs",  # spatial / J8
     # --- 50-entry mark; proven rows retired from the checked prefix ---
@@ -203,6 +204,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             filters,
             geo,
             joins,
+            lake_queries,
             multimodal,
             pipeline_ops,
             sampling,

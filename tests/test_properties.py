@@ -351,3 +351,87 @@ def should_mint_unique_ids_across_threads():
     # mint order (lock acquisition order) is arbitrary across workers;
     # the guarantee is zero collisions within the shared millisecond
     assert len(set(ids)) == 400
+
+
+# -- manifest-table model check ----------------------------------------------
+
+_mt_row = st.tuples(
+    st.integers(0, 9),  # id
+    st.sampled_from(["p0", "p1", None]),  # partition (NULL included)
+    st.integers(0, 99),  # v
+)
+
+_mt_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(_mt_row, min_size=1, max_size=4)),
+    st.tuples(
+        st.just("upsert"),
+        st.lists(_mt_row, min_size=1, max_size=4, unique_by=lambda r: r[0]),
+    ),
+    st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 3)),
+    st.tuples(st.just("compact")),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_mt_op, min_size=1, max_size=5))
+def should_manifest_table_match_multiset_model(spark, ops):
+    """Model check: any sequence of append/upsert/delete/compact leaves
+    the manifest table holding exactly the multiset a trivial in-memory
+    model predicts — and every intermediate version stays readable as
+    its own historical snapshot (time travel over the whole history)."""
+    import tempfile
+
+    from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
+
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_mt_prop_"),
+        key_cols=["id"],
+        partition_by=["part"],
+    )
+    model: list[tuple] = []  # multiset of (id, part, v)
+    snapshots: dict[int, list[tuple]] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, part string, v long")
+
+    for op in ops:
+        if op[0] == "append":
+            v = mt.append(df_of(op[1]))
+            model = model + list(op[1])
+        elif op[0] == "upsert":
+            v = mt.upsert(df_of(op[1]))
+            keys = {r[0] for r in op[1]}
+            model = [r for r in model if r[0] not in keys] + list(op[1])
+        elif op[0] == "delete":
+            _, m, rem = op
+            if mt.current_version() == 0:  # delete before any commit
+                import pytest
+
+                from geospatial_data_lake_spark.plans.catalog import (
+                    NotFoundError,
+                )
+
+                with pytest.raises(NotFoundError):
+                    mt.delete_where(F.col("id") % m == rem)
+                continue
+            v = mt.delete_where(F.col("id") % m == rem)
+            model = [r for r in model if r[0] % m != rem]
+        else:
+            v = mt.compact()
+            if v is None:
+                continue
+        snapshots[v] = list(model)
+
+    if not snapshots:  # every op skipped (delete before first commit)
+        assert mt.current_version() == 0
+        return
+    canon = repr  # None/str mix is not <-comparable; repr is a total order
+    got = sorted((tuple(r) for r in mt.read().collect()), key=canon)
+    assert got == sorted(snapshots[max(snapshots)], key=canon), ops
+    for v, snap in snapshots.items():
+        at_v = sorted(
+            (tuple(r) for r in mt.read(version=v).collect()), key=canon
+        )
+        assert at_v == sorted(snap, key=canon), (ops, v)
