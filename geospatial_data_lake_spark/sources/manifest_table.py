@@ -289,6 +289,22 @@ class ManifestTable:
             if f.name in wanted and isinstance(f.dataType, _STATS_TYPES)
         ]
 
+    def _collect_stats_for_batch(
+        self, batch_dir: str
+    ) -> dict[str, dict[str, list]]:
+        """Stats for a just-written batch, computed by scanning the
+        produced files — strictly cheaper than re-evaluating the commit's
+        input plan (an upsert's input includes the survivor anti-join)."""
+        out = os.path.join(self._data, batch_dir)
+        try:
+            df = self._spark.read.option("mergeSchema", "true").parquet(out)
+        except Exception:  # empty batch: no files were produced
+            return {}
+        # path-based partition discovery may surface the routing column;
+        # the real partition columns are in the files — recompute from them
+        df = df.drop(_PK_COL)
+        return self._collect_stats(df)
+
     def _collect_stats(self, df: DataFrame) -> dict[str, dict[str, list]]:
         """{pkey: {col: [min, max]}} for the key/partition columns with
         orderable atomic types — one aggregation job over the batch.
@@ -461,7 +477,7 @@ class ManifestTable:
         # manifest document.
         batch_dir = uuid.uuid4().hex
         produced = self._write_partitioned(batch, batch_dir)
-        batch_stats = self._collect_stats(batch)
+        batch_stats = self._collect_stats_for_batch(batch_dir)
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             partitions = dict(manifest["partitions"]) if manifest else {}
@@ -528,7 +544,7 @@ class ManifestTable:
                     .filter(~F.coalesce(condition, F.lit(False)))
                 )
                 produced = self._write_partitioned(kept, batch_dir)
-                batch_stats = self._collect_stats(kept)
+                batch_stats = self._collect_stats_for_batch(batch_dir)
                 for pkey in touched:
                     new_partitions.pop(pkey, None)  # emptied unless re-produced
                 for pkey, rel in produced.items():
@@ -575,7 +591,7 @@ class ManifestTable:
             )
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(merged, batch_dir)
-            batch_stats = self._collect_stats(merged)
+            batch_stats = self._collect_stats_for_batch(batch_dir)
             new_partitions = dict(partitions)
             for pkey, rel in produced.items():
                 new_partitions[pkey] = [rel]
@@ -686,7 +702,7 @@ class ManifestTable:
 
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(merged, batch_dir)
-            batch_stats = self._collect_stats(merged)
+            batch_stats = self._collect_stats_for_batch(batch_dir)
             new_partitions = dict(partitions)
             for pkey in touched:
                 new_partitions.pop(pkey, None)  # emptied unless re-produced
