@@ -30,6 +30,11 @@ from geospatial_data_lake_spark.tables import tables
 
 _COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 
+# one build per (session, fixture): vs01 and vs02 read different versions
+# of the SAME immutable history, so they can share a table — every
+# version is snapshot-isolated by construction
+_BUILT: dict[tuple[int, str], ManifestTable] = {}
+
 
 def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     """orders -> manifest table, through the full commit sequence:
@@ -38,6 +43,9 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     3.  Partitioned by o_orderpriority (5 partitions), keyed by
     o_orderkey — keys do NOT subsume the partition spec, so the upsert
     exercises the key-location probe path."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _BUILT:
+        return _BUILT[cache_key]
     t = tables(spark, sf_dir)
     base = t.orders.select(*_COLS)
     mt = ManifestTable(
@@ -55,6 +63,7 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     mt.delete_where(  # v3: TRUE-predicate rows only
         (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 3)
     )
+    _BUILT[cache_key] = mt
     return mt
 
 

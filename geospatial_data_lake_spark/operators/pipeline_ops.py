@@ -25,24 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geospatial_data_lake_spark.operators.textops import (
+    gram_starts as _gram_starts,  # short-document-safe n-gram positions
+)
 from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.tables import tables
 
 # -- ct01: benchmark contamination --------------------------------------------
 
 _GRAM_N = 8  # word n-gram width for contamination matching
-
-
-def _gram_starts(tk, n: int):
-    """Start positions (1-based) of every word ``n``-gram in token array
-    ``tk`` — EMPTY when the document is shorter than the gram width.
-    A bare ``sequence(1, greatest(size-n+1, 0))`` is wrong there: Spark
-    infers step -1 for sequence(1, 0), yielding [1, 0], and slice(tk, 0,
-    n) then throws at runtime (DuckDB's generate_series(1, 0) is empty)."""
-    return F.when(
-        F.size(tk) >= F.lit(n),
-        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
 
 
 @register(

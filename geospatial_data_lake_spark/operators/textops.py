@@ -14,6 +14,20 @@ from pyspark.sql import functions as F
 from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.tables import tables
 
+def gram_starts(tk, n: int):
+    """Start positions (1-based) of every word ``n``-gram in token array
+    ``tk`` — EMPTY when the document is shorter than the gram width.
+    A bare ``sequence(1, greatest(size-n+1, 0))`` is wrong there: Spark
+    infers step -1 for sequence(1, 0), yielding [1, 0], and slice(tk, 0,
+    n) then throws at runtime (DuckDB's generate_series(1, 0) is empty).
+    The single home for this guard — every n-gram derivation (textops,
+    pipeline_ops) goes through it."""
+    return F.when(
+        F.size(tk) >= F.lit(n),
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
 _STOPWORDS = ("the", "a", "of", "and")
 # Marker vocabularies for the n-gram language heuristic (deterministic
 # scoring; the fixture text is synthetic so the point is the operator, not
@@ -177,14 +191,8 @@ def tx05_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tables(spark, sf_dir)
     toks = F.split("text", " ")
-    # the size >= 2 guard matters: sequence(1, 0) is the DESCENDING
-    # [1, 0] in Spark, which would emit NULL bigrams for 1-token docs
-    # (DuckDB's generate_series(1, 0) is empty)
-    bigrams = F.expr(
-        "transform("
-        "if(size(split(text, ' ')) >= 2,"
-        "   sequence(1, size(split(text, ' ')) - 1), array()), "
-        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    bigrams = F.transform(
+        gram_starts(toks, 2), lambda p: F.concat_ws(" ", F.slice(toks, p, 2))
     )
     return (
         spread(spark, t.documents).select(F.explode(bigrams).alias("bigram"))

@@ -70,10 +70,12 @@ _LOADED = False
 # that have never had a driver CORRECTNESS row (the r4 curation family,
 # int8 quantization, real PPM/WAV codecs, remaining TPC-H / tx / u / w /
 # a / t rows, f02, dd05, gr01, j08, and the three rows-only ANN/graph
-# ops) plus 8 family canaries.  After this round cumulative driver-green
-# reaches the full registry; r6 should shrink the prefix back to ~25
-# canaries + newest additions.  Everything not listed keeps its
-# registration order after the prioritized prefix; nothing is dropped.
+# ops), the 4 queries ADDED in r5 (sk01/sk02 skew, vs01/vs02 manifest
+# lake), and 4 family canaries — 50 total.  After this round cumulative
+# driver-green reaches the full registry; r6 should shrink the prefix
+# back to ~25 canaries + newest additions.  Everything not listed keeps
+# its registration order after the prioritized prefix; nothing is
+# dropped.
 _PRIORITY: tuple[str, ...] = (
     # first driver check: training-data curation family (r4 additions)
     "ct01_ngram_contamination",

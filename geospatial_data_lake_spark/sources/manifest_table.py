@@ -250,8 +250,23 @@ class ManifestTable:
         struct = F.struct(
             *[F.col(c).cast("string").alias(c) for c in self.partition_by]
         )
-        return F.hex(
+        pk = F.hex(
             F.encode(F.to_json(struct, {"ignoreNullFields": "false"}), "UTF-8")
+        )
+        # directory names cap at 255 bytes on every mainstream filesystem;
+        # fail the commit with a diagnosable error instead of a cryptic
+        # FS-level one (partition columns should be short dimension values
+        # — hash or truncate anything longer upstream)
+        return F.when(F.length(pk) <= F.lit(200), pk).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "partition tuple too long for directory routing "
+                        "(>100 UTF-8 bytes): "
+                    ),
+                    F.to_json(struct),
+                )
+            )
         )
 
     def _pk_from_hex(self, hexv: str) -> str:
@@ -290,26 +305,27 @@ class ManifestTable:
         ]
 
     def _collect_stats_for_batch(
-        self, batch_dir: str
+        self, batch_dir: str, produced: dict[str, str]
     ) -> dict[str, dict[str, list]]:
         """Stats for a just-written batch, computed by scanning the
         produced files — strictly cheaper than re-evaluating the commit's
         input plan (an upsert's input includes the survivor anti-join)."""
-        out = os.path.join(self._data, batch_dir)
-        try:
-            df = self._spark.read.option("mergeSchema", "true").parquet(out)
-        except Exception:  # empty batch: no files were produced
+        if not produced:  # empty batch: nothing was written
             return {}
+        out = os.path.join(self._data, batch_dir)
+        df = self._spark.read.option("mergeSchema", "true").parquet(out)
         # path-based partition discovery may surface the routing column;
         # the real partition columns are in the files — recompute from them
         df = df.drop(_PK_COL)
         return self._collect_stats(df)
 
     def _collect_stats(self, df: DataFrame) -> dict[str, dict[str, list]]:
-        """{pkey: {col: [min, max]}} for the key/partition columns with
-        orderable atomic types — one aggregation job over the batch.
-        These become the manifest's per-file stats (each commit produces
-        exactly one file per touched partition)."""
+        """{pkey: {col: [min, max, n_null]}} for the key/partition
+        columns with orderable atomic types — one aggregation job over
+        the batch.  These become the manifest's per-file stats (each
+        commit produces exactly one file per touched partition); the
+        null count lets an IS-NULL point read prune null-free files
+        (min/max alone cannot — they ignore nulls)."""
         cols = self._stats_columns(df.schema)
         if not cols:
             return {}
@@ -317,6 +333,9 @@ class ManifestTable:
         for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+            )
         rows = (
             df.withColumn(_PK_COL, self._pk_expr())
             .groupBy(_PK_COL)
@@ -325,7 +344,8 @@ class ManifestTable:
         )
         return {
             self._pk_from_hex(r[_PK_COL]): {
-                c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols
+                c: [r[f"__mn_{c}"], r[f"__mx_{c}"], r[f"__nn_{c}"]]
+                for c in cols
             }
             for r in rows
         }
@@ -350,18 +370,28 @@ class ManifestTable:
         return stats
 
     def _merged_schema_ddl(self, batch_schema: T.StructType, manifest: dict | None) -> str:
-        """Union of the prior table schema and the batch schema (batch
-        type wins per field) — a narrower batch must not shrink the
-        recorded table schema after a schema-evolving commit."""
+        """Union of the prior table schema and the batch schema — a
+        narrower batch must not shrink the recorded table schema after a
+        schema-evolving commit.  A batch that CHANGES an existing
+        column's type is rejected before anything is written: mixing
+        physical types across data files would poison every later
+        mergeSchema read (supported evolution = adding columns, the
+        lake-format baseline)."""
         batch_fields = {
             f.name: f.dataType.simpleString() for f in batch_schema.fields
         }
         ordered: list[tuple[str, str]] = []
         if manifest and manifest.get("schema_ddl"):
             for f in T.StructType.fromDDL(manifest["schema_ddl"]).fields:
-                ordered.append(
-                    (f.name, batch_fields.pop(f.name, f.dataType.simpleString()))
-                )
+                recorded = f.dataType.simpleString()
+                incoming = batch_fields.pop(f.name, recorded)
+                if incoming != recorded:
+                    raise ValueError(
+                        f"incompatible type change for column {f.name!r}: "
+                        f"table has {recorded}, batch has {incoming}; "
+                        "schema evolution supports adding columns only"
+                    )
+                ordered.append((f.name, recorded))
         ordered.extend(batch_fields.items())
         return ", ".join(f"{n} {t}" for n, t in ordered)
 
@@ -383,7 +413,9 @@ class ManifestTable:
     @staticmethod
     def _where_condition(where: dict):
         """The Column predicate equivalent of a ``where`` spec — applied
-        to the pruned scan so results are exact regardless of stats."""
+        to the pruned scan so results are exact regardless of stats.
+        An equality spec of None means IS NULL (so NULL partitions are
+        addressable); a tuple bound of None means unbounded."""
         cond = F.lit(True)
         for col, spec in where.items():
             if isinstance(spec, tuple):
@@ -392,6 +424,8 @@ class ManifestTable:
                     cond = cond & (F.col(col) >= F.lit(lo))
                 if hi is not None:
                     cond = cond & (F.col(col) <= F.lit(hi))
+            elif spec is None:
+                cond = cond & F.col(col).isNull()
             else:
                 cond = cond & (F.col(col) == F.lit(spec))
         return cond
@@ -464,6 +498,51 @@ class ManifestTable:
         return {k: dict(v) for k, v in manifest.get("stats", {}).items()}
 
     # -- writes ------------------------------------------------------------
+    def _null_safe_key_join(
+        self, left: DataFrame, updates: DataFrame, how: str
+    ) -> DataFrame:
+        """left_anti / left_semi of ``left`` against the update keys
+        with NULL-SAFE equality: MERGE must treat NULL key values as
+        matching (a plain key join never matches NULL = NULL, so an old
+        NULL-keyed row would survive alongside its replacement)."""
+        keys = updates.select(*self.key_cols).alias("__u")
+        lhs = left.alias("__l")
+        cond = F.lit(True)
+        for k in self.key_cols:
+            cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__u.{k}"))
+        return lhs.join(keys.hint("broadcast"), cond, how)
+
+    def _try_commit(
+        self,
+        gen: int,
+        manifest: dict | None,
+        new_partitions: dict[str, list[str]],
+        produced: dict[str, str],
+        batch_stats: dict[str, dict[str, list]],
+        schema_ddl: str,
+        batch_dir: str | None = None,
+    ) -> bool:
+        """Build and publish the next manifest.  On a lost race, drop
+        the batch's freshly written files (when ``batch_dir`` is given —
+        append keeps its files, since they are identical on retry) and
+        report False so the caller's loop re-reads the winner's state."""
+        new_manifest = {
+            "partitions": new_partitions,
+            "stats": self._carry_stats(
+                manifest, new_partitions, produced, batch_stats
+            ),
+            "schema_ddl": schema_ddl,
+        }
+        try:
+            self._publish(new_manifest, gen)
+            return True
+        except CommitConflict:
+            if batch_dir is not None:
+                shutil.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
+            return False
+
     def append(self, batch: DataFrame) -> int:
         """Blind append — the O(batch) ingest fast path: ONE write job
         routes the batch into per-partition files which are ADDed to
@@ -472,30 +551,30 @@ class ManifestTable:
         Appends accumulate files per partition; ``compact`` folds them
         back."""
         batch = batch.localCheckpoint(eager=True)
+        # validate schema compatibility against the current head BEFORE
+        # writing anything (an incompatible batch must not leave files)
+        self._merged_schema_ddl(batch.schema, self._current()[1])
         # the batch's files and stats are independent of the manifest
         # head, so write ONCE; a lost publish race only re-merges the
         # manifest document.
         batch_dir = uuid.uuid4().hex
         produced = self._write_partitioned(batch, batch_dir)
-        batch_stats = self._collect_stats_for_batch(batch_dir)
+        batch_stats = self._collect_stats_for_batch(batch_dir, produced)
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             partitions = dict(manifest["partitions"]) if manifest else {}
             new_partitions = dict(partitions)
             for pkey, rel in produced.items():
                 new_partitions[pkey] = [*new_partitions.get(pkey, []), rel]
-            new_manifest = {
-                "partitions": new_partitions,
-                "stats": self._carry_stats(
-                    manifest, new_partitions, produced, batch_stats
-                ),
-                "schema_ddl": self._merged_schema_ddl(batch.schema, manifest),
-            }
-            try:
-                self._publish(new_manifest, gen)
-            except CommitConflict:
-                continue
-            return gen + 1
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                self._merged_schema_ddl(batch.schema, manifest),
+            ):
+                return gen + 1
         shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
         raise CommitConflict("manifest-table contention: retries exhausted")
 
@@ -544,26 +623,21 @@ class ManifestTable:
                     .filter(~F.coalesce(condition, F.lit(False)))
                 )
                 produced = self._write_partitioned(kept, batch_dir)
-                batch_stats = self._collect_stats_for_batch(batch_dir)
+                batch_stats = self._collect_stats_for_batch(batch_dir, produced)
                 for pkey in touched:
                     new_partitions.pop(pkey, None)  # emptied unless re-produced
                 for pkey, rel in produced.items():
                     new_partitions[pkey] = [rel]
-            new_manifest = {
-                "partitions": new_partitions,
-                "stats": self._carry_stats(
-                    manifest, new_partitions, produced, batch_stats
-                ),
-                "schema_ddl": manifest["schema_ddl"],
-            }
-            try:
-                self._publish(new_manifest, gen)
-            except CommitConflict:
-                shutil.rmtree(
-                    os.path.join(self._data, batch_dir), ignore_errors=True
-                )
-                continue
-            return gen + 1
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                manifest["schema_ddl"],
+                batch_dir,
+            ):
+                return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
     def compact(self, min_files: int = 2) -> int | None:
@@ -591,25 +665,20 @@ class ManifestTable:
             )
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(merged, batch_dir)
-            batch_stats = self._collect_stats_for_batch(batch_dir)
+            batch_stats = self._collect_stats_for_batch(batch_dir, produced)
             new_partitions = dict(partitions)
             for pkey, rel in produced.items():
                 new_partitions[pkey] = [rel]
-            new_manifest = {
-                "partitions": new_partitions,
-                "stats": self._carry_stats(
-                    manifest, new_partitions, produced, batch_stats
-                ),
-                "schema_ddl": manifest["schema_ddl"],
-            }
-            try:
-                self._publish(new_manifest, gen)
-            except CommitConflict:
-                shutil.rmtree(
-                    os.path.join(self._data, batch_dir), ignore_errors=True
-                )
-                continue
-            return gen + 1
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                manifest["schema_ddl"],
+                batch_dir,
+            ):
+                return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
     def _partitions_holding_keys(
@@ -631,11 +700,7 @@ class ManifestTable:
         )
         hexes = {
             r.pk
-            for r in existing.join(
-                updates.select(*self.key_cols).hint("broadcast"),
-                self.key_cols,
-                "left_semi",
-            )
+            for r in self._null_safe_key_join(existing, updates, "left_semi")
             .select(self._pk_expr().alias("pk"))
             .distinct()
             .collect()
@@ -655,6 +720,9 @@ class ManifestTable:
         updates = updates.dropDuplicates(self.key_cols).localCheckpoint(
             eager=True
         )
+        # validate schema compatibility against the current head BEFORE
+        # any probe or write work (an incompatible batch must fail fast)
+        self._merged_schema_ddl(updates.schema, self._current()[1])
         keys_pin_partitions = set(self.partition_by) <= set(self.key_cols)
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
@@ -682,14 +750,12 @@ class ManifestTable:
                 old = self._spark.read.option("mergeSchema", "true").parquet(
                     *old_files
                 )
-                # anti-join against ALL update keys, not just each
-                # partition's updates: a key that MOVED partitions has
-                # its new row land elsewhere, but its old row here must
-                # still be removed.
-                survivors = old.join(
-                    updates.select(*self.key_cols).hint("broadcast"),
-                    self.key_cols,
-                    "left_anti",
+                # anti-join against ALL update keys (null-safe), not
+                # just each partition's updates: a key that MOVED
+                # partitions has its new row land elsewhere, but its old
+                # row here must still be removed.
+                survivors = self._null_safe_key_join(
+                    old, updates, "left_anti"
                 )
                 # allowMissingColumns: a schema-evolving commit widens
                 # updates relative to carried-forward files; survivors
@@ -702,46 +768,47 @@ class ManifestTable:
 
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(merged, batch_dir)
-            batch_stats = self._collect_stats_for_batch(batch_dir)
+            batch_stats = self._collect_stats_for_batch(batch_dir, produced)
             new_partitions = dict(partitions)
             for pkey in touched:
                 new_partitions.pop(pkey, None)  # emptied unless re-produced
             for pkey, rel in produced.items():
                 new_partitions[pkey] = [rel]
 
-            new_manifest = {
-                "partitions": new_partitions,
-                "stats": self._carry_stats(
-                    manifest, new_partitions, produced, batch_stats
-                ),
-                "schema_ddl": self._merged_schema_ddl(updates.schema, manifest),
-            }
-            try:
-                self._publish(new_manifest, gen)
-            except CommitConflict:
-                # losers' freshly written files become garbage; drop them
-                shutil.rmtree(
-                    os.path.join(self._data, batch_dir), ignore_errors=True
-                )
-                continue
-            return gen + 1
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                self._merged_schema_ddl(updates.schema, manifest),
+                batch_dir,
+            ):
+                return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
 
 def _file_overlaps(file_stats: dict | None, where: dict) -> bool:
-    """Conservative min/max overlap test: prune a file only when some
-    ``where`` column's recorded [min, max] provably excludes every
-    requested value.  Missing stats, NULL bounds, or cross-type
-    comparisons keep the file."""
+    """Conservative overlap test: prune a file only when some ``where``
+    column's recorded stats provably exclude every requested value —
+    [min, max] for value specs, the null count for IS-NULL specs.
+    Missing stats, NULL bounds, or cross-type comparisons keep the
+    file."""
     if not file_stats:
         return True
     for col, spec in where.items():
         bounds = file_stats.get(col)
         if not bounds:
             continue
-        mn, mx = bounds
-        if mn is None or mx is None:
+        mn, mx = bounds[0], bounds[1]
+        n_null = bounds[2] if len(bounds) > 2 else None
+        if spec is None:
+            # IS NULL: a file recorded as null-free cannot match
+            if n_null == 0:
+                return False
             continue
+        if mn is None or mx is None:
+            continue  # all-null or unknown range: value specs can't prune
         lo, hi = spec if isinstance(spec, tuple) else (spec, spec)
         if lo is not None and _safe_lt(mx, lo):
             return False

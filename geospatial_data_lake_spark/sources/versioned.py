@@ -94,18 +94,25 @@ class VersionedTable:
 
     def upsert(self, updates: DataFrame, key_cols: list[str]) -> int:
         """MERGE: rows in ``updates`` win on key collision, unmatched
-        existing rows survive.  Serializable under concurrent writers —
-        a loser of the commit race re-reads the winner's state and
-        re-merges, so no update is ever lost.  Returns the committed
-        version."""
+        existing rows survive.  Key matching is NULL-SAFE (a plain key
+        join never matches NULL = NULL, so an old NULL-keyed row would
+        survive alongside its replacement).  Serializable under
+        concurrent writers — a loser of the commit race re-reads the
+        winner's state and re-merges, so no update is ever lost.
+        Returns the committed version."""
+        from pyspark.sql import functions as F
+
         updates = updates.dropDuplicates(key_cols)
 
         def merge(existing: DataFrame | None) -> DataFrame:
             if existing is None:
                 return updates
-            survivors = existing.join(
-                updates.select(*key_cols).hint("broadcast"), key_cols, "left_anti"
-            )
+            keys = updates.select(*key_cols).alias("__u")
+            lhs = existing.alias("__l")
+            cond = F.lit(True)
+            for k in key_cols:
+                cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__u.{k}"))
+            survivors = lhs.join(keys.hint("broadcast"), cond, "left_anti")
             # allowMissingColumns: schema-evolving upserts widen the
             # update side; surviving rows take NULL for new columns
             return survivors.unionByName(updates, allowMissingColumns=True)

@@ -441,3 +441,79 @@ def should_prune_files_by_minmax_stats(spark, tmp_path):
     # stats survive carry-forward: touch only 'a', then prune on 'c'
     mt.upsert(_mk(spark, [(0, "a", "v0x")]))
     assert len(mt.planned_files(where={"id": 205})) == 1
+
+
+def should_merge_null_keys_without_duplicating(spark, tmp_path):
+    """MERGE must treat NULL key values as matching (null-safe): an
+    upsert of a NULL-keyed row replaces the existing NULL-keyed row in
+    that partition instead of leaving both."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(
+        spark.createDataFrame(
+            [(None, "a", "old"), (1, "a", "x")], "id long, part string, v string"
+        )
+    )
+    mt.upsert(
+        spark.createDataFrame([(None, "a", "new")], "id long, part string, v string")
+    )
+    rows = [(r.id, r.part, r.v) for r in mt.read().collect()]
+    assert sorted(rows, key=repr) == sorted(
+        [(None, "a", "new"), (1, "a", "x")], key=repr
+    )
+
+
+def should_reject_type_changing_batches_before_writing(spark, tmp_path):
+    """A batch that changes an existing column's TYPE would poison every
+    later mergeSchema read; it must be rejected up front, leaving no
+    orphan files behind."""
+    import os
+
+    import pytest
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    files_before = set()
+    for dirpath, _d, filenames in os.walk(os.path.join(mt.root, "data")):
+        files_before.update(os.path.join(dirpath, f) for f in filenames)
+
+    bad = spark.createDataFrame([(2, "b", 7)], "id long, part string, v long")
+    with pytest.raises(ValueError, match="incompatible type change"):
+        mt.append(bad)
+    with pytest.raises(ValueError, match="incompatible type change"):
+        mt.upsert(bad)
+
+    files_after = set()
+    for dirpath, _d, filenames in os.walk(os.path.join(mt.root, "data")):
+        files_after.update(os.path.join(dirpath, f) for f in filenames)
+    assert files_after == files_before  # nothing was written
+    assert _state(mt.read()) == {1: ("a", "x")}
+
+
+def should_address_null_partition_in_pruned_reads(spark, tmp_path):
+    """read(where={col: None}) means IS NULL: it must return the NULL
+    partition's rows, and null-count stats must prune null-free files."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt_wnull"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.upsert(
+        spark.createDataFrame(
+            [(1, None, "n1"), (2, "a", "x"), (3, "b", "y")],
+            "id long, part string, v string",
+        )
+    )
+    got = {r.id: r.v for r in mt.read(where={"part": None}).collect()}
+    assert got == {1: "n1"}
+    # only the NULL partition's file survives pruning
+    assert len(mt.planned_files(where={"part": None})) == 1
+    assert len(mt.planned_files()) == 3
+
+
+def should_fail_clearly_on_oversized_partition_values(spark, tmp_path):
+    """Partition values are embedded (hex-encoded) in directory names;
+    a tuple past the filesystem's name budget must fail with a
+    diagnosable error at commit time, not a cryptic FS error."""
+    import pytest
+
+    mt = _table(spark, tmp_path)
+    with pytest.raises(Exception, match="partition tuple too long"):
+        mt.append(_mk(spark, [(1, "p" * 150, "x")]))

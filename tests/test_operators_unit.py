@@ -331,7 +331,9 @@ def should_derive_ngrams_from_short_documents_without_crashing(spark):
     (matching DuckDB's empty generate_series(1, 0))."""
     from pyspark.sql import functions as F
 
-    from geospatial_data_lake_spark.operators.pipeline_ops import _gram_starts
+    from geospatial_data_lake_spark.operators.textops import (
+        gram_starts as _gram_starts,
+    )
 
     df = spark.createDataFrame(
         [("one two three four five",), ("one two",), ("one",), ("",)],

@@ -88,3 +88,18 @@ def should_keep_null_predicate_rows_on_delete(spark, tmp_path):
     )
     vt.delete_where(F.col("v") == "x")
     assert {r.id: r.v for r in vt.read().collect()} == {2: None, 3: "y"}
+
+
+def should_merge_null_keys_without_duplicating(spark, tmp_path):
+    """MERGE key matching is null-safe: upserting a NULL-keyed row
+    replaces the existing NULL-keyed row instead of leaving both."""
+    vt = VersionedTable(spark, str(tmp_path / "vt_nullkey"))
+    vt.overwrite(
+        spark.createDataFrame([(None, "old"), (1, "x")], "id long, v string")
+    )
+    vt.upsert(
+        spark.createDataFrame([(None, "new")], "id long, v string"),
+        key_cols=["id"],
+    )
+    rows = sorted(((r.id, r.v) for r in vt.read().collect()), key=repr)
+    assert rows == sorted([(None, "new"), (1, "x")], key=repr)
