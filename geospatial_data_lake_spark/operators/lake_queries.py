@@ -116,3 +116,36 @@ def vs02_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     head version."""
     mt = _build_lake(spark, sf_dir)
     return mt.read(version=1, where={"o_orderpriority": "5-LOW"}).select(*_COLS)
+
+
+@register(
+    "vs03_manifest_change_feed",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderpriority,
+               'update_postimage' AS _change_type
+        FROM orders
+        WHERE o_orderkey % 100 = 0 AND o_totalprice <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+               'delete' AS _change_type
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3
+    """,
+    tags=("lake", "manifest", "cdc", "change-feed"),
+)
+def vs03_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_changes`` analog over the lake build: changes(1, 3) must
+    contain exactly the MERGE's doubled-price rows as update_postimage
+    and the DELETE's rows as pre-image deletes — nothing for the rows
+    both commits left alone, even though their partitions were
+    rewritten.  (%100 == 0 and status-F/%10 == 3 are disjoint key sets,
+    so update/delete classifications never collide.)
+
+    Scale shape: the feed reads only partitions whose manifest file
+    lists differ between the two versions — O(changed partitions) —
+    then one null-safe full-outer key join classifies rows; unchanged
+    carried-through rows are filtered by value comparison, never
+    shuffled twice."""
+    mt = _build_lake(spark, sf_dir)
+    return mt.changes(1, 3)

@@ -70,8 +70,8 @@ _LOADED = False
 # that have never had a driver CORRECTNESS row (the r4 curation family,
 # int8 quantization, real PPM/WAV codecs, remaining TPC-H / tx / u / w /
 # a / t rows, f02, dd05, gr01, j08, and the three rows-only ANN/graph
-# ops), the 4 queries ADDED in r5 (sk01/sk02 skew, vs01/vs02 manifest
-# lake), and 4 family canaries — 50 total.  After this round cumulative
+# ops), the 5 queries ADDED in r5 (sk01/sk02 skew, vs01-vs03 manifest
+# lake), and 3 family canaries — 50 total.  After this round cumulative
 # driver-green reaches the full registry; r6 should shrink the prefix
 # back to ~25 canaries + newest additions.  Everything not listed keeps
 # its registration order after the prioritized prefix; nothing is
@@ -132,9 +132,9 @@ _PRIORITY: tuple[str, ...] = (
     "sk02_salted_dim_join",
     "vs01_manifest_merge_roundtrip",
     "vs02_manifest_time_travel",
+    "vs03_manifest_change_feed",
     # family canaries — driver-green in r2-r4, kept externally visible
-    # (tx/a families are covered by their first-timer rows above)
-    "s06_content_digest",  # S + A5/F6 checksum path
+    # (tx/a/s families are covered by their first-timer rows above)
     "j01_lookup_join_broadcast",  # J + P pushdown
     "dd04_minhash_lsh_pairs",  # dedup / ANN
     "geo05_polygon_intersect_pairs",  # spatial / J8

@@ -477,6 +477,114 @@ class ManifestTable:
     def current_version(self) -> int:
         return self._current()[0]
 
+    def history(self) -> list[dict]:
+        """Commit history inside the retention window, newest first —
+        the ``DESCRIBE HISTORY`` analog.  ``committed_at`` is the commit
+        file's mtime (the atomic-create instant)."""
+        from datetime import datetime, timezone
+
+        try:
+            names = sorted(os.listdir(self._commits), reverse=True)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            try:
+                ts = datetime.fromtimestamp(
+                    os.stat(os.path.join(self._commits, n)).st_mtime,
+                    tz=timezone.utc,
+                )
+            except OSError:
+                continue  # concurrent GC
+            out.append({"version": int(n), "committed_at": ts})
+        return out
+
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Row-level change feed between two versions — the
+        ``table_changes`` / CDF analog, derived from the manifests: only
+        partitions whose FILE LISTS differ between the two versions are
+        read (O(changed partitions), never O(table)), then a null-safe
+        full-outer key join classifies each key as ``insert``,
+        ``delete``, or ``update_postimage`` (rows carried unchanged
+        through a partition rewrite are not changes and are dropped).
+        Returns the row columns plus ``_change_type``; delete rows carry
+        their pre-image values.
+
+        Assumes key-unique table state (the upsert/delete-maintained
+        contract CDF is defined over); duplicate keys from raw
+        ``append`` batches would cross-join in the key diff."""
+        m_from = self._load_manifest(from_version)
+        m_to = self._load_manifest(to_version)
+        p_from = m_from["partitions"]
+        p_to = m_to["partitions"]
+        changed = {
+            k
+            for k in set(p_from) | set(p_to)
+            if p_from.get(k) != p_to.get(k)
+        }
+        old_files = [
+            os.path.join(self._data, f)
+            for k in changed
+            for f in p_from.get(k, [])
+        ]
+        new_files = [
+            os.path.join(self._data, f)
+            for k in changed
+            for f in p_to.get(k, [])
+        ]
+
+        def _read(files, schema_ddl):
+            if not files:
+                return self._spark.createDataFrame([], schema_ddl)
+            return self._spark.read.option("mergeSchema", "true").parquet(
+                *files
+            )
+
+        old = _read(old_files, m_from["schema_ddl"])
+        new = _read(new_files, m_to["schema_ddl"])
+        # align to the union of columns (schema evolution between versions)
+        all_cols = list(
+            dict.fromkeys([*new.columns, *old.columns])
+        )  # stable order, new first
+        for c in all_cols:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None))
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None))
+        # presence markers: keys may legitimately be NULL, so a missing
+        # side is detected by its marker, never by null keys
+        o = old.withColumn("__o", F.lit(True)).alias("__o_side")
+        n = new.withColumn("__n", F.lit(True)).alias("__n_side")
+        cond = F.lit(True)
+        for k in self.key_cols:
+            cond = cond & F.col(f"__o_side.{k}").eqNullSafe(
+                F.col(f"__n_side.{k}")
+            )
+        joined = o.join(n, cond, "full_outer")
+        o_present = F.col("__o_side.__o").isNotNull()
+        n_present = F.col("__n_side.__n").isNotNull()
+        value_cols = [c for c in all_cols if c not in self.key_cols]
+        differs = F.lit(False)
+        for c in value_cols:
+            differs = differs | ~F.col(f"__o_side.{c}").eqNullSafe(
+                F.col(f"__n_side.{c}")
+            )
+        change_type = (
+            F.when(~o_present, F.lit("insert"))
+            .when(~n_present, F.lit("delete"))
+            .when(differs, F.lit("update_postimage"))
+        )  # both present + identical -> NULL -> filtered (not a change)
+        out_cols = [
+            F.when(n_present, F.col(f"__n_side.{c}"))
+            .otherwise(F.col(f"__o_side.{c}"))
+            .alias(c)
+            for c in all_cols
+        ]
+        return (
+            joined.select(*out_cols, change_type.alias("_change_type"))
+            .filter(F.col("_change_type").isNotNull())
+        )
+
     def partition_files(self, version: int | None = None) -> dict[str, list[str]]:
         """The manifest's partition -> file-list map (for tests/tools)."""
         if version is None:

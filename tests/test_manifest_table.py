@@ -517,3 +517,40 @@ def should_fail_clearly_on_oversized_partition_values(spark, tmp_path):
     mt = _table(spark, tmp_path)
     with pytest.raises(Exception, match="partition tuple too long"):
         mt.append(_mk(spark, [(1, "p" * 150, "x")]))
+
+
+def should_emit_row_level_change_feed_between_versions(spark, tmp_path):
+    """changes(v1, v2) classifies inserts / updates / deletes by
+    null-safe key diff over ONLY the partitions whose file lists
+    differ; rows carried unchanged through a partition rewrite are not
+    changes, and a key that moves partitions is one update."""
+    from pyspark.sql import functions as F
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]))  # v1
+    mt.upsert(_mk(spark, [(2, "a", "y2"), (4, "c", "w")]))  # v2: update + insert
+    mt.delete_where(F.col("id") == 3)  # v3
+    mt.upsert(_mk(spark, [(1, "b", "moved")]))  # v4: partition move
+
+    def feed(a, b):
+        return sorted(
+            (r.id, r.part, r.v, r._change_type)
+            for r in mt.changes(a, b).collect()
+        )
+
+    assert feed(1, 2) == [
+        (2, "a", "y2", "update_postimage"),
+        (4, "c", "w", "insert"),
+    ]
+    assert feed(2, 3) == [(3, "b", "z", "delete")]  # pre-image values
+    assert feed(3, 4) == [(1, "b", "moved", "update_postimage")]
+    # composed span: unchanged keys (2, 4) never appear
+    assert feed(1, 4) == [
+        (1, "b", "moved", "update_postimage"),
+        (2, "a", "y2", "update_postimage"),
+        (3, "b", "z", "delete"),
+        (4, "c", "w", "insert"),
+    ]
+    # history() parity: one entry per commit, newest first
+    hist = mt.history()
+    assert [h["version"] for h in hist] == [4, 3, 2, 1]
