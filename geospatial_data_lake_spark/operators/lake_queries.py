@@ -19,6 +19,7 @@ lifecycle create->update->read, backend/dataset_versions/create.py:58-75.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -149,3 +150,110 @@ def vs03_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled twice."""
     mt = _build_lake(spark, sf_dir)
     return mt.changes(1, 3)
+
+
+@register(
+    "vs04_clustered_pruned_read",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM merged
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+          AND o_orderkey BETWEEN 1000 AND 2000
+    """,
+    tags=("lake", "manifest", "optimize", "clustering"),
+)
+def vs04_clustered_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE`` + data skipping: after clustering the lake build by
+    o_orderkey (range-bucketed sorted files, 8 per partition), a key
+    range read must plan only the buckets whose min/max overlap — and
+    return exactly the same rows plain SQL computes over the fixture.
+
+    Scale shape: the clustered read touches O(matching buckets) files
+    instead of O(partition); at 100 TB with 100k partitions × 8
+    buckets a 1%-of-keyspace range scan plans ~1% of the files.  The
+    external row pins both the rewrite's content preservation and the
+    stats-pruned read path."""
+    mt = _build_lake(spark, sf_dir)
+    if mt.current_version() == 3:  # cluster once per build
+        mt.optimize(sort_by=["o_orderkey"], target_files=8)
+    return mt.read(where={"o_orderkey": (1000, 2000)}).select(*_COLS)
+
+
+_STREAMED: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """events -> manifest table THROUGH the streaming MERGE sink: the
+    fixture is re-materialized as a file-source stream, drained with
+    availableNow into ``stream_upsert`` (foreachBatch -> idempotent
+    txn-stamped upsert), keyed by event_id, partitioned by event_type."""
+    from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
+
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _STREAMED:
+        return _STREAMED[cache_key]
+    t = tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gdl_lake_st_")
+    src = os.path.join(root, "src")
+    t.events.select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).repartition(4).write.parquet(src)
+    mt = ManifestTable(
+        spark,
+        os.path.join(root, "table"),
+        key_cols=["event_id"],
+        partition_by=["event_type"],
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).parquet(src)
+    q = stream_upsert(
+        stream, mt, os.path.join(root, "ckpt"), app_id="st01"
+    )
+    q.awaitTermination()
+    _STREAMED[cache_key] = mt
+    return mt
+
+
+@register(
+    "st01_stream_lake_merge",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               value
+        FROM events
+        WHERE event_type = 'click'
+        ORDER BY event_id
+    """,
+    tags=("lake", "streaming", "merge", "T1-analog"),
+)
+def st01_stream_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming MERGE into the lake: the events fixture
+    arrives as a file-source stream, each micro-batch upserted
+    exactly-once (txn-stamped foreachBatch), then a stats-pruned
+    partition read must return the fixture verbatim — the external
+    check covers the stream source, the idempotent sink, the manifest
+    commit, and the pruned read in one row.
+
+    Scale shape: each micro-batch costs O(batch) — one partitioned
+    write job + a manifest document — independent of table size; the
+    read plans only files whose stats overlap event_type = 'click'."""
+    mt = _build_streamed_lake(spark, sf_dir)
+    return (
+        mt.read(where={"event_type": "click"})
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+        .orderBy("event_id")
+    )

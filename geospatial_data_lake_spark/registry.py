@@ -133,11 +133,12 @@ _PRIORITY: tuple[str, ...] = (
     "vs01_manifest_merge_roundtrip",
     "vs02_manifest_time_travel",
     "vs03_manifest_change_feed",
-    # family canaries — driver-green in r2-r4, kept externally visible
-    # (tx/a/s families are covered by their first-timer rows above)
-    "j01_lookup_join_broadcast",  # J + P pushdown
+    "vs04_clustered_pruned_read",
+    "st01_stream_lake_merge",
+    # family canary — driver-green r2-r4, kept externally visible (the
+    # other proven families are represented by their first-timer rows
+    # above; the full registry still runs under the local mirror gate)
     "dd04_minhash_lsh_pairs",  # dedup / ANN
-    "geo05_polygon_intersect_pairs",  # spatial / J8
     # --- 50-entry mark; proven rows retired from the checked prefix ---
     # (after r5 every registered query has at least one driver-green row;
     # r6 rotation: shrink prefix to ~25 = one canary per family + any

@@ -629,17 +629,27 @@ class ManifestTable:
         batch_stats: dict[str, dict[str, list]],
         schema_ddl: str,
         batch_dir: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> bool:
         """Build and publish the next manifest.  On a lost race, drop
         the batch's freshly written files (when ``batch_dir`` is given —
         append keeps its files, since they are identical on retry) and
-        report False so the caller's loop re-reads the winner's state."""
+        report False so the caller's loop re-reads the winner's state.
+
+        ``txn`` (writer-app id, monotone batch version) is stamped into
+        the manifest's ``txns`` map; prior apps' entries carry forward,
+        so a replayed micro-batch is detectable forever (within
+        retention) — the Delta ``txn``/``SetTransaction`` action."""
+        txns = dict(manifest.get("txns", {})) if manifest else {}
+        if txn is not None:
+            txns[str(txn[0])] = int(txn[1])
         new_manifest = {
             "partitions": new_partitions,
             "stats": self._carry_stats(
                 manifest, new_partitions, produced, batch_stats
             ),
             "schema_ddl": schema_ddl,
+            "txns": txns,
         }
         try:
             self._publish(new_manifest, gen)
@@ -651,17 +661,43 @@ class ManifestTable:
                 )
             return False
 
-    def append(self, batch: DataFrame) -> int:
+    def last_txn_version(self, app_id: str) -> int:
+        """The highest committed batch version for ``app_id``, or -1 —
+        the streaming sink's restart probe (Delta's ``txnVersion``)."""
+        _, manifest = self._current()
+        if manifest is None:
+            return -1
+        return int(manifest.get("txns", {}).get(str(app_id), -1))
+
+    @staticmethod
+    def _txn_applied(manifest: dict | None, txn: tuple[str, int] | None) -> bool:
+        """True when this (app, version) batch is already in the table —
+        committed versions are monotone per app, so ``>=`` detects a
+        replayed micro-batch after a sink crash-restart."""
+        if txn is None or manifest is None:
+            return False
+        return int(manifest.get("txns", {}).get(str(txn[0]), -1)) >= int(txn[1])
+
+    def append(self, batch: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Blind append — the O(batch) ingest fast path: ONE write job
         routes the batch into per-partition files which are ADDed to
         each partition's file list; nothing existing is read or
         rewritten.  No key dedup (use ``upsert`` for MERGE semantics).
         Appends accumulate files per partition; ``compact`` folds them
-        back."""
+        back.
+
+        ``txn=(app_id, version)`` makes the commit IDEMPOTENT per
+        writer: a batch whose version is already recorded for its app
+        commits nothing and returns the current version — exactly-once
+        sinks for Structured Streaming's replayed micro-batches
+        (streaming/lake_sink.py)."""
+        gen0, head = self._current()
+        if self._txn_applied(head, txn):
+            return gen0
         batch = batch.localCheckpoint(eager=True)
         # validate schema compatibility against the current head BEFORE
         # writing anything (an incompatible batch must not leave files)
-        self._merged_schema_ddl(batch.schema, self._current()[1])
+        self._merged_schema_ddl(batch.schema, head)
         # the batch's files and stats are independent of the manifest
         # head, so write ONCE; a lost publish race only re-merges the
         # manifest document.
@@ -670,6 +706,13 @@ class ManifestTable:
         batch_stats = self._collect_stats_for_batch(batch_dir, produced)
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
+            if self._txn_applied(manifest, txn):
+                # a concurrent replica of this writer won the race with
+                # the same batch — ours is redundant, drop its files
+                shutil.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
+                return gen
             partitions = dict(manifest["partitions"]) if manifest else {}
             new_partitions = dict(partitions)
             for pkey, rel in produced.items():
@@ -681,6 +724,7 @@ class ManifestTable:
                 produced,
                 batch_stats,
                 self._merged_schema_ddl(batch.schema, manifest),
+                txn=txn,
             ):
                 return gen + 1
         shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
@@ -789,6 +833,156 @@ class ManifestTable:
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
+    def optimize(
+        self, sort_by: list[str], target_files: int = 8
+    ) -> int | None:
+        """Cluster the table for data skipping — the OPTIMIZE ZORDER
+        analog: rewrite every partition's rows into up to
+        ``target_files`` RANGE-BUCKETED files sorted by ``sort_by``,
+        each carrying tight min/max stats on the sort columns, so a
+        point or range read prunes WITHIN a partition instead of
+        scanning all of it.
+
+        One pass: per-partition cut points come from one
+        ``percentile_approx`` aggregation (collected — bounded by
+        partitions × target_files scalars), broadcast back onto the
+        scan to assign each row its range bucket, then ONE write job
+        routes (partition, bucket) and sorts rows within each file.
+        Bucket boundaries use the first sort column, which must be
+        numeric or timestamp (percentile_approx's domain); remaining
+        sort columns refine the in-file order.  Pure rewrite — row
+        content is unchanged, so concurrent-writer races retry as
+        usual.  Like Delta's OPTIMIZE, clustering is maintenance:
+        later commits to a partition replace its clustered files (their
+        stats stay tight only until rewritten); re-run periodically.
+        Returns the new version, or None on an empty table."""
+        col0 = sort_by[0]
+        _, head = self._current()
+        if head is None:
+            return None
+        schema = T.StructType.fromDDL(head["schema_ddl"])
+        col0_type = next(
+            (f.dataType for f in schema.fields if f.name == col0), None
+        )
+        if not isinstance(col0_type, _NUMERIC_TYPES):
+            raise ValueError(
+                f"optimize sort key {col0!r} must be numeric (range "
+                f"buckets come from percentile_approx and the stats "
+                f"must be JSON-recordable), got {col0_type}"
+            )
+        bucket_col = "__mt_bkt"
+        probs = [i / target_files for i in range(1, target_files)]
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                return None
+            partitions = dict(manifest["partitions"])
+            all_files = [
+                os.path.join(self._data, f)
+                for files in partitions.values()
+                for f in files
+            ]
+            if not all_files:
+                return None
+            df = self._spark.read.option("mergeSchema", "true").parquet(
+                *all_files
+            )
+            keyed = df.withColumn(_PK_COL, self._pk_expr())
+            if probs:
+                cuts = keyed.groupBy(_PK_COL).agg(
+                    F.percentile_approx(col0, probs).alias("__cuts")
+                )
+                routed = (
+                    keyed.join(F.broadcast(cuts), _PK_COL)
+                    .withColumn(
+                        bucket_col,
+                        F.coalesce(
+                            F.size(
+                                F.filter(
+                                    F.col("__cuts"),
+                                    lambda c: c < F.col(col0),
+                                )
+                            ),
+                            F.lit(0),  # NULL sort key -> bucket 0
+                        ),
+                    )
+                    .drop("__cuts")
+                )
+            else:
+                routed = keyed.withColumn(bucket_col, F.lit(0))
+            batch_dir = uuid.uuid4().hex
+            out = os.path.join(self._data, batch_dir)
+            (
+                routed.repartition(F.col(_PK_COL), F.col(bucket_col))
+                .sortWithinPartitions(*sort_by)
+                .write.partitionBy(_PK_COL, bucket_col)
+                .mode("overwrite")
+                .parquet(out)
+            )
+            # enumerate produced (partition, bucket) leaf dirs
+            new_partitions: dict[str, list[str]] = {}
+            produced: dict[str, str] = {}  # opaque composite key -> rel dir
+            prefix = _PK_COL + "="
+            for d in sorted(os.listdir(out)):
+                if not d.startswith(prefix):
+                    continue
+                pkey = self._pk_from_hex(d[len(prefix):])
+                for b in sorted(os.listdir(os.path.join(out, d))):
+                    if not b.startswith(bucket_col + "="):
+                        continue
+                    rel = os.path.join(batch_dir, d, b)
+                    new_partitions.setdefault(pkey, []).append(rel)
+                    produced[rel] = rel
+            # per-file stats: key/partition cols PLUS the sort columns
+            # (the whole point — tight ranges per bucket)
+            dfb = self._spark.read.parquet(out)  # discovers pk + bucket
+            stats_cols = list(
+                dict.fromkeys(
+                    self._stats_columns(df.schema)
+                    + [
+                        c
+                        for c in sort_by
+                        if any(
+                            f.name == c
+                            and isinstance(f.dataType, _STATS_TYPES)
+                            for f in df.schema.fields
+                        )
+                    ]
+                )
+            )
+            aggs = []
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"__mn_{c}"))
+                aggs.append(F.max(c).alias(f"__mx_{c}"))
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+                )
+            batch_stats: dict[str, dict[str, list]] = {}
+            if aggs:
+                for r in (
+                    dfb.groupBy(_PK_COL, bucket_col).agg(*aggs).collect()
+                ):
+                    rel = os.path.join(
+                        batch_dir,
+                        f"{_PK_COL}={r[_PK_COL]}",
+                        f"{bucket_col}={r[bucket_col]}",
+                    )
+                    batch_stats[rel] = {
+                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"], r[f"__nn_{c}"]]
+                        for c in stats_cols
+                    }
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                manifest["schema_ddl"],
+                batch_dir,
+            ):
+                return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def _partitions_holding_keys(
         self, partitions: dict[str, list[str]], updates: DataFrame
     ) -> set[str]:
@@ -815,7 +1009,9 @@ class ManifestTable:
         }
         return {self._pk_from_hex(h) for h in hexes}
 
-    def upsert(self, updates: DataFrame) -> int:
+    def upsert(
+        self, updates: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         """MERGE: update rows win on key collision, unmatched existing
         rows survive.  Only partitions holding updated keys (on EITHER
         side of a key's partition move) are rewritten — merged and
@@ -824,16 +1020,26 @@ class ManifestTable:
         columns (the common fact-table layout) keys cannot move
         partitions, so the key-location probe over the current table is
         skipped entirely.  Serializable under concurrent writers via
-        publish-retry.  Returns the committed version."""
+        publish-retry.  Returns the committed version.
+
+        ``txn=(app_id, version)`` gives the same per-writer idempotency
+        as ``append``: an already-recorded batch version is a no-op —
+        the contract the streaming MERGE sink relies on when Structured
+        Streaming replays its last micro-batch after a crash."""
+        gen0, head = self._current()
+        if self._txn_applied(head, txn):
+            return gen0
         updates = updates.dropDuplicates(self.key_cols).localCheckpoint(
             eager=True
         )
         # validate schema compatibility against the current head BEFORE
         # any probe or write work (an incompatible batch must fail fast)
-        self._merged_schema_ddl(updates.schema, self._current()[1])
+        self._merged_schema_ddl(updates.schema, head)
         keys_pin_partitions = set(self.partition_by) <= set(self.key_cols)
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
+            if self._txn_applied(manifest, txn):
+                return gen
             partitions = dict(manifest["partitions"]) if manifest else {}
 
             # partitions the update batch lands in
@@ -891,6 +1097,7 @@ class ManifestTable:
                 batch_stats,
                 self._merged_schema_ddl(updates.schema, manifest),
                 batch_dir,
+                txn=txn,
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")

@@ -554,3 +554,63 @@ def should_emit_row_level_change_feed_between_versions(spark, tmp_path):
     # history() parity: one entry per commit, newest first
     hist = mt.history()
     assert [h["version"] for h in hist] == [4, 3, 2, 1]
+
+
+def should_cluster_partitions_for_intra_partition_pruning(spark, tmp_path):
+    """optimize(sort_by) must split each partition into range-bucketed
+    files whose stats let a point/range read plan a strict subset of
+    the partition — and the table content must be byte-identical."""
+    import pyspark.sql.functions as F
+
+    mt = _table(spark, tmp_path)
+    rows = [(i, "a" if i % 2 == 0 else "b", f"v{i}") for i in range(400)]
+    mt.upsert(_mk(spark, rows))
+    before = _state(mt.read())
+    v = mt.optimize(sort_by=["id"], target_files=4)
+    assert v == 2
+    assert _state(mt.read()) == before
+    # each of the 2 partitions now holds multiple clustered files
+    pf = mt.partition_files()
+    assert all(len(files) > 1 for files in pf.values())
+    total = len(mt.planned_files())
+    assert total == sum(len(f) for f in pf.values())
+    # a narrow range read plans a strict subset ...
+    narrow = mt.planned_files(where={"id": (10, 20)})
+    assert 0 < len(narrow) < total
+    # ... and stays exact
+    got = {r.id for r in mt.read(where={"id": (10, 20)}).collect()}
+    assert got == set(range(10, 21))
+    # point read within one partition: at most one file per partition
+    point = mt.planned_files(where={"id": 101})
+    assert len(point) <= 2
+    assert _state(mt.read(where={"id": 101})) == {101: ("b", "v101")}
+
+
+def should_keep_clustered_stats_through_later_commits(spark, tmp_path):
+    """A commit after optimize: untouched partitions keep their tight
+    per-file stats (carried by reference); the rewritten partition's
+    new file replaces its clustered ones."""
+    import pyspark.sql.functions as F
+
+    mt = _table(spark, tmp_path)
+    rows = [(i, "a" if i % 2 == 0 else "b", f"v{i}") for i in range(400)]
+    mt.upsert(_mk(spark, rows))
+    mt.optimize(sort_by=["id"], target_files=4)
+    clustered_b = [f for f in mt.planned_files(where={"part": "b"})]
+    mt.upsert(_mk(spark, [(0, "a", "NEW")]))  # touches only partition a
+    # partition b's clustered files survive verbatim, stats intact
+    assert mt.planned_files(where={"part": "b"}) == clustered_b
+    narrow = mt.planned_files(where={"id": (11, 21), "part": "b"})
+    assert 0 < len(narrow) < len(clustered_b)
+    # partition a collapsed back to one rewritten file
+    pf = mt.partition_files()
+    a_key = next(k for k in pf if '"a"' in k)
+    assert len(pf[a_key]) == 1
+    assert _state(mt.read())[0] == ("a", "NEW")
+
+
+def should_reject_non_numeric_cluster_key(spark, tmp_path):
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    with pytest.raises(ValueError, match="must be numeric"):
+        mt.optimize(sort_by=["v"])
