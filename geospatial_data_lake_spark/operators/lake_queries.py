@@ -186,6 +186,63 @@ def vs04_clustered_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mt.read(where={"o_orderkey": (1000, 2000)}).select(*_COLS)
 
 
+_BLOOMED: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_bloomed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """customer -> manifest table via four interleaved APPENDs with a
+    bloom index on c_custkey: every file's key min/max spans the whole
+    keyspace (append order is round-robin by ``c_custkey % 4``), so
+    ONLY the blooms can discriminate a point read between files."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _BLOOMED:
+        return _BLOOMED[cache_key]
+    t = tables(spark, sf_dir)
+    base = t.customer.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_bf_"),
+        key_cols=["c_custkey"],
+        partition_by=["c_mktsegment"],
+        bloom_cols=["c_custkey"],
+    )
+    for b in range(4):
+        mt.append(base.filter(F.col("c_custkey") % 4 == b))
+    _BLOOMED[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs05_bloom_point_read",
+    oracle="""
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (7, 114, 1001)
+    """,
+    tags=("lake", "manifest", "bloom", "S1-analog"),
+)
+def vs05_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point reads against a bloom-indexed lake
+    table: each probed key lives in exactly one of four interleaved
+    append files whose min/max ALL overlap, so min/max stats cannot
+    prune — the per-file bloom bitsets must.  The union of three point
+    reads must equal the fixture rows.
+
+    Scale shape: a key lookup on an append-heavy unclustered 100 TB
+    table plans only files whose bloom admits the key — O(true
+    matches + false positives) files instead of O(table); the
+    re-applied predicate keeps exactness regardless of bloom
+    saturation."""
+    mt = _build_bloomed_lake(spark, sf_dir)
+    out = None
+    for k in (7, 114, 1001):
+        part = mt.read(where={"c_custkey": k})
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 _STREAMED: dict[tuple[int, str], ManifestTable] = {}
 
 

@@ -75,6 +75,15 @@ _NUMERIC_TYPES = (
 )
 _STATS_TYPES = _NUMERIC_TYPES + (T.StringType,)
 
+# Per-file bloom sizing: 2048 bits (32 longs in the manifest JSON), 3
+# xxhash64 probes — <1% false-positive up to ~200 distinct keys/file and
+# degrades gracefully (saturated blooms stop pruning, never lie).  A
+# production deployment sizes bits from the commit's rows-per-file; the
+# exactness backstop is always the re-applied predicate on the scan.
+_BLOOM_BITS = 2048
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3
+
 
 class ManifestTable:
     """A partitioned, keyed parquet table versioned through per-commit
@@ -92,12 +101,18 @@ class ManifestTable:
         key_cols: list[str],
         partition_by: list[str],
         keep_versions: int = 16,
+        bloom_cols: list[str] | None = None,
     ):
         self._spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.partition_by = list(partition_by)
         self.keep = keep_versions
+        # columns to record per-file bloom filters for (opt-in, like
+        # Delta's per-column bloom index): point reads on a
+        # high-cardinality key whose min/max spans every file (the
+        # append-heavy unclustered case) prune on membership instead
+        self.bloom_cols = list(bloom_cols or [])
         self._commits = os.path.join(root, "commits")
         self._manifests = os.path.join(root, "manifests")
         self._data = os.path.join(root, "data")
@@ -319,36 +334,79 @@ class ManifestTable:
         df = df.drop(_PK_COL)
         return self._collect_stats(df)
 
-    def _collect_stats(self, df: DataFrame) -> dict[str, dict[str, list]]:
-        """{pkey: {col: [min, max, n_null]}} for the key/partition
-        columns with orderable atomic types — one aggregation job over
-        the batch.  These become the manifest's per-file stats (each
-        commit produces exactly one file per touched partition); the
-        null count lets an IS-NULL point read prune null-free files
-        (min/max alone cannot — they ignore nulls)."""
-        cols = self._stats_columns(df.schema)
-        if not cols:
-            return {}
-        aggs = []
+    def _meta_aggs(
+        self, schema: T.StructType
+    ) -> tuple[list, list, "object"]:
+        """The shared per-file metadata aggregation: (projection columns
+        for bloom hash positions, aggregate expressions, row-parser).
+        Every stats entry carries the reserved keys ``__rows`` (file
+        row count — metadata-only COUNT(*) and commit accounting) and,
+        per configured bloom column, ``__bloom:<col>`` (the
+        ``_BLOOM_WORDS``-long bitset).  Blooms build from 3 xxhash64
+        probes per value aggregated with bit_or — all JVM expressions,
+        one pass with the min/max stats."""
+        cols = self._stats_columns(schema)
+        bcols = [
+            c
+            for c in self.bloom_cols
+            if any(f.name == c for f in schema.fields)
+        ]
+        proj = []
+        for c in bcols:
+            for s in range(1, _BLOOM_K + 1):
+                proj.append(
+                    F.expr(
+                        f"pmod(xxhash64(`{c}`, {s}), {_BLOOM_BITS})"
+                    ).alias(f"__h_{c}_{s}")
+                )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
             aggs.append(
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
             )
+        for c in bcols:
+            for w in range(_BLOOM_WORDS):
+                cases = " | ".join(
+                    f"(CASE WHEN __h_{c}_{s} DIV 64 = {w} "
+                    f"THEN shiftleft(1L, CAST(__h_{c}_{s} % 64 AS INT)) "
+                    f"ELSE 0L END)"
+                    for s in range(1, _BLOOM_K + 1)
+                )
+                aggs.append(F.expr(f"bit_or({cases})").alias(f"__bf_{c}_{w}"))
+
+        def parse(r) -> dict[str, list]:
+            entry: dict[str, list] = {
+                c: [r[f"__mn_{c}"], r[f"__mx_{c}"], r[f"__nn_{c}"]]
+                for c in cols
+            }
+            entry["__rows"] = [r["__rows"]]
+            for c in bcols:
+                entry[f"__bloom:{c}"] = [
+                    r[f"__bf_{c}_{w}"] or 0 for w in range(_BLOOM_WORDS)
+                ]
+            return entry
+
+        return proj, aggs, parse
+
+    def _collect_stats(self, df: DataFrame) -> dict[str, dict[str, list]]:
+        """{pkey: {col: [min, max, n_null], __rows: [n], __bloom:c:
+        [...]}} for the key/partition columns with orderable atomic
+        types — one aggregation job over the batch.  These become the
+        manifest's per-file stats (each commit produces exactly one
+        file per touched partition); the null count lets an IS-NULL
+        point read prune null-free files (min/max alone cannot — they
+        ignore nulls)."""
+        proj, aggs, parse = self._meta_aggs(df.schema)
+        keyed = df.withColumn(_PK_COL, self._pk_expr())
         rows = (
-            df.withColumn(_PK_COL, self._pk_expr())
+            keyed.select(_PK_COL, *df.columns, *proj)
             .groupBy(_PK_COL)
             .agg(*aggs)
             .collect()
         )
-        return {
-            self._pk_from_hex(r[_PK_COL]): {
-                c: [r[f"__mn_{c}"], r[f"__mx_{c}"], r[f"__nn_{c}"]]
-                for c in cols
-            }
-            for r in rows
-        }
+        return {self._pk_from_hex(r[_PK_COL]): parse(r) for r in rows}
 
     def _carry_stats(
         self,
@@ -396,19 +454,82 @@ class ManifestTable:
         return ", ".join(f"{n} {t}" for n, t in ordered)
 
     # -- reads -------------------------------------------------------------
+    def _bloom_probes(
+        self, manifest: dict, where: dict
+    ) -> dict[str, list[tuple[int, int]]]:
+        """(word index, bit mask) probe positions for every equality
+        spec whose column has at least one recorded bloom — computed by
+        Spark itself (one tiny local job over literal rows), so the
+        probe hash agrees with the write-side xxhash64 by construction
+        for every column type."""
+        stats = manifest.get("stats", {})
+        bloomed = {
+            k.split(":", 1)[1]
+            for entry in stats.values()
+            for k in entry
+            if k.startswith("__bloom:")
+        }
+        wanted = {
+            col: spec
+            for col, spec in where.items()
+            if col in bloomed
+            and spec is not None
+            and not isinstance(spec, tuple)
+        }
+        if not wanted:
+            return {}
+        schema = T.StructType.fromDDL(manifest["schema_ddl"])
+        types = {f.name: f.dataType for f in schema.fields}
+        try:
+            probe_df = self._spark.createDataFrame(
+                [tuple(wanted.values())],
+                T.StructType(
+                    [T.StructField(c, types[c]) for c in wanted]
+                ),
+            )
+            exprs = [
+                F.expr(f"pmod(xxhash64(`{c}`, {s}), {_BLOOM_BITS})").alias(
+                    f"__p_{i}_{s}"
+                )
+                for i, c in enumerate(wanted)
+                for s in range(1, _BLOOM_K + 1)
+            ]
+            row = probe_df.select(*exprs).first()
+        except (TypeError, ValueError, KeyError):
+            # a spec value incompatible with the column type cannot be
+            # hashed consistently — skip bloom pruning, stay correct
+            return {}
+        return {
+            c: [
+                (
+                    int(row[f"__p_{i}_{s}"]) // 64,
+                    1 << (int(row[f"__p_{i}_{s}"]) % 64),
+                )
+                for s in range(1, _BLOOM_K + 1)
+            ]
+            for i, c in enumerate(wanted)
+        }
+
     def _resolve_files(
         self, manifest: dict, where: dict | None
     ) -> list[str]:
         """The manifest's file list, stats-pruned by ``where``: a file
         is skipped only when its recorded min/max provably cannot
-        overlap the predicate.  Missing stats -> kept (conservative)."""
+        overlap the predicate, or an equality spec's bloom probe misses
+        the file's recorded bitset.  Missing stats -> kept
+        (conservative)."""
         files = [
             f for files in manifest["partitions"].values() for f in files
         ]
         if not where:
             return files
         stats = manifest.get("stats", {})
-        return [f for f in files if _file_overlaps(stats.get(f), where)]
+        probes = self._bloom_probes(manifest, where)
+        return [
+            f
+            for f in files
+            if _file_overlaps(stats.get(f), where, probes)
+        ]
 
     @staticmethod
     def _where_condition(where: dict):
@@ -596,14 +717,49 @@ class ManifestTable:
         return {k: list(v) for k, v in manifest["partitions"].items()}
 
     def file_stats(self, version: int | None = None) -> dict[str, dict[str, list]]:
-        """The manifest's per-file min/max stats (for tests/tools)."""
+        """The manifest's per-file min/max column stats (for
+        tests/tools) — reserved entries (``__rows``, ``__bloom:*``)
+        filtered out; see ``file_rows`` / ``row_count``."""
         if version is None:
             _, manifest = self._current()
             if manifest is None:
                 return {}
         else:
             manifest = self._load_manifest(version)
-        return {k: dict(v) for k, v in manifest.get("stats", {}).items()}
+        return {
+            f: {c: v for c, v in entry.items() if not c.startswith("__")}
+            for f, entry in manifest.get("stats", {}).items()
+        }
+
+    def file_rows(self, version: int | None = None) -> dict[str, int | None]:
+        """Per-file recorded row counts (None for files committed
+        before row counting existed)."""
+        if version is None:
+            _, manifest = self._current()
+            if manifest is None:
+                return {}
+        else:
+            manifest = self._load_manifest(version)
+        stats = manifest.get("stats", {})
+        return {
+            f: (
+                int(stats[f]["__rows"][0])
+                if f in stats and "__rows" in stats[f]
+                else None
+            )
+            for files in manifest["partitions"].values()
+            for f in files
+        }
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) answered from the manifest alone — zero data files
+        read (the Delta/Iceberg metadata-only aggregate).  Returns None
+        when any live file predates row counting (the scan is then the
+        only truthful answer)."""
+        per_file = self.file_rows(version)
+        if any(n is None for n in per_file.values()):
+            return None
+        return sum(per_file.values())
 
     # -- writes ------------------------------------------------------------
     def _null_safe_key_join(
@@ -934,43 +1090,41 @@ class ManifestTable:
                     new_partitions.setdefault(pkey, []).append(rel)
                     produced[rel] = rel
             # per-file stats: key/partition cols PLUS the sort columns
-            # (the whole point — tight ranges per bucket)
+            # (the whole point — tight ranges per bucket), with the
+            # shared meta aggregation (row counts + configured blooms)
             dfb = self._spark.read.parquet(out)  # discovers pk + bucket
-            stats_cols = list(
-                dict.fromkeys(
-                    self._stats_columns(df.schema)
-                    + [
-                        c
-                        for c in sort_by
-                        if any(
-                            f.name == c
-                            and isinstance(f.dataType, _STATS_TYPES)
-                            for f in df.schema.fields
-                        )
-                    ]
+            extra_sort_cols = [
+                c
+                for c in sort_by
+                if c not in set(self.key_cols) | set(self.partition_by)
+                and any(
+                    f.name == c and isinstance(f.dataType, _STATS_TYPES)
+                    for f in df.schema.fields
                 )
-            )
-            aggs = []
-            for c in stats_cols:
+            ]
+            proj, aggs, parse = self._meta_aggs(df.schema)
+            for c in extra_sort_cols:
                 aggs.append(F.min(c).alias(f"__mn_{c}"))
                 aggs.append(F.max(c).alias(f"__mx_{c}"))
                 aggs.append(
                     F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
                 )
             batch_stats: dict[str, dict[str, list]] = {}
-            if aggs:
-                for r in (
-                    dfb.groupBy(_PK_COL, bucket_col).agg(*aggs).collect()
-                ):
-                    rel = os.path.join(
-                        batch_dir,
-                        f"{_PK_COL}={r[_PK_COL]}",
-                        f"{bucket_col}={r[bucket_col]}",
-                    )
-                    batch_stats[rel] = {
-                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"], r[f"__nn_{c}"]]
-                        for c in stats_cols
-                    }
+            for r in (
+                dfb.select(_PK_COL, bucket_col, *df.columns, *proj)
+                .groupBy(_PK_COL, bucket_col)
+                .agg(*aggs)
+                .collect()
+            ):
+                rel = os.path.join(
+                    batch_dir,
+                    f"{_PK_COL}={r[_PK_COL]}",
+                    f"{bucket_col}={r[bucket_col]}",
+                )
+                entry = parse(r)
+                for c in extra_sort_cols:
+                    entry[c] = [r[f"__mn_{c}"], r[f"__mx_{c}"], r[f"__nn_{c}"]]
+                batch_stats[rel] = entry
             if self._try_commit(
                 gen,
                 manifest,
@@ -1103,32 +1257,42 @@ class ManifestTable:
         raise CommitConflict("manifest-table contention: retries exhausted")
 
 
-def _file_overlaps(file_stats: dict | None, where: dict) -> bool:
+def _file_overlaps(
+    file_stats: dict | None,
+    where: dict,
+    probes: dict[str, list[tuple[int, int]]] | None = None,
+) -> bool:
     """Conservative overlap test: prune a file only when some ``where``
     column's recorded stats provably exclude every requested value —
-    [min, max] for value specs, the null count for IS-NULL specs.
-    Missing stats, NULL bounds, or cross-type comparisons keep the
-    file."""
+    [min, max] for value specs, the null count for IS-NULL specs, the
+    bloom bitset for equality specs on bloom-indexed columns.  Missing
+    stats, NULL bounds, or cross-type comparisons keep the file."""
     if not file_stats:
         return True
     for col, spec in where.items():
         bounds = file_stats.get(col)
-        if not bounds:
-            continue
-        mn, mx = bounds[0], bounds[1]
-        n_null = bounds[2] if len(bounds) > 2 else None
-        if spec is None:
-            # IS NULL: a file recorded as null-free cannot match
-            if n_null == 0:
+        if bounds:
+            mn, mx = bounds[0], bounds[1]
+            n_null = bounds[2] if len(bounds) > 2 else None
+            if spec is None:
+                # IS NULL: a file recorded as null-free cannot match
+                if n_null == 0:
+                    return False
+                continue
+            if mn is not None and mx is not None:
+                lo, hi = spec if isinstance(spec, tuple) else (spec, spec)
+                if lo is not None and _safe_lt(mx, lo):
+                    return False
+                if hi is not None and _safe_lt(hi, mn):
+                    return False
+        if probes and col in probes:
+            words = file_stats.get(f"__bloom:{col}")
+            # membership needs ALL probe bits set; one clear bit is a
+            # definite miss (blooms have no false negatives)
+            if words and any(
+                (int(words[w]) & mask) != mask for w, mask in probes[col]
+            ):
                 return False
-            continue
-        if mn is None or mx is None:
-            continue  # all-null or unknown range: value specs can't prune
-        lo, hi = spec if isinstance(spec, tuple) else (spec, spec)
-        if lo is not None and _safe_lt(mx, lo):
-            return False
-        if hi is not None and _safe_lt(hi, mn):
-            return False
     return True
 
 

@@ -614,3 +614,46 @@ def should_reject_non_numeric_cluster_key(spark, tmp_path):
     mt.upsert(_mk(spark, [(1, "a", "x")]))
     with pytest.raises(ValueError, match="must be numeric"):
         mt.optimize(sort_by=["v"])
+
+
+def should_prune_point_reads_with_bloom_filters(spark, tmp_path):
+    """With bloom_cols on the key, a point read over an append-heavy
+    table (many files whose id min/max all overlap) must plan only the
+    files whose bloom admits the key — and stay exact."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["part"],
+        bloom_cols=["id"],
+    )
+    # 6 appends, interleaved ids: every file's [min,max] covers the
+    # whole keyspace, so min/max pruning alone cannot discriminate
+    for b in range(6):
+        rows = [(b + 10 * i, "a", f"v{b}_{i}") for i in range(8)]
+        mt.append(_mk(spark, rows))
+    total = len(mt.planned_files())
+    assert total == 6
+    planned = mt.planned_files(where={"id": 3})  # only batch b=3 holds id 3
+    assert len(planned) < total
+    assert _state(mt.read(where={"id": 3}))[3] == ("a", "v3_0")
+    # a key that exists nowhere: blooms may even prune everything
+    assert mt.read(where={"id": 999_999}).count() == 0
+
+
+def should_answer_count_from_manifest_metadata(spark, tmp_path):
+    """row_count() is a metadata-only COUNT(*): sums recorded per-file
+    rows across appends/upserts/deletes without reading data files."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a" if i % 2 == 0 else "b", "x") for i in range(10)]))
+    assert mt.row_count() == 10
+    mt.upsert(_mk(spark, [(3, "b", "y"), (100, "c", "z")]))  # 1 update + 1 insert
+    assert mt.row_count() == 11
+    assert mt.row_count(version=1) == 10
+    import pyspark.sql.functions as F
+
+    mt.delete_where(F.col("id") < 5)
+    assert mt.row_count() == mt.read().count() == 6
+    rows = mt.file_rows()
+    assert all(isinstance(n, int) for n in rows.values())
+    assert sum(rows.values()) == 6
