@@ -186,6 +186,90 @@ def vs04_clustered_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mt.read(where={"o_orderkey": (1000, 2000)}).select(*_COLS)
 
 
+@register(
+    "vs06_incremental_view_maintenance",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                    AS DOUBLE) AS sum_price,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM merged
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("lake", "cdc", "incremental", "materialized-view"),
+)
+def vs06_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed:
+    a per-priority (sum, count) aggregate computed at v1 is advanced to
+    v3 using ONLY ``changes(1, 3, preimage=True)`` — inserts and update
+    post-images add, deletes and update pre-images subtract — and must
+    equal the direct aggregate over the final state (the oracle).
+
+    Sums run in exact decimal, so the incremental path is bit-identical
+    to recomputation (double addition would drift by accumulation
+    order).  Scale shape: the refresh reads O(changed partitions) of
+    the feed plus the old aggregate — never rescans the 100 TB base
+    table; this is the streaming-CDC pattern every derived table in a
+    lakehouse uses."""
+    from geospatial_data_lake_spark.functions.decimals import dec
+
+    mt = _build_lake(spark, sf_dir)
+    prio = "o_orderpriority"
+    base = (
+        mt.read(version=1)
+        .groupBy(prio)
+        .agg(
+            F.sum(dec("o_totalprice")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        mt.changes(1, 3, preimage=True)
+        .select(
+            prio,
+            (dec("o_totalprice") * sign.cast("decimal(18,4)")).alias("dp"),
+            sign.cast("long").alias("dn"),
+        )
+        .groupBy(prio)
+        .agg(F.sum("dp").alias("ds"), F.sum("dn").alias("dn"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        base.join(delta, prio, "full_outer")
+        .select(
+            prio,
+            F.round(
+                F.coalesce(F.col("s"), zero) + F.coalesce(F.col("ds"), zero),
+                4,
+            )
+            .cast("double")
+            .alias("sum_price"),
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy(prio)
+    )
+
+
 _BLOOMED: dict[tuple[int, str], ManifestTable] = {}
 
 

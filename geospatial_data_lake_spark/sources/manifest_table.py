@@ -620,7 +620,12 @@ class ManifestTable:
             out.append({"version": int(n), "committed_at": ts})
         return out
 
-    def changes(self, from_version: int, to_version: int) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int,
+        preimage: bool = False,
+    ) -> DataFrame:
         """Row-level change feed between two versions — the
         ``table_changes`` / CDF analog, derived from the manifests: only
         partitions whose FILE LISTS differ between the two versions are
@@ -629,7 +634,10 @@ class ManifestTable:
         ``delete``, or ``update_postimage`` (rows carried unchanged
         through a partition rewrite are not changes and are dropped).
         Returns the row columns plus ``_change_type``; delete rows carry
-        their pre-image values.
+        their pre-image values.  ``preimage=True`` additionally emits an
+        ``update_preimage`` row (the old values) per update — the full
+        Delta-CDF contract, which downstream incremental aggregation
+        needs to subtract the old contribution.
 
         Assumes key-unique table state (the upsert/delete-maintained
         contract CDF is defined over); duplicate keys from raw
@@ -701,10 +709,16 @@ class ManifestTable:
             .alias(c)
             for c in all_cols
         ]
-        return (
-            joined.select(*out_cols, change_type.alias("_change_type"))
-            .filter(F.col("_change_type").isNotNull())
-        )
+        feed = joined.select(
+            *out_cols, change_type.alias("_change_type")
+        ).filter(F.col("_change_type").isNotNull())
+        if preimage:
+            pre = joined.filter(o_present & n_present & differs).select(
+                *[F.col(f"__o_side.{c}").alias(c) for c in all_cols],
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            feed = feed.unionByName(pre)
+        return feed
 
     def partition_files(self, version: int | None = None) -> dict[str, list[str]]:
         """The manifest's partition -> file-list map (for tests/tools)."""

@@ -657,3 +657,23 @@ def should_answer_count_from_manifest_metadata(spark, tmp_path):
     rows = mt.file_rows()
     assert all(isinstance(n, int) for n in rows.values())
     assert sum(rows.values()) == 6
+
+
+def should_emit_update_preimages_when_asked(spark, tmp_path):
+    """preimage=True adds an update_preimage row (old values) per
+    update — the full Delta-CDF contract incremental aggregation
+    needs; the default feed stays postimage-only."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "old"), (2, "a", "keep")]))
+    mt.upsert(_mk(spark, [(1, "a", "new"), (3, "b", "ins")]))
+    feed = {
+        (r.id, r._change_type): r.v
+        for r in mt.changes(1, 2, preimage=True).collect()
+    }
+    assert feed == {
+        (1, "update_preimage"): "old",
+        (1, "update_postimage"): "new",
+        (3, "insert"): "ins",
+    }
+    default = {r._change_type for r in mt.changes(1, 2).collect()}
+    assert "update_preimage" not in default
