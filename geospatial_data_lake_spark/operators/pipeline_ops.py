@@ -451,3 +451,72 @@ def rp01_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup_bigram"),
         F.round(dup / n, 4).alias("dup_frac"),
     ).orderBy("doc_id")
+
+
+# -- qf02: composite rule-based quality gate -----------------------------------
+
+_QF2_STOPS = ("the", "a", "of", "and")
+
+
+@register(
+    "qf02_gopher_rules",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   len(tk) AS n_words,
+                   round(list_sum(list_transform(tk, x -> len(x))) * 1.0
+                         / len(tk), 4) AS mean_wlen,
+                   round(len(list_filter(tk,
+                             x -> x IN ('the','a','of','and'))) * 1.0
+                         / len(tk), 4) AS stop_frac
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents)
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               mean_wlen, stop_frac,
+               (n_words >= 20 AND mean_wlen BETWEEN 4.0 AND 10.0
+                AND stop_frac >= 0.05) AS keep
+        FROM s
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "quality", "gopher-rules"),
+)
+def qf02_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality gate — the Gopher/C4 heuristic
+    family: per document, word count, mean word length, and stopword
+    fraction, plus the composite keep flag (length floor, mean-word-
+    length band, minimum stopword density).  Production pipelines
+    threshold exactly these signals before any model-based scoring.
+
+    Scale shape: every metric is an in-row array expression over the
+    scan (aggregate/filter over the token array) — zero shuffles, zero
+    Python; the keep flag is a scan-side predicate, so a pipeline
+    consuming only survivors pushes the whole gate into the read."""
+    from geospatial_data_lake_spark.tables import spread
+
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    d = spread(spark, t.documents).select("doc_id", tk.alias("tk"))
+    n = F.size("tk")
+    mean_wlen = F.round(
+        F.aggregate(
+            "tk", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / n,
+        4,
+    )
+    stop_frac = F.round(
+        F.size(F.filter("tk", lambda x: x.isin(*_QF2_STOPS))) / n, 4
+    )
+    out = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        stop_frac.alias("stop_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= 20)
+        & F.col("mean_wlen").between(4.0, 10.0)
+        & (F.col("stop_frac") >= 0.05)
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")

@@ -140,9 +140,10 @@ _PRIORITY: tuple[str, ...] = (
     # above; the full registry still runs under the local mirror gate)
     "dd04_minhash_lsh_pairs",  # dedup / ANN
     # --- 50-entry mark; proven rows retired from the checked prefix ---
-    # (after r5 every registered query has at least one driver-green row;
-    # r6 rotation: shrink prefix to ~25 = one canary per family + any
-    # queries added in r5, per VERDICT r4 item 7)
+    # r6 rotation: prefix = the queries added late in r5 that missed
+    # this round's 50 (vs05_bloom_point_read, vs06_incremental_view_
+    # maintenance, qf02_gopher_rules) + ~22 canaries (one per family),
+    # per VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",
