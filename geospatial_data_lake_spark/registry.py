@@ -70,8 +70,8 @@ _LOADED = False
 # that have never had a driver CORRECTNESS row (the r4 curation family,
 # int8 quantization, real PPM/WAV codecs, remaining TPC-H / tx / u / w /
 # a / t rows, f02, dd05, gr01, j08, and the three rows-only ANN/graph
-# ops), the 5 queries ADDED in r5 (sk01/sk02 skew, vs01-vs03 manifest
-# lake), and 3 family canaries — 50 total.  After this round cumulative
+# ops), 7 queries ADDED in r5 (sk01/sk02 skew, vs01-vs04 manifest lake,
+# st01 streaming lake sink), and 1 family canary (dd04) — 50 total.  After this round cumulative
 # driver-green reaches the full registry; r6 should shrink the prefix
 # back to ~25 canaries + newest additions.  Everything not listed keeps
 # its registration order after the prioritized prefix; nothing is

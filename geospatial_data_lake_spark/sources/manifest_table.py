@@ -55,6 +55,10 @@ from geospatial_data_lake_spark.plans.catalog import (
     CommitConflict,
     NotFoundError,
 )
+from geospatial_data_lake_spark.sources.merge_common import (
+    keep_unmatched,
+    null_safe_key_join,
+)
 
 _MAX_RETRIES = 64
 
@@ -551,17 +555,22 @@ class ManifestTable:
                 cond = cond & (F.col(col) == F.lit(spec))
         return cond
 
+    def _manifest_at(self, version: int | None) -> dict | None:
+        """The manifest for ``version`` (head when None; None when the
+        table has never been committed) — the single version-resolution
+        path every read-side accessor goes through."""
+        if version is None:
+            return self._current()[1]
+        return self._load_manifest(version)
+
     def planned_files(
         self, where: dict | None = None, version: int | None = None
     ) -> list[str]:
         """The data files a ``read(where=...)`` would scan (for tests
         and EXPLAIN-style tooling)."""
-        if version is None:
-            _, manifest = self._current()
-            if manifest is None:
-                return []
-        else:
-            manifest = self._load_manifest(version)
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            return []
         return self._resolve_files(manifest, where)
 
     def read(
@@ -576,12 +585,9 @@ class ManifestTable:
         (None = unbounded): files whose recorded min/max cannot overlap
         are never planned, and the predicate is ALSO applied to the
         surviving files, so the result equals a full-scan filter."""
-        if version is None:
-            gen, manifest = self._current()
-            if manifest is None:
-                raise NotFoundError(f"table never committed: {self.root}")
-        else:
-            manifest = self._load_manifest(version)
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            raise NotFoundError(f"table never committed: {self.root}")
         files = [
             os.path.join(self._data, f)
             for f in self._resolve_files(manifest, where)
@@ -722,24 +728,18 @@ class ManifestTable:
 
     def partition_files(self, version: int | None = None) -> dict[str, list[str]]:
         """The manifest's partition -> file-list map (for tests/tools)."""
-        if version is None:
-            _, manifest = self._current()
-            if manifest is None:
-                return {}
-        else:
-            manifest = self._load_manifest(version)
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            return {}
         return {k: list(v) for k, v in manifest["partitions"].items()}
 
     def file_stats(self, version: int | None = None) -> dict[str, dict[str, list]]:
         """The manifest's per-file min/max column stats (for
         tests/tools) — reserved entries (``__rows``, ``__bloom:*``)
         filtered out; see ``file_rows`` / ``row_count``."""
-        if version is None:
-            _, manifest = self._current()
-            if manifest is None:
-                return {}
-        else:
-            manifest = self._load_manifest(version)
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            return {}
         return {
             f: {c: v for c, v in entry.items() if not c.startswith("__")}
             for f, entry in manifest.get("stats", {}).items()
@@ -748,12 +748,9 @@ class ManifestTable:
     def file_rows(self, version: int | None = None) -> dict[str, int | None]:
         """Per-file recorded row counts (None for files committed
         before row counting existed)."""
-        if version is None:
-            _, manifest = self._current()
-            if manifest is None:
-                return {}
-        else:
-            manifest = self._load_manifest(version)
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            return {}
         stats = manifest.get("stats", {})
         return {
             f: (
@@ -779,16 +776,9 @@ class ManifestTable:
     def _null_safe_key_join(
         self, left: DataFrame, updates: DataFrame, how: str
     ) -> DataFrame:
-        """left_anti / left_semi of ``left`` against the update keys
-        with NULL-SAFE equality: MERGE must treat NULL key values as
-        matching (a plain key join never matches NULL = NULL, so an old
-        NULL-keyed row would survive alongside its replacement)."""
-        keys = updates.select(*self.key_cols).alias("__u")
-        lhs = left.alias("__l")
-        cond = F.lit(True)
-        for k in self.key_cols:
-            cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__u.{k}"))
-        return lhs.join(keys.hint("broadcast"), cond, how)
+        """MERGE key matching — shared with VersionedTable so the two
+        engines cannot drift (merge_common.null_safe_key_join)."""
+        return null_safe_key_join(left, updates, self.key_cols, how)
 
     def _try_commit(
         self,
@@ -887,13 +877,22 @@ class ManifestTable:
             new_partitions = dict(partitions)
             for pkey, rel in produced.items():
                 new_partitions[pkey] = [*new_partitions.get(pkey, []), rel]
+            try:
+                schema_ddl = self._merged_schema_ddl(batch.schema, manifest)
+            except ValueError:
+                # a CONCURRENT commit made this batch incompatible after
+                # the pre-write validation passed — don't leak its files
+                shutil.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
+                raise
             if self._try_commit(
                 gen,
                 manifest,
                 new_partitions,
                 produced,
                 batch_stats,
-                self._merged_schema_ddl(batch.schema, manifest),
+                schema_ddl,
                 txn=txn,
             ):
                 return gen + 1
@@ -938,11 +937,11 @@ class ManifestTable:
                     for pkey in touched
                     for f in partitions[pkey]
                 ]
-                kept = (
-                    self._spark.read.option("mergeSchema", "true")
-                    .parquet(*old_files)
-                    # DELETE drops TRUE rows only; NULL predicate -> keep
-                    .filter(~F.coalesce(condition, F.lit(False)))
+                kept = keep_unmatched(  # DELETE drops TRUE rows only
+                    self._spark.read.option("mergeSchema", "true").parquet(
+                        *old_files
+                    ),
+                    condition,
                 )
                 produced = self._write_partitioned(kept, batch_dir)
                 batch_stats = self._collect_stats_for_batch(batch_dir, produced)
@@ -1248,6 +1247,12 @@ class ManifestTable:
             else:
                 merged = updates
 
+            # re-validate against THIS loop's head before writing: a
+            # concurrent schema-evolving commit may have made the batch
+            # incompatible after the pre-loop validation passed — fail
+            # here, before any files exist to leak
+            schema_ddl = self._merged_schema_ddl(updates.schema, manifest)
+
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(merged, batch_dir)
             batch_stats = self._collect_stats_for_batch(batch_dir, produced)
@@ -1263,7 +1268,7 @@ class ManifestTable:
                 new_partitions,
                 produced,
                 batch_stats,
-                self._merged_schema_ddl(updates.schema, manifest),
+                schema_ddl,
                 batch_dir,
                 txn=txn,
             ):

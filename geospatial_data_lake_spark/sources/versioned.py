@@ -100,19 +100,18 @@ class VersionedTable:
         concurrent writers — a loser of the commit race re-reads the
         winner's state and re-merges, so no update is ever lost.
         Returns the committed version."""
-        from pyspark.sql import functions as F
+        from geospatial_data_lake_spark.sources.merge_common import (
+            null_safe_key_join,
+        )
 
         updates = updates.dropDuplicates(key_cols)
 
         def merge(existing: DataFrame | None) -> DataFrame:
             if existing is None:
                 return updates
-            keys = updates.select(*key_cols).alias("__u")
-            lhs = existing.alias("__l")
-            cond = F.lit(True)
-            for k in key_cols:
-                cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__u.{k}"))
-            survivors = lhs.join(keys.hint("broadcast"), cond, "left_anti")
+            survivors = null_safe_key_join(
+                existing, updates, key_cols, "left_anti"
+            )
             # allowMissingColumns: schema-evolving upserts widen the
             # update side; surviving rows take NULL for new columns
             return survivors.unionByName(updates, allowMissingColumns=True)
@@ -123,13 +122,15 @@ class VersionedTable:
         """MERGE ... WHEN MATCHED THEN DELETE analog: drop rows matching
         ``condition`` (a Column predicate) as a new version.  SQL DELETE
         removes only rows where the predicate is TRUE — rows where it
-        evaluates to NULL survive (hence the coalesce, not a bare NOT)."""
-        from pyspark.sql import functions as F
+        evaluates to NULL survive (merge_common.keep_unmatched)."""
+        from geospatial_data_lake_spark.sources.merge_common import (
+            keep_unmatched,
+        )
 
         def drop(existing: DataFrame | None) -> DataFrame:
             if existing is None:
                 raise NotFoundError(f"table never committed: {self._table.root}")
-            return existing.filter(~F.coalesce(condition, F.lit(False)))
+            return keep_unmatched(existing, condition)
 
         return self._commit_with_retry(drop)
 

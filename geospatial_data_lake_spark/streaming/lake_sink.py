@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame
 from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
 
 
+def _start(stream: DataFrame, batch_fn, checkpoint_dir: str, available_now: bool):
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_upsert(
     stream: DataFrame,
     table: ManifestTable,
@@ -42,12 +51,9 @@ def stream_upsert(
     ``batch_id`` becomes the txn version.  ``availableNow`` drains the
     backlog and stops (the incremental-batch pattern); pass
     ``available_now=False`` for a continuously running query."""
-    writer = stream.writeStream.foreachBatch(
-        upsert_batch_fn(table, app_id)
-    ).option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start(
+        stream, upsert_batch_fn(table, app_id), checkpoint_dir, available_now
+    )
 
 
 def stream_append(
@@ -59,12 +65,9 @@ def stream_append(
 ):
     """Append each micro-batch to ``table`` exactly once (the blind
     O(batch) ingest path — no key dedup across batches)."""
-    writer = stream.writeStream.foreachBatch(
-        append_batch_fn(table, app_id)
-    ).option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start(
+        stream, append_batch_fn(table, app_id), checkpoint_dir, available_now
+    )
 
 
 def upsert_batch_fn(table: ManifestTable, app_id: str):
