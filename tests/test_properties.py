@@ -369,6 +369,12 @@ _mt_op = st.one_of(
     ),
     st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 3)),
     st.tuples(st.just("compact")),
+    st.tuples(st.just("optimize")),
+    st.tuples(
+        st.just("txn_upsert"),
+        st.lists(_mt_row, min_size=1, max_size=3, unique_by=lambda r: r[0]),
+        st.integers(0, 3),  # txn batch version (may replay/regress)
+    ),
 )
 
 
@@ -376,10 +382,13 @@ _mt_op = st.one_of(
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=st.lists(_mt_op, min_size=1, max_size=5))
 def should_manifest_table_match_multiset_model(spark, ops):
-    """Model check: any sequence of append/upsert/delete/compact leaves
-    the manifest table holding exactly the multiset a trivial in-memory
-    model predicts — and every intermediate version stays readable as
-    its own historical snapshot (time travel over the whole history)."""
+    """Model check: any sequence of append/upsert/delete/compact/
+    optimize/txn-upsert leaves the manifest table holding exactly the
+    multiset a trivial in-memory model predicts — and every
+    intermediate version stays readable as its own historical snapshot
+    (time travel over the whole history).  optimize must be content-
+    preserving; a txn-upsert whose (app, version) is not newer than the
+    recorded cursor must be a committed no-op (the replay contract)."""
     import tempfile
 
     from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
@@ -392,6 +401,7 @@ def should_manifest_table_match_multiset_model(spark, ops):
     )
     model: list[tuple] = []  # multiset of (id, part, v)
     snapshots: dict[int, list[tuple]] = {}
+    last_txn = -1  # the model's txn cursor for app "prop"
 
     def df_of(rows):
         return spark.createDataFrame(rows, "id long, part string, v long")
@@ -418,6 +428,20 @@ def should_manifest_table_match_multiset_model(spark, ops):
                 continue
             v = mt.delete_where(F.col("id") % m == rem)
             model = [r for r in model if r[0] % m != rem]
+        elif op[0] == "optimize":
+            v = mt.optimize(sort_by=["id"], target_files=2)
+            if v is None:
+                continue  # empty table: nothing to cluster
+        elif op[0] == "txn_upsert":
+            _, rows, k = op
+            before = mt.current_version()
+            v = mt.upsert(df_of(rows), txn=("prop", k))
+            if k <= last_txn:
+                assert v == before, (ops, k)  # replayed batch: no-op
+                continue
+            last_txn = k
+            keys = {r[0] for r in rows}
+            model = [r for r in model if r[0] not in keys] + list(rows)
         else:
             v = mt.compact()
             if v is None:
