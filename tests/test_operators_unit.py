@@ -354,3 +354,31 @@ def should_derive_ngrams_from_short_documents_without_crashing(spark):
         ).alias("g")
     ).collect()
     assert [len(r.g) for r in bi] == [4, 1, 0, 0]
+
+
+def should_decode_png_payloads_faithfully():
+    """mm06's codec is REAL — every synth payload (which cycles all
+    five PNG filter types across scanlines) must round-trip to the
+    exact linear pixel pattern, and structural corruption must raise,
+    never silently zero."""
+    import pytest
+
+    from geospatial_data_lake_spark.operators.multimodal import (
+        _BPP,
+        decode_png,
+        synth_png,
+    )
+
+    for doc_id in (0, 3, 9, 42, 117):
+        w, h, n_chunks, px = decode_png(synth_png(doc_id))
+        assert (w, h, n_chunks) == (1 + doc_id % 8, 5, 3)
+        assert px == bytes(
+            (doc_id * 17 + i) % 256 for i in range(w * h * _BPP)
+        )
+    good = synth_png(9)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOTAPNG" + good)
+    corrupt = bytearray(good)
+    corrupt[len(good) // 2] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
