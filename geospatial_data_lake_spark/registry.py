@@ -142,8 +142,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- 50-entry mark; proven rows retired from the checked prefix ---
     # r6 rotation: prefix = the queries added late in r5 that missed
     # this round's 50 (vs05_bloom_point_read, vs06_incremental_view_
-    # maintenance, qf02_gopher_rules) + ~22 canaries (one per family),
-    # per VERDICT r4 item 7.
+    # maintenance, qf02_gopher_rules, mm06_png_decode_stats) + ~22
+    # canaries (one per family), per VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",
