@@ -677,3 +677,45 @@ def should_emit_update_preimages_when_asked(spark, tmp_path):
     }
     default = {r._change_type for r in mt.changes(1, 2).collect()}
     assert "update_preimage" not in default
+
+
+def should_serialize_maintenance_racing_writers(spark, tmp_path):
+    """optimize/compact racing concurrent upserts must serialize like
+    any commit: no version gaps, no lost updates, and the final content
+    equals the sequential model regardless of interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "race_maint")
+    seed = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+    seed.upsert(
+        _mk(spark, [(i, "a" if i % 2 == 0 else "b", f"v{i}") for i in range(40)])
+    )
+
+    def upsert(i):
+        mt = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+        return ("u", mt.upsert(_mk(spark, [(i, "a" if i % 2 == 0 else "b", f"W{i}")])))
+
+    def maintain(kind):
+        mt = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+        if kind == "optimize":
+            return ("o", mt.optimize(sort_by=["id"], target_files=3))
+        return ("c", mt.compact())
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(upsert, i) for i in range(4)]
+        futs.append(pool.submit(maintain, "optimize"))
+        futs.append(pool.submit(maintain, "compact"))
+        results = [f.result() for f in futs]
+
+    committed = [v for _, v in results if v is not None]
+    assert sorted(committed) == list(range(2, 2 + len(committed)))
+    final = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+    state = _state(final.read())
+    want = {i: ("a" if i % 2 == 0 else "b", f"v{i}") for i in range(40)}
+    for i in range(4):
+        want[i] = ("a" if i % 2 == 0 else "b", f"W{i}")
+    assert state == want
+    # every version in the surviving window reads cleanly (no torn
+    # manifests from the maintenance/upsert interleaving)
+    for v in range(1, final.current_version() + 1):
+        assert final.read(version=v).count() >= 40
