@@ -270,6 +270,56 @@ def vs06_incremental_view_maintenance(
     )
 
 
+_REPLACED: dict[tuple[int, str], ManifestTable] = {}
+
+
+@register(
+    "vs07_replace_where",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority <> '3-MEDIUM'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice * 3 AS o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0
+    """,
+    tags=("lake", "manifest", "replace-where", "S9-analog"),
+)
+def vs07_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE`` by predicate (Delta replaceWhere): the
+    '3-MEDIUM' slice is atomically rebuilt from a reprocessed batch
+    (even keys only, tripled price) while every other priority carries
+    by file reference — the read-back must equal the slice-replaced
+    fixture.  The ×3 is exact in binary floating point, so the check
+    is bit-strict.
+
+    Scale shape: the commit rewrites O(slice partitions) in one job; a
+    daily-reprocess on a 100 TB table touches one day's partitions and
+    a manifest document, never the table."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _REPLACED:
+        t = tables(spark, sf_dir)
+        base = t.orders.select(*_COLS)
+        mt = ManifestTable(
+            spark,
+            tempfile.mkdtemp(prefix="gdl_lake_rw_"),
+            key_cols=["o_orderkey"],
+            partition_by=["o_orderpriority"],
+        )
+        mt.append(base)
+        mt.overwrite_where(
+            base.filter(
+                (F.col("o_orderpriority") == "3-MEDIUM")
+                & (F.col("o_orderkey") % 2 == 0)
+            ).withColumn("o_totalprice", F.col("o_totalprice") * 3),
+            F.col("o_orderpriority") == "3-MEDIUM",
+        )
+        _REPLACED[cache_key] = mt
+    return _REPLACED[cache_key].read().select(*_COLS)
+
+
 _BLOOMED: dict[tuple[int, str], ManifestTable] = {}
 
 

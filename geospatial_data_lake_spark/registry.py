@@ -71,9 +71,10 @@ _LOADED = False
 # int8 quantization, real PPM/WAV codecs, remaining TPC-H / tx / u / w /
 # a / t rows, f02, dd05, gr01, j08, and the three rows-only ANN/graph
 # ops), 7 queries ADDED in r5 (sk01/sk02 skew, vs01-vs04 manifest lake,
-# st01 streaming lake sink), and 1 family canary (dd04) — 50 total.  After this round cumulative
-# driver-green reaches the full registry; r6 should shrink the prefix
-# back to ~25 canaries + newest additions.  Everything not listed keeps
+# st01 streaming lake sink), and 1 family canary (dd04) — 50 total.
+# After this round cumulative driver-green covers everything except the
+# five late-r5 additions listed at the 50-entry mark; r6 shrinks the
+# prefix back to those + ~21 canaries.  Everything not listed keeps
 # its registration order after the prioritized prefix; nothing is
 # dropped.
 _PRIORITY: tuple[str, ...] = (
@@ -142,8 +143,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- 50-entry mark; proven rows retired from the checked prefix ---
     # r6 rotation: prefix = the queries added late in r5 that missed
     # this round's 50 (vs05_bloom_point_read, vs06_incremental_view_
-    # maintenance, qf02_gopher_rules, mm06_png_decode_stats) + ~22
-    # canaries (one per family), per VERDICT r4 item 7.
+    # maintenance, vs07_replace_where, qf02_gopher_rules,
+    # mm06_png_decode_stats) + ~21 canaries (one per family), per
+    # VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",

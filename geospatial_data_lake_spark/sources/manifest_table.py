@@ -961,6 +961,104 @@ class ManifestTable:
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
+    def overwrite_where(
+        self,
+        batch: DataFrame,
+        condition,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """``INSERT OVERWRITE`` by predicate — the Delta ``replaceWhere``
+        contract: atomically replace exactly the rows where
+        ``condition`` is TRUE with ``batch`` (the reprocess-a-slice
+        path: rebuild one day/region without touching the rest).  Every
+        batch row must itself satisfy ``condition`` — rejected before
+        anything is written otherwise, so a misdirected reprocess can
+        never leak rows outside its declared slice.  Only partitions
+        holding replaced rows or receiving batch rows are rewritten
+        (ONE write job); everything else carries by reference.
+        ``txn`` gives the same per-writer idempotency as append/upsert."""
+        gen0, head = self._current()
+        if self._txn_applied(head, txn):
+            return gen0
+        if head is None:
+            raise NotFoundError(f"table never committed: {self.root}")
+        batch = batch.localCheckpoint(eager=True)
+        self._merged_schema_ddl(batch.schema, head)
+        stray = (
+            batch.filter(~F.coalesce(condition, F.lit(False))).limit(1).count()
+        )
+        if stray:
+            raise ValueError(
+                "overwrite_where batch contains rows outside the "
+                "replacement predicate (replaceWhere contract)"
+            )
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if self._txn_applied(manifest, txn):
+                return gen
+            if manifest is None:
+                raise NotFoundError(f"table never committed: {self.root}")
+            partitions = dict(manifest["partitions"])
+            schema_ddl = self._merged_schema_ddl(batch.schema, manifest)
+            all_files = [
+                os.path.join(self._data, f)
+                for files in partitions.values()
+                for f in files
+            ]
+            current = self._spark.read.option("mergeSchema", "true").parquet(
+                *all_files
+            )
+            # partitions losing rows to the predicate ...
+            touched = {
+                self._pk_from_hex(r.pk)
+                for r in current.filter(condition)
+                .select(self._pk_expr().alias("pk"))
+                .distinct()
+                .collect()
+            }
+            # ... plus partitions the replacement batch lands in
+            touched |= {
+                self._pk_from_hex(r.pk)
+                for r in batch.select(self._pk_expr().alias("pk"))
+                .distinct()
+                .collect()
+            }
+            new_partitions = dict(partitions)
+            batch_dir = uuid.uuid4().hex
+            old_files = [
+                os.path.join(self._data, f)
+                for pkey in touched
+                for f in partitions.get(pkey, [])
+            ]
+            if old_files:
+                kept = keep_unmatched(
+                    self._spark.read.option("mergeSchema", "true").parquet(
+                        *old_files
+                    ),
+                    condition,
+                )
+                merged = kept.unionByName(batch, allowMissingColumns=True)
+            else:
+                merged = batch
+            produced = self._write_partitioned(merged, batch_dir)
+            batch_stats = self._collect_stats_for_batch(batch_dir, produced)
+            for pkey in touched:
+                new_partitions.pop(pkey, None)  # emptied unless re-produced
+            for pkey, rel in produced.items():
+                new_partitions[pkey] = [rel]
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                schema_ddl,
+                batch_dir,
+                txn=txn,
+            ):
+                return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def compact(self, min_files: int = 2) -> int | None:
         """Fold every partition holding >= ``min_files`` files into one
         file — the maintenance job that keeps append-heavy tables from

@@ -719,3 +719,52 @@ def should_serialize_maintenance_racing_writers(spark, tmp_path):
     # manifests from the maintenance/upsert interleaving)
     for v in range(1, final.current_version() + 1):
         assert final.read(version=v).count() >= 40
+
+
+def should_replace_only_the_predicated_slice(spark, tmp_path):
+    """overwrite_where (the replaceWhere contract): rows matching the
+    predicate are replaced by the batch atomically; rows outside it —
+    including NULL-predicate rows and untouched partitions — survive
+    by reference; a batch leaking outside the slice is rejected before
+    anything is written."""
+    import pyspark.sql.functions as F
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(
+        _mk(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, None, "n")])
+    )
+    before_b = mt.partition_files()[
+        next(k for k in mt.partition_files() if '"b"' in k)
+    ]
+    v = mt.overwrite_where(
+        _mk(spark, [(10, "a", "R1"), (11, "a", "R2")]),
+        F.col("part") == "a",
+    )
+    assert v == 2
+    assert _state(mt.read()) == {
+        10: ("a", "R1"), 11: ("a", "R2"), 3: ("b", "z"), 4: (None, "n"),
+    }
+    # partition b untouched: same file list by reference
+    pf = mt.partition_files()
+    assert pf[next(k for k in pf if '"b"' in k)] == before_b
+    # NULL-predicate row (part NULL -> condition NULL) survived
+    assert _state(mt.read(version=1))[1] == ("a", "x")  # time travel intact
+    # stray batch rows are rejected pre-write, table unchanged
+    with pytest.raises(ValueError, match="outside the"):
+        mt.overwrite_where(
+            _mk(spark, [(20, "b", "STRAY")]), F.col("part") == "a"
+        )
+    assert mt.current_version() == 2
+    # idempotent under txn replay
+    v3 = mt.overwrite_where(
+        _mk(spark, [(12, "a", "R3")]), F.col("part") == "a", txn=("ow", 1)
+    )
+    assert v3 == 3
+    assert (
+        mt.overwrite_where(
+            _mk(spark, [(99, "a", "CLOBBER")]), F.col("part") == "a",
+            txn=("ow", 1),
+        )
+        == 3
+    )
+    assert 99 not in _state(mt.read())
