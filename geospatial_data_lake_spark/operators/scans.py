@@ -169,3 +169,40 @@ def s11_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-02-01")
         ).select("l_orderkey", "l_extendedprice")
     )
+
+
+_ORC_DIRS: dict[tuple[int, str], str] = {}
+
+
+@register(
+    "s12_orc_roundtrip",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand, p_retailprice
+        FROM part
+        WHERE p_size >= 40
+        ORDER BY p_partkey
+    """,
+    tags=("scan", "orc", "format"),
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: the part table written to ORC (one
+    partitioned write), read back through Spark's native ORC source
+    with a pushed filter and pruned projection — results must be
+    byte-identical to the parquet-sourced oracle.  Proves the engine is
+    not parquet-bound: every operator runs unchanged over any
+    DataSource V2 format, and ORC carries the same footer min/max
+    stats, so the p_size predicate still skips stripes at scale."""
+    import os
+    import tempfile
+
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _ORC_DIRS:
+        out = os.path.join(tempfile.mkdtemp(prefix="gdl_orc_"), "part")
+        tables(spark, sf_dir).part.write.orc(out)
+        _ORC_DIRS[cache_key] = out
+    return (
+        spark.read.orc(_ORC_DIRS[cache_key])
+        .filter(F.col("p_size") >= 40)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    )

@@ -73,8 +73,8 @@ _LOADED = False
 # ops), 7 queries ADDED in r5 (sk01/sk02 skew, vs01-vs04 manifest lake,
 # st01 streaming lake sink), and 1 family canary (dd04) — 50 total.
 # After this round cumulative driver-green covers everything except the
-# five late-r5 additions listed at the 50-entry mark; r6 shrinks the
-# prefix back to those + ~21 canaries.  Everything not listed keeps
+# late-r5 additions listed at the 50-entry mark; r6 shrinks the prefix
+# back to those + ~20 canaries.  Everything not listed keeps
 # its registration order after the prioritized prefix; nothing is
 # dropped.
 _PRIORITY: tuple[str, ...] = (
@@ -144,8 +144,8 @@ _PRIORITY: tuple[str, ...] = (
     # r6 rotation: prefix = the queries added late in r5 that missed
     # this round's 50 (vs05_bloom_point_read, vs06_incremental_view_
     # maintenance, vs07_replace_where, qf02_gopher_rules,
-    # mm06_png_decode_stats) + ~21 canaries (one per family), per
-    # VERDICT r4 item 7.
+    # mm06_png_decode_stats, s12_orc_roundtrip) + ~20 canaries (one
+    # per family), per VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",
