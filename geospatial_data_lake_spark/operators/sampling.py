@@ -136,3 +136,43 @@ def sm03_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sm04_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars,
+               round(least(1.0, n_chars / 400.0), 4) AS weight
+        FROM documents
+        WHERE ('0x' || {_BUCKET_SQL})::INT
+              < CAST(65536 * least(1.0, n_chars / 400.0) AS INT)
+        ORDER BY doc_id
+    """,
+    tags=("sampling", "pipeline", "weighted"),
+)
+def sm04_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: each document's keep probability is
+    its own weight (here length-derived, capped at 1 — in production a
+    model-based quality score), realized by comparing the md5 bucket
+    against a per-row threshold.  The upsampling-by-quality primitive
+    of data-mixing recipes, with all of sm01's guarantees: engine-
+    portable, repartition-stable, append-stable — a document's fate
+    never changes as the corpus grows.
+
+    Scale shape: pure scan-side arithmetic + filter; no shuffle, no
+    RNG, nothing to coordinate across 1000 executors."""
+    t = tables(spark, sf_dir)
+    weight = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    bucket_int = F.conv(_bucket(), 16, 10).cast("int")
+    return (
+        t.documents.filter(
+            bucket_int < (F.lit(65536) * weight).cast("int")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(weight, 4).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

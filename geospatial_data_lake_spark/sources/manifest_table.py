@@ -648,8 +648,12 @@ class ManifestTable:
         Assumes key-unique table state (the upsert/delete-maintained
         contract CDF is defined over); duplicate keys from raw
         ``append`` batches would cross-join in the key diff."""
-        m_from = self._load_manifest(from_version)
         m_to = self._load_manifest(to_version)
+        if from_version == 0:
+            # from the empty pre-history: every current row is an insert
+            m_from = {"partitions": {}, "schema_ddl": m_to["schema_ddl"]}
+        else:
+            m_from = self._load_manifest(from_version)
         p_from = m_from["partitions"]
         p_to = m_to["partitions"]
         changed = {
@@ -725,6 +729,30 @@ class ManifestTable:
             )
             feed = feed.unionByName(pre)
         return feed
+
+    def changes_since(
+        self, cursor: int, preimage: bool = False
+    ) -> tuple[DataFrame, int]:
+        """Incremental change-feed consumption: everything that changed
+        AFTER version ``cursor``, plus the new cursor to persist — the
+        polling form of a CDC source (each call covers (cursor, head]
+        exactly once when the caller stores the returned cursor with
+        its output, e.g. in a downstream table's txn).  ``cursor=0``
+        reads the full history inside retention.  At head, returns an
+        empty feed with the unchanged cursor — no files read."""
+        gen, manifest = self._current()
+        if cursor >= gen:
+            if manifest is None:
+                schema: object = "_change_type string"
+            else:
+                schema = T.StructType(
+                    [
+                        *T.StructType.fromDDL(manifest["schema_ddl"]).fields,
+                        T.StructField("_change_type", T.StringType()),
+                    ]
+                )
+            return self._spark.createDataFrame([], schema), cursor
+        return self.changes(cursor, gen, preimage=preimage), gen
 
     def partition_files(self, version: int | None = None) -> dict[str, list[str]]:
         """The manifest's partition -> file-list map (for tests/tools)."""

@@ -768,3 +768,40 @@ def should_replace_only_the_predicated_slice(spark, tmp_path):
         == 3
     )
     assert 99 not in _state(mt.read())
+
+
+def should_consume_change_feed_incrementally_with_cursor(spark, tmp_path):
+    """changes_since: each call returns exactly the delta after the
+    stored cursor; replaying the feeds against a model reproduces the
+    final table; at head the feed is empty and the cursor unchanged."""
+    import pyspark.sql.functions as F
+
+    mt = _table(spark, tmp_path)
+    model: dict = {}
+
+    def apply_feed(feed):
+        for r in feed.collect():
+            if r._change_type == "delete":
+                model.pop(r.id, None)
+            elif r._change_type in ("insert", "update_postimage"):
+                model[r.id] = (r.part, r.v)
+
+    cursor = 0
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    feed, cursor = mt.changes_since(cursor)
+    assert cursor == 1
+    apply_feed(feed)
+    assert model == _state(mt.read())
+
+    mt.upsert(_mk(spark, [(1, "a", "x2"), (3, "b", "z")]))
+    mt.delete_where(F.col("id") == 2)
+    feed, cursor = mt.changes_since(cursor)
+    assert cursor == 3
+    apply_feed(feed)
+    assert model == _state(mt.read()) == {1: ("a", "x2"), 3: ("b", "z")}
+
+    # at head: empty feed, cursor unchanged, schema intact
+    feed, cursor2 = mt.changes_since(cursor)
+    assert cursor2 == cursor
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns and "id" in feed.columns
