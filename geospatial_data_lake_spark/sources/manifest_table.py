@@ -800,6 +800,30 @@ class ManifestTable:
             return None
         return sum(per_file.values())
 
+    def column_range(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """MIN/MAX of ``col`` from the manifest stats alone — the other
+        metadata-only aggregate.  Returns (min, max); (None, None) when
+        every live row is NULL; None when any live file has no recorded
+        stats for ``col`` (only a scan can answer then)."""
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            return None
+        stats = manifest.get("stats", {})
+        mns, mxs = [], []
+        for files in manifest["partitions"].values():
+            for f in files:
+                bounds = stats.get(f, {}).get(col)
+                if bounds is None:
+                    return None
+                if bounds[0] is not None:  # all-null files carry no range
+                    mns.append(bounds[0])
+                    mxs.append(bounds[1])
+        if not mns:
+            return (None, None)
+        return (min(mns), max(mxs))
+
     # -- writes ------------------------------------------------------------
     def _null_safe_key_join(
         self, left: DataFrame, updates: DataFrame, how: str

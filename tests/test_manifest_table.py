@@ -657,6 +657,10 @@ def should_answer_count_from_manifest_metadata(spark, tmp_path):
     rows = mt.file_rows()
     assert all(isinstance(n, int) for n in rows.values())
     assert sum(rows.values()) == 6
+    # metadata-only MIN/MAX agrees with the scan
+    assert mt.column_range("id") == (5, 100)
+    assert mt.column_range("id", version=1) == (0, 9)
+    assert mt.column_range("no_such_col") is None
 
 
 def should_emit_update_preimages_when_asked(spark, tmp_path):

@@ -390,3 +390,11 @@ def should_orient_triangle_edges_by_degree(spark, registry, sf_dir):
     assert wedge_volume(oriented, "src") < wedge_volume(id_ordered, "u")
     plan = _plan(spark, registry, "gr01_triangle_count", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def should_push_filter_into_orc_scan(spark, registry, sf_dir):
+    """s12's predicate must reach the ORC reader (the format-agnostic
+    pushdown contract — ORC footers carry min/max like parquet)."""
+    plan = _plan(spark, registry, "s12_orc_roundtrip", sf_dir)
+    assert "orc" in plan.lower(), plan
+    assert "PushedFilters" in plan and "p_size" in plan, plan
