@@ -317,3 +317,79 @@ def tx07_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_fingerprints"),
         )
     )
+
+
+@register(
+    "tx09_token_diversity",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tk, len(tk) AS n,
+                   list_transform(
+                       list_distinct(tk),
+                       d -> len(list_filter(tk, x -> x = d))
+                   ) AS cnts
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(cnts) AS BIGINT) AS n_types,
+               round(len(cnts) * 1.0 / n, 4) AS type_token_ratio,
+               round(list_max(cnts) * 1.0 / n, 4) AS top_token_frac,
+               round(1.0 - list_sum(list_transform(cnts, c -> c * c))
+                           * 1.0 / (n * n), 4) AS simpson_diversity
+        FROM c
+        ORDER BY doc_id
+    """,
+    tags=("text", "diversity", "quality"),
+)
+def tx09_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity metrics — the gibberish/spam detectors a
+    quality pipeline thresholds alongside rp01's repetition fractions:
+    type-token ratio, the most-frequent token's share, and the Simpson
+    diversity index 1 - Σp².  Simpson is used INSTEAD of Shannon
+    entropy deliberately: it is rational arithmetic over integer
+    counts, so both engines compute bit-identical values, where a
+    log() transform could differ in the last ulp between libm
+    implementations (same reasoning as tx08's rational tf-idf).
+
+    Scale shape: entirely in-row (counts via nested array functions
+    over the token array — O(types × tokens) per document, fine for
+    the ≤10k-token documents curation operates on); zero shuffles.
+    For book-length outliers the explode + count + window reshape is
+    the escalation, at the price of two shuffles."""
+    from geospatial_data_lake_spark.tables import spread
+
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    d = spread(spark, t.documents).select("doc_id", tk.alias("tk"))
+    n = F.size("tk")
+    cnts = F.transform(
+        F.array_distinct("tk"),
+        lambda dd: F.size(F.filter("tk", lambda x: x == dd)),
+    )
+    c = d.select(
+        "doc_id",
+        n.alias("n"),
+        cnts.alias("cnts"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("cnts").cast("bigint").alias("n_types"),
+        F.round(F.size("cnts") / F.col("n"), 4).alias("type_token_ratio"),
+        F.round(F.array_max("cnts") / F.col("n"), 4).alias("top_token_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.aggregate(
+                F.transform("cnts", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("n") * F.col("n")),
+            4,
+        ).alias("simpson_diversity"),
+    ).orderBy("doc_id")
