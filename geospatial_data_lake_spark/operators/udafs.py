@@ -177,3 +177,64 @@ def a15_hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             within(F.col("est_all"), "exact_all").alias("rollup_within_bound"),
         )
     )
+
+
+_RANK_SCHEMA = (
+    "doc_id bigint, lang string, n_chars bigint, lang_rank bigint,"
+    " lang_n bigint"
+)
+
+
+def _rank_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: dense ordering of one language's documents
+    by length (doc_id tie-break), plus the group size.  The rank/size
+    division happens OUTSIDE the kernel with F.round — Python's round()
+    is banker's rounding while SQL rounds half away from zero, so
+    fractional outputs must never be rounded Python-side."""
+    out = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    out["lang_rank"] = range(1, len(out) + 1)
+    out["lang_n"] = len(out)
+    return out
+
+
+@register(
+    "x05_group_rank_normalize",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS lang_rank,
+               round(row_number() OVER (PARTITION BY lang
+                     ORDER BY n_chars, doc_id) * 1.0
+                     / count(*) OVER (PARTITION BY lang), 4) AS lang_pct
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("extension", "applyInPandas", "grouped-map"),
+)
+def x05_group_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map extension point: per-language rank normalization of
+    document lengths through ``applyInPandas`` — each language's rows
+    arrive as ONE pandas frame, the kernel orders and scores them, and
+    the result is the window-function answer (the oracle IS the window
+    form).  Integer ranks + one rational division keep the comparison
+    exact across engines.
+
+    This completes the Python-extension API surface alongside
+    mapInPandas (mm02-06), GROUPED_AGG (x04), and
+    applyInPandasWithState (T3).  Scale shape: one shuffle on the
+    group key, one Arrow batch per group — correct when groups fit an
+    executor (languages do); when a group may not, the window-function
+    form IS the fallback and plans identically to w03."""
+    t = tables(spark, sf_dir)
+    ranked = (
+        t.documents.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(_rank_normalize, schema=_RANK_SCHEMA)
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "lang_rank",
+        F.round(F.col("lang_rank") / F.col("lang_n"), 4).alias("lang_pct"),
+    ).orderBy("doc_id")
