@@ -203,9 +203,10 @@ def _rank_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         SELECT doc_id, lang, n_chars,
                CAST(row_number() OVER (PARTITION BY lang
                     ORDER BY n_chars, doc_id) AS BIGINT) AS lang_rank,
-               round(row_number() OVER (PARTITION BY lang
-                     ORDER BY n_chars, doc_id) * 1.0
-                     / count(*) OVER (PARTITION BY lang), 4) AS lang_pct
+               CAST(round(row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars, doc_id) * 1.0
+                          / count(*) OVER (PARTITION BY lang), 4)
+                    AS DOUBLE) AS lang_pct
         FROM documents
         ORDER BY doc_id
     """,
