@@ -1,0 +1,202 @@
+"""Distributed k-means training — the offline step the ANN index assumes.
+
+``ss03_ivf_ann_topk`` (similarity.py) builds its inverted lists from
+deterministic seed centroids and notes that "real deployments run
+k-means offline".  This module IS that offline step, expressed
+Spark-first: Lloyd's algorithm as a fixed number of scan+aggregate
+rounds, with the centroid table living on the driver between rounds
+(k x dim doubles — bounded, tiny) and pushed back into the plan as
+codegen literals.
+
+Per-iteration shape at 100 TB:
+
+- **assignment** is a single pass over the corpus: for each of the k
+  centroids a fused ``zip_with``/``aggregate`` expression computes the
+  squared distance JVM-side (no UDF, no shuffle), and ``array_min`` over
+  ``struct(dist, cid)`` picks the argmin with a deterministic cid
+  tie-break;
+- **update** is one ``posexplode`` + ``groupBy(cid, pos).avg`` — a
+  partial-aggregating shuffle of exactly k x dim cells regardless of
+  corpus size (map-side combine reduces each partition to at most
+  k x dim rows before the exchange);
+- the driver ``collect()`` is k x dim rows per iteration — bounded by
+  the model size, never by the data size, the same discipline as
+  PageRank's mass probe (joins.py) and the ANN seed collects
+  (similarity.py).
+
+Determinism across engines (the oracle replays the identical fixed-
+iteration schedule in DuckDB SQL, chained CTEs):
+
+- distances fold the dimension axis left-to-right on both engines
+  (Spark ``aggregate`` / DuckDB ``list_sum``) and are rounded to 9 dp
+  before the argmin, so assignment never depends on sub-ulp fold noise;
+- updated centroid coordinates are rounded to 6 dp on both engines,
+  collapsing partial-aggregation-order differences in ``avg``;
+- ties in the argmin break toward the smaller cluster id on both sides.
+
+Reference parity: the reference has no ML training surface; this is
+part of the training-data-pipeline extension scope (SURVEY.md §2
+"beyond the reference"), closing the loop for the IVF index
+(similarity.py ss03) whose centroids it would feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+_K = 8  # clusters
+_ITERS = 3  # Lloyd update rounds (fixed schedule => replayable oracle)
+_DIM = 64  # embedding dimensionality (embeddings.parquet contract)
+
+
+def _kmeans_oracle(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
+    """DuckDB replay of the identical fixed-iteration Lloyd schedule:
+    chained CTEs c0 -> a1/c1 -> ... -> afin, same 9-dp distance round,
+    same 6-dp centroid round, same (dist, cid) tie-break."""
+    sq = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), 9)"
+    )
+    parts = [
+        f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {k}
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.vec_id, v.v, c.cid, {sq} AS dist
+      FROM v CROSS JOIN {prev} c))
+  WHERE rn = 1
+),
+c{it} AS (
+  SELECT cid, list(val ORDER BY pos) AS c FROM (
+    SELECT a.cid, p.pos, round(avg(a.v[p.pos]), 6) AS val
+    FROM a{it} a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) p
+    GROUP BY a.cid, p.pos)
+  GROUP BY cid
+)"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f""",
+afin AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.vec_id, c.cid, {sq} AS dist
+      FROM v CROSS JOIN {prev} c))
+  WHERE rn = 1
+)
+SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(dist), 4) AS avg_sq_dist
+FROM afin GROUP BY cid ORDER BY cluster"""
+    )
+    return "".join(parts)
+
+
+def _sq_dist_to(centroid: list[float]) -> Column:
+    """Squared L2 distance from column ``v`` to a literal centroid —
+    a fused higher-order expression, folded left-to-right like the
+    oracle's ``list_sum``, rounded to 9 dp before any comparison."""
+    c = F.array(*[F.lit(x) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        9,
+    )
+
+
+def _assign(df: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Nearest-centroid assignment: argmin via ``array_min`` over
+    ``struct(dist, cid)`` (lexicographic struct order = dist then cid,
+    matching the oracle's ``ORDER BY dist, cid``)."""
+    structs = [
+        F.struct(_sq_dist_to(cv).alias("dist"), F.lit(cid).alias("cid"))
+        for cid, cv in sorted(cents.items())
+    ]
+    best = F.array_min(F.array(*structs))
+    return df.select(
+        "vec_id", "v", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+
+
+def kmeans_fit(
+    e: DataFrame, k: int = _K, iters: int = _ITERS, dim: int = _DIM
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run ``iters`` Lloyd rounds over ``e(vec_id, v: array<double>)``;
+    returns (final assignment DataFrame, trained centroids).
+
+    Seeding is deterministic (the k lowest-id vectors) so reruns — and
+    the SQL oracle — reproduce the identical trajectory.  A production
+    run would swap the seed rule for k-means|| over a sample; every
+    other line is unchanged."""
+    seed = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = {int(r.vec_id): [float(x) for x in r.v] for r in seed}
+    for _ in range(iters):
+        rows = (
+            _assign(e, cents)
+            .select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(int(r.cid), [0.0] * dim)[int(r.pos)] = float(r.val)
+        cents = new  # clusters that lost every member drop out, like the oracle
+    return _assign(e, cents), cents
+
+
+@register(
+    "cl01_kmeans_train",
+    oracle=_kmeans_oracle(),
+    tags=("clustering", "pipeline", "iterative"),
+)
+def cl01_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 3 fixed update rounds,
+    deterministic lowest-id seeding) over the embedding corpus; reports
+    the final per-cluster size and mean squared distance.
+
+    This is the offline training step ss03's IVF index presumes: its
+    output centroids are exactly what ``ss03_ivf_ann_topk`` would load
+    as its coarse quantizer.  See the module docstring for the
+    per-iteration scale shape (one scan + one k x dim partial-agg
+    shuffle per round; driver state bounded by model size)."""
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fin, _ = kmeans_fit(e)
+    return (
+        fin.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("dist"), 4).alias("avg_sq_dist"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cluster"),
+            "n_members",
+            "avg_sq_dist",
+        )
+        .orderBy("cluster")
+    )

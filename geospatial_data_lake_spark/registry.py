@@ -206,6 +206,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         from geospatial_data_lake_spark.operators import (  # noqa: F401
             aggregates,
             analytics,
+            clustering,
             dedup,
             extended,
             filters,
