@@ -1,0 +1,239 @@
+"""Data-quality operators: distribution drift, column profiling, and
+referential-integrity auditing — the checks a lake runs continuously
+over incoming batches before they are allowed to join the corpus.
+
+This is the reference's validation surface generalized from per-row
+schema checks (p08 / plans/stac_schema.py; reference
+``backend/check_files_checksums`` and ``backend/check_stac_metadata``)
+to DATASET-level invariants: "does today's batch look like
+yesterday's?" (dq01), "what does this column actually contain?" (dq02),
+and "does every fact row still resolve its dimensions?" (dq03).
+
+Scale notes (1000 executors, ~100 TB):
+
+- **dq01** never materializes an ECDF over rows.  Values are bucketed
+  into fixed-width bins scan-side (pure codegen arithmetic), so the
+  only shuffle is a partial-aggregating count keyed by bin — the
+  cumulative pass then runs over the BIN table, whose size is fixed by
+  the bin width, not by the data.  (An exact KS would need a global
+  sort; the binned statistic is the standard streaming/distributed
+  substitute and its error is bounded by one bin's mass.)
+- **dq02** is a single full scan folding every per-column statistic in
+  one aggregation (count/nulls/distinct/min/max) — partial aggregation
+  makes the exchange k-cells wide.  APPROX distinct (HLL) is the
+  documented swap past ~1B distinct keys (a15 shows the sketch path).
+- **dq03** is two left anti-joins keyed on the FK columns — the probe
+  side shuffles once per edge; dimension sides would broadcast at
+  typical dim/fact ratios (here orders/customer both shuffle; the plan
+  keys on the natural FK so AQE can pick broadcast when the dim fits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+_SPLIT_TS = "2024-01-15 00:00:00"  # drift split point (events span Jan 1-30)
+_BINS_PER_UNIT = 4  # KS bin width = 0.25 value units
+
+
+@register(
+    "dq01_ks_drift",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(floor(value * {_BINS_PER_UNIT}) AS BIGINT) AS bin,
+                   CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}'
+                        THEN 1 ELSE 0 END AS before
+            FROM events
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(sum(before) AS BIGINT) AS n1,
+                   CAST(sum(1 - before) AS BIGINT) AS n2
+            FROM b GROUP BY bin
+        ),
+        cum AS (
+            SELECT sum(n1) OVER w AS c1, sum(n2) OVER w AS c2,
+                   sum(n1) OVER () AS t1, sum(n2) OVER () AS t2
+            FROM per_bin
+            WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT CAST(max(t1) AS BIGINT) AS n_before,
+               CAST(max(t2) AS BIGINT) AS n_after,
+               round(max(abs(CAST(c1 AS DOUBLE) / t1
+                             - CAST(c2 AS DOUBLE) / t2)), 6) AS ks_stat
+        FROM cum
+    """,
+    tags=("quality", "events", "drift"),
+)
+def dq01_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic between the
+    ``value`` distributions before and after a split instant — the
+    drift alarm a continuously-fed corpus runs between "the data I
+    trained on" and "the data arriving now".
+
+    The KS statistic is the max gap between the two empirical CDFs,
+    evaluated at fixed-width bin edges (width 1/4 value unit): rows
+    fold into per-bin counts scan-side, and the cumulative/max pass
+    runs over the bounded bin table (see module docstring)."""
+    t = tables(spark, sf_dir)
+    b = t.events.select(
+        F.floor(F.col("value") * _BINS_PER_UNIT).cast("bigint").alias("bin"),
+        (F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"))
+        .cast("long")
+        .alias("before"),
+    )
+    per_bin = b.groupBy("bin").agg(
+        F.sum("before").alias("n1"),
+        F.sum(F.lit(1) - F.col("before")).alias("n2"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_bin.select(
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+        F.sum("n1").over(tot).alias("t1"),
+        F.sum("n2").over(tot).alias("t2"),
+    )
+    return cum.agg(
+        F.max("t1").cast("bigint").alias("n_before"),
+        F.max("t2").cast("bigint").alias("n_after"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("t1")
+                    - F.col("c2").cast("double") / F.col("t2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "dq02_column_profile",
+    oracle="""
+        SELECT 'o_custkey' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_val,
+               CAST(max(o_custkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_totalprice) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               CAST(min(o_totalprice) AS VARCHAR),
+               CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        ORDER BY col
+    """,
+    tags=("quality", "profile"),
+)
+def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (row/null/distinct counts, min, max as strings)
+    for a representative numeric, categorical, and decimal column of
+    ``orders`` — the ANALYZE-style statistics pass a catalog runs per
+    ingest (and what ManifestTable persists per file as min/max).
+
+    One scan computes every cell: the profile is a single aggregation
+    whose exchange carries k cells per partition (partial agg), then a
+    k-row unpivot.  DISTINCT forces a per-column expand here (exact
+    answer); the documented 100 TB swap is approx_count_distinct, whose
+    sketch merges in the same partial-agg shape (see a09/a15)."""
+    t = tables(spark, sf_dir)
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = t.orders.agg(*aggs)
+    profile = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__rows").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__dist").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return profile.select("p.*").orderBy("col")
+
+
+@register(
+    "dq03_referential_integrity",
+    oracle="""
+        SELECT
+            CAST((SELECT count(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey))
+                 AS BIGINT) AS orphan_lineitems,
+            CAST((SELECT count(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey))
+                 AS BIGINT) AS orphan_orders,
+            CAST((SELECT count(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_nationkey = c.c_nationkey))
+                 AS BIGINT) AS orphan_customers
+    """,
+    tags=("quality", "integrity", "anti-join"),
+)
+def dq03_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit down the fact chain: lineitems whose
+    order is missing, orders whose customer is missing, customers whose
+    nation is missing — the cross-table validation step of an ingest
+    gate (the reference validates per-file metadata links the same way
+    before marking a dataset version importable).
+
+    Each violation count is one left anti-join keyed on the FK; the
+    three probes are independent scans, so the whole audit is three
+    shuffle-or-broadcast joins with no ordering constraints between
+    them (a healthy table answers all-zeros without moving any
+    dimension data — the anti side short-circuits on the first match)."""
+    t = tables(spark, sf_dir)
+    orphan_l = (
+        t.lineitem.join(
+            t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_orders"))
+    )
+    orphan_c = (
+        t.customer.join(
+            t.nation,
+            t.customer.c_nationkey == t.nation.n_nationkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_customers"))
+    )
+    return orphan_l.crossJoin(orphan_o).crossJoin(orphan_c)

@@ -215,6 +215,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             lake_queries,
             multimodal,
             pipeline_ops,
+            quality,
             sampling,
             scans,
             setops,
