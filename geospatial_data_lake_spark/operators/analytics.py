@@ -371,3 +371,52 @@ def gr01_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "ev04_hierarchical_rollup",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sv
+            FROM events GROUP BY h
+        )
+        SELECT strftime(CAST(h AS DATE), '%Y-%m-%d') AS day,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_active_hours,
+               CAST(round(sum(sv), 2) AS DOUBLE) AS total_value
+        FROM hourly GROUP BY day ORDER BY day
+    """,
+    tags=("analytics", "events", "rollup"),
+)
+def ev04_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level time rollup where the coarse level is computed FROM the
+    fine level's partial aggregates — the continuous-aggregate /
+    materialized-rollup pattern of a time-series store: daily totals
+    re-aggregate the hourly (count, decimal-sum) cells instead of
+    re-scanning the event log.
+
+    Scale shape: the raw log is touched exactly once (hourly grouping,
+    partial agg makes the exchange hour-cardinality wide); the daily
+    pass reduces ~24 hourly cells per day, so every additional rollup
+    resolution costs O(previous level), not O(log).  Because count and
+    decimal-sum are commutative monoids, re-aggregation is EXACT — the
+    same reason the hourly cells could be maintained incrementally by a
+    streaming writer (T4 windows) and compacted upward offline.  Sums
+    fold in DECIMAL(28,10) (functions/decimals.py) so both engines'
+    partial-agg schedules produce bit-identical totals."""
+    t = tables(spark, sf_dir)
+    hourly = t.events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(F.date_format(F.to_date("h"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+            F.round(F.sum("sv"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("day")
+    )

@@ -8,7 +8,7 @@ DuckDB."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geospatial_data_lake_spark.registry import register
@@ -393,3 +393,69 @@ def tx09_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("simpson_diversity"),
     ).orderBy("doc_id")
+
+
+@register(
+    "vb01_vocab_coverage",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY token
+        ),
+        ranked AS (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rank,
+                   sum(n) OVER (ORDER BY n DESC, token
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n) OVER () AS total
+            FROM counts
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, token,
+               n AS n_occurrences,
+               round(CAST(cum AS DOUBLE) / total, 6) AS cum_coverage
+        FROM ranked ORDER BY rank
+    """,
+    tags=("text", "vocabulary", "pipeline"),
+)
+def vb01_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget question ("how
+    many types cover 90/99% of the corpus?") answered as frequency-
+    ranked types with cumulative occurrence share.  This is the
+    counting pass of BPE/unigram vocabulary construction; a tokenizer
+    trainer consumes exactly this table.
+
+    Scale shape: the only data-sized work is the token count — one
+    explode + partial-aggregating shuffle keyed by token (identical
+    shape to tx05's bigrams).  The ranking window then runs over the
+    VOCABULARY-sized count table; natural-language vocabularies are
+    millions of types at any corpus size (Heaps' law), so the single-
+    partition ordered pass is bounded and the curve itself is the
+    deliverable.  Past that bound the swap is the o04 top-k shape over
+    a frequency floor, which preserves the coverage prefix exactly."""
+    t = tables(spark, sf_dir)
+    counts = (
+        t.documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    cum = Window.orderBy(F.col("n").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    return (
+        counts.select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "token",
+            F.col("n").alias("n_occurrences"),
+            F.round(
+                F.sum("n").over(cum).cast("double") / F.sum("n").over(tot), 6
+            ).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )
