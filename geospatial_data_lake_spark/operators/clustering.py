@@ -53,14 +53,22 @@ _ITERS = 3  # Lloyd update rounds (fixed schedule => replayable oracle)
 _DIM = 64  # embedding dimensionality (embeddings.parquet contract)
 
 
-def _kmeans_oracle(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
-    """DuckDB replay of the identical fixed-iteration Lloyd schedule:
-    chained CTEs c0 -> a1/c1 -> ... -> afin, same 9-dp distance round,
-    same 6-dp centroid round, same (dist, cid) tie-break."""
-    sq = (
+def _sq_expr(vec: str, cent: str, dim: int = _DIM) -> str:
+    """DuckDB squared-L2 between two list expressions, folded in index
+    order (list_sum) and rounded to 9 dp — the oracle twin of
+    ``_sq_dist_to``."""
+    return (
         f"round(list_sum(list_transform(range(1, {dim + 1}),"
-        " i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), 9)"
+        f" i -> ({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i]))), 9)"
     )
+
+
+def _kmeans_cte_prefix(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> tuple[str, str]:
+    """The shared WITH-clause replaying the Lloyd schedule: CTEs
+    ``v`` (corpus as double lists), ``c0`` (seeds), ``a{i}``/``c{i}``
+    per iteration, and ``afin`` (final assignment with distances).
+    Returns (with_clause, final_centroid_cte_name)."""
+    sq = _sq_expr("v.v", "c.c", dim)
     parts = [
         f"""
 WITH v AS (
@@ -96,19 +104,30 @@ c{it} AS (
     parts.append(
         f""",
 afin AS (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
+  SELECT vec_id, v, cid, dist FROM (
+    SELECT vec_id, v, cid, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM (
-      SELECT v.vec_id, c.cid, {sq} AS dist
+      SELECT v.vec_id, v.v, c.cid, {sq} AS dist
       FROM v CROSS JOIN {prev} c))
   WHERE rn = 1
-)
+)"""
+    )
+    return "".join(parts), prev
+
+
+def _kmeans_oracle(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
+    """DuckDB replay of the identical fixed-iteration Lloyd schedule:
+    chained CTEs c0 -> a1/c1 -> ... -> afin, same 9-dp distance round,
+    same 6-dp centroid round, same (dist, cid) tie-break."""
+    prefix, _ = _kmeans_cte_prefix(k, iters, dim)
+    return (
+        prefix
+        + """
 SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
        round(avg(dist), 4) AS avg_sq_dist
 FROM afin GROUP BY cid ORDER BY cluster"""
     )
-    return "".join(parts)
 
 
 def _sq_dist_to(centroid: list[float]) -> Column:
@@ -199,4 +218,133 @@ def cl01_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sq_dist",
         )
         .orderBy("cluster")
+    )
+
+
+_NPROBE = 3  # probed inverted lists per query
+_N_QUERIES = 5  # query vectors (vec_id < 5, matching ss01/ss03)
+_TOPK = 3  # neighbors returned per query
+
+
+def _ivf_trained_oracle(
+    k: int = _K, iters: int = _ITERS, dim: int = _DIM
+) -> str:
+    """DuckDB replay of the full trained-IVF search: the Lloyd prefix
+    (shared with cl01's oracle) gives the trained centroids and the
+    corpus inverted lists (afin); queries rank centroids by the same
+    9-dp rounded distance, probe the top nprobe lists, and exact-rerank
+    by 4-dp rounded cosine with a c_id tie-break."""
+    prefix, cfin = _kmeans_cte_prefix(k, iters, dim)
+    sq_q = _sq_expr("q.qv", "c.c", dim)
+    dot = (
+        "list_sum(list_transform(range(1, %d), i -> %s[i] * %s[i]))"
+        % (dim + 1, "%s", "%s")
+    )
+    return (
+        prefix
+        + f""",
+q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT q_id, qv, cid FROM (
+    SELECT q_id, qv, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT q.q_id, q.qv, c.cid, {sq_q} AS dist
+      FROM q CROSS JOIN {cfin} c))
+  WHERE rn <= {_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, p.qv, a.vec_id AS c_id, a.v AS cv
+  FROM probe p JOIN afin a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+),
+scored AS (
+  SELECT q_id, c_id,
+         round({dot % ("qv", "cv")} /
+               (sqrt({dot % ("qv", "qv")}) * sqrt({dot % ("cv", "cv")})),
+               4) AS cosine
+  FROM cand
+)
+SELECT q_id, c_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, c_id) AS rnk
+  FROM scored)
+WHERE rnk <= {_TOPK}
+ORDER BY q_id, rnk"""
+    )
+
+
+def _dot(a, b):
+    """Left-to-right folded dot product — the oracle twin of DuckDB's
+    list_sum over the elementwise product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+@register(
+    "ss04_ivf_trained_ann",
+    oracle=_ivf_trained_oracle(),
+    tags=("similarity", "ann", "clustering", "pipeline"),
+)
+def ss04_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate-nearest-neighbor search whose coarse quantizer is
+    the cl01-TRAINED k-means codebook — the end-to-end index build +
+    query pipeline (train -> assign inverted lists -> probe nprobe
+    lists -> exact cosine rerank), and, unlike the seeded ss03, every
+    step is deterministic codegen arithmetic, so the whole search is
+    hash-gated against the DuckDB replay.
+
+    Scale shape: training per-iteration cost is one scan + a k x dim
+    partial-agg shuffle (module docstring); list assignment rides the
+    final training pass; the query side broadcasts (queries x nprobe)
+    probe rows into an equi-join on the list id, so the rerank touches
+    ~nprobe/k of the corpus — the canonical IVF trade.  At billions of
+    vectors the corpus side is bucketed by list id at write time
+    (layout.py), making the probe a pruned scan instead of a shuffle."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fin, cents = kmeans_fit(e)
+    corpus = fin.select("vec_id", "v", "cid")
+    structs = [
+        F.struct(_sq_dist_to(cv).alias("dist"), F.lit(cid).alias("cid"))
+        for cid, cv in sorted(cents.items())
+    ]
+    probed = F.slice(F.array_sort(F.array(*structs)), 1, _NPROBE)
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn(
+            "cid", F.explode(F.transform(probed, lambda s: s["cid"]))
+        )
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cid"
+        )
+    )
+    cand = corpus.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("v"), F.col("v")))
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
+        .orderBy("q_id", "rnk")
     )
