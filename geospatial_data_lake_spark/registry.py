@@ -145,8 +145,11 @@ _PRIORITY: tuple[str, ...] = (
     # this round's 50 (vs05_bloom_point_read, vs06_incremental_view_
     # maintenance, vs07_replace_where, qf02_gopher_rules,
     # mm06_png_decode_stats, s12_orc_roundtrip, sm04_weighted_sample,
-    # tx09_token_diversity, x05_group_rank_normalize) + ~20 canaries
-    # (one per family), per VERDICT r4 item 7.
+    # tx09_token_diversity, x05_group_rank_normalize, cl01_kmeans_train,
+    # ss04_ivf_trained_ann, dq01_ks_drift, dq02_column_profile,
+    # dq03_referential_integrity, ev04_hierarchical_rollup,
+    # vb01_vocab_coverage) + ~20 canaries (one per family), per
+    # VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",

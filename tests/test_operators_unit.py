@@ -382,3 +382,44 @@ def should_decode_png_payloads_faithfully():
     corrupt[len(good) // 2] ^= 0xFF  # flip a byte inside IDAT
     with pytest.raises(ValueError):
         decode_png(bytes(corrupt))
+
+
+def should_kmeans_fit_match_numpy_lloyd_reference(spark):
+    """kmeans_fit replays exactly: deterministic lowest-id seeding, 9-dp
+    rounded distances with (dist, cid) tie-breaks, 6-dp rounded centroid
+    updates — so an independent numpy implementation of the same
+    schedule must reproduce identical assignments and centroids."""
+    import numpy as np
+
+    from geospatial_data_lake_spark.operators.clustering import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 4)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    k, iters = 3, 2
+    fin, cents = kmeans_fit(e, k=k, iters=iters, dim=4)
+
+    # independent reference of the same fixed schedule
+    ref = {i: vecs[i].astype(float).copy() for i in range(k)}
+    assign = None
+    for _ in range(iters + 1):  # iters updates + final assignment
+        assign = {}
+        for i in range(40):
+            best = min(
+                (round(float(((vecs[i] - c) ** 2).sum()), 9), cid)
+                for cid, c in sorted(ref.items())
+            )
+            assign[i] = best[1]
+        new = {}
+        for cid in set(assign.values()):
+            members = np.stack([vecs[i] for i in assign if assign[i] == cid])
+            new[cid] = np.round(members.mean(axis=0), 6)
+        ref, last = new, ref
+    # the spark side reports the assignment under the post-update
+    # centroids of round `iters`; our loop ran one extra assignment
+    got = {int(r.vec_id): int(r.cid) for r in fin.select("vec_id", "cid").collect()}
+    assert got == assign
+    for cid, cv in cents.items():
+        np.testing.assert_allclose(np.array(cv), np.array(last[cid]), atol=1e-9)

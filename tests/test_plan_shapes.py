@@ -398,3 +398,46 @@ def should_push_filter_into_orc_scan(spark, registry, sf_dir):
     plan = _plan(spark, registry, "s12_orc_roundtrip", sf_dir)
     assert "orc" in plan.lower(), plan
     assert "PushedFilters" in plan and "p_size" in plan, plan
+
+
+def should_probe_trained_ivf_lists_via_broadcast(spark, registry, sf_dir):
+    # ss04's candidate join must broadcast the (queries x nprobe) probe
+    # rows into an equi-join on the list id — never shuffle the corpus.
+    plan = _plan(spark, registry, "ss04_ivf_trained_ann", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def should_bucket_ks_drift_before_any_window(spark, registry, sf_dir):
+    # dq01: the only data-sized shuffle is the partial-aggregating bin
+    # count; the cumulative window runs over the bin table afterwards.
+    plan = _plan(spark, registry, "dq01_ks_drift", sf_dir)
+    first_agg = plan.find("HashAggregate")
+    first_win = plan.find("Window")
+    assert first_agg != -1 and first_win != -1, plan
+    # partial agg precedes the window in the plan's bottom-up numbering:
+    # the scan-side aggregate must exist independent of the window stage
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def should_profile_columns_in_one_scan(spark, registry, sf_dir):
+    # dq02 folds every per-column statistic into one aggregation over
+    # one scan of orders (the unpivot is expression-only).
+    plan = _plan(spark, registry, "dq02_column_profile", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def should_rollup_daily_from_hourly_partials(spark, registry, sf_dir):
+    # ev04 must scan the event log exactly once; the daily level
+    # re-aggregates the hourly cells.
+    plan = _plan(spark, registry, "ev04_hierarchical_rollup", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 levels
+
+
+def should_count_vocab_with_partial_aggregation(spark, registry, sf_dir):
+    # vb01's token count must partial-aggregate before the exchange;
+    # the ranking window then runs over the vocabulary-sized table.
+    plan = _plan(spark, registry, "vb01_vocab_coverage", sf_dir)
+    assert "partial_count" in plan, plan
+    assert "Window" in plan, plan
