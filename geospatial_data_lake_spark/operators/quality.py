@@ -237,3 +237,83 @@ def dq03_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_customers"))
     )
     return orphan_l.crossJoin(orphan_o).crossJoin(orphan_c)
+
+
+@register(
+    "dq04_chi2_drift",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS o2
+            FROM events GROUP BY event_type
+        ),
+        t AS (SELECT sum(o1) AS t1, sum(o2) AS t2 FROM c),
+        cells AS (
+            SELECT c.o1, c.o2, t.t1, t.t2,
+                   (c.o1 + c.o2) * CAST(t.t1 AS DOUBLE) / (t.t1 + t.t2) AS e1,
+                   (c.o1 + c.o2) * CAST(t.t2 AS DOUBLE) / (t.t1 + t.t2) AS e2
+            FROM c CROSS JOIN t
+        )
+        SELECT CAST(max(t1) AS BIGINT) AS n_before,
+               CAST(max(t2) AS BIGINT) AS n_after,
+               CAST(count(*) - 1 AS BIGINT) AS dof,
+               CAST(round(sum(CAST(
+                   (o1 - e1) * (o1 - e1) / e1 + (o2 - e2) * (o2 - e2) / e2
+                   AS DECIMAL(28,10))), 4) AS DOUBLE) AS chi2
+        FROM cells
+    """,
+    tags=("quality", "events", "drift", "categorical"),
+)
+def dq04_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test between the before/after event-type
+    distributions — the categorical twin of dq01's numeric KS drift
+    (the pair covers both column kinds a drift monitor watches).
+
+    Scale shape: one partial-aggregating count keyed by category, then
+    expected-vs-observed arithmetic over the CATEGORY-sized table; the
+    raw log is scanned once.  Cross-engine determinism: every cell term
+    is a rational expression of exact integer counts (one double
+    division each — IEEE-deterministic), and the cell terms fold in
+    DECIMAL so partial-agg ordering cannot move the sum
+    (functions/decimals.py convention)."""
+    t = tables(spark, sf_dir)
+    c = t.events.groupBy("event_type").agg(
+        F.sum(
+            (F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp")).cast("long")
+        ).alias("o1"),
+        F.sum(
+            (F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp")).cast("long")
+        ).alias("o2"),
+    )
+    tot = c.agg(F.sum("o1").alias("t1"), F.sum("o2").alias("t2"))
+    cells = c.crossJoin(F.broadcast(tot)).select(
+        "o1",
+        "o2",
+        "t1",
+        "t2",
+        (
+            (F.col("o1") + F.col("o2"))
+            * F.col("t1").cast("double")
+            / (F.col("t1") + F.col("t2"))
+        ).alias("e1"),
+        (
+            (F.col("o1") + F.col("o2"))
+            * F.col("t2").cast("double")
+            / (F.col("t1") + F.col("t2"))
+        ).alias("e2"),
+    )
+    term = (
+        (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("e1")
+        + (F.col("o2") - F.col("e2"))
+        * (F.col("o2") - F.col("e2"))
+        / F.col("e2")
+    ).cast("decimal(28,10)")
+    return cells.agg(
+        F.max("t1").cast("bigint").alias("n_before"),
+        F.max("t2").cast("bigint").alias("n_after"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+        F.round(F.sum(term), 4).cast("double").alias("chi2"),
+    )
