@@ -348,3 +348,130 @@ def ss04_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .orderBy("q_id", "rnk")
     )
+
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 x 16 = 64)
+_PQ_K = 4  # codewords per subspace (2-bit codes)
+_PQ_ITERS = 2  # Lloyd rounds per subspace codebook
+
+
+def _pq_oracle(
+    m: int = _PQ_M, sub: int = _PQ_SUB, k: int = _PQ_K, iters: int = _PQ_ITERS
+) -> str:
+    """DuckDB replay of per-subspace codebook training + encoding: the
+    cl01 Lloyd schedule run independently on each dimension slice, then
+    per-(subspace, code) cell stats."""
+    blocks = [
+        """
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+    ]
+    selects = []
+    sq = _sq_expr("v.v", "c.c", sub)
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        blocks.append(
+            f""",
+v_m{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM v0),
+c_m{j}_0 AS (SELECT vec_id AS cid, v AS c FROM v_m{j} WHERE vec_id < {k})"""
+        )
+        prev = f"c_m{j}_0"
+        for it in range(1, iters + 1):
+            blocks.append(
+                f""",
+a_m{j}_{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.vec_id, v.v, c.cid, {sq} AS dist
+      FROM v_m{j} v CROSS JOIN {prev} c))
+  WHERE rn = 1
+),
+c_m{j}_{it} AS (
+  SELECT cid, list(val ORDER BY pos) AS c FROM (
+    SELECT a.cid, p.pos, round(avg(a.v[p.pos]), 6) AS val
+    FROM a_m{j}_{it} a CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS pos) p
+    GROUP BY a.cid, p.pos)
+  GROUP BY cid
+)"""
+            )
+            prev = f"c_m{j}_{it}"
+        blocks.append(
+            f""",
+a_m{j}_fin AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.vec_id, c.cid, {sq} AS dist
+      FROM v_m{j} v CROSS JOIN {prev} c))
+  WHERE rn = 1
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({j} AS BIGINT) AS subspace, cid AS code,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(dist), 4) AS avg_sq_err
+FROM a_m{j}_fin GROUP BY 1, 2"""
+        )
+    return (
+        "".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY subspace, code"
+    )
+
+
+@register(
+    "em02_product_quantization",
+    oracle=_pq_oracle(),
+    tags=("similarity", "compression", "clustering", "pipeline"),
+)
+def em02_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: the 64-dim embedding is
+    split into 4 subspaces of 16 dims; each subspace trains its own
+    k=4 Lloyd codebook (2 rounds, lowest-id seeding — the cl01 schedule
+    per slice) and every vector is encoded as 4 two-bit codes.  Output
+    is the per-(subspace, code) cell population and mean squared
+    quantization error — the codebook-quality audit that decides
+    whether the compressed index is usable (the PQ analog of em01's
+    int8 reconstruction audit).
+
+    PQ is the memory path for billion-scale ANN: 64 doubles (512 B)
+    become m log2(k) = 8 bits per vector here, and asymmetric distance
+    computation against the codebooks replaces full-vector arithmetic.
+    Scale shape: each subspace's training is the cl01 loop on a SLICE —
+    the per-iteration shuffle is k x sub cells and the m trainings are
+    independent (a production run launches them concurrently; here they
+    share one driver loop).  Encoding rides the final assignment pass,
+    all fused codegen."""
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    outs = []
+    for j in range(_PQ_M):
+        em = e.select(
+            "vec_id", F.slice("v", j * _PQ_SUB + 1, _PQ_SUB).alias("v")
+        )
+        fin, _ = kmeans_fit(em, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUB)
+        outs.append(
+            fin.groupBy("cid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.round(F.avg("dist"), 4).alias("avg_sq_err"),
+            )
+            .select(
+                F.lit(j).cast("bigint").alias("subspace"),
+                F.col("cid").cast("bigint").alias("code"),
+                "n_vectors",
+                "avg_sq_err",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("subspace", "code")
