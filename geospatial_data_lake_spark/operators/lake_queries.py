@@ -25,6 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geospatial_data_lake_spark.operators.quality import CHI2_TAIL_SQL as _CHI2_TAIL
 from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
 from geospatial_data_lake_spark.tables import tables
@@ -448,3 +449,61 @@ def st01_stream_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "vs08_version_drift",
+    oracle="""
+        WITH v1c AS (
+            SELECT o_orderstatus AS k, CAST(count(*) AS BIGINT) AS o1
+            FROM orders GROUP BY 1
+        ),
+        v3c AS (
+            SELECT o_orderstatus AS k, CAST(count(*) AS BIGINT) AS o2
+            FROM orders
+            WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+            GROUP BY 1
+        ),
+        c AS (
+            SELECT coalesce(v1c.o1, 0) AS o1, coalesce(v3c.o2, 0) AS o2
+            FROM v1c FULL JOIN v3c ON v1c.k = v3c.k
+        ),
+    """
+    + _CHI2_TAIL,
+    tags=("lake", "manifest", "time-travel", "quality", "drift"),
+)
+def vs08_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift between two TABLE VERSIONS: the chi-square homogeneity
+    statistic (dq04's machinery) over the order-status distribution of
+    version 1 vs the head — time travel as the baseline source for a
+    drift monitor, the composition a lake makes possible ("did the last
+    n commits shift the data?") without any saved snapshot of the old
+    distribution.
+
+    Scale shape: each side is a metadata-resolved snapshot scan folded
+    to a CATEGORY-sized count table (partial agg); the full-outer join
+    and chi-square arithmetic run on those few rows.  The MERGE's price
+    doubling is invisible to the status distribution by design — only
+    v3's pruned DELETE moves it, so a nonzero chi2 here isolates
+    exactly the deleting commit."""
+    from geospatial_data_lake_spark.operators.quality import chi2_from_counts
+
+    mt = _build_lake(spark, sf_dir)
+    v1c = (
+        mt.read(version=1)
+        .groupBy(F.col("o_orderstatus").alias("k"))
+        .agg(F.count(F.lit(1)).alias("o1"))
+    )
+    v3c = (
+        mt.read()
+        .groupBy(F.col("o_orderstatus").alias("k"))
+        .agg(F.count(F.lit(1)).alias("o2"))
+    )
+    c = (
+        v1c.join(v3c, "k", "full_outer")
+        .select(
+            F.coalesce("o1", F.lit(0)).alias("o1"),
+            F.coalesce("o2", F.lit(0)).alias("o2"),
+        )
+    )
+    return chi2_from_counts(c)

@@ -288,6 +288,14 @@ def dq04_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp")).cast("long")
         ).alias("o2"),
     )
+    return chi2_from_counts(c)
+
+
+def chi2_from_counts(c: DataFrame) -> DataFrame:
+    """Chi-square homogeneity summary from a per-category count table
+    ``c(o1, o2)`` — the shared tail of dq04 and vs08 (its SQL twin is
+    ``CHI2_TAIL_SQL``).  The input table is category-sized; everything
+    here is arithmetic over it plus one scalar cross join."""
     tot = c.agg(F.sum("o1").alias("t1"), F.sum("o2").alias("t2"))
     cells = c.crossJoin(F.broadcast(tot)).select(
         "o1",
@@ -317,3 +325,24 @@ def dq04_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
         F.round(F.sum(term), 4).cast("double").alias("chi2"),
     )
+
+
+# SQL twin of chi2_from_counts: expects a CTE named ``c`` with integer
+# columns (o1, o2); keep the arithmetic textually identical to dq04's
+# oracle so both engines agree cell by cell.
+CHI2_TAIL_SQL = """
+        t AS (SELECT sum(o1) AS t1, sum(o2) AS t2 FROM c),
+        cells AS (
+            SELECT c.o1, c.o2, t.t1, t.t2,
+                   (c.o1 + c.o2) * CAST(t.t1 AS DOUBLE) / (t.t1 + t.t2) AS e1,
+                   (c.o1 + c.o2) * CAST(t.t2 AS DOUBLE) / (t.t1 + t.t2) AS e2
+            FROM c CROSS JOIN t
+        )
+        SELECT CAST(max(t1) AS BIGINT) AS n_before,
+               CAST(max(t2) AS BIGINT) AS n_after,
+               CAST(count(*) - 1 AS BIGINT) AS dof,
+               CAST(round(sum(CAST(
+                   (o1 - e1) * (o1 - e1) / e1 + (o2 - e2) * (o2 - e2) / e2
+                   AS DECIMAL(28,10))), 4) AS DOUBLE) AS chi2
+        FROM cells
+"""

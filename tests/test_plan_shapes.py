@@ -441,3 +441,12 @@ def should_count_vocab_with_partial_aggregation(spark, registry, sf_dir):
     plan = _plan(spark, registry, "vb01_vocab_coverage", sf_dir)
     assert "partial_count" in plan, plan
     assert "Window" in plan, plan
+
+
+def should_broadcast_incoming_batch_in_incremental_dedup(spark, registry, sf_dir):
+    # dd09: the batch side broadcasts; the corpus is scanned once and
+    # never shuffled before the output.
+    plan = _plan(spark, registry, "dd09_incremental_dedup", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
