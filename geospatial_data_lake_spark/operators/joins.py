@@ -416,3 +416,32 @@ def pr01b_pagerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.sum("rank") - F.lit(1.0)) < 1e-4).alias("mass_conserved"),
         (F.min("rank") > 0).alias("all_positive"),
     )
+
+
+@register(
+    "j12_full_outer_join",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join", "full-outer"),
+)
+def j12_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join customer <-> orders: completes the join-flavor
+    matrix (inner/left/semi/anti/as-of/range are J1-J9) with the one
+    shape that preserves BOTH unmatched sides — order-less customers
+    surface with NULL order columns (the reference's status view uses
+    the left-outer half of this; the full form is what a reconciliation
+    report needs).
+
+    Scale shape: FULL OUTER cannot broadcast either side (both must
+    survive unmatched), so the plan is the keyed shuffle join on the FK
+    — the one join flavor where a SortMergeJoin IS the designed
+    outcome, not a regression; AQE still coalesces and skew-splits the
+    exchanges."""
+    t = tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders,
+        t.customer.c_custkey == t.orders.o_custkey,
+        "full_outer",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")

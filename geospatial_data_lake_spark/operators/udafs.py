@@ -239,3 +239,69 @@ def x05_group_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_rank",
         F.round(F.col("lang_rank") / F.col("lang_n"), 4).alias("lang_pct"),
     ).orderBy("doc_id")
+
+
+class _SegmentSplit:
+    """Python UDTF kernel: explode a document into fixed 20-token
+    segments — one input row yields ceil(n_tokens/20) output rows."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+        toks = (text or "").split(" ")
+        for s in range((len(toks) + 19) // 20):
+            seg = toks[s * 20 : s * 20 + 20]
+            yield doc_id, s, len(seg), seg[0]
+
+
+@register(
+    "x06_udtf_segment_split",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, t,
+                   unnest(range(0, CAST(ceil(len(t) / 20.0) AS INT)))
+                       AS seg
+            FROM tk
+        )
+        SELECT doc_id, CAST(seg AS BIGINT) AS seg_idx,
+               CAST(least(20, len(t) - seg * 20) AS BIGINT) AS n_tokens,
+               t[seg * 20 + 1] AS head
+        FROM segs
+        ORDER BY doc_id, seg_idx
+    """,
+    tags=("extension", "udtf", "text"),
+)
+def x06_udtf_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating Python UDTF (SURVEY.md §2.10 UDTF surface, the
+    engine-level analog of the reference's one-URL -> N-documents
+    traversal X3): each document row LATERAL-expands into fixed
+    20-token segments (index, length, head token) through a registered
+    ``@udtf`` class — the last Python-extension mechanism the engine
+    exposes, alongside scalar pandas UDFs (p08), mapInPandas (mm0x),
+    GROUPED_AGG (x04), applyInPandas (x05), and
+    applyInPandasWithState (T3).
+
+    Scale shape: a UDTF is row-at-a-time Python — the honest cost of
+    arbitrary table generation (same caveat as x04's docstring).  It
+    partitions embarrassingly (no shuffle: LATERAL rides the scan), but
+    when the expansion is expressible relationally — this one is
+    posexplode over ``sequence()`` — the codegen path (the oracle's
+    shape) is preferred in the hot path; x06 keeps the UDTF form
+    because the extension MECHANISM is the row being demonstrated."""
+    from pyspark.sql.functions import udtf
+
+    seg_split = udtf(
+        _SegmentSplit,
+        returnType="doc_id bigint, seg_idx bigint, n_tokens bigint, head string",
+    )
+    spark.udtf.register("x06_segment_split", seg_split)
+    t = tables(spark, sf_dir)
+    t.documents.select("doc_id", "text").createOrReplaceTempView("x06_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.seg_idx, s.n_tokens, s.head
+        FROM x06_docs d, LATERAL x06_segment_split(d.doc_id, d.text) s
+        ORDER BY s.doc_id, s.seg_idx
+        """
+    )
