@@ -626,3 +626,72 @@ def j11_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_overlapping"))
     )
+
+
+def _morton_sql() -> str:
+    """DuckDB twin of the unrolled Morton interleave below (pure
+    integer bit arithmetic — identical on any engine)."""
+    xs = " + ".join(
+        f"((((doc_id * 7919) % 900 >> {i}) & 1) << {2 * i})" for i in range(10)
+    )
+    ys = " + ".join(
+        f"((((doc_id * 104729) % 425 >> {i}) & 1) << {2 * i + 1})"
+        for i in range(9)
+    )
+    return f"({xs} + {ys})"
+
+
+@register(
+    "geo06_zorder_cells",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, {_morton_sql()} AS cell FROM documents
+        )
+        SELECT CAST(cell >> 10 AS BIGINT) AS quad,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(cell) AS BIGINT) AS min_cell,
+               CAST(max(cell) AS BIGINT) AS max_cell
+        FROM m GROUP BY quad ORDER BY quad
+    """,
+    tags=("geo", "zorder", "layout"),
+)
+def geo06_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) cell key per document from the synthetic box
+    centers' integer lattice coordinates — the interleaved key the
+    Z-order writer (layout.py) clusters files on — rolled up to a
+    per-quad (top-10-bit prefix) density histogram with the cell range
+    each quad spans.
+
+    The interleave is 19 unrolled shift/mask/or terms — pure in-row
+    integer codegen, bit-identical on any engine (the geohash string
+    form is this key base32-chunked; the integer form is what range
+    predicates and file stats actually compare).  The prefix property
+    is the point: a quad's documents occupy ONE contiguous Morton
+    range (min_cell/max_cell prove it per group), so a 2-D spatial
+    predicate becomes a small set of 1-D key ranges — which per-file
+    min/max stats (manifest_table.py) can prune without a spatial
+    index.  Scale shape: one scan + one category-sized partial-agg
+    rollup; the key itself costs no shuffle anywhere."""
+    t = tables(spark, sf_dir)
+    x = (F.col("doc_id") * 7919) % 900
+    y = (F.col("doc_id") * 104729) % 425
+    terms = [
+        F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        for i in range(10)
+    ] + [
+        F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(9)
+    ]
+    cell = terms[0]
+    for tm in terms[1:]:
+        cell = cell + tm
+    m = t.documents.select("doc_id", cell.alias("cell"))
+    return (
+        m.groupBy(F.shiftright("cell", 10).cast("bigint").alias("quad"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("cell").cast("bigint").alias("min_cell"),
+            F.max("cell").cast("bigint").alias("max_cell"),
+        )
+        .orderBy("quad")
+    )
