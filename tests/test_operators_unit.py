@@ -423,3 +423,31 @@ def should_kmeans_fit_match_numpy_lloyd_reference(spark):
     assert got == assign
     for cid, cv in cents.items():
         np.testing.assert_allclose(np.array(cv), np.array(last[cid]), atol=1e-9)
+
+
+def should_detect_planted_cross_batch_duplicate_in_dd09(spark, tmp_path):
+    """A near-identical document pair split across the batch (% 13 == 0)
+    and corpus sides must surface; an unrelated document must not."""
+    import os
+
+    rows = [
+        (13, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10),
+        (7, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10),
+        (8, "one two three four five six seven eight nine ten", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in load_all_queries()["dd09_incremental_dedup"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert got == {(13, 7, 1.0)}
