@@ -7,6 +7,7 @@ Four families, each a declared query over the ``documents`` table:
 - MinHash + LSH         (shingle->minhash->band->bucket)    dd04
 - SimHash               (sign-bit sketch + pigeonhole join) dd05
 - embedding near-dup    (cosine over vectors)               dd06
+- exact substring spans (window-hash islands)               dd10
 
 Scale analysis (the design point is billions of documents):
 
@@ -51,6 +52,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geospatial_data_lake_spark.operators.textops import (
+    gram_starts as _gram_starts,
+)
 from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.tables import tables
 
@@ -766,4 +770,136 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
         .select("new_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# -- dd10: exact substring-span dedup -----------------------------------------
+
+_SPAN_W = 12  # token window width for exact substring matching
+
+
+@register(
+    "dd10_substring_spans",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        w AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(tk) - {_SPAN_W - 1})) AS p,
+                   tk
+            FROM d WHERE len(tk) >= {_SPAN_W}
+        ),
+        h AS (
+            SELECT doc_id, p,
+                   md5(array_to_string(tk[p:p + {_SPAN_W - 1}], ' ')) AS h
+            FROM w
+        ),
+        dup AS (
+            SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+            SELECT doc_id, p FROM h WHERE h IN (SELECT h FROM dup)
+        ),
+        lagd AS (
+            SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+            FROM hits
+        ),
+        isl AS (
+            SELECT doc_id, p,
+                   sum(CASE WHEN pp IS NULL OR p - pp > {_SPAN_W}
+                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS UNBOUNDED PRECEDING) AS g
+            FROM lagd
+        )
+        SELECT doc_id,
+               CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+               CAST(max(p) + {_SPAN_W} - min(p) AS BIGINT) AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, g
+        ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "pipeline"),
+)
+def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-span dedup (the "Deduplicating Training Data
+    Makes Language Models Better" ExactSubstr operator, re-expressed for
+    Spark): find every maximal token span that appears verbatim in >= 2
+    distinct documents, reported as per-document (start, end) ranges a
+    downstream pass can cut out.
+
+    Method: hash every sliding {_SPAN_W}-token window (stride 1) in-row,
+    keep windows whose hash occurs in >= 2 distinct docs, then merge
+    overlapping/adjacent duplicated windows per document into maximal
+    spans (gaps-and-islands: a window starts a new span when it overlaps
+    no prior duplicated window).  A shared span of L >= {_SPAN_W} tokens
+    is covered by L - {_SPAN_W} + 1 consecutive duplicated windows, so
+    the merged islands recover the exact maximal duplicated ranges —
+    without the suffix array the single-node reference algorithm builds.
+
+    Scale shape (100 TB): window hashing is in-row ``transform`` work on
+    the scan (no positional explode until the join key exists); the
+    duplicate-hash table is ONE partial-aggregating shuffle keyed on the
+    16-byte hash; the left-semi probe re-uses that same key; the island
+    merge is a per-document window (shuffle keyed on doc_id — the
+    output's natural key).  Nothing is quadratic: cost is linear in
+    total windows, and the documented knobs are stride S > 1 (cuts
+    window count S x at +/-S span-boundary resolution) and xxhash64
+    instead of md5 (8-byte keys; md5 here only because the oracle must
+    replay the hash).  The per-doc window is skew-safe: a document
+    contributes at most len(tk) rows, bounded by the corpus max-doc
+    length, not by corpus size."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    wins = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(tk, _SPAN_W),
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(F.concat_ws(" ", F.slice(tk, p, _SPAN_W))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "leftsemi")
+    by_doc = Window.partitionBy("doc_id").orderBy("p")
+    run = by_doc.rowsBetween(Window.unboundedPreceding, 0)
+    isl = hits.withColumn("pp", F.lag("p").over(by_doc)).withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("pp").isNull() | (F.col("p") - F.col("pp") > _SPAN_W),
+                1,
+            ).otherwise(0)
+        ).over(run),
+    )
+    return (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") + _SPAN_W - 1).cast("bigint").alias("span_end"),
+            (F.max("p") + _SPAN_W - F.min("p"))
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+        )
+        .orderBy("doc_id", "span_start")
     )

@@ -346,3 +346,118 @@ CHI2_TAIL_SQL = """
                    AS DECIMAL(28,10))), 4) AS DOUBLE) AS chi2
         FROM cells
 """
+
+
+# -- dq05: embedding-space drift ----------------------------------------------
+
+
+@register(
+    "dq05_embedding_drift",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dims AS (
+            SELECT e.vec_id % 2 = 0 AS ref, idx.i, e.v[idx.i] AS x
+            FROM e CROSS JOIN (
+                SELECT unnest(generate_series(
+                    1, (SELECT max(len(v)) FROM e))) AS i
+            ) idx
+        ),
+        per_dim AS (
+            SELECT i,
+                   CAST(sum(CASE WHEN ref THEN
+                        CAST(x AS DECIMAL(28,10)) END) AS DOUBLE)
+                       / sum(CASE WHEN ref THEN 1 ELSE 0 END) AS m1,
+                   CAST(sum(CASE WHEN NOT ref THEN
+                        CAST(x AS DECIMAL(28,10)) END) AS DOUBLE)
+                       / sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS m2,
+                   CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n2
+            FROM dims GROUP BY i
+        )
+        SELECT max(n1) AS n_ref,
+               max(n2) AS n_new,
+               round(CAST(sum(CAST(m1 * m2 AS DECIMAL(38,12))) AS DOUBLE)
+                   / sqrt(CAST(sum(CAST(m1 * m1 AS DECIMAL(38,12)))
+                               AS DOUBLE)
+                        * CAST(sum(CAST(m2 * m2 AS DECIMAL(38,12)))
+                               AS DOUBLE)), 6) AS centroid_cosine,
+               round(sqrt(CAST(sum(CAST((m1 - m2) * (m1 - m2)
+                   AS DECIMAL(38,12))) AS DOUBLE)), 6) AS centroid_l2
+        FROM per_dim
+    """,
+    tags=("quality", "embeddings", "drift"),
+)
+def dq05_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: cosine and L2 distance between the
+    per-dimension CENTROIDS of a reference cohort and a new cohort (here
+    vec_id parity; in production yesterday's corpus vs today's batch) —
+    the semantic companion to dq01/dq04, catching shifts that no scalar
+    column statistic sees (a new content domain moves the embedding mean
+    long before it moves length or language histograms).
+
+    Scale shape: ``posexplode`` is scan-side row expansion (dims x rows,
+    no data movement); the ONLY shuffle is the partial-aggregating
+    per-dimension sum — the exchange carries dims x 4 cells per map
+    task, independent of row count; the cosine fold then runs on the
+    DIMENSION-sized table (64 rows).  Cross-engine determinism: row
+    sums fold in DECIMAL(28,10) (order-free; functions/decimals.py),
+    means divide as doubles, and the dim-table dot products fold their
+    double terms in DECIMAL(38,12), so both engines agree bitwise
+    before the final round."""
+    from geospatial_data_lake_spark.functions.decimals import METRIC
+
+    t = tables(spark, sf_dir)
+    dims = t.embeddings.select(
+        (F.col("vec_id") % 2 == 0).alias("ref"),
+        F.posexplode("embedding").alias("i", "x"),
+    ).select("ref", "i", F.col("x").cast("double").alias("x"))
+    per_dim = dims.groupBy("i").agg(
+        (
+            F.sum(F.when(F.col("ref"), F.col("x").cast(METRIC))).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("ref"), 1).otherwise(0))
+        ).alias("m1"),
+        (
+            F.sum(F.when(~F.col("ref"), F.col("x").cast(METRIC))).cast(
+                "double"
+            )
+            / F.sum(F.when(~F.col("ref"), 1).otherwise(0))
+        ).alias("m2"),
+        F.sum(F.when(F.col("ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(~F.col("ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    d38 = "decimal(38,12)"
+    return per_dim.agg(
+        F.max("n1").alias("n_ref"),
+        F.max("n2").alias("n_new"),
+        F.round(
+            F.sum((F.col("m1") * F.col("m2")).cast(d38)).cast("double")
+            / F.sqrt(
+                F.sum((F.col("m1") * F.col("m1")).cast(d38)).cast("double")
+                * F.sum((F.col("m2") * F.col("m2")).cast(d38)).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (
+                        (F.col("m1") - F.col("m2"))
+                        * (F.col("m1") - F.col("m2"))
+                    ).cast(d38)
+                ).cast("double")
+            ),
+            6,
+        ).alias("centroid_l2"),
+    )

@@ -451,3 +451,33 @@ def should_detect_planted_cross_batch_duplicate_in_dd09(spark, tmp_path):
         .collect()
     }
     assert got == {(13, 7, 1.0)}
+
+
+def should_recover_exact_maximal_spans_in_dd10(spark, tmp_path):
+    """Two documents sharing a verbatim 15-token run (at different
+    offsets) must yield exactly that span in each doc — maximal, with
+    the right window count — and a disjoint doc must yield nothing."""
+    import os
+
+    shared = " ".join(f"s{i}" for i in range(15))  # 15-token shared run
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5", "en", "s", 10),
+        (2, shared + " b1 b2 b3 b4 b5 b6 b7", "en", "s", 10),
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in load_all_queries()["dd10_substring_spans"].fn(spark, sf).collect()
+    }
+    # 15-token shared run, W=12 -> 4 consecutive windows, merged to one
+    # span covering exactly the shared tokens (1-based positions).
+    assert got == {(1, 4, 18, 15, 4), (2, 1, 15, 15, 4)}

@@ -450,3 +450,21 @@ def should_broadcast_incoming_batch_in_incremental_dedup(spark, registry, sf_dir
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def should_keep_dd10_substring_dedup_hash_keyed(spark, registry, sf_dir):
+    # exact substring-span dedup must stay linear: dup detection and the
+    # window probe are equi-keyed on the gram hash — never all-pairs.
+    plan = _plan(spark, registry, "dd10_substring_spans", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def should_aggregate_dq05_drift_partially_per_dimension(spark, registry, sf_dir):
+    # per-dimension sums must partial-aggregate (the exchange carries
+    # dims x cells, not rows), and nothing may go all-pairs.
+    plan = _plan(spark, registry, "dq05_embedding_drift", sf_dir)
+    assert "Generate" in plan, plan  # posexplode stays scan-side
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
