@@ -507,3 +507,96 @@ def vs08_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chi2_from_counts(c)
+
+
+_DEDUP_STREAMED: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_dedup_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """documents -> dedup-gated streaming ingest: the corpus arrives as
+    a 4-file file-source stream (one micro-batch per file,
+    ``maxFilesPerTrigger=1``), each batch fingerprint-deduplicated
+    within itself and against the table before its novel docs are
+    appended.  Files are bucketed BY FINGERPRINT, so every duplicate
+    group is wholly contained in one micro-batch and the final table
+    state is independent of micro-batch arrival order — which is what
+    lets a declarative SQL oracle check a streaming pipeline.  (The
+    cross-batch rejection path, inherently order-dependent, is pinned
+    by the planted-duplicate replay test in test_lake_sink.py.)"""
+    from geospatial_data_lake_spark.streaming.lake_sink import (
+        stream_dedup_ingest,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _DEDUP_STREAMED:
+        return _DEDUP_STREAMED[cache_key]
+    t = tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gdl_lake_st2_")
+    src = os.path.join(root, "src")
+    docs = t.documents.select("doc_id", "text", "lang", "source", "n_chars")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    bucket = F.conv(F.substring(fp, 1, 1), 16, 10).cast("int") % 4
+    for b in range(4):
+        docs.filter(bucket == b).coalesce(1).write.mode("append").parquet(src)
+    mt = ManifestTable(
+        spark,
+        os.path.join(root, "table"),
+        key_cols=["fp"],
+        partition_by=["pb"],
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_dedup_ingest(
+        stream, mt, os.path.join(root, "ckpt"), app_id="st02"
+    )
+    q.awaitTermination()
+    _DEDUP_STREAMED[cache_key] = mt
+    return mt
+
+
+@register(
+    "st02_stream_dedup_ingest",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, lang, source, n_chars,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS fp
+            FROM documents
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS rn
+            FROM fp
+        )
+        SELECT doc_id, fp, lang, source, n_chars
+        FROM r WHERE rn = 1
+        ORDER BY doc_id
+    """,
+    tags=("lake", "streaming", "dedup", "pipeline"),
+)
+def st02_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup-gated corpus ingest: documents stream in as
+    micro-batches, each batch is canonical-fingerprint deduplicated
+    (dd02's token-set md5) within itself and against the already-
+    ingested corpus, and only novel docs reach the lake table — the
+    admission pipeline in front of every training corpus, externally
+    checked as one row: the expected table content is exactly "first
+    doc_id per fingerprint" over the fixture.
+
+    Scale shape: see stream_dedup_ingest — per-batch cost is one
+    batch-sized shuffle + a partition-pruned corpus probe + an O(batch)
+    txn-stamped append; nothing scales with table size except the
+    probe's touched partitions."""
+    mt = _build_dedup_streamed_lake(spark, sf_dir)
+    return (
+        mt.read()
+        .select("doc_id", "fp", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

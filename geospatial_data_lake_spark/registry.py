@@ -151,7 +151,8 @@ _PRIORITY: tuple[str, ...] = (
     # vb01_vocab_coverage, dq04_chi2_drift, dd09_incremental_dedup,
     # em02_product_quantization, vs08_version_drift,
     # x06_udtf_segment_split, j12_full_outer_join, geo06_zorder_cells,
-    # dd10_substring_spans, dq05_embedding_drift) + ~20 canaries (one per
+    # dd10_substring_spans, dq05_embedding_drift,
+    # st02_stream_dedup_ingest) + ~20 canaries (one per
     # family), per VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",

@@ -108,3 +108,28 @@ def should_stream_merge_into_lake_exactly_once(spark, tmp_path):
     assert _state(mt.read()) == {
         1: ("a", "x"), 2: ("b", "y2"), 3: ("c", "z"),
     }
+
+
+def should_reject_cross_batch_duplicates_in_dedup_ingest(spark, tmp_path):
+    """The dedup admission gate must (1) keep the min-doc_id survivor
+    within a batch, (2) reject a LATER batch's doc whose fingerprint is
+    already in the corpus — even with reordered/repeated tokens — and
+    (3) treat a crash-replayed batch id as a no-op."""
+    from geospatial_data_lake_spark.streaming.lake_sink import (
+        dedup_ingest_batch_fn,
+    )
+
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["fp"], partition_by=["pb"]
+    )
+    apply = dedup_ingest_batch_fn(mt, "ingest-a")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    apply(mk([(1, "x y z"), (2, "x y z")]), 0)  # within-batch dup
+    assert {r.doc_id for r in mt.read().collect()} == {1}
+    # (3, "z y x x") normalizes to the SAME token set {x, y, z} -> reject
+    apply(mk([(3, "z y x x"), (4, "totally different words")]), 1)
+    assert {r.doc_id for r in mt.read().collect()} == {1, 4}
+    v = mt.current_version()
+    apply(mk([(3, "z y x x"), (4, "totally different words")]), 1)  # replay
+    assert mt.current_version() == v
+    assert {r.doc_id for r in mt.read().collect()} == {1, 4}
