@@ -459,3 +459,196 @@ def vb01_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+# -- vb02: BPE merge training -------------------------------------------------
+
+_BPE_ITERS = 3  # fixed replayable merge schedule (cl01's convention)
+
+
+def _bpe_iteration_sql(k: int) -> str:
+    """One oracle iteration: pair counts over s{k-1}, top merge m{k}
+    (count DESC, pair ASC tie-break), GREEDY left-to-right application.
+    Greedy selection in set terms: candidate positions form consecutive
+    runs only when a = b; within each run the 1st, 3rd, ... survive
+    (odd rank), which is exactly the left-to-right non-overlapping
+    walk.  (DuckDB 1.0's list_reduce mis-folds struct accumulators, so
+    the oracle replays the merge positionally instead of as a fold.)"""
+    p = k - 1
+    return f"""
+        pos{k} AS (
+            SELECT word, freq, syms,
+                   unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM s{p} WHERE len(syms) >= 2
+        ),
+        pc{k} AS (
+            SELECT syms[i] AS a, syms[i + 1] AS b,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM pos{k} GROUP BY 1, 2
+        ),
+        m{k} AS (SELECT a, b, cnt FROM pc{k}
+                 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        cand{k} AS (
+            SELECT p.word, p.i FROM pos{k} p CROSS JOIN m{k} m
+            WHERE p.syms[p.i] = m.a AND p.syms[p.i + 1] = m.b
+        ),
+        sel{k} AS (
+            SELECT word, i FROM (
+                SELECT word, i,
+                       row_number() OVER (PARTITION BY word, grp ORDER BY i)
+                           AS rk
+                FROM (
+                    SELECT word, i,
+                           i - row_number() OVER (PARTITION BY word ORDER BY i)
+                               AS grp
+                    FROM cand{k}
+                )
+            ) WHERE rk % 2 = 1
+        ),
+        allpos{k} AS (
+            SELECT word, freq, syms,
+                   unnest(generate_series(1, len(syms))) AS i
+            FROM s{p}
+        ),
+        s{k} AS (
+            SELECT word, freq, array_agg(sym ORDER BY i) AS syms
+            FROM (
+                SELECT p.word, p.freq, p.i,
+                       CASE WHEN s.i IS NOT NULL THEN m.a || m.b
+                            ELSE p.syms[p.i] END AS sym,
+                       sp.i IS NOT NULL AS dropped
+                FROM allpos{k} p
+                CROSS JOIN m{k} m
+                LEFT JOIN sel{k} s ON s.word = p.word AND s.i = p.i
+                LEFT JOIN sel{k} sp ON sp.word = p.word AND sp.i = p.i - 1
+            ) WHERE NOT dropped GROUP BY word, freq
+        )"""
+
+
+_VB02_ORACLE = (
+    """
+        WITH w AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY 1
+        ),
+        s0 AS (
+            SELECT word, freq,
+                   list_transform(generate_series(1, len(word)),
+                                  i -> word[i:i]) AS syms
+            FROM w
+        ),"""
+    + ",".join(_bpe_iteration_sql(k) for k in range(1, _BPE_ITERS + 1))
+    + " UNION ALL ".join(
+        f"""
+        SELECT {k} AS iteration, m{k}.a AS merge_a, m{k}.b AS merge_b,
+               m{k}.cnt AS pair_count,
+               (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s{k})
+                   AS corpus_symbols_after
+        FROM m{k}"""
+        for k in range(1, _BPE_ITERS + 1)
+    )
+    + """
+        ORDER BY iteration
+    """
+)
+
+
+def _bpe_apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge (a, b) to every word's symbol list — the greedy
+    left-to-right non-overlapping BPE walk as ONE in-row fold (the
+    ``ml`` flag stops a merge-produced symbol from acting as the ``a``
+    of an immediately following merge, which is what makes
+    'a a a' -> ['aa', 'a'], not ['aa', 'aa'])."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    fold = f"""
+        aggregate(
+            syms,
+            named_struct('out', cast(array() as array<string>),
+                         'ml', false),
+            (acc, s) -> CASE
+                WHEN size(acc.out) > 0 AND NOT acc.ml
+                     AND element_at(acc.out, -1) = '{qa}' AND s = '{qb}'
+                THEN named_struct(
+                    'out', concat(slice(acc.out, 1, size(acc.out) - 1),
+                                  array('{qa}' || '{qb}')),
+                    'ml', true)
+                ELSE named_struct('out', concat(acc.out, array(s)),
+                                  'ml', false) END,
+            acc -> acc.out)
+    """
+    return df.select("word", "freq", F.expr(fold).alias("syms"))
+
+
+@register(
+    "vb02_bpe_merges",
+    oracle=_VB02_ORACLE,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def vb02_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first
+    three byte-pair merges over the corpus (highest adjacent-pair
+    frequency wins, count DESC / pair ASC tie-break), reporting each
+    merge with its pair count and the corpus symbol count after
+    applying it — an externally hash-gated iterative tokenizer-training
+    loop, like cl01 for k-means.
+
+    Scale shape — the real structure of distributed BPE trainers: the
+    CORPUS-sized work is ONE scan building the word-frequency table
+    (one partial-aggregating shuffle keyed by word); every training
+    iteration then runs on the VOCABULARY-sized table — adjacent-pair
+    explode (bounded by word length) + a pair-keyed partial agg + a
+    TakeOrderedAndProject top-1 + an in-row fold applying the merge.
+    Driver state per iteration is exactly one (a, b, count) row.  At
+    100 TB the corpus scan dominates and nothing else grows with data
+    volume; a production run raises the iteration count, not the
+    shape.  The DuckDB oracle replays the identical schedule with the
+    greedy left-to-right merge expressed positionally (odd ranks within
+    consecutive candidate runs)."""
+    t = tables(spark, sf_dir)
+    words = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    out = None
+    for k in range(1, _BPE_ITERS + 1):
+        pairs = (
+            s.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> named_struct("
+                        "'a', element_at(syms, i),"
+                        " 'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()[0]
+        s = _bpe_apply_merge(s, top.a, top.b)
+        row = s.agg(
+            F.sum(F.col("freq") * F.size("syms"))
+            .cast("bigint")
+            .alias("corpus_symbols_after")
+        ).select(
+            F.lit(k).alias("iteration"),
+            F.lit(top.a).alias("merge_a"),
+            F.lit(top.b).alias("merge_b"),
+            F.lit(int(top.cnt)).cast("bigint").alias("pair_count"),
+            "corpus_symbols_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("iteration")

@@ -481,3 +481,26 @@ def should_recover_exact_maximal_spans_in_dd10(spark, tmp_path):
     # 15-token shared run, W=12 -> 4 consecutive windows, merged to one
     # span covering exactly the shared tokens (1-based positions).
     assert got == {(1, 4, 18, 15, 4), (2, 1, 15, 15, 4)}
+
+
+def should_apply_bpe_merge_greedy_left_to_right(spark):
+    """The merge fold must walk left-to-right non-overlapping: a symbol
+    just produced by a merge cannot be the 'a' of the next one."""
+    from geospatial_data_lake_spark.operators.textops import _bpe_apply_merge
+
+    df = spark.createDataFrame(
+        [("aaa", 1), ("aabab", 1), ("b", 1)], "word string, freq long"
+    )
+    s = df.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    got = {r.word: r.syms for r in _bpe_apply_merge(s, "a", "a").collect()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aabab"] == ["aa", "b", "a", "b"]
+    assert got["b"] == ["b"]
+    got2 = {r.word: r.syms for r in _bpe_apply_merge(s, "a", "b").collect()}
+    assert got2["aabab"] == ["a", "ab", "ab"]
