@@ -305,3 +305,75 @@ def x06_udtf_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id, s.seg_idx
         """
     )
+
+
+def _arrow_batch_norms(batches):
+    """mapInArrow kernel: L2 norms straight off the Arrow buffers — no
+    pandas materialization, no per-row Python.  Per-row reduction is
+    ``np.add.reduceat`` over the flattened child values (STRICTLY
+    sequential left-to-right adds, which is what lets the DuckDB
+    oracle's scalar list_reduce fold reproduce the doubles bitwise)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        emb = b.column("embedding")
+        offs = np.asarray(emb.offsets)
+        vals = np.asarray(emb.values, dtype=np.float64)[offs[0] : offs[-1]]
+        rel = (offs - offs[0]).astype(np.int64)
+        sq = vals * vals
+        sums = (
+            np.add.reduceat(sq, rel[:-1])
+            if len(sq)
+            else np.zeros(0, dtype=np.float64)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("vec_id"),
+                pa.array((rel[1:] - rel[:-1]).astype(np.int32), pa.int32()),
+                pa.array(np.round(np.sqrt(sums), 6), pa.float64()),
+            ],
+            names=["vec_id", "n_dims", "l2_norm"],
+        )
+
+
+@register(
+    "x07_arrow_batch_norms",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS n_dims,
+               round(sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x * x)),
+                   (acc, x) -> acc + x)), 6) AS l2_norm
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    tags=("extension", "arrow", "embeddings"),
+)
+def x07_arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` batch transform (the remaining Python-extension
+    surface after scalar pandas UDFs p08, mapInPandas mm0x, GROUPED_AGG
+    x04, applyInPandas x05, applyInPandasWithState T3, and UDTF x06):
+    embedding L2 norms computed directly on the Arrow record batches —
+    numpy over the list array's value buffer, zero pandas conversion
+    and zero per-row Python, the lowest-overhead way to put custom
+    vector math in a Spark pipeline when codegen can't express it.
+
+    Scale shape: embarrassingly parallel — rides the scan, no shuffle;
+    per-batch cost is two vectorized numpy passes over the flattened
+    values buffer.  (This particular norm IS codegen-expressible —
+    ss01 does it with unrolled expressions; x07 demonstrates the
+    MECHANISM for kernels that are not, e.g. BLAS matmuls against a
+    broadcast codebook.)  Determinism: float64 squares summed strictly
+    left-to-right per row (np.add.reduceat), mirrored by the oracle's
+    sequential list_reduce fold."""
+    t = tables(spark, sf_dir)
+    return (
+        t.embeddings.select("vec_id", "embedding")
+        .mapInArrow(
+            _arrow_batch_norms,
+            schema="vec_id bigint, n_dims int, l2_norm double",
+        )
+        .orderBy("vec_id")
+    )
