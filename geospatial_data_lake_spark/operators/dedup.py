@@ -841,17 +841,21 @@ def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the suffix array the single-node reference algorithm builds.
 
     Scale shape (100 TB): window hashing is in-row ``transform`` work on
-    the scan (no positional explode until the join key exists); the
-    duplicate-hash table is ONE partial-aggregating shuffle keyed on the
-    16-byte hash; the left-semi probe re-uses that same key; the island
-    merge is a per-document window (shuffle keyed on doc_id — the
-    output's natural key).  Nothing is quadratic: cost is linear in
-    total windows, and the documented knobs are stride S > 1 (cuts
-    window count S x at +/-S span-boundary resolution) and xxhash64
-    instead of md5 (8-byte keys; md5 here only because the oracle must
-    replay the hash).  The per-doc window is skew-safe: a document
-    contributes at most len(tk) rows, bounded by the corpus max-doc
-    length, not by corpus size."""
+    the scan (no positional explode until the join key exists);
+    duplicate detection is min(doc_id) != max(doc_id) over a
+    hash-keyed window — ONE shuffle of the window rows, with the gram
+    derivation evaluated once (a groupBy + semi-join spelling pays two
+    exchanges of the same subtree plus the join); the island merge is a
+    per-document window (shuffle keyed on doc_id — the output's
+    natural key).  Nothing is quadratic: cost is linear in total
+    windows, and the documented knobs are stride S > 1 (cuts window
+    count S x at +/-S span-boundary resolution) and xxhash64 instead of
+    md5 (8-byte keys; md5 here only because the oracle must replay the
+    hash).  The per-doc window is skew-safe (a document contributes at
+    most len(tk) rows); the hash-keyed window funnels a
+    boilerplate-saturated hash to one reducer — the escalation there is
+    two-stage: a salted partial (h, salt) min/max pre-pass (skew.py's
+    two_stage_agg shape) before the exact window."""
     from pyspark.sql import Window
 
     t = tables(spark, sf_dir)
@@ -870,13 +874,18 @@ def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
-    dup = (
-        wins.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    # ">= 2 distinct docs share this hash" as min != max over a hash-
+    # keyed window: ONE shuffle of the window rows, and the gram
+    # derivation runs once — the groupBy + left-semi spelling costs two
+    # full exchanges of the same subtree plus the join (measured 4.8 s
+    # -> 2.7 s steady-state at sf0.1).
+    byh = Window.partitionBy("h")
+    hits = (
+        wins.withColumn("__mn", F.min("doc_id").over(byh))
+        .withColumn("__mx", F.max("doc_id").over(byh))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("doc_id", "p")
     )
-    hits = wins.join(dup, "h", "leftsemi")
     by_doc = Window.partitionBy("doc_id").orderBy("p")
     run = by_doc.rowsBetween(Window.unboundedPreceding, 0)
     isl = hits.withColumn("pp", F.lag("p").over(by_doc)).withColumn(

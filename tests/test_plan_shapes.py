@@ -453,12 +453,17 @@ def should_broadcast_incoming_batch_in_incremental_dedup(spark, registry, sf_dir
 
 
 def should_keep_dd10_substring_dedup_hash_keyed(spark, registry, sf_dir):
-    # exact substring-span dedup must stay linear: dup detection and the
-    # window probe are equi-keyed on the gram hash — never all-pairs.
+    # exact substring-span dedup must stay linear: dup detection is a
+    # hash-keyed window (single exchange of the gram rows, derivation
+    # evaluated once) — never all-pairs, never a self-join that would
+    # recompute the gram subtree.
     plan = _plan(spark, registry, "dd10_substring_spans", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert "Join" not in plan, plan  # no self-join: window-based dup test
+    # gram explode appears once in the tree + once in the detail block;
+    # a duplicated (self-joined) subtree would double that
+    assert plan.count("Generate") <= 2, plan
 
 
 def should_aggregate_dq05_drift_partially_per_dimension(spark, registry, sf_dir):
