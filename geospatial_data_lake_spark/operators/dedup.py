@@ -8,6 +8,7 @@ Four families, each a declared query over the ``documents`` table:
 - SimHash               (sign-bit sketch + pigeonhole join) dd05
 - embedding near-dup    (cosine over vectors)               dd06
 - exact substring spans (window-hash islands)               dd10
+- incremental admission  (corpus-scan / band-index probe)    dd09 / dd11
 
 Scale analysis (the design point is billions of documents):
 
@@ -911,4 +912,169 @@ def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
         )
         .orderBy("doc_id", "span_start")
+    )
+
+
+# -- dd11: index-backed incremental near-dup admission ------------------------
+
+_DD11_INDEX: dict = {}
+
+
+def _build_band_index(spark: SparkSession, sf_dir: str):
+    """Materialize the CORPUS side of the LSH pipeline as persisted
+    state: a ManifestTable of band keys (partitioned by band id — the
+    probe's join key routes to co-located partitions) plus a parquet
+    doc store of hashed token sets for exact verification.  Built once
+    per corpus version; on a real lake the index is maintained
+    incrementally (each admitted batch appends its own band keys —
+    exactly the ``append`` this build uses)."""
+    import os
+    import tempfile
+
+    from geospatial_data_lake_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+    from geospatial_data_lake_spark.tables import spread
+
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _DD11_INDEX:
+        return _DD11_INDEX[cache_key]
+    t = tables(spark, sf_dir)
+    corpus = spread(spark, t.documents.filter(F.col("doc_id") % 13 != 0))
+    root = tempfile.mkdtemp(prefix="gdl_dd11_")
+    mt = ManifestTable(
+        spark,
+        os.path.join(root, "bands"),
+        key_cols=["doc_id"],
+        partition_by=["band"],
+    )
+    mt.append(_band_keys(corpus))
+    store = os.path.join(root, "docstore")
+    corpus.select("doc_id", _hashed_tokens()).write.parquet(store)
+    _DD11_INDEX[cache_key] = (mt, store)
+    return mt, store
+
+
+def _hashed_tokens() -> F.Column:
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        )
+    ).alias("h")
+
+
+def _band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows — dd04 step 2/3's signature + banding,
+    per document (no rep collapsing: identical token sets agree on
+    every band, so the index needs no canonicalization pass)."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"h{i}")
+            for i in range(N_PERM)
+        ]
+    )
+    bands_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(bands_arr).alias("band", "key")
+    )
+
+
+@register(
+    "dd11_indexed_incremental_dedup",
+    oracle="""
+        WITH w AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                   count(*) AS common
+            FROM w a JOIN w b ON a.word = b.word
+            WHERE a.doc_id % 13 = 0 AND b.doc_id % 13 <> 0
+            GROUP BY 1, 2
+        )
+        SELECT new_id, old_id,
+               round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+        FROM pairs
+        JOIN sizes s1 ON new_id = s1.doc_id
+        JOIN sizes s2 ON old_id = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.8
+    """,
+    tags=("dedup", "incremental", "lsh", "index", "lake"),
+)
+def dd11_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd09's documented escalation, REALIZED: incremental near-dup
+    admission against a PERSISTED LSH band index instead of a corpus
+    scan.  The corpus's MinHash band keys live in a lake table
+    (partitioned by band id) built once and appended per admitted
+    batch; an incoming batch (doc_id % 13 == 0) computes its own band
+    keys — O(batch) — and equi-joins the index on (band, key); only
+    the candidates pay exact verification against the hashed-token doc
+    store.  Same output contract and same exact-Jaccard oracle as dd09:
+    banding at 16 bands x r=2 keeps every >= 0.8 pair with miss
+    probability ~8e-8, so the verified output equals the exact
+    cross-pair set (dd04's argument).
+
+    Scale shape (the payoff vs dd09): ingest cost is O(batch x bands)
+    index-join work + O(candidates) verify — INDEPENDENT of corpus
+    size, where dd09's broadcast-verify pays one full corpus scan per
+    batch.  The probe shuffles only the batch's band keys (the index
+    side is read co-partitioned by band); candidate dedup across
+    agreeing bands is one pair-keyed distinct (bounded by true pairs x
+    bands — dd04's flat first-band predicate is the documented
+    alternative); the verify side reads only the doc-store rows the
+    candidates name (semi join).  The doc store holds hashed token
+    SETS, not text — the index is self-contained, no fixture re-read
+    at probe time.
+
+    Crossover caveat (same as dd04's): on THIS near-dup-saturated
+    fixture the band buckets run hot and the probe materializes a
+    quadratic-dense candidate stream — measured 9.8 s at sf0.1 vs
+    dd09's 0.5 s corpus-scan broadcast verify, so here the scan wins.
+    The regimes invert at scale: a real crawl's background similarity
+    is ~0 (candidates linear in true pairs) and the corpus no longer
+    fits a per-batch scan budget, which is the design point this
+    operator exists for.  A production dispatcher picks per dd04's
+    sampled-background-Jaccard measurement."""
+    from geospatial_data_lake_spark.tables import spread
+
+    mt, store = _build_band_index(spark, sf_dir)
+    t = tables(spark, sf_dir)
+    batch = spread(spark, t.documents.filter(F.col("doc_id") % 13 == 0))
+    probe = _band_keys(batch).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    idx = mt.read().select(F.col("doc_id").alias("old_id"), "band", "key")
+    cands = (
+        probe.join(idx, ["band", "key"]).select("new_id", "old_id").distinct()
+    )
+    bh = batch.select(F.col("doc_id").alias("new_id"), _hashed_tokens()).select(
+        "new_id", F.col("h").alias("h1")
+    )
+    ch = (
+        mt._spark.read.parquet(store)
+        .select(F.col("doc_id").alias("old_id"), F.col("h").alias("h2"))
+        .join(cands.select("old_id").distinct(), "old_id", "leftsemi")
+    )
+    nc = F.size(F.array_intersect("h1", "h2"))
+    return (
+        cands.join(F.broadcast(bh), "new_id")
+        .join(ch, "old_id")
+        .withColumn("nc", nc)
+        .withColumn(
+            "jaccard",
+            F.col("nc") / (F.size("h1") + F.size("h2") - F.col("nc")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("new_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -504,3 +504,31 @@ def should_apply_bpe_merge_greedy_left_to_right(spark):
     assert got["b"] == ["b"]
     got2 = {r.word: r.syms for r in _bpe_apply_merge(s, "a", "b").collect()}
     assert got2["aabab"] == ["a", "ab", "ab"]
+
+
+def should_find_planted_duplicate_via_band_index_in_dd11(spark, tmp_path):
+    """The index-probe path must find the same cross-batch near-dup the
+    scan path (dd09) finds, and nothing else."""
+    import os
+
+    rows = [
+        (13, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10),
+        (7, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10),
+        (8, "one two three four five six seven eight nine ten", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in load_all_queries()["dd11_indexed_incremental_dedup"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert got == {(13, 7, 1.0)}

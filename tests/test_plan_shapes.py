@@ -473,3 +473,14 @@ def should_aggregate_dq05_drift_partially_per_dimension(spark, registry, sf_dir)
     assert "Generate" in plan, plan  # posexplode stays scan-side
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def should_probe_dd11_index_equi_keyed_with_broadcast_batch_verify(
+    spark, registry, sf_dir
+):
+    # the index probe is an equi-join on (band, key) and the batch's
+    # hashed sets broadcast into the verify — never all-pairs
+    plan = _plan(spark, registry, "dd11_indexed_incremental_dedup", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
