@@ -695,3 +695,103 @@ def geo06_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quad")
     )
+
+
+# --- geo07: KNN-within-radius join ----------------------------------------
+
+_KNN_R = 2.0  # search radius, degrees — must stay <= _CELL for the
+# one-ring neighbor probe to be complete
+
+
+@register(
+    "geo07_nearest_within_radius",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id,
+                   ((event_id * 7919) % 900) / 10.0 - 45.0 AS px,
+                   ((event_id * 104729) % 425) / 10.0 - 21.25 AS py
+            FROM events
+        ),
+        c AS (
+            SELECT doc_id,
+                   ((doc_id * 7919) % 900) / 10.0 - 45.0 AS qx,
+                   ((doc_id * 104729) % 425) / 10.0 - 21.25 AS qy
+            FROM documents
+        ),
+        pairs AS (
+            SELECT event_id, doc_id,
+                   (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+            FROM p CROSS JOIN c
+            WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy)
+                  <= {_KNN_R * _KNN_R}
+        )
+        SELECT event_id, doc_id AS nearest_doc, round(sqrt(d2), 6) AS dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_id ORDER BY d2, doc_id) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+        ORDER BY event_id
+    """,
+    tags=("geo", "knn", "join"),
+)
+def geo07_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-within-radius spatial join: for every event
+    point, the closest dataset footprint center within 2 degrees
+    (ties by doc_id) — the "which catalog item is this observation
+    closest to" query, the KNN companion of geo02's containment.
+
+    Scale shape: the CENTER (dimension) side replicates to its cell
+    plus the 8 neighbors — 9 broadcast-side rows per center, complete
+    for any radius <= the 5-degree cell size — while the point (fact)
+    side stays un-replicated in its single cell; the cell equi-join
+    prunes candidates before the exact distance test, and the per-point
+    argmin folds as min(struct(d2, doc_id)) inside a partial-then-final
+    aggregation keyed on event_id (no window sort, no global sort —
+    the oracle's row_number is the SQL spelling of the same argmin).
+    Never a cartesian: cost is points x local density, not points x
+    centers.  Skewed cells (dense regions) split under AQE; the radius
+    bounds the probe ring by construction."""
+    t = tables(spark, sf_dir)
+    px = ((F.col("event_id") * 7919) % 900) / 10.0 - 45.0
+    py = ((F.col("event_id") * 104729) % 425) / 10.0 - 21.25
+    points = t.events.select(
+        "event_id", px.alias("px"), py.alias("py")
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("px") / _CELL),
+            "cy": F.floor(F.col("py") / _CELL),
+        }
+    )
+    qx = ((F.col("doc_id") * 7919) % 900) / 10.0 - 45.0
+    qy = ((F.col("doc_id") * 104729) % 425) / 10.0 - 21.25
+    ring = F.array(
+        *[
+            F.struct(
+                (F.floor(F.col("qx") / _CELL) + dx).alias("cx"),
+                (F.floor(F.col("qy") / _CELL) + dy).alias("cy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    centers = (
+        t.documents.select("doc_id", qx.alias("qx"), qy.alias("qy"))
+        .select("doc_id", "qx", "qy", F.explode(ring).alias("cell"))
+        .select("doc_id", "qx", "qy", "cell.cx", "cell.cy")
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+    best = (
+        points.join(F.broadcast(centers), ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(_KNN_R * _KNN_R))
+        .groupBy("event_id")
+        .agg(F.min(F.struct("d2", "doc_id")).alias("b"))
+    )
+    return best.select(
+        "event_id",
+        F.col("b.doc_id").alias("nearest_doc"),
+        F.round(F.sqrt("b.d2"), 6).alias("dist"),
+    ).orderBy("event_id")

@@ -461,3 +461,98 @@ def dq05_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2"),
     )
+
+
+# -- dq06: declarative constraint suite ---------------------------------------
+
+# (rule_name, ANSI predicate) — shared VERBATIM by the Spark plan and
+# the DuckDB oracle, so both engines evaluate the same rule text.  A
+# NULL predicate result counts as a violation (constraint semantics,
+# not WHERE semantics).
+_DQ06_RULES: tuple[tuple[str, str], ...] = (
+    ("discount_in_unit", "l_discount BETWEEN 0.0 AND 0.10"),
+    ("linestatus_domain", "l_linestatus IN ('O', 'F')"),
+    ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    (
+        "shipdate_in_era",
+        "l_shipdate BETWEEN TIMESTAMP '1992-01-01 00:00:00'"
+        " AND TIMESTAMP '1998-12-31 23:59:59'",
+    ),
+    ("tax_in_unit", "l_tax BETWEEN 0.0 AND 0.08"),
+)
+
+
+def _dq06_oracle() -> str:
+    vs = ",\n                   ".join(
+        f"sum(CASE WHEN NOT coalesce({cond}, FALSE) THEN 1 ELSE 0 END)"
+        f" AS v{i}"
+        for i, (_, cond) in enumerate(_DQ06_RULES)
+    )
+    rows = "\n        UNION ALL ".join(
+        f"SELECT '{name}' AS rule, n, v{i} AS nv FROM a"
+        for i, (name, _) in enumerate(_DQ06_RULES)
+    )
+    return f"""
+        WITH a AS (
+            SELECT count(*) AS n,
+                   {vs}
+            FROM lineitem
+        )
+        SELECT rule, CAST(n AS BIGINT) AS n_rows,
+               CAST(nv AS BIGINT) AS n_violations,
+               round(nv * 1.0 / n, 6) AS violation_pct,
+               nv = 0 AS passed
+        FROM ({rows})
+        ORDER BY rule
+    """
+
+
+@register(
+    "dq06_constraint_suite",
+    oracle=_dq06_oracle(),
+    tags=("quality", "constraints", "lineitem"),
+)
+def dq06_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint-suite evaluation (the Deequ/expectations
+    pattern; the reference's per-row STAC validation X1 generalized to
+    a rule CATALOG): every registered rule — range, domain, not-null,
+    era — evaluated over the fact table in ONE scan, reporting per-rule
+    violation counts, rates, and pass/fail.  NULL predicate results
+    count as violations (constraint semantics), and the rule text is
+    shared verbatim with the oracle so both engines check the same SQL.
+
+    Scale shape: all rules fold in a single aggregation — the scan is
+    paid once no matter how many rules the suite holds, the exchange
+    carries one partial-agg row of k violation counters per map task,
+    and the per-rule unpivot (``stack``) runs on that single row.
+    Adding a rule adds one codegen counter, never a pass."""
+    t = tables(spark, sf_dir)
+    agg = t.lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.expr(cond), 0).otherwise(1)
+            ).alias(f"v{i}")
+            for i, (_, cond) in enumerate(_DQ06_RULES)
+        ],
+    )
+    stack = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(_DQ06_RULES)
+    )
+    return (
+        agg.selectExpr(
+            "n",
+            f"stack({len(_DQ06_RULES)}, {stack}) AS (rule, nv)",
+        )
+        .select(
+            "rule",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("nv").cast("bigint").alias("n_violations"),
+            F.round(F.col("nv") / F.col("n"), 6).alias("violation_pct"),
+            (F.col("nv") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )

@@ -153,7 +153,8 @@ _PRIORITY: tuple[str, ...] = (
     # x06_udtf_segment_split, j12_full_outer_join, geo06_zorder_cells,
     # dd10_substring_spans, dq05_embedding_drift,
     # st02_stream_dedup_ingest, vb02_bpe_merges, x07_arrow_batch_norms,
-    # dd11_indexed_incremental_dedup)
+    # dd11_indexed_incremental_dedup, dq06_constraint_suite,
+    # geo07_nearest_within_radius)
     # + ~20 canaries (one per family), per VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",

@@ -484,3 +484,19 @@ def should_probe_dd11_index_equi_keyed_with_broadcast_batch_verify(
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def should_run_knn_join_via_cell_probe_not_cartesian(spark, registry, sf_dir):
+    # geo07: centers broadcast through the 9-cell ring; the point side
+    # must meet them in a cell equi-join with a partial-then-final
+    # argmin — never a cartesian and never a window sort.
+    plan = _plan(spark, registry, "geo07_nearest_within_radius", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # struct-min argmin compiles to SortAggregate — still partial
+    # before the exchange + final after it
+    import re
+
+    n_aggs = len(re.findall(r"\(\d+\) (?:Hash|Sort)Aggregate", plan))
+    assert n_aggs >= 2, plan
