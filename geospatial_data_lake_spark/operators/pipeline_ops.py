@@ -520,3 +520,86 @@ def qf02_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_frac") >= 0.05)
     )
     return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+# -- mx02: temperature-based mixture sampling ---------------------------------
+
+
+@register(
+    "mx02_temperature_mixture",
+    oracle="""
+        WITH c AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        ),
+        t AS (
+            SELECT sum(n) AS total,
+                   sum(CAST(sqrt(n) AS DECIMAL(28,10))) AS s
+            FROM c
+        ),
+        r AS (
+            SELECT c.lang, c.n,
+                   least(1.0, (t.total / 2.0) * sqrt(c.n)
+                              / (CAST(t.s AS DOUBLE) * c.n)) AS rate
+            FROM c CROSS JOIN t
+        )
+        SELECT d.lang,
+               CAST(max(r.n) AS BIGINT) AS n_total,
+               round(max(r.rate), 6) AS rate,
+               CAST(sum(CASE WHEN ((d.doc_id * 2654435761) % 65536)
+                                  < r.rate * 65536
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d JOIN r USING (lang)
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """,
+    tags=("pipeline", "mixture", "sampling", "temperature"),
+)
+def mx02_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual alpha-
+    sampling scheduler, alpha = 0.5): each language's share of the
+    token budget is proportional to n^alpha instead of n, so dominant
+    languages are downweighted and tail languages upsampled — the
+    standard data-mixture rule, here with budget = half the corpus and
+    per-row membership decided by the same engine-portable integer hash
+    mx01 uses.  mx01 rebalances every domain down to the SMALLEST
+    (equal shares); mx02 interpolates between native proportions
+    (alpha=1) and equal shares (alpha=0) — together they cover the
+    mixture-design space.
+
+    Scale shape: the rate table derives from one language-sized count
+    aggregation (the sqrt fold is decimal, so partial-agg order cannot
+    move the rates); rates broadcast back and membership is a pure
+    per-row integer-hash comparison — one corpus scan, one k-row
+    exchange, append-stable like every sampler here."""
+    from geospatial_data_lake_spark.functions.decimals import METRIC
+
+    t = tables(spark, sf_dir)
+    c = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.sqrt("n").cast(METRIC)).alias("s"),
+    )
+    r = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1.0),
+            (F.col("total") / 2.0)
+            * F.sqrt("n")
+            / (F.col("s").cast("double") * F.col("n")),
+        ).alias("rate"),
+    )
+    keep = (
+        (F.col("doc_id") * 2654435761) % 65536 < F.col("rate") * 65536
+    ).cast("long")
+    return (
+        t.documents.join(F.broadcast(r), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_total"),
+            F.round(F.max("rate"), 6).alias("rate"),
+            F.sum(keep).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
