@@ -1062,7 +1062,7 @@ def dd11_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         "new_id", F.col("h").alias("h1")
     )
     ch = (
-        mt._spark.read.parquet(store)
+        spark.read.parquet(store)
         .select(F.col("doc_id").alias("old_id"), F.col("h").alias("h2"))
         .join(cands.select("old_id").distinct(), "old_id", "leftsemi")
     )
