@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 from geospatial_data_lake_spark.plans.catalog import (
     CommitConflict,
     NotFoundError,
+    ValidationError,
 )
 from geospatial_data_lake_spark.sources.merge_common import (
     keep_unmatched,
@@ -861,6 +862,9 @@ class ManifestTable:
                 manifest, new_partitions, produced, batch_stats
             ),
             "schema_ddl": schema_ddl,
+            "constraints": dict(manifest.get("constraints", {}))
+            if manifest
+            else {},
             "txns": txns,
         }
         try:
@@ -890,6 +894,107 @@ class ManifestTable:
             return False
         return int(manifest.get("txns", {}).get(str(txn[0]), -1)) >= int(txn[1])
 
+    # -- CHECK constraints -------------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        """The table's active CHECK constraints, name -> SQL predicate."""
+        _, manifest = self._current()
+        return dict(manifest.get("constraints", {})) if manifest else {}
+
+    def add_constraint(self, name: str, predicate: str) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (predicate): SQL
+        CHECK semantics (a row violates only when the predicate is
+        FALSE; NULL passes).  Existing data is validated FIRST — one
+        scan — exactly as Delta does, so a committed constraint is a
+        table-wide invariant, not just a forward filter.  Enforcement
+        happens on every subsequent ``append``/``upsert`` batch."""
+        try:
+            current = self.read()
+            self._enforce(current, {name: predicate})
+        except NotFoundError:
+            pass  # never committed: constraint precedes first data
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            base = manifest or {"partitions": {}, "stats": {}, "schema_ddl": "", "txns": {}}
+            cons = dict(base.get("constraints", {}))
+            cons[name] = predicate
+            new_manifest = {**base, "constraints": cons}
+            try:
+                self._publish(new_manifest, gen)
+                return gen + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def drop_constraint(self, name: str) -> int:
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None or name not in manifest.get("constraints", {}):
+                raise NotFoundError(f"no such constraint: {name}")
+            cons = dict(manifest["constraints"])
+            del cons[name]
+            new_manifest = {**manifest, "constraints": cons}
+            try:
+                self._publish(new_manifest, gen)
+                return gen + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def _enforce(self, batch: DataFrame, cons: dict[str, str]) -> None:
+        """Reject a batch violating any CHECK constraint.  All
+        constraints fold in ONE aggregation over the batch (dq06's
+        shape: one codegen counter per rule, a single scan no matter
+        how many constraints the table carries)."""
+        if not cons:
+            return
+        names = sorted(cons)
+        counters = [
+            F.sum(
+                (~F.coalesce(F.expr(cons[n]), F.lit(True))).cast("long")
+            ).alias(f"v{i}")
+            for i, n in enumerate(names)
+        ]
+        row = batch.agg(*counters).collect()[0]
+        bad = {
+            n: int(row[f"v{i}"])
+            for i, n in enumerate(names)
+            if int(row[f"v{i}"] or 0) > 0
+        }
+        if bad:
+            raise ValidationError(
+                "CHECK constraint violation(s), batch rejected: "
+                + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+            )
+
+    # -- RESTORE -----------------------------------------------------------
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: a NEW commit re-pointing
+        the table at an old version's file set.  Metadata-only — data
+        files are shared by reference, so restoring 100 TB costs one
+        manifest write; history is preserved (the rollback itself is
+        auditable via ``history()``/``changes()`` and can be restored
+        over again).  Writer txn watermarks carry from the HEAD, not
+        the target — a restore must not make replayed streaming batches
+        re-appliable."""
+        target = self._manifest_at(version)
+        if target is None:
+            raise NotFoundError(f"version {version} not available")
+        for _ in range(_MAX_RETRIES):
+            gen, head = self._current()
+            new_manifest = {
+                "partitions": target["partitions"],
+                "stats": target.get("stats", {}),
+                "schema_ddl": target["schema_ddl"],
+                "constraints": dict(target.get("constraints", {})),
+                "txns": dict(head.get("txns", {})) if head else {},
+            }
+            try:
+                self._publish(new_manifest, gen)
+                return gen + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def append(self, batch: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Blind append — the O(batch) ingest fast path: ONE write job
         routes the batch into per-partition files which are ADDed to
@@ -906,6 +1011,8 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
+        if head:
+            self._enforce(batch, head.get("constraints", {}))
         batch = batch.localCheckpoint(eager=True)
         # validate schema compatibility against the current head BEFORE
         # writing anything (an incompatible batch must not leave files)
@@ -1346,6 +1453,8 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
+        if head:
+            self._enforce(updates, head.get("constraints", {}))
         updates = updates.dropDuplicates(self.key_cols).localCheckpoint(
             eager=True
         )

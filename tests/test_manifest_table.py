@@ -809,3 +809,55 @@ def should_consume_change_feed_incrementally_with_cursor(spark, tmp_path):
     assert cursor2 == cursor
     assert feed.count() == 0
     assert "_change_type" in feed.columns and "id" in feed.columns
+
+
+def should_enforce_check_constraints_on_writes(spark, tmp_path):
+    """SQL CHECK semantics: FALSE rows reject the whole batch, NULL
+    passes; existing data is validated when the constraint is added;
+    constraints survive unrelated commits and can be dropped."""
+    import pytest
+
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", None)]))
+    mt.add_constraint("id_positive", "id > 0")
+    assert mt.constraints() == {"id_positive": "id > 0"}
+    # NULL v row passed (CHECK passes on NULL); a FALSE row must reject
+    with pytest.raises(ValidationError, match="id_positive"):
+        mt.append(_mk(spark, [(0, "a", "y")]))
+    with pytest.raises(ValidationError, match="id_positive"):
+        mt.upsert(_mk(spark, [(-5, "a", "y")]))
+    v = mt.current_version()
+    mt.append(_mk(spark, [(3, "a", "z")]))  # conforming batch commits
+    assert mt.constraints() == {"id_positive": "id > 0"}  # carried
+    assert _state(mt.read())[3] == ("a", "z")
+    # adding a constraint the EXISTING data violates must fail
+    with pytest.raises(ValidationError, match="v_not_null"):
+        mt.add_constraint("v_not_null", "v IS NOT NULL")
+    mt.drop_constraint("id_positive")
+    mt.append(_mk(spark, [(0, "a", "y")]))  # now admissible
+    assert 0 in _state(mt.read())
+    assert v + 3 == mt.current_version()  # add-fail committed nothing
+
+
+def should_restore_to_old_version_as_new_commit(spark, tmp_path):
+    """RESTORE re-points the table at an old file set as a NEW commit:
+    content equals the old version, history keeps growing, and the
+    restore itself shows in the change feed."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))  # v1
+    mt.upsert(_mk(spark, [(2, "b", "y2"), (3, "a", "z")]))  # v2
+    from pyspark.sql import functions as F
+
+    mt.delete_where(F.col("id") == 1)  # v3
+    v_restore = mt.restore(1)
+    assert v_restore == 4
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y")}
+    assert _state(mt.read(version=3)) == {2: ("b", "y2"), 3: ("a", "z")}
+    # the change feed across the restore shows the rollback's row deltas
+    ch = {
+        (r.id, r._change_type)
+        for r in mt.changes(3, 4).select("id", "_change_type").collect()
+    }
+    assert (1, "insert") in ch and (3, "delete") in ch
