@@ -600,3 +600,74 @@ def st02_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+_RESTORED: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_restored_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """The rollback + governed-write lifecycle: append the base slice
+    (v1), corrupt it with a bad MERGE (v2), RESTORE to v1 (v3), then
+    ADD a CHECK constraint (v4) that a subsequent poisoned append must
+    bounce off (no commit), and land one conforming append (v5).  The
+    head must equal base + conforming rows — sensitive to restore
+    correctness (the bad MERGE's update must be gone), constraint
+    enforcement (the poisoned batch must be absent), and append."""
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _RESTORED:
+        return _RESTORED[cache_key]
+    t = tables(spark, sf_dir)
+    base = t.orders.select(*_COLS).filter(F.col("o_orderkey") % 3 == 0)
+    extra = t.orders.select(*_COLS).filter(F.col("o_orderkey") % 3 == 1)
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_rs_"),
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    mt.append(base)  # v1
+    mt.upsert(  # v2: the "bad deploy" — zeroes every 9th order's price
+        base.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            "o_totalprice", F.lit(0.0)
+        )
+    )
+    assert mt.restore(1) == 3  # v3: metadata-only rollback
+    mt.add_constraint("price_positive", "o_totalprice > 0")  # v4
+    try:
+        mt.append(extra.withColumn("o_totalprice", -F.col("o_totalprice")))
+        raise AssertionError("poisoned batch must not commit")
+    except ValidationError:
+        pass
+    mt.append(extra)  # v5: conforming
+    _RESTORED[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs09_restore_constrained_lifecycle",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("lake", "manifest", "restore", "constraints"),
+)
+def vs09_restore_constrained_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE + CHECK constraints driven end-to-end (see
+    _build_restored_lake): the head state after a bad MERGE, a
+    metadata-only rollback, a constraint ADD, a rejected poisoned
+    append, and a conforming append must equal exactly base + extra
+    fixture rows — any failure of restore (zeroed prices survive),
+    enforcement (negative prices appear), or append (extra missing)
+    breaks the hash.
+
+    Scale note: the rollback re-points file lists by reference (one
+    manifest write for any table size) and constraint enforcement adds
+    ONE aggregation pass over each incoming batch — never a scan of
+    the table."""
+    mt = _build_restored_lake(spark, sf_dir)
+    return mt.read().select(*_COLS)
