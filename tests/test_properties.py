@@ -375,6 +375,7 @@ _mt_op = st.one_of(
         st.lists(_mt_row, min_size=1, max_size=3, unique_by=lambda r: r[0]),
         st.integers(0, 3),  # txn batch version (may replay/regress)
     ),
+    st.tuples(st.just("restore"), st.integers(0, 10)),  # rollback target pick
 )
 
 
@@ -383,7 +384,7 @@ _mt_op = st.one_of(
 @given(ops=st.lists(_mt_op, min_size=1, max_size=5))
 def should_manifest_table_match_multiset_model(spark, ops):
     """Model check: any sequence of append/upsert/delete/compact/
-    optimize/txn-upsert leaves the manifest table holding exactly the
+    optimize/txn-upsert/restore leaves the manifest table holding exactly the
     multiset a trivial in-memory model predicts — and every
     intermediate version stays readable as its own historical snapshot
     (time travel over the whole history).  optimize must be content-
@@ -432,6 +433,21 @@ def should_manifest_table_match_multiset_model(spark, ops):
             v = mt.optimize(sort_by=["id"], target_files=2)
             if v is None:
                 continue  # empty table: nothing to cluster
+        elif op[0] == "restore":
+            if not snapshots:  # nothing committed yet: must refuse
+                import pytest
+
+                from geospatial_data_lake_spark.plans.catalog import (
+                    NotFoundError,
+                )
+
+                with pytest.raises(NotFoundError):
+                    mt.restore(1)
+                continue
+            versions = sorted(snapshots)
+            target = versions[op[1] % len(versions)]
+            v = mt.restore(target)
+            model = list(snapshots[target])
         elif op[0] == "txn_upsert":
             _, rows, k = op
             before = mt.current_version()
