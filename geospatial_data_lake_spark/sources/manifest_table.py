@@ -1011,8 +1011,8 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
-        if head:
-            self._enforce(batch, head.get("constraints", {}))
+        enforced = dict(head.get("constraints", {})) if head else {}
+        self._enforce(batch, enforced)
         batch = batch.localCheckpoint(eager=True)
         # validate schema compatibility against the current head BEFORE
         # writing anything (an incompatible batch must not leave files)
@@ -1032,6 +1032,20 @@ class ManifestTable:
                     os.path.join(self._data, batch_dir), ignore_errors=True
                 )
                 return gen
+            # a constraint ADDed since our head read must still gate
+            # this batch (the metadata-conflict analog of Delta's commit
+            # check) — one extra aggregation only when the set moved
+            cons_now = dict(manifest.get("constraints", {})) if manifest else {}
+            if cons_now != enforced:
+                try:
+                    self._enforce(batch, cons_now)
+                except ValidationError:
+                    shutil.rmtree(
+                        os.path.join(self._data, batch_dir),
+                        ignore_errors=True,
+                    )
+                    raise
+                enforced = cons_now
             partitions = dict(manifest["partitions"]) if manifest else {}
             new_partitions = dict(partitions)
             for pkey, rel in produced.items():
@@ -1453,8 +1467,8 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
-        if head:
-            self._enforce(updates, head.get("constraints", {}))
+        enforced = dict(head.get("constraints", {})) if head else {}
+        self._enforce(updates, enforced)
         updates = updates.dropDuplicates(self.key_cols).localCheckpoint(
             eager=True
         )
@@ -1466,6 +1480,12 @@ class ManifestTable:
             gen, manifest = self._current()
             if self._txn_applied(manifest, txn):
                 return gen
+            # a constraint ADDed since our head read must still gate
+            # this batch (see append)
+            cons_now = dict(manifest.get("constraints", {})) if manifest else {}
+            if cons_now != enforced:
+                self._enforce(updates, cons_now)
+                enforced = cons_now
             partitions = dict(manifest["partitions"]) if manifest else {}
 
             # partitions the update batch lands in

@@ -861,3 +861,36 @@ def should_restore_to_old_version_as_new_commit(spark, tmp_path):
         for r in mt.changes(3, 4).select("id", "_change_type").collect()
     }
     assert (1, "insert") in ch and (3, "delete") in ch
+
+
+def should_enforce_constraint_added_during_inflight_append(spark, tmp_path):
+    """A constraint committed AFTER a writer's head read but BEFORE its
+    publish must still gate that writer's batch (the metadata-conflict
+    re-check in the retry loop), and the rejected batch's files must
+    not leak."""
+    import pytest
+
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))
+    other = _table(spark, tmp_path)  # second writer handle, same root
+
+    class Racy(ManifestTable):
+        def _write_partitioned(self, df, batch_dir):
+            # interpose between the head-read enforcement and publish
+            if not other.constraints():
+                other.add_constraint("id_positive", "id > 0")
+            return super()._write_partitioned(df, batch_dir)
+
+    racy = Racy(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    with pytest.raises(ValidationError, match="id_positive"):
+        racy.append(_mk(spark, [(-1, "a", "y")]))
+    assert _state(mt.read()) == {1: ("a", "x")}
+    # the rejected batch's directory must not leak (only v1's remains;
+    # its root _SUCCESS sidecars are vacuum's business, not a leak)
+    import os
+
+    assert len(os.listdir(os.path.join(str(tmp_path / "mt"), "data"))) == 1
