@@ -321,10 +321,17 @@ def _arrow_batch_norms(batches):
         offs = np.asarray(emb.offsets)
         vals = np.asarray(emb.values, dtype=np.float64)[offs[0] : offs[-1]]
         rel = (offs - offs[0]).astype(np.int64)
-        sq = vals * vals
+        # sentinel-padded reduceat: empty vectors point their segment at
+        # the appended 0.0, so they fold to 0.0 instead of crashing /
+        # stealing the next row's first element (reduceat's behavior on
+        # equal/decreasing indices); x + 0.0 is exact, so non-empty
+        # sums are bit-identical to the unpadded fold
+        sq = np.append(vals * vals, 0.0)
+        starts = rel[:-1].copy()
+        starts[rel[1:] == rel[:-1]] = len(sq) - 1
         sums = (
-            np.add.reduceat(sq, rel[:-1])
-            if len(sq)
+            np.add.reduceat(sq, starts)
+            if len(starts)
             else np.zeros(0, dtype=np.float64)
         )
         yield pa.RecordBatch.from_arrays(

@@ -532,3 +532,22 @@ def should_find_planted_duplicate_via_band_index_in_dd11(spark, tmp_path):
         .collect()
     }
     assert got == {(13, 7, 1.0)}
+
+
+def should_fold_arrow_norms_with_empty_vectors(spark):
+    """The mapInArrow kernel must survive zero-length embeddings (the
+    reduceat empty-segment trap) and keep exact norms around them."""
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, []), (3, [5.0, 12.0])],
+        "vec_id long, embedding array<float>",
+    )
+    from geospatial_data_lake_spark.operators.udafs import _arrow_batch_norms
+
+    out = {
+        r.vec_id: (r.n_dims, r.l2_norm)
+        for r in df.mapInArrow(
+            _arrow_batch_norms,
+            schema="vec_id bigint, n_dims int, l2_norm double",
+        ).collect()
+    }
+    assert out == {1: (2, 5.0), 2: (0, 0.0), 3: (2, 13.0)}

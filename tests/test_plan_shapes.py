@@ -500,3 +500,11 @@ def should_run_knn_join_via_cell_probe_not_cartesian(spark, registry, sf_dir):
 
     n_aggs = len(re.findall(r"\(\d+\) (?:Hash|Sort)Aggregate", plan))
     assert n_aggs >= 2, plan
+
+
+def should_fold_constraint_suite_in_one_scan(spark, registry, sf_dir):
+    # dq06: every rule is a counter inside ONE aggregation — the plan
+    # must contain exactly one lineitem scan (tree + detail = 2 hits).
+    plan = _plan(spark, registry, "dq06_constraint_suite", sf_dir)
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "HashAggregate" in plan, plan
