@@ -503,7 +503,7 @@ def _dq06_oracle() -> str:
         )
         SELECT rule, CAST(n AS BIGINT) AS n_rows,
                CAST(nv AS BIGINT) AS n_violations,
-               round(nv * 1.0 / n, 6) AS violation_pct,
+               round(CAST(nv AS DOUBLE) / n, 6) AS violation_pct,
                nv = 0 AS passed
         FROM ({rows})
         ORDER BY rule
