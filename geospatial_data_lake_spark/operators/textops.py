@@ -616,7 +616,9 @@ def vb02_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(word)),"
             " i -> substring(word, i, 1))"
         ).alias("syms"),
-    )
+    ).localCheckpoint(eager=True)  # ONE corpus scan, materialized as the
+    # vocab-sized working set — without this, lazy lineage re-reads the
+    # corpus on every iteration's actions (6 scans for 3 merges)
     out = None
     for k in range(1, _BPE_ITERS + 1):
         pairs = (
@@ -638,7 +640,9 @@ def vb02_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = pairs.orderBy(
             F.desc("cnt"), F.asc("a"), F.asc("b")
         ).limit(1).collect()[0]
-        s = _bpe_apply_merge(s, top.a, top.b)
+        # checkpoint per merge: keeps each iteration's jobs on the
+        # materialized vocab table instead of a growing fold-of-folds plan
+        s = _bpe_apply_merge(s, top.a, top.b).localCheckpoint(eager=True)
         row = s.agg(
             F.sum(F.col("freq") * F.size("syms"))
             .cast("bigint")
