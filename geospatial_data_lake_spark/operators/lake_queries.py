@@ -671,3 +671,64 @@ def vs09_restore_constrained_lifecycle(
     the table."""
     mt = _build_restored_lake(spark, sf_dir)
     return mt.read().select(*_COLS)
+
+
+_EQDEL: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_eqdelete_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """Merge-on-read lifecycle: append the fixture (v1), EQUALITY-
+    DELETE every 7th order by key file — no partition rewrite (v2),
+    then re-append every 21st order (all previously deleted) at price
+    1.0 (v3).  The head must show the survivors PLUS the re-appended
+    rows — sensitive to the anti-join read path AND the applies-to
+    sequence rule (a delete must not tombstone later appends)."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _EQDEL:
+        return _EQDEL[cache_key]
+    t = tables(spark, sf_dir)
+    base = t.orders.select(*_COLS)
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_ed_"),
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    mt.append(base)  # v1
+    files_v1 = mt.partition_files()
+    mt.delete_where_eq(F.col("o_orderkey") % 7 == 0)  # v2: key files only
+    assert mt.partition_files() == files_v1, "eq-delete must not rewrite"
+    mt.append(  # v3: resurrect a deleted slice with a marker price
+        base.filter(F.col("o_orderkey") % 21 == 0).withColumn(
+            "o_totalprice", F.lit(1.0)
+        )
+    )
+    _EQDEL[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs10_equality_delete_feed",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 1.0 AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 21 = 0
+    """,
+    tags=("lake", "manifest", "equality-delete", "merge-on-read"),
+)
+def vs10_equality_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete (merge-on-read) lifecycle driven end-to-end (see
+    _build_eqdelete_lake): O(matched keys) deletes with untouched data
+    files, reads that anti-join the pending key files, and the
+    sequence rule keeping later appends alive — all in one hash-gated
+    head read.
+
+    Scale note: this is the GDPR-at-100-TB shape — erasing a few keys
+    per partition across years of history costs one key-file write and
+    a manifest, not a rewrite of every touched partition; ``compact``
+    materializes lazily on the maintenance schedule."""
+    mt = _build_eqdelete_lake(spark, sf_dir)
+    return mt.read().select(*_COLS)

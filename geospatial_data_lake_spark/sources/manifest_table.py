@@ -186,16 +186,25 @@ class ManifestTable:
                     continue
                 for files in m["partitions"].values():
                     retained_files.update(files)
+                for entries in m.get("deletes", {}).values():
+                    retained_files.update(d["file"] for d in entries)
         for n in expired:
             try:
                 m = self._load_manifest(int(n))
                 with open(os.path.join(self._commits, n)) as fh:
                     mname = fh.read().strip()
-                for files in m["partitions"].values():
-                    for f in set(files) - retained_files:
-                        shutil.rmtree(
-                            os.path.join(self._data, f), ignore_errors=True
-                        )
+                refs = {
+                    f for files in m["partitions"].values() for f in files
+                }
+                refs |= {
+                    d["file"]
+                    for entries in m.get("deletes", {}).values()
+                    for d in entries
+                }
+                for f in refs - retained_files:
+                    shutil.rmtree(
+                        os.path.join(self._data, f), ignore_errors=True
+                    )
                 os.unlink(os.path.join(self._commits, n))
                 os.unlink(os.path.join(self._manifests, mname))
             except (OSError, NotFoundError):
@@ -223,6 +232,8 @@ class ManifestTable:
                 continue
             for files in m["partitions"].values():
                 referenced.update(files)
+            for entries in m.get("deletes", {}).values():
+                referenced.update(d["file"] for d in entries)
         removed: list[str] = []
         horizon = _time.time() - min_age_seconds
         for dirpath, _dirnames, filenames in os.walk(self._data):
@@ -574,6 +585,61 @@ class ManifestTable:
             return []
         return self._resolve_files(manifest, where)
 
+    def _effective_df(
+        self,
+        manifest: dict,
+        pkeys: set[str] | None = None,
+        sel_files: set[str] | None = None,
+    ) -> DataFrame:
+        """Effective content of ``pkeys`` (default: all partitions)
+        under ``manifest``, with pending EQUALITY-DELETE files applied —
+        the single merge-on-read path every content read goes through.
+
+        Files are grouped by the set of delete files that apply to them
+        (a delete applies only to files that existed when it was
+        committed, so later-appended rows with a deleted key survive —
+        Iceberg's sequence-number rule, realized as an explicit
+        ``applies_to`` list); each group anti-joins the union of its
+        delete keys null-safely.  Group count is bounded by distinct
+        delete generations per partition, not data size."""
+        parts = manifest["partitions"]
+        dmap = manifest.get("deletes", {})
+        groups: dict[tuple, list[str]] = {}
+        for pk, files in parts.items():
+            if pkeys is not None and pk not in pkeys:
+                continue
+            entries = dmap.get(pk, [])
+            for f in files:
+                if sel_files is not None and f not in sel_files:
+                    continue
+                applicable = tuple(
+                    sorted(
+                        d["file"] for d in entries if f in d["applies_to"]
+                    )
+                )
+                groups.setdefault(applicable, []).append(f)
+        if not groups:
+            return self._spark.createDataFrame([], manifest["schema_ddl"])
+        out = None
+        for dels in sorted(groups):
+            df = self._spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self._data, f) for f in groups[dels]]
+            )
+            if dels:
+                keys = (
+                    self._spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self._data, d) for d in dels])
+                    .select(*self.key_cols)
+                    .dropDuplicates()
+                )
+                df = self._null_safe_key_join(df, keys, "left_anti")
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        return out
+
     def read(
         self, version: int | None = None, where: dict | None = None
     ) -> DataFrame:
@@ -589,10 +655,11 @@ class ManifestTable:
         manifest = self._manifest_at(version)
         if manifest is None:
             raise NotFoundError(f"table never committed: {self.root}")
-        files = [
-            os.path.join(self._data, f)
-            for f in self._resolve_files(manifest, where)
-        ]
+        sel = self._resolve_files(manifest, where)
+        if manifest.get("deletes"):
+            df = self._effective_df(manifest, sel_files=set(sel))
+            return df.filter(self._where_condition(where)) if where else df
+        files = [os.path.join(self._data, f) for f in sel]
         if not files:
             df = self._spark.createDataFrame([], manifest["schema_ddl"])
             return df.filter(self._where_condition(where)) if where else df
@@ -657,31 +724,17 @@ class ManifestTable:
             m_from = self._load_manifest(from_version)
         p_from = m_from["partitions"]
         p_to = m_to["partitions"]
+        d_from = m_from.get("deletes", {})
+        d_to = m_to.get("deletes", {})
         changed = {
             k
             for k in set(p_from) | set(p_to)
-            if p_from.get(k) != p_to.get(k)
+            # a partition is changed when its file list OR its pending
+            # equality-delete chain differs — both move effective rows
+            if p_from.get(k) != p_to.get(k) or d_from.get(k) != d_to.get(k)
         }
-        old_files = [
-            os.path.join(self._data, f)
-            for k in changed
-            for f in p_from.get(k, [])
-        ]
-        new_files = [
-            os.path.join(self._data, f)
-            for k in changed
-            for f in p_to.get(k, [])
-        ]
-
-        def _read(files, schema_ddl):
-            if not files:
-                return self._spark.createDataFrame([], schema_ddl)
-            return self._spark.read.option("mergeSchema", "true").parquet(
-                *files
-            )
-
-        old = _read(old_files, m_from["schema_ddl"])
-        new = _read(new_files, m_to["schema_ddl"])
+        old = self._effective_df(m_from, pkeys=changed)
+        new = self._effective_df(m_to, pkeys=changed)
         # align to the union of columns (schema evolution between versions)
         all_cols = list(
             dict.fromkeys([*new.columns, *old.columns])
@@ -781,10 +834,18 @@ class ManifestTable:
         if manifest is None:
             return {}
         stats = manifest.get("stats", {})
+        # files a pending equality delete applies to have unknown
+        # effective counts until the delete is materialized
+        covered = {
+            f
+            for entries in manifest.get("deletes", {}).values()
+            for d in entries
+            for f in d["applies_to"]
+        }
         return {
             f: (
                 int(stats[f]["__rows"][0])
-                if f in stats and "__rows" in stats[f]
+                if f in stats and "__rows" in stats[f] and f not in covered
                 else None
             )
             for files in manifest["partitions"].values()
@@ -843,6 +904,7 @@ class ManifestTable:
         schema_ddl: str,
         batch_dir: str | None = None,
         txn: tuple[str, int] | None = None,
+        deletes: dict | None = None,
     ) -> bool:
         """Build and publish the next manifest.  On a lost race, drop
         the batch's freshly written files (when ``batch_dir`` is given —
@@ -865,6 +927,7 @@ class ManifestTable:
             "constraints": dict(manifest.get("constraints", {}))
             if manifest
             else {},
+            "deletes": deletes if deletes is not None else {},
             "txns": txns,
         }
         try:
@@ -876,6 +939,19 @@ class ManifestTable:
                     os.path.join(self._data, batch_dir), ignore_errors=True
                 )
             return False
+
+    @staticmethod
+    def _deletes_minus(manifest: dict | None, rewritten: set[str]) -> dict:
+        """Pending delete entries carried into the next manifest, minus
+        partitions a rewrite just materialized (their effective content
+        was read with deletes applied, so the entries are spent)."""
+        if not manifest:
+            return {}
+        return {
+            pk: v
+            for pk, v in manifest.get("deletes", {}).items()
+            if pk not in rewritten
+        }
 
     def last_txn_version(self, app_id: str) -> int:
         """The highest committed batch version for ``app_id``, or -1 —
@@ -986,6 +1062,7 @@ class ManifestTable:
                 "stats": target.get("stats", {}),
                 "schema_ddl": target["schema_ddl"],
                 "constraints": dict(target.get("constraints", {})),
+                "deletes": dict(target.get("deletes", {})),
                 "txns": dict(head.get("txns", {})) if head else {},
             }
             try:
@@ -1067,6 +1144,9 @@ class ManifestTable:
                 batch_stats,
                 schema_ddl,
                 txn=txn,
+                # appended files postdate every pending delete (their
+                # applies_to lists cannot name them), so entries carry
+                deletes=dict(manifest.get("deletes", {})) if manifest else {},
             ):
                 return gen + 1
         shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
@@ -1084,14 +1164,7 @@ class ManifestTable:
             if manifest is None:
                 raise NotFoundError(f"table never committed: {self.root}")
             partitions = dict(manifest["partitions"])
-            all_files = [
-                os.path.join(self._data, f)
-                for files in partitions.values()
-                for f in files
-            ]
-            current = self._spark.read.option("mergeSchema", "true").parquet(
-                *all_files
-            )
+            current = self._effective_df(manifest)
             touched = {
                 r.pk
                 for r in current.filter(condition)
@@ -1105,16 +1178,8 @@ class ManifestTable:
             produced: dict[str, str] = {}
             batch_stats: dict[str, dict[str, list]] = {}
             if touched:
-                old_files = [
-                    os.path.join(self._data, f)
-                    for pkey in touched
-                    for f in partitions[pkey]
-                ]
                 kept = keep_unmatched(  # DELETE drops TRUE rows only
-                    self._spark.read.option("mergeSchema", "true").parquet(
-                        *old_files
-                    ),
-                    condition,
+                    self._effective_df(manifest, pkeys=touched), condition
                 )
                 produced = self._write_partitioned(kept, batch_dir)
                 batch_stats = self._collect_stats_for_batch(batch_dir, produced)
@@ -1130,6 +1195,68 @@ class ManifestTable:
                 batch_stats,
                 manifest["schema_ddl"],
                 batch_dir,
+                deletes=self._deletes_minus(manifest, touched),
+            ):
+                return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def delete_where_eq(self, condition) -> int:
+        """Merge-on-read DELETE via EQUALITY-DELETE files (the Iceberg
+        equality-delete / Delta deletion-vector analog): instead of
+        rewriting every touched partition (``delete_where``), commit a
+        small per-partition file of the matched rows' KEY tuples; reads
+        anti-join it until ``compact``/the next rewrite materializes.
+        Cost is O(matched keys) write + one manifest — independent of
+        partition sizes, the right shape when a 100 TB table loses a few
+        rows per partition (GDPR erasure across years of history).
+
+        Semantics: KEY-granularity — every row sharing a matched row's
+        key is deleted (the table's MERGE contract keeps keys unique,
+        where the two notions coincide); rows appended AFTER this
+        commit keep deleted keys alive (each delete entry records the
+        files it applies to — Iceberg's sequence-number rule).  SQL
+        DELETE matching: only rows where ``condition`` is TRUE match.
+        Returns the committed version (unchanged when nothing matched)."""
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                raise NotFoundError(f"table never committed: {self.root}")
+            partitions = dict(manifest["partitions"])
+            matched = (
+                self._effective_df(manifest)
+                .filter(F.coalesce(condition, F.lit(False)))
+                .select(
+                    *dict.fromkeys([*self.key_cols, *self.partition_by])
+                )
+                .dropDuplicates()
+            )
+            batch_dir = uuid.uuid4().hex
+            produced = self._write_partitioned(matched, batch_dir)
+            if not produced:  # nothing matched: no commit
+                shutil.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
+                return gen
+            deletes = {
+                pk: list(v)
+                for pk, v in manifest.get("deletes", {}).items()
+            }
+            for pkey, rel in produced.items():
+                applies = list(partitions.get(pkey, []))
+                if not applies:  # keys matched rows of a gone partition?
+                    continue
+                deletes.setdefault(pkey, []).append(
+                    {"file": rel, "applies_to": applies}
+                )
+            if self._try_commit(
+                gen,
+                manifest,
+                partitions,  # file lists untouched — metadata-only
+                {},  # no data-file stats for key files
+                {},
+                manifest["schema_ddl"],
+                batch_dir,
+                deletes=deletes,
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -1173,14 +1300,7 @@ class ManifestTable:
                 raise NotFoundError(f"table never committed: {self.root}")
             partitions = dict(manifest["partitions"])
             schema_ddl = self._merged_schema_ddl(batch.schema, manifest)
-            all_files = [
-                os.path.join(self._data, f)
-                for files in partitions.values()
-                for f in files
-            ]
-            current = self._spark.read.option("mergeSchema", "true").parquet(
-                *all_files
-            )
+            current = self._effective_df(manifest)
             # partitions losing rows to the predicate ...
             touched = {
                 self._pk_from_hex(r.pk)
@@ -1198,17 +1318,9 @@ class ManifestTable:
             }
             new_partitions = dict(partitions)
             batch_dir = uuid.uuid4().hex
-            old_files = [
-                os.path.join(self._data, f)
-                for pkey in touched
-                for f in partitions.get(pkey, [])
-            ]
-            if old_files:
+            if any(partitions.get(pkey) for pkey in touched):
                 kept = keep_unmatched(
-                    self._spark.read.option("mergeSchema", "true").parquet(
-                        *old_files
-                    ),
-                    condition,
+                    self._effective_df(manifest, pkeys=touched), condition
                 )
                 merged = kept.unionByName(batch, allowMissingColumns=True)
             else:
@@ -1228,6 +1340,7 @@ class ManifestTable:
                 schema_ddl,
                 batch_dir,
                 txn=txn,
+                deletes=self._deletes_minus(manifest, touched),
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -1245,20 +1358,23 @@ class ManifestTable:
             if manifest is None:
                 return None
             partitions = dict(manifest["partitions"])
-            to_fold = {k: v for k, v in partitions.items() if len(v) >= min_files}
+            dmap = manifest.get("deletes", {})
+            to_fold = {
+                k: v
+                for k, v in partitions.items()
+                # pending equality deletes also warrant folding: the
+                # rewrite materializes them (merge-on-read -> rewritten)
+                if len(v) >= min_files or k in dmap
+            }
             if not to_fold:
                 return None
-            merged = self._spark.read.option("mergeSchema", "true").parquet(
-                *[
-                    os.path.join(self._data, f)
-                    for files in to_fold.values()
-                    for f in files
-                ]
-            )
+            merged = self._effective_df(manifest, pkeys=set(to_fold))
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(merged, batch_dir)
             batch_stats = self._collect_stats_for_batch(batch_dir, produced)
             new_partitions = dict(partitions)
+            for pkey in to_fold:
+                new_partitions.pop(pkey, None)  # all-deleted: gone
             for pkey, rel in produced.items():
                 new_partitions[pkey] = [rel]
             if self._try_commit(
@@ -1269,6 +1385,7 @@ class ManifestTable:
                 batch_stats,
                 manifest["schema_ddl"],
                 batch_dir,
+                deletes=self._deletes_minus(manifest, set(to_fold)),
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -1317,16 +1434,9 @@ class ManifestTable:
             if manifest is None:
                 return None
             partitions = dict(manifest["partitions"])
-            all_files = [
-                os.path.join(self._data, f)
-                for files in partitions.values()
-                for f in files
-            ]
-            if not all_files:
+            if not any(partitions.values()):
                 return None
-            df = self._spark.read.option("mergeSchema", "true").parquet(
-                *all_files
-            )
+            df = self._effective_df(manifest)
             keyed = df.withColumn(_PK_COL, self._pk_expr())
             if probs:
                 cuts = keyed.groupBy(_PK_COL).agg(
@@ -1501,15 +1611,11 @@ class ManifestTable:
             if partitions and not keys_pin_partitions:
                 touched |= self._partitions_holding_keys(partitions, updates)
 
-            old_files = [
-                os.path.join(self._data, f)
-                for pkey in touched
-                for f in partitions.get(pkey, [])
-            ]
-            if old_files:
-                old = self._spark.read.option("mergeSchema", "true").parquet(
-                    *old_files
-                )
+            has_old = any(partitions.get(pkey) for pkey in touched)
+            if has_old:
+                # effective content: pending equality deletes in the
+                # touched partitions are MATERIALIZED by this rewrite
+                old = self._effective_df(manifest, pkeys=touched)
                 # anti-join against ALL update keys (null-safe), not
                 # just each partition's updates: a key that MOVED
                 # partitions has its new row land elsewhere, but its old
@@ -1550,6 +1656,7 @@ class ManifestTable:
                 schema_ddl,
                 batch_dir,
                 txn=txn,
+                deletes=self._deletes_minus(manifest, touched),
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")

@@ -6,6 +6,7 @@ concurrent writers."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from geospatial_data_lake_spark.plans.catalog import NotFoundError
 from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
@@ -848,8 +849,6 @@ def should_restore_to_old_version_as_new_commit(spark, tmp_path):
     mt = _table(spark, tmp_path)
     mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))  # v1
     mt.upsert(_mk(spark, [(2, "b", "y2"), (3, "a", "z")]))  # v2
-    from pyspark.sql import functions as F
-
     mt.delete_where(F.col("id") == 1)  # v3
     v_restore = mt.restore(1)
     assert v_restore == 4
@@ -894,3 +893,86 @@ def should_enforce_constraint_added_during_inflight_append(spark, tmp_path):
     import os
 
     assert len(os.listdir(os.path.join(str(tmp_path / "mt"), "data"))) == 1
+
+
+def should_delete_by_equality_file_without_rewriting(spark, tmp_path):
+    """Merge-on-read DELETE: matched keys vanish from reads while the
+    data file lists stay untouched (metadata + key-file commit only);
+    history still shows the pre-delete state."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")]))
+    files_before = mt.partition_files()
+    v = mt.delete_where_eq(F.col("v") == "x")
+    assert v == 2
+    assert _state(mt.read()) == {2: ("a", "y")}
+    assert mt.partition_files() == files_before  # no rewrite
+    assert _state(mt.read(version=1)) == {
+        1: ("a", "x"), 2: ("a", "y"), 3: ("b", "x")
+    }
+    # nothing matched -> no commit
+    assert mt.delete_where_eq(F.col("v") == "zzz") == 2
+    # pending deletes make metadata-only counts unknowable (truthful)
+    assert mt.row_count() is None
+
+
+def should_keep_rows_appended_after_equality_delete(spark, tmp_path):
+    """A delete applies only to files that existed when it committed:
+    re-inserting a deleted key must survive (Iceberg sequence rule)."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))
+    mt.delete_where_eq(F.col("id") == 1)
+    assert _state(mt.read()) == {}
+    mt.append(_mk(spark, [(1, "a", "reborn")]))
+    assert _state(mt.read()) == {1: ("a", "reborn")}
+
+
+def should_delete_all_rows_sharing_a_matched_key(spark, tmp_path):
+    """Equality deletes are KEY-granular: raw-append duplicates of a
+    matched key disappear together even when only one row matched."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x"), (2, "a", "keep")]))
+    mt.append(_mk(spark, [(1, "a", "y")]))  # duplicate key, other value
+    mt.delete_where_eq(F.col("v") == "x")  # matches only the first row
+    got = sorted((r.id, r.v) for r in mt.read().collect())
+    assert got == [(2, "keep")]
+
+
+def should_materialize_equality_deletes_on_compact_and_rewrites(
+    spark, tmp_path
+):
+    """compact() folds delete-pending partitions (clearing their
+    entries, restoring metadata-only counts); an upsert touching a
+    pending partition must not resurrect deleted rows."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]))
+    mt.delete_where_eq(F.col("id") == 1)
+    v = mt.compact(min_files=99)  # folds ONLY because deletes pend
+    assert v is not None
+    assert mt.partition_files().keys() == {'["a"]', '["b"]'}
+    assert _state(mt.read()) == {2: ("a", "y"), 3: ("b", "z")}
+    assert mt.row_count() == 2  # counts exact again
+    # second round: pend a delete, then upsert the same partition
+    mt.delete_where_eq(F.col("id") == 2)
+    mt.upsert(_mk(spark, [(4, "a", "w")]))
+    assert _state(mt.read()) == {3: ("b", "z"), 4: ("a", "w")}
+    assert mt.row_count() == 2  # rewrite materialized the pending delete
+
+
+def should_feed_changes_across_equality_deletes(spark, tmp_path):
+    """The change feed must see merge-on-read deletes (delete-list
+    diffs mark partitions changed even with identical file lists)."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    mt.delete_where_eq(F.col("id") == 1)
+    ch = {
+        (r.id, r._change_type)
+        for r in mt.changes(1, 2).select("id", "_change_type").collect()
+    }
+    assert ch == {(1, "delete")}
+    # restore across the delete: the key comes back as an insert
+    mt.restore(1)
+    ch2 = {
+        (r.id, r._change_type)
+        for r in mt.changes(2, 3).select("id", "_change_type").collect()
+    }
+    assert ch2 == {(1, "insert")}

@@ -376,6 +376,7 @@ _mt_op = st.one_of(
         st.integers(0, 3),  # txn batch version (may replay/regress)
     ),
     st.tuples(st.just("restore"), st.integers(0, 10)),  # rollback target pick
+    st.tuples(st.just("delete_eq"), st.integers(2, 4), st.integers(0, 3)),
 )
 
 
@@ -433,6 +434,25 @@ def should_manifest_table_match_multiset_model(spark, ops):
             v = mt.optimize(sort_by=["id"], target_files=2)
             if v is None:
                 continue  # empty table: nothing to cluster
+        elif op[0] == "delete_eq":
+            _, m, rem = op
+            if mt.current_version() == 0:
+                import pytest
+
+                from geospatial_data_lake_spark.plans.catalog import (
+                    NotFoundError,
+                )
+
+                with pytest.raises(NotFoundError):
+                    mt.delete_where_eq(F.col("v") % m == rem)
+                continue
+            before = mt.current_version()
+            v = mt.delete_where_eq(F.col("v") % m == rem)
+            # KEY-granular: every row sharing a matched row's key goes
+            keys = {r[0] for r in model if r[2] % m == rem}
+            model = [r for r in model if r[0] not in keys]
+            if v == before:
+                continue  # nothing matched: no commit, no snapshot
         elif op[0] == "restore":
             if not snapshots:  # nothing committed yet: must refuse
                 import pytest
