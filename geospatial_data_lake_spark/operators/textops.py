@@ -656,3 +656,101 @@ def vb02_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("iteration")
+
+
+# -- tx10: bigram-probability quality score -----------------------------------
+
+
+@register(
+    "tx10_bigram_prob_score",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        b AS (
+            SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2
+            FROM s, generate_series(1, 1000) g(pos)
+            WHERE pos <= len(toks) - 1
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+            FROM b GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM b GROUP BY 1
+        ),
+        m AS (
+            SELECT c12.w1, c12.w2, CAST(n12 AS DOUBLE) / n1 AS p
+            FROM c12 JOIN c1 USING (w1)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(CAST(p AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 6) AS mean_bigram_prob
+        FROM b JOIN m USING (w1, w2)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality", "lm", "pipeline"),
+)
+def tx10_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet/perplexity-filter
+    pattern): train a bigram model on the corpus itself, then score
+    each document by its mean bigram conditional probability
+    p(w2|w1) = c(w1,w2)/c(w1) — low scores mark improbable token
+    streams (boilerplate, encoding noise, gibberish) for the quality
+    gate.  Deliberately RATIONAL (mean of integer-count ratios, summed
+    in decimal) rather than log-perplexity: libm's log differs across
+    engines in the last ulp, a ratio mean does not — what makes an LM
+    quality score hash-gateable at all.
+
+    Scale shape: two passes over the scan-side bigram stream — one
+    partial-agg shuffle per count table (bigram- and unigram-keyed),
+    then scoring re-meets the model in a bigram-keyed join (broadcast
+    when the min-count-pruned model fits — the deployment default —
+    else shuffle on the same key) and folds per-doc in decimal.  In
+    production the model tables persist once and amortize over every
+    scoring run; nothing here is quadratic."""
+    t = tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    b = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _pair_starts(toks),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    m = c12.join(c1, "w1").select(
+        "w1", "w2", (F.col("n12").cast("double") / F.col("n1")).alias("p")
+    )
+    return (
+        b.join(F.broadcast(m), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_bigram_prob"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            "mean_bigram_prob",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pair_starts(toks):
+    """1-based start positions of adjacent token pairs (empty when the
+    document has fewer than two tokens) — gram_starts at width 2."""
+    return gram_starts(toks, 2)
