@@ -63,6 +63,28 @@ N_PERM = 32  # minhash permutations
 N_BANDS = 16  # bands of r=2 rows -> s-curve threshold ~0.55, steep at 0.8
 
 
+def minhash_signature_aggs() -> list:
+    """The N_PERM min-hash fold expressions over a ``word`` column —
+    the ONE definition both dd04's self-join path and dd11's persisted
+    band index derive signatures from (drift here would silently stop
+    index probes from matching)."""
+    return [
+        F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"h{i}")
+        for i in range(N_PERM)
+    ]
+
+
+def band_keys_array():
+    """The N_BANDS band-key expressions over signature columns h0..hN —
+    shared for the same reason as minhash_signature_aggs."""
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def _doc_words(documents: DataFrame) -> DataFrame:
     """Distinct (doc_id, word) pairs — the token-set representation."""
     return documents.select(
@@ -351,12 +373,7 @@ def _minhash_lsh_pairs(spark: SparkSession, raw: DataFrame) -> DataFrame:
 
     # 2. minhash signatures over representatives only
     words = reps.select("rep", F.explode("toks").alias("word"))
-    sig = words.groupBy("rep").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"h{i}")
-            for i in range(N_PERM)
-        ]
-    )
+    sig = words.groupBy("rep").agg(*minhash_signature_aggs())
 
     # 3. band keys + candidate self-join. Three plan decisions, all made
     # because the join's cost is its OUTPUT size, which Catalyst can't see
@@ -370,12 +387,7 @@ def _minhash_lsh_pairs(spark: SparkSession, raw: DataFrame) -> DataFrame:
     #       of the ~7x-duplicated pair stream;
     #   (c) only rep ids + band arrays ride through the explosion; token
     #       payloads attach later from a broadcast side table.
-    bands_arr = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-            for b in range(N_BANDS)
-        ]
-    )
+    bands_arr = band_keys_array()
     band_long = sig.select("rep", bands_arr.alias("bands")).select(
         "rep", "bands", F.posexplode("bands").alias("band", "key")
     )
@@ -971,20 +983,9 @@ def _band_keys(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
     )
-    sig = words.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"h{i}")
-            for i in range(N_PERM)
-        ]
-    )
-    bands_arr = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-            for b in range(N_BANDS)
-        ]
-    )
+    sig = words.groupBy("doc_id").agg(*minhash_signature_aggs())
     return sig.select(
-        "doc_id", F.posexplode(bands_arr).alias("band", "key")
+        "doc_id", F.posexplode(band_keys_array()).alias("band", "key")
     )
 
 

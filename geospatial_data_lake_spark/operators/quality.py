@@ -363,6 +363,7 @@ CHI2_TAIL_SQL = """
                 SELECT unnest(generate_series(
                     1, (SELECT max(len(v)) FROM e))) AS i
             ) idx
+            WHERE idx.i <= len(e.v)
         ),
         per_dim AS (
             SELECT i,

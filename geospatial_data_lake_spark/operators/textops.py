@@ -172,8 +172,11 @@ def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         b AS (
             SELECT doc_id, toks[pos] || ' ' || toks[pos + 1] AS bigram
-            FROM s, generate_series(1, 1000) g(pos)
-            WHERE pos <= len(toks) - 1
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS pos
+                FROM s WHERE len(toks) >= 2
+            )
         )
         SELECT bigram, CAST(count(*) AS BIGINT) AS n
         FROM b
@@ -557,25 +560,42 @@ def _bpe_apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
     left-to-right non-overlapping BPE walk as ONE in-row fold (the
     ``ml`` flag stops a merge-produced symbol from acting as the ``a``
     of an immediately following merge, which is what makes
-    'a a a' -> ['aa', 'a'], not ['aa', 'aa'])."""
-    qa, qb = a.replace("'", "''"), b.replace("'", "''")
-    fold = f"""
-        aggregate(
-            syms,
-            named_struct('out', cast(array() as array<string>),
-                         'ml', false),
-            (acc, s) -> CASE
-                WHEN size(acc.out) > 0 AND NOT acc.ml
-                     AND element_at(acc.out, -1) = '{qa}' AND s = '{qb}'
-                THEN named_struct(
-                    'out', concat(slice(acc.out, 1, size(acc.out) - 1),
-                                  array('{qa}' || '{qb}')),
-                    'ml', true)
-                ELSE named_struct('out', concat(acc.out, array(s)),
-                                  'ml', false) END,
-            acc -> acc.out)
-    """
-    return df.select("word", "freq", F.expr(fold).alias("syms"))
+    'a a a' -> ['aa', 'a'], not ['aa', 'aa']).  Built from Column
+    expressions (F.lit), never by splicing the tokens into SQL text —
+    a token containing a quote or backslash must not change the plan."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("ml"),
+    )
+
+    def step(acc, sym):
+        can = (
+            (F.size(acc["out"]) > 0)
+            & ~acc["ml"]
+            & (F.element_at(acc["out"], -1) == la)
+            & (sym == lb)
+        )
+        merged = F.struct(
+            F.concat(
+                F.slice(acc["out"], F.lit(1), F.size(acc["out"]) - 1),
+                F.array(lab),
+            ).alias("out"),
+            F.lit(True).alias("ml"),
+        )
+        kept = F.struct(
+            F.concat(acc["out"], F.array(sym)).alias("out"),
+            F.lit(False).alias("ml"),
+        )
+        return F.when(can, merged).otherwise(kept)
+
+    return df.select(
+        "word",
+        "freq",
+        F.aggregate("syms", init, step, lambda acc: acc["out"]).alias(
+            "syms"
+        ),
+    )
 
 
 @register(
@@ -669,8 +689,11 @@ def vb02_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         b AS (
             SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2
-            FROM s, generate_series(1, 1000) g(pos)
-            WHERE pos <= len(toks) - 1
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS pos
+                FROM s WHERE len(toks) >= 2
+            )
         ),
         c12 AS (
             SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12

@@ -873,9 +873,19 @@ class ManifestTable:
         if manifest is None:
             return None
         stats = manifest.get("stats", {})
+        covered = {
+            f
+            for entries in manifest.get("deletes", {}).values()
+            for d in entries
+            for f in d["applies_to"]
+        }
         mns, mxs = [], []
         for files in manifest["partitions"].values():
             for f in files:
+                if f in covered:
+                    # a pending equality delete may have removed this
+                    # file's extreme rows — only a scan can answer
+                    return None
                 bounds = stats.get(f, {}).get(col)
                 if bounds is None:
                     return None
@@ -983,14 +993,25 @@ class ManifestTable:
         scan — exactly as Delta does, so a committed constraint is a
         table-wide invariant, not just a forward filter.  Enforcement
         happens on every subsequent ``append``/``upsert`` batch."""
-        try:
-            current = self.read()
-            self._enforce(current, {name: predicate})
-        except NotFoundError:
-            pass  # never committed: constraint precedes first data
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
-            base = manifest or {"partitions": {}, "stats": {}, "schema_ddl": "", "txns": {}}
+            # validate INSIDE the retry loop against THIS head: a lost
+            # publish race re-validates, so a concurrent append of
+            # violating rows can never slip under the new constraint
+            # (the mirror of the write-side cons_now re-check); a table
+            # with no data files yet — including the constraint-only
+            # manifests this method itself publishes — has nothing to
+            # validate
+            if manifest and any(manifest["partitions"].values()):
+                self._enforce(
+                    self._effective_df(manifest), {name: predicate}
+                )
+            base = manifest or {
+                "partitions": {},
+                "stats": {},
+                "schema_ddl": "",
+                "txns": {},
+            }
             cons = dict(base.get("constraints", {}))
             cons[name] = predicate
             new_manifest = {**base, "constraints": cons}
@@ -1222,14 +1243,28 @@ class ManifestTable:
             if manifest is None:
                 raise NotFoundError(f"table never committed: {self.root}")
             partitions = dict(manifest["partitions"])
-            matched = (
-                self._effective_df(manifest)
-                .filter(F.coalesce(condition, F.lit(False)))
-                .select(
-                    *dict.fromkeys([*self.key_cols, *self.partition_by])
-                )
-                .dropDuplicates()
+            effective = self._effective_df(manifest)
+            matched_rows = effective.filter(
+                F.coalesce(condition, F.lit(False))
             )
+            # KEY-granular across partitions: a matched key's duplicates
+            # may live in OTHER partitions (raw appends with moved
+            # partition values) — locate every row sharing a matched
+            # key, so each holding partition gets a delete entry.  When
+            # keys subsume the partition spec, keys cannot span
+            # partitions and the second pass is skipped (upsert's
+            # short-circuit).
+            if set(self.partition_by) <= set(self.key_cols):
+                holders = matched_rows
+            else:
+                holders = self._null_safe_key_join(
+                    effective,
+                    matched_rows.select(*self.key_cols).dropDuplicates(),
+                    "left_semi",
+                )
+            matched = holders.select(
+                *dict.fromkeys([*self.key_cols, *self.partition_by])
+            ).dropDuplicates()
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(matched, batch_dir)
             if not produced:  # nothing matched: no commit
@@ -1282,6 +1317,8 @@ class ManifestTable:
             return gen0
         if head is None:
             raise NotFoundError(f"table never committed: {self.root}")
+        enforced = dict(head.get("constraints", {})) if head else {}
+        self._enforce(batch, enforced)
         batch = batch.localCheckpoint(eager=True)
         self._merged_schema_ddl(batch.schema, head)
         stray = (
@@ -1298,6 +1335,10 @@ class ManifestTable:
                 return gen
             if manifest is None:
                 raise NotFoundError(f"table never committed: {self.root}")
+            cons_now = dict(manifest.get("constraints", {}))
+            if cons_now != enforced:  # constraint ADDed since head read
+                self._enforce(batch, cons_now)
+                enforced = cons_now
             partitions = dict(manifest["partitions"])
             schema_ddl = self._merged_schema_ddl(batch.schema, manifest)
             current = self._effective_df(manifest)

@@ -976,3 +976,59 @@ def should_feed_changes_across_equality_deletes(spark, tmp_path):
         for r in mt.changes(2, 3).select("id", "_change_type").collect()
     }
     assert ch2 == {(1, "insert")}
+
+
+def should_delete_key_duplicates_across_partitions(spark, tmp_path):
+    """Key-granularity must hold ACROSS partitions: a duplicate of a
+    matched key living in another partition (raw appends with moved
+    partition values) is deleted too — the second locate pass."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "p0", "hit"), (2, "p0", "keep")]))
+    mt.append(_mk(spark, [(1, "p1", "other")]))  # same key, new partition
+    mt.delete_where_eq(F.col("v") == "hit")  # matches only the p0 row
+    assert _state(mt.read()) == {2: ("p0", "keep")}
+
+
+def should_enforce_constraints_on_overwrite_where(spark, tmp_path):
+    """replaceWhere is a write path like any other: a batch violating a
+    CHECK constraint must bounce before anything commits."""
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))
+    mt.add_constraint("id_positive", "id > 0")
+    v = mt.current_version()
+    with pytest.raises(ValidationError, match="id_positive"):
+        mt.overwrite_where(
+            _mk(spark, [(-2, "a", "y")]), F.col("id") == -2
+        )
+    assert mt.current_version() == v
+    assert _state(mt.read()) == {1: ("a", "x")}
+
+
+def should_add_constraints_before_first_data_and_stack_them(spark, tmp_path):
+    """Constraint-only manifests (no data yet) must accept further
+    constraints without crashing, and all of them gate the first
+    batch."""
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.add_constraint("id_positive", "id > 0")
+    mt.add_constraint("id_small", "id < 100")  # was: AnalysisException
+    with pytest.raises(ValidationError, match="id_small"):
+        mt.append(_mk(spark, [(500, "a", "x")]))
+    mt.append(_mk(spark, [(5, "a", "x")]))
+    assert _state(mt.read()) == {5: ("a", "x")}
+
+
+def should_mark_column_range_unknown_while_deletes_pend(spark, tmp_path):
+    """A pending equality delete may have removed a file's extreme
+    rows: the metadata-only MIN/MAX must answer None, and recover
+    after the delete materializes."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x"), (2, "a", "y")]))
+    assert mt.column_range("id") == (1, 2)
+    mt.delete_where_eq(F.col("id") == 2)
+    assert mt.column_range("id") is None
+    mt.compact(min_files=99)
+    assert mt.column_range("id") == (1, 1)
