@@ -732,3 +732,72 @@ def vs10_equality_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes lazily on the maintenance schedule."""
     mt = _build_eqdelete_lake(spark, sf_dir)
     return mt.read().select(*_COLS)
+
+
+_HIDDEN: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_hidden_partitioned_lake(
+    spark: SparkSession, sf_dir: str
+) -> ManifestTable:
+    """events -> lake table with HIDDEN day partitioning: the writer
+    never supplies the derived day column (the table derives
+    day(ts) itself), and readers filter on raw ``ts``."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _HIDDEN:
+        return _HIDDEN[cache_key]
+    t = tables(spark, sf_dir)
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_hp_"),
+        key_cols=["event_id"],
+        partition_by=["ts_day"],
+        partition_transforms={"ts_day": ("day", "ts")},
+    )
+    mt.append(t.events.select("event_id", "user_id", "event_type", "ts", "value"))
+    _HIDDEN[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs11_hidden_partition_pruned_read",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-09 23:59:59'
+        ORDER BY event_id
+    """,
+    tags=("lake", "manifest", "hidden-partitioning", "S4-analog"),
+)
+def vs11_hidden_partition_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hidden partitioning driven end-to-end: the events log lands in a
+    day(ts)-partitioned lake table WITHOUT the writer naming the
+    partition column, and a raw-``ts`` range read must (a) plan only
+    the two overlapping day partitions — the predicate maps through
+    the monotone transform to derived-column bounds — and (b) return
+    exactly the fixture's rows in that range.
+
+    Scale note: this is the Iceberg ergonomics contract — no
+    ``WHERE ts_day = ...`` double-predicate for users, no unpartitioned
+    full scans when they forget it; at 100 TB a two-day slice of a
+    multi-year log plans 2/~1000 partitions."""
+    mt = _build_hidden_partitioned_lake(spark, sf_dir)
+    lo, hi = "2024-01-08 00:00:00", "2024-01-09 23:59:59"
+    planned = mt.planned_files(where={"ts": (lo, hi)})
+    total = sum(len(v) for v in mt.partition_files().values())
+    assert len(planned) < total, (planned, total)  # pruning must engage
+    return (
+        mt.read(where={"ts": (lo, hi)})
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+        .orderBy("event_id")
+    )

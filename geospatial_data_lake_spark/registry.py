@@ -156,7 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     # dd11_indexed_incremental_dedup, dq06_constraint_suite,
     # geo07_nearest_within_radius, mx02_temperature_mixture,
     # vs09_restore_constrained_lifecycle, vs10_equality_delete_feed,
-    # tx10_bigram_prob_score)
+    # tx10_bigram_prob_score, vs11_hidden_partition_pruned_read)
     # + ~20 canaries (one per family), per VERDICT r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",

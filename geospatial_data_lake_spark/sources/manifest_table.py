@@ -107,11 +107,25 @@ class ManifestTable:
         partition_by: list[str],
         keep_versions: int = 16,
         bloom_cols: list[str] | None = None,
+        partition_transforms: dict | None = None,
     ):
         self._spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.partition_by = list(partition_by)
+        # HIDDEN PARTITIONING (the Iceberg partition-transform contract):
+        # {derived_col: ("day", src)} | {..: ("bucket", src, n)} |
+        # {..: ("truncate", src, w)}.  Writers derive the column
+        # automatically; readers filtering on the SOURCE column get
+        # partition/stats pruning on the derived one for free (monotone
+        # transforms map ranges, bucket maps equality).  Users never
+        # name the derived column in data or predicates.
+        self.partition_transforms = dict(partition_transforms or {})
+        for tcol in self.partition_transforms:
+            if tcol not in self.partition_by:
+                raise ValueError(
+                    f"transform column {tcol!r} must be in partition_by"
+                )
         self.keep = keep_versions
         # columns to record per-file bloom filters for (opt-in, like
         # Delta's per-column bloom index): point reads on a
@@ -303,6 +317,79 @@ class ManifestTable:
     def _pk_from_hex(self, hexv: str) -> str:
         doc = json.loads(bytes.fromhex(hexv).decode("utf-8"))
         return self._pkey(tuple(doc.get(c) for c in self.partition_by))
+
+    # -- hidden partitioning -------------------------------------------------
+    def _transform_expr(self, tcol: str):
+        spec = self.partition_transforms[tcol]
+        kind, src = spec[0], spec[1]
+        if kind == "day":
+            # string days: readable values, lexicographic == chronologic,
+            # and string stats are recordable/prunable
+            return F.date_format(F.col(src), "yyyy-MM-dd")
+        if kind == "bucket":
+            return F.pmod(F.xxhash64(F.col(src)), int(spec[2])).cast("int")
+        if kind == "truncate":
+            w = int(spec[2])
+            return (F.floor(F.col(src) / w) * w).cast("long")
+        raise ValueError(f"unknown partition transform {kind!r}")
+
+    def _with_partition_transforms(self, df: DataFrame) -> DataFrame:
+        """Derive missing transform columns on a write batch — users
+        never supply them (deriving is the whole point; a user-supplied
+        value could disagree with the transform and break pruning)."""
+        for tcol in self.partition_transforms:
+            if tcol not in df.columns:
+                df = df.withColumn(tcol, self._transform_expr(tcol))
+        return df
+
+    @staticmethod
+    def _day_of(v):
+        if hasattr(v, "strftime"):
+            return v.strftime("%Y-%m-%d")
+        return str(v)[:10]  # 'yyyy-MM-dd HH:mm:ss' -> 'yyyy-MM-dd'
+
+    def _map_transform_predicates(self, where: dict | None) -> dict | None:
+        """Widen a ``where`` spec with derived-column bounds implied by
+        source-column predicates: day/truncate are monotone (ranges
+        map to ranges), bucket maps equality only.  The ORIGINAL
+        predicate still re-applies on the scan, so the mapping only
+        needs to be conservative, never exact."""
+        if not where or not self.partition_transforms:
+            return where
+        out = dict(where)
+        for tcol, spec in self.partition_transforms.items():
+            if tcol in out:
+                continue
+            kind, src = spec[0], spec[1]
+            if src not in where:
+                continue
+            sv = where[src]
+            if kind == "day":
+                if isinstance(sv, tuple):
+                    lo, hi = sv
+                    out[tcol] = (
+                        self._day_of(lo) if lo is not None else None,
+                        self._day_of(hi) if hi is not None else None,
+                    )
+                elif sv is not None:
+                    out[tcol] = self._day_of(sv)
+            elif kind == "truncate":
+                w = int(spec[2])
+                if isinstance(sv, tuple):
+                    lo, hi = sv
+                    out[tcol] = (
+                        (lo // w) * w if lo is not None else None,
+                        (hi // w) * w if hi is not None else None,
+                    )
+                elif sv is not None:
+                    out[tcol] = (sv // w) * w
+            elif kind == "bucket" and not isinstance(sv, tuple) and sv is not None:
+                n = int(spec[2])
+                row = self._spark.range(1).select(
+                    F.pmod(F.xxhash64(F.lit(sv)), n).cast("int").alias("b")
+                ).collect()[0]
+                out[tcol] = int(row.b)
+        return out
 
     # -- single-job batch write + stats --------------------------------------
     def _write_partitioned(self, df: DataFrame, batch_dir: str) -> dict[str, str]:
@@ -583,7 +670,9 @@ class ManifestTable:
         manifest = self._manifest_at(version)
         if manifest is None:
             return []
-        return self._resolve_files(manifest, where)
+        return self._resolve_files(
+            manifest, self._map_transform_predicates(where)
+        )
 
     def _effective_df(
         self,
@@ -655,6 +744,7 @@ class ManifestTable:
         manifest = self._manifest_at(version)
         if manifest is None:
             raise NotFoundError(f"table never committed: {self.root}")
+        where = self._map_transform_predicates(where)
         sel = self._resolve_files(manifest, where)
         if manifest.get("deletes"):
             df = self._effective_df(manifest, sel_files=set(sel))
@@ -1109,6 +1199,7 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
+        batch = self._with_partition_transforms(batch)
         enforced = dict(head.get("constraints", {})) if head else {}
         self._enforce(batch, enforced)
         batch = batch.localCheckpoint(eager=True)
@@ -1317,6 +1408,7 @@ class ManifestTable:
             return gen0
         if head is None:
             raise NotFoundError(f"table never committed: {self.root}")
+        batch = self._with_partition_transforms(batch)
         enforced = dict(head.get("constraints", {})) if head else {}
         self._enforce(batch, enforced)
         batch = batch.localCheckpoint(eager=True)
@@ -1618,6 +1710,7 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
+        updates = self._with_partition_transforms(updates)
         enforced = dict(head.get("constraints", {})) if head else {}
         self._enforce(updates, enforced)
         updates = updates.dropDuplicates(self.key_cols).localCheckpoint(

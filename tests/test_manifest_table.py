@@ -1032,3 +1032,75 @@ def should_mark_column_range_unknown_while_deletes_pend(spark, tmp_path):
     assert mt.column_range("id") is None
     mt.compact(min_files=99)
     assert mt.column_range("id") == (1, 1)
+
+
+def should_hide_partitioning_behind_transforms(spark, tmp_path):
+    """Iceberg-style hidden partitioning: writers never supply the
+    derived day column, readers filter on the SOURCE timestamp and get
+    partition pruning on the derived one — results equal a full-scan
+    filter."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "a"),
+        (2, "2024-01-01 23:59:59", "b"),
+        (3, "2024-01-02 00:00:01", "c"),
+        (4, "2024-01-05 12:00:00", "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts_s string, v string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["ts_day"],
+        partition_transforms={"ts_day": ("day", "ts")},
+    )
+    mt.append(df)
+    assert set(mt.partition_files()) == {
+        '["2024-01-01"]', '["2024-01-02"]', '["2024-01-05"]'
+    }
+    # range predicate on the SOURCE column prunes derived partitions
+    got = {
+        r.id
+        for r in mt.read(
+            where={"ts": ("2024-01-01 00:00:00", "2024-01-02 12:00:00")}
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+    planned = mt.planned_files(
+        where={"ts": ("2024-01-01 00:00:00", "2024-01-02 12:00:00")}
+    )
+    assert len(planned) == 2, planned  # Jan-05 partition never planned
+    # upsert derives the transform too, landing in the right partition
+    up = spark.createDataFrame(
+        [(4, "2024-01-05 13:00:00", "d2")], "id long, ts_s string, v string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    mt.upsert(up)
+    assert {(r.id, r.v) for r in mt.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d2")
+    }
+
+
+def should_prune_bucket_transform_point_reads(spark, tmp_path):
+    """bucket[n] hidden partitioning: an equality predicate on the
+    source column maps to its hash bucket (computed by Spark itself,
+    so read and write agree by construction) and prunes to one
+    partition."""
+    df = spark.createDataFrame(
+        [(i, f"u{i % 7}", i * 10) for i in range(50)],
+        "id long, user string, v long",
+    )
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["user_b"],
+        partition_transforms={"user_b": ("bucket", "user", 4)},
+    )
+    mt.append(df)
+    n_parts = len(mt.partition_files())
+    assert n_parts > 1
+    got = {r.id for r in mt.read(where={"user": "u3"}).collect()}
+    assert got == {i for i in range(50) if i % 7 == 3}
+    planned = mt.planned_files(where={"user": "u3"})
+    assert len(planned) < n_parts, (planned, n_parts)
