@@ -633,7 +633,8 @@ def _build_restored_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
             "o_totalprice", F.lit(0.0)
         )
     )
-    assert mt.restore(1) == 3  # v3: metadata-only rollback
+    if mt.restore(1) != 3:  # not assert: survives python -O
+        raise RuntimeError("restore did not commit as v3")
     mt.add_constraint("price_positive", "o_totalprice > 0")  # v4
     try:
         mt.append(extra.withColumn("o_totalprice", -F.col("o_totalprice")))
@@ -697,7 +698,8 @@ def _build_eqdelete_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     mt.append(base)  # v1
     files_v1 = mt.partition_files()
     mt.delete_where_eq(F.col("o_orderkey") % 7 == 0)  # v2: key files only
-    assert mt.partition_files() == files_v1, "eq-delete must not rewrite"
+    if mt.partition_files() != files_v1:  # not assert: survives -O
+        raise RuntimeError("eq-delete rewrote data files")
     mt.append(  # v3: resurrect a deleted slice with a marker price
         base.filter(F.col("o_orderkey") % 21 == 0).withColumn(
             "o_totalprice", F.lit(1.0)
@@ -789,7 +791,11 @@ def vs11_hidden_partition_pruned_read(
     lo, hi = "2024-01-08 00:00:00", "2024-01-09 23:59:59"
     planned = mt.planned_files(where={"ts": (lo, hi)})
     total = sum(len(v) for v in mt.partition_files().values())
-    assert len(planned) < total, (planned, total)  # pruning must engage
+    if len(planned) >= total:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"hidden-partition pruning disengaged: planned {len(planned)}"
+            f"/{total} files for a two-day slice"
+        )
     return (
         mt.read(where={"ts": (lo, hi)})
         .select(

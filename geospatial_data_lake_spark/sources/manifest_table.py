@@ -329,8 +329,11 @@ class ManifestTable:
         if kind == "bucket":
             return F.pmod(F.xxhash64(F.col(src)), int(spec[2])).cast("int")
         if kind == "truncate":
+            # integral arithmetic (col - pmod) — a float-division floor
+            # loses precision above 2^53 and would disagree with the
+            # read-side exact Python floor-division mapping
             w = int(spec[2])
-            return (F.floor(F.col(src) / w) * w).cast("long")
+            return (F.col(src) - F.pmod(F.col(src), F.lit(w))).cast("long")
         raise ValueError(f"unknown partition transform {kind!r}")
 
     def _with_partition_transforms(self, df: DataFrame) -> DataFrame:
@@ -338,22 +341,40 @@ class ManifestTable:
         never supply them (deriving is the whole point; a user-supplied
         value could disagree with the transform and break pruning)."""
         for tcol in self.partition_transforms:
-            if tcol not in df.columns:
-                df = df.withColumn(tcol, self._transform_expr(tcol))
+            # unconditionally re-derive: a user-supplied value computed
+            # differently upstream would land rows in partitions the
+            # read-side predicate mapping then wrongly prunes
+            df = df.withColumn(tcol, self._transform_expr(tcol))
         return df
 
     @staticmethod
     def _day_of(v):
+        """Day string of a bound, or None when it cannot be derived
+        consistently with the write-side session-timezone
+        ``date_format`` (tz-aware datetimes, non-canonical strings) —
+        None skips the mapping: weaker pruning, never wrong results."""
         if hasattr(v, "strftime"):
+            if getattr(v, "tzinfo", None) is not None:
+                return None  # write side derives in SESSION tz
             return v.strftime("%Y-%m-%d")
-        return str(v)[:10]  # 'yyyy-MM-dd HH:mm:ss' -> 'yyyy-MM-dd'
+        day = str(v)[:10]  # 'yyyy-MM-dd HH:mm:ss' -> 'yyyy-MM-dd'
+        import re as _re
 
-    def _map_transform_predicates(self, where: dict | None) -> dict | None:
+        return day if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", day) else None
+
+    def _map_transform_predicates(
+        self, where: dict | None, manifest: dict | None = None
+    ) -> dict | None:
         """Widen a ``where`` spec with derived-column bounds implied by
-        source-column predicates: day/truncate are monotone (ranges
-        map to ranges), bucket maps equality only.  The ORIGINAL
-        predicate still re-applies on the scan, so the mapping only
-        needs to be conservative, never exact."""
+        source-column predicates — used for FILE PRUNING ONLY (the row
+        filter stays the original predicate), and every mapping is
+        exact-or-absent: a bound that cannot be derived consistently
+        with the write-side expression is skipped (weaker pruning,
+        never missing rows).  Bucket hashes are computed by Spark over
+        a literal CAST TO THE COLUMN'S RECORDED TYPE (xxhash64 is
+        type-sensitive; the _bloom_probes discipline), guarded so an
+        incompatible literal skips pruning instead of failing the
+        read."""
         if not where or not self.partition_transforms:
             return where
         out = dict(where)
@@ -367,28 +388,52 @@ class ManifestTable:
             if kind == "day":
                 if isinstance(sv, tuple):
                     lo, hi = sv
-                    out[tcol] = (
-                        self._day_of(lo) if lo is not None else None,
-                        self._day_of(hi) if hi is not None else None,
-                    )
+                    dlo = self._day_of(lo) if lo is not None else None
+                    dhi = self._day_of(hi) if hi is not None else None
+                    if (lo is not None and dlo is None) or (
+                        hi is not None and dhi is None
+                    ):
+                        continue  # underivable bound: skip, stay exact
+                    out[tcol] = (dlo, dhi)
                 elif sv is not None:
-                    out[tcol] = self._day_of(sv)
+                    d = self._day_of(sv)
+                    if d is not None:
+                        out[tcol] = d
             elif kind == "truncate":
                 w = int(spec[2])
-                if isinstance(sv, tuple):
-                    lo, hi = sv
-                    out[tcol] = (
-                        (lo // w) * w if lo is not None else None,
-                        (hi // w) * w if hi is not None else None,
-                    )
-                elif sv is not None:
-                    out[tcol] = (sv // w) * w
-            elif kind == "bucket" and not isinstance(sv, tuple) and sv is not None:
+                try:
+                    if isinstance(sv, tuple):
+                        lo, hi = sv
+                        out[tcol] = (
+                            lo - lo % w if lo is not None else None,
+                            hi - hi % w if hi is not None else None,
+                        )
+                    elif sv is not None:
+                        out[tcol] = sv - sv % w
+                except TypeError:
+                    continue  # non-integral bound: skip pruning
+            elif (
+                kind == "bucket"
+                and not isinstance(sv, tuple)
+                and sv is not None
+                and manifest is not None
+            ):
                 n = int(spec[2])
-                row = self._spark.range(1).select(
-                    F.pmod(F.xxhash64(F.lit(sv)), n).cast("int").alias("b")
-                ).collect()[0]
-                out[tcol] = int(row.b)
+                try:
+                    schema = T.StructType.fromDDL(manifest["schema_ddl"])
+                    types = {f.name: f.dataType for f in schema.fields}
+                    probe_df = self._spark.createDataFrame(
+                        [(sv,)],
+                        T.StructType([T.StructField(src, types[src])]),
+                    )
+                    row = probe_df.select(
+                        F.pmod(F.xxhash64(F.col(src)), n)
+                        .cast("int")
+                        .alias("b")
+                    ).collect()[0]
+                    out[tcol] = int(row.b)
+                except (TypeError, ValueError, KeyError):
+                    continue  # untypable literal: skip pruning
         return out
 
     # -- single-job batch write + stats --------------------------------------
@@ -671,7 +716,7 @@ class ManifestTable:
         if manifest is None:
             return []
         return self._resolve_files(
-            manifest, self._map_transform_predicates(where)
+            manifest, self._map_transform_predicates(where, manifest)
         )
 
     def _effective_df(
@@ -744,8 +789,9 @@ class ManifestTable:
         manifest = self._manifest_at(version)
         if manifest is None:
             raise NotFoundError(f"table never committed: {self.root}")
-        where = self._map_transform_predicates(where)
-        sel = self._resolve_files(manifest, where)
+        sel = self._resolve_files(
+            manifest, self._map_transform_predicates(where, manifest)
+        )
         if manifest.get("deletes"):
             df = self._effective_df(manifest, sel_files=set(sel))
             return df.filter(self._where_condition(where)) if where else df

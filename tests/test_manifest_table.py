@@ -1104,3 +1104,68 @@ def should_prune_bucket_transform_point_reads(spark, tmp_path):
     assert got == {i for i in range(50) if i % 7 == 3}
     planned = mt.planned_files(where={"user": "u3"})
     assert len(planned) < n_parts, (planned, n_parts)
+
+
+def should_bucket_prune_with_typed_hash_on_long_columns(spark, tmp_path):
+    """xxhash64 is type-sensitive: the read-side bucket probe must hash
+    a literal cast to the COLUMN'S type (int literal vs long column was
+    a confirmed wrong-bucket, zero-rows bug)."""
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "id long, v long"
+    )
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["id_b"],
+        partition_transforms={"id_b": ("bucket", "id", 4)},
+    )
+    mt.append(df)
+    for probe in (0, 7, 13):
+        got = {r.id for r in mt.read(where={"id": probe}).collect()}
+        assert got == {probe}, (probe, got)
+    assert len(mt.planned_files(where={"id": 0})) < len(
+        mt.planned_files()
+    )
+
+
+def should_truncate_prune_and_skip_unmappable_bounds(spark, tmp_path):
+    """truncate[w] hidden partitioning: integral range bounds map and
+    prune; a tz-aware day bound or non-integral truncate bound skips
+    the mapping (weaker pruning) but never drops rows."""
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "id long, v long"
+    )
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["v_t"],
+        partition_transforms={"v_t": ("truncate", "v", 25)},
+    )
+    mt.append(df)
+    got = {r.id for r in mt.read(where={"v": (10, 30)}).collect()}
+    assert got == set(range(10, 31))
+    assert len(mt.planned_files(where={"v": (10, 30)})) == 2  # 0-24, 25-49
+    # unmappable bound: full plan, correct rows
+    got2 = {r.id for r in mt.read(where={"v": (10.5, 30.5)}).collect()}
+    assert got2 == set(range(11, 31))
+    # day transform with a tz-aware bound: mapping skipped, rows exact
+    ddf = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-03 10:00:00")],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    mtd = ManifestTable(
+        spark,
+        str(tmp_path / "mtd"),
+        key_cols=["id"],
+        partition_by=["d"],
+        partition_transforms={"d": ("day", "ts")},
+    )
+    mtd.append(ddf)
+    lo = datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc)
+    hi = datetime(2024, 1, 2, 0, 0, tzinfo=timezone.utc)
+    got3 = {r.id for r in mtd.read(where={"ts": (lo, hi)}).collect()}
+    assert got3 == {1}
