@@ -5,6 +5,7 @@ DataFrame per example to keep Spark round-trips bounded."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -380,10 +381,11 @@ _mt_op = st.one_of(
 )
 
 
+@pytest.mark.parametrize("layout", ["explicit", "hidden"])
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=st.lists(_mt_op, min_size=1, max_size=5))
-def should_manifest_table_match_multiset_model(spark, ops):
+def should_manifest_table_match_multiset_model(spark, layout, ops):
     """Model check: any sequence of append/upsert/delete/compact/
     optimize/txn-upsert/restore leaves the manifest table holding exactly the
     multiset a trivial in-memory model predicts — and every
@@ -395,12 +397,23 @@ def should_manifest_table_match_multiset_model(spark, ops):
 
     from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
 
-    mt = ManifestTable(
-        spark,
-        tempfile.mkdtemp(prefix="gdl_mt_prop_"),
-        key_cols=["id"],
-        partition_by=["part"],
-    )
+    if layout == "explicit":
+        mt = ManifestTable(
+            spark,
+            tempfile.mkdtemp(prefix="gdl_mt_prop_"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+    else:
+        # hidden partitioning: the derived truncate column is invisible
+        # to the model — every op must behave identically
+        mt = ManifestTable(
+            spark,
+            tempfile.mkdtemp(prefix="gdl_mt_prop_"),
+            key_cols=["id"],
+            partition_by=["vt"],
+            partition_transforms={"vt": ("truncate", "v", 32)},
+        )
     model: list[tuple] = []  # multiset of (id, part, v)
     snapshots: dict[int, list[tuple]] = {}
     last_txn = -1  # the model's txn cursor for app "prop"
@@ -488,10 +501,14 @@ def should_manifest_table_match_multiset_model(spark, ops):
         assert mt.current_version() == 0
         return
     canon = repr  # None/str mix is not <-comparable; repr is a total order
-    got = sorted((tuple(r) for r in mt.read().collect()), key=canon)
+    cols = ["id", "part", "v"]  # model columns (derived vt excluded)
+    got = sorted(
+        (tuple(r) for r in mt.read().select(*cols).collect()), key=canon
+    )
     assert got == sorted(snapshots[max(snapshots)], key=canon), ops
     for v, snap in snapshots.items():
         at_v = sorted(
-            (tuple(r) for r in mt.read(version=v).collect()), key=canon
+            (tuple(r) for r in mt.read(version=v).select(*cols).collect()),
+            key=canon,
         )
         assert at_v == sorted(snap, key=canon), (ops, v)
