@@ -157,7 +157,8 @@ _PRIORITY: tuple[str, ...] = (
     # geo07_nearest_within_radius, mx02_temperature_mixture,
     # vs09_restore_constrained_lifecycle, vs10_equality_delete_feed,
     # tx10_bigram_prob_score, vs11_hidden_partition_pruned_read)
-    # + ~20 canaries (one per family), per VERDICT r4 item 7.
+    # (36 queries) + 14 canaries (one per proven family), per VERDICT
+    # r4 item 7.
     "s01_point_lookup",
     "s02_filtered_scan",
     "s03_secondary_index_scan",
