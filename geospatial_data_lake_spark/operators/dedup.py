@@ -714,28 +714,35 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared exact-Jaccard oracle for the incremental-admission family: dd09
+# (corpus-scan broadcast verify), dd11 (persisted band-index probe), and
+# dd12 (the regime dispatcher) all produce the identical verified pair
+# set, so one oracle serves all three.
+_INCR_ORACLE = """
+    WITH w AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+               count(*) AS common
+        FROM w a JOIN w b ON a.word = b.word
+        WHERE a.doc_id % 13 = 0 AND b.doc_id % 13 <> 0
+        GROUP BY 1, 2
+    )
+    SELECT new_id, old_id,
+           round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON new_id = s1.doc_id
+    JOIN sizes s2 ON old_id = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.8
+"""
+
+
 @register(
     "dd09_incremental_dedup",
-    oracle="""
-        WITH w AS (
-            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-            FROM documents
-        ),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS new_id, b.doc_id AS old_id,
-                   count(*) AS common
-            FROM w a JOIN w b ON a.word = b.word
-            WHERE a.doc_id % 13 = 0 AND b.doc_id % 13 <> 0
-            GROUP BY 1, 2
-        )
-        SELECT new_id, old_id,
-               round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
-        FROM pairs
-        JOIN sizes s1 ON new_id = s1.doc_id
-        JOIN sizes s2 ON old_id = s2.doc_id
-        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.8
-    """,
+    oracle=_INCR_ORACLE,
     tags=("dedup", "incremental", "jaccard"),
 )
 def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +796,71 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- dd10: exact substring-span dedup -----------------------------------------
 
 _SPAN_W = 12  # token window width for exact substring matching
+
+
+def _dd10_windows(documents: DataFrame) -> DataFrame:
+    """(doc_id, p, h) for every sliding _SPAN_W-token window, hashed
+    in-row on the scan (no positional explode until the join key
+    exists)."""
+    tk = F.split(F.col("text"), " ")
+    return documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(tk, _SPAN_W),
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(F.concat_ws(" ", F.slice(tk, p, _SPAN_W))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+
+
+def _dd10_hits(wins: DataFrame, skew_safe: bool = False) -> DataFrame:
+    """Windows whose hash appears in >= 2 distinct documents.
+
+    Default path: ">= 2 distinct docs share this hash" as min != max
+    over a hash-keyed window — ONE shuffle of the window rows, and the
+    gram derivation runs once (the groupBy + left-semi spelling costs
+    two full exchanges of the same subtree plus the join; measured
+    4.8 s -> 2.7 s steady-state at sf0.1).
+
+    ``skew_safe=True`` is the boilerplate-saturation escalation: when
+    one window hash dominates the corpus (a license header, a template
+    banner), the hash-keyed window funnels every occurrence through one
+    reducer.  The salted path aggregates min/max doc_id per (h, salt) —
+    spreading the hot hash over two_stage_agg's salt fan-out — merges
+    the per-salt partials (salt-bounded rows per hash), and semi-joins
+    the duplicated-hash set back BROADCAST, so the window rows are
+    never shuffled by h at all.  The duplicated-hash set is bounded by
+    the true duplicated-window count (output-sized); past broadcast
+    reach the semi join shuffles by h but is AQE-skew-splittable — a
+    join can split a hot key across tasks, a window cannot."""
+    if not skew_safe:
+        from pyspark.sql import Window
+
+        byh = Window.partitionBy("h")
+        return (
+            wins.withColumn("__mn", F.min("doc_id").over(byh))
+            .withColumn("__mx", F.max("doc_id").over(byh))
+            .filter(F.col("__mn") != F.col("__mx"))
+            .select("doc_id", "p")
+        )
+    from geospatial_data_lake_spark.operators.skew import two_stage_agg
+
+    dup = (
+        two_stage_agg(
+            wins,
+            ["h"],
+            {"mn": ("doc_id", "min"), "mx": ("doc_id", "max")},
+        )
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    return wins.join(F.broadcast(dup), "h", "leftsemi").select("doc_id", "p")
 
 
 @register(
@@ -866,39 +938,14 @@ def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 (8-byte keys; md5 here only because the oracle must replay the
     hash).  The per-doc window is skew-safe (a document contributes at
     most len(tk) rows); the hash-keyed window funnels a
-    boilerplate-saturated hash to one reducer — the escalation there is
-    two-stage: a salted partial (h, salt) min/max pre-pass (skew.py's
-    two_stage_agg shape) before the exact window."""
+    boilerplate-saturated hash to one reducer — the escalation is
+    ``_dd10_hits(..., skew_safe=True)``: a salted (h, salt) min/max
+    pre-pass (skew.py's two_stage_agg) + broadcast semi-join, proven
+    output-identical by the planted-hot-hash unit test."""
     from pyspark.sql import Window
 
     t = tables(spark, sf_dir)
-    tk = F.split(F.col("text"), " ")
-    wins = t.documents.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                _gram_starts(tk, _SPAN_W),
-                lambda p: F.struct(
-                    p.alias("p"),
-                    F.md5(F.concat_ws(" ", F.slice(tk, p, _SPAN_W))).alias(
-                        "h"
-                    ),
-                ),
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
-    # ">= 2 distinct docs share this hash" as min != max over a hash-
-    # keyed window: ONE shuffle of the window rows, and the gram
-    # derivation runs once — the groupBy + left-semi spelling costs two
-    # full exchanges of the same subtree plus the join (measured 4.8 s
-    # -> 2.7 s steady-state at sf0.1).
-    byh = Window.partitionBy("h")
-    hits = (
-        wins.withColumn("__mn", F.min("doc_id").over(byh))
-        .withColumn("__mx", F.max("doc_id").over(byh))
-        .filter(F.col("__mn") != F.col("__mx"))
-        .select("doc_id", "p")
-    )
+    hits = _dd10_hits(_dd10_windows(t.documents))
     by_doc = Window.partitionBy("doc_id").orderBy("p")
     run = by_doc.rowsBetween(Window.unboundedPreceding, 0)
     isl = hits.withColumn("pp", F.lag("p").over(by_doc)).withColumn(
@@ -991,26 +1038,7 @@ def _band_keys(docs: DataFrame) -> DataFrame:
 
 @register(
     "dd11_indexed_incremental_dedup",
-    oracle="""
-        WITH w AS (
-            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-            FROM documents
-        ),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS new_id, b.doc_id AS old_id,
-                   count(*) AS common
-            FROM w a JOIN w b ON a.word = b.word
-            WHERE a.doc_id % 13 = 0 AND b.doc_id % 13 <> 0
-            GROUP BY 1, 2
-        )
-        SELECT new_id, old_id,
-               round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
-        FROM pairs
-        JOIN sizes s1 ON new_id = s1.doc_id
-        JOIN sizes s2 ON old_id = s2.doc_id
-        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.8
-    """,
+    oracle=_INCR_ORACLE,
     tags=("dedup", "incremental", "lsh", "index", "lake"),
 )
 def dd11_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,8 +1073,10 @@ def dd11_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     The regimes invert at scale: a real crawl's background similarity
     is ~0 (candidates linear in true pairs) and the corpus no longer
     fits a per-batch scan budget, which is the design point this
-    operator exists for.  A production dispatcher picks per dd04's
-    sampled-background-Jaccard measurement."""
+    operator exists for.  dd12 below IS that dispatcher: it runs
+    dd04's sampled-background-Jaccard measurement on the corpus and
+    routes to this probe in the sparse regime, the dd09 scan in the
+    saturated one."""
     from geospatial_data_lake_spark.tables import spread
 
     mt, store = _build_band_index(spark, sf_dir)
@@ -1079,3 +1109,38 @@ def dd11_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("jaccard") >= 0.8)
         .select("new_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# -- dd12: regime-dispatched incremental admission ----------------------------
+
+
+def choose_incremental_path(corpus: DataFrame) -> str:
+    """Pick the scale-correct incremental-admission plan from a
+    measurement, not a guess: ``'scan'`` (dd09's broadcast corpus-scan
+    verify) when the corpus's sampled background Jaccard says near-dups
+    saturate it — there the band index materializes a quadratic-dense
+    candidate stream and the single scan is strictly cheaper — else
+    ``'index'`` (dd11's persisted band-index probe), whose O(batch x
+    bands) cost is corpus-size-independent and is the only admissible
+    plan on a 100 TB corpus with ~0 background similarity.  Same
+    threshold and same 256-doc deterministic sample as dd04's dispatch,
+    so the two operator families switch regimes together."""
+    return "scan" if _sampled_background_jaccard(corpus) >= 0.2 else "index"
+
+
+@register(
+    "dd12_dispatched_incremental",
+    oracle=_INCR_ORACLE,
+    tags=("dedup", "incremental", "dispatch"),
+)
+def dd12_dispatched_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission with AUTOMATIC regime dispatch —
+    the operator family, not the caller, picks between dd09's corpus
+    scan and dd11's index probe (see ``choose_incremental_path``).
+    Both paths emit the identical exact-verified pair set, so the
+    oracle — and every downstream consumer — is path-independent."""
+    t = tables(spark, sf_dir)
+    corpus = t.documents.filter(F.col("doc_id") % 13 != 0)
+    if choose_incremental_path(corpus) == "scan":
+        return dd09_incremental_dedup(spark, sf_dir)
+    return dd11_indexed_incremental_dedup(spark, sf_dir)

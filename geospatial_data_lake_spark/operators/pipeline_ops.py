@@ -196,9 +196,12 @@ _SHARDS = 8  # independent packing shards
             FROM d
         )
         SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
-               (cum - n_tok) // {_BLOCK} AS first_block,
-               ((cum - 1) // {_BLOCK}) - ((cum - n_tok) // {_BLOCK}) + 1
-                   AS n_blocks
+               -- the windowed sum types HUGEINT in DuckDB; CAST the derived
+               -- block ids back to BIGINT so the driver's typed hash matches
+               -- Spark's LongType output (registry determinism rule #3)
+               CAST((cum - n_tok) // {_BLOCK} AS BIGINT) AS first_block,
+               CAST(((cum - 1) // {_BLOCK}) - ((cum - n_tok) // {_BLOCK}) + 1
+                   AS BIGINT) AS n_blocks
         FROM c
         ORDER BY doc_id
     """,

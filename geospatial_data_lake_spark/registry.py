@@ -66,107 +66,81 @@ _LOADED = False
 # the first 50 entries.  The prefix is ROTATED each round: queries proven
 # driver-green at sf0.01 in a prior round step aside (keeping one canary
 # per family so a regression is still externally visible) and
-# never-driver-checked queries move up.  Round-5 prefix: ALL 42 queries
-# that have never had a driver CORRECTNESS row (the r4 curation family,
-# int8 quantization, real PPM/WAV codecs, remaining TPC-H / tx / u / w /
-# a / t rows, f02, dd05, gr01, j08, and the three rows-only ANN/graph
-# ops), 7 queries ADDED in r5 (sk01/sk02 skew, vs01-vs04 manifest lake,
-# st01 streaming lake sink), and 1 family canary (dd04) — 50 total.
-# After this round cumulative driver-green covers everything except the
-# late-r5 additions listed at the 50-entry mark; r6 shrinks the prefix
-# back to those + ~20 canaries.  Everything not listed keeps
-# its registration order after the prioritized prefix; nothing is
-# dropped.
+# never-driver-checked queries move up.  Round-6 prefix: the 36 queries
+# added late in r5 that have never had a driver CORRECTNESS row, plus
+# pk01 (r5's single hash-fail — oracle HUGEINT typing, fixed this round,
+# re-proven here), plus 13 family canaries = 50.  After this round
+# cumulative driver-green covers 185/188 (everything except the three
+# rows-only ANN/graph ops, which carry hash-gated audit companions).
+# Everything not listed keeps its registration order after the
+# prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # first driver check: training-data curation family (r4 additions)
-    "ct01_ngram_contamination",
-    "px01_pii_redaction",
+    # first driver check: manifest lake engine (late r5)
+    "vs05_bloom_point_read",
+    "vs06_incremental_view_maintenance",
+    "vs07_replace_where",
+    "vs08_version_drift",
+    "vs09_restore_constrained_lifecycle",
+    "vs10_equality_delete_feed",
+    "vs11_hidden_partition_pruned_read",
+    "st02_stream_dedup_ingest",
+    # first driver check: data-quality family
+    "dq01_ks_drift",
+    "dq02_column_profile",
+    "dq03_referential_integrity",
+    "dq04_chi2_drift",
+    "dq05_embedding_drift",
+    "dq06_constraint_suite",
+    # first driver check: dedup / ANN / clustering / tokenizer scale paths
+    "dd09_incremental_dedup",
+    "dd10_substring_spans",
+    "dd11_indexed_incremental_dedup",
+    "cl01_kmeans_train",
+    "ss04_ivf_trained_ann",
+    "em02_product_quantization",
+    "vb01_vocab_coverage",
+    "vb02_bpe_merges",
+    # first driver check: curation / text / sampling / analytics
+    "qf02_gopher_rules",
+    "mx02_temperature_mixture",
+    "tx09_token_diversity",
+    "tx10_bigram_prob_score",
+    "sm04_weighted_sample",
+    "ev04_hierarchical_rollup",
+    # first driver check: sources / joins / geo / extension surface
+    "s12_orc_roundtrip",
+    "j12_full_outer_join",
+    "geo06_zorder_cells",
+    "geo07_nearest_within_radius",
+    "mm06_png_decode_stats",
+    "x05_group_rank_normalize",
+    "x06_udtf_segment_split",
+    "x07_arrow_batch_norms",
+    # re-proof: r5's only hash-fail (oracle typed HUGEINT; CASTs added)
     "pk01_sequence_packing",
-    "mx01_mixture_rebalance",
-    "qf01_quantile_filter",
-    "rep01_boilerplate_ngrams",
-    "rp01_repetition_metrics",
-    # first driver check: embedding quantization + real codecs
-    "em01_int8_quantization",
-    "mm04_ppm_decode_stats",
-    "mm05_wav_features",
-    # first driver check: remaining scalar / dedup / graph / join / stream
-    "f02_href_resolve",
-    "dd05_simhash_pairs",
-    "gr01_triangle_count",
-    "j08_range_join",
-    "t02_sliding_window",
-    "t03_session_window",
-    "w05_range_frame",
-    # first driver check: multiset ops
-    "u04_intersect",
-    "u06_except_all",
-    "u07_intersect_all",
-    # first driver check: sketch/approx aggregates
-    "a09_approx_distinct",
-    "a14_sketch_percentiles",
-    "a15_hll_sketch_partitioned",
-    # first driver check: text analysis
-    "tx02_quality_score",
-    "tx03_language_id",
-    "tx04_length_histogram",
-    "tx05_bigram_frequencies",
-    "tx06_regex_token_count",
-    "tx07_winnowing_fingerprints",
-    "tx08_tfidf_topterms",
-    # first driver check: even-side TPC-H
-    "tpch_q2_min_acctbal_supplier",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    # first driver check (rows-only — no SQL-expressible oracle)
-    "ss02_lsh_ann_topk",
-    "ss03_ivf_ann_topk",
-    "pr01_link_pagerank",
-    # first driver check: skew primitives + manifest lake engine (new in r5)
-    "sk01_salted_hotkey_agg",
-    "sk02_salted_dim_join",
-    "vs01_manifest_merge_roundtrip",
-    "vs02_manifest_time_travel",
-    "vs03_manifest_change_feed",
-    "vs04_clustered_pruned_read",
-    "st01_stream_lake_merge",
-    # family canary — driver-green r2-r4, kept externally visible (the
-    # other proven families are represented by their first-timer rows
-    # above; the full registry still runs under the local mirror gate)
+    # 13 family canaries — driver-green in r2-r5, kept externally
+    # visible so a regression in a proven family still surfaces (the
+    # full registry runs under the local mirror gate every session)
+    "s02_filtered_scan",  # scans
+    "p02_in_list_predicate",  # predicates
+    "j07_star_join_broadcast",  # joins
+    "w03_rank_per_group",  # windows
+    "a08_rollup",  # aggregates
+    "u03_except",  # set ops
+    "o04_topk",  # ordered / top-k
+    "tpch_q18_large_volume_customers",  # TPC-H
     "dd04_minhash_lsh_pairs",  # dedup / ANN
+    "geo04_point_in_polygon",  # geospatial
+    "tx07_winnowing_fingerprints",  # text analysis
+    "t03_session_window",  # streaming-analog
+    "vs01_manifest_merge_roundtrip",  # versioned lake
     # --- 50-entry mark; proven rows retired from the checked prefix ---
-    # r6 rotation: prefix = the queries added late in r5 that missed
-    # this round's 50 (vs05_bloom_point_read, vs06_incremental_view_
-    # maintenance, vs07_replace_where, qf02_gopher_rules,
-    # mm06_png_decode_stats, s12_orc_roundtrip, sm04_weighted_sample,
-    # tx09_token_diversity, x05_group_rank_normalize, cl01_kmeans_train,
-    # ss04_ivf_trained_ann, dq01_ks_drift, dq02_column_profile,
-    # dq03_referential_integrity, ev04_hierarchical_rollup,
-    # vb01_vocab_coverage, dq04_chi2_drift, dd09_incremental_dedup,
-    # em02_product_quantization, vs08_version_drift,
-    # x06_udtf_segment_split, j12_full_outer_join, geo06_zorder_cells,
-    # dd10_substring_spans, dq05_embedding_drift,
-    # st02_stream_dedup_ingest, vb02_bpe_merges, x07_arrow_batch_norms,
-    # dd11_indexed_incremental_dedup, dq06_constraint_suite,
-    # geo07_nearest_within_radius, mx02_temperature_mixture,
-    # vs09_restore_constrained_lifecycle, vs10_equality_delete_feed,
-    # tx10_bigram_prob_score, vs11_hidden_partition_pruned_read)
-    # (36 queries) + 14 canaries (one per proven family), per VERDICT
-    # r4 item 7.
     "s01_point_lookup",
-    "s02_filtered_scan",
     "s03_secondary_index_scan",
     "s04_prefix_range_scan",
     "s05_json_field_source",
     "s11_pruned_scan",
     "p01_projection_rename",
-    "p02_in_list_predicate",
     "p04_regex_predicate",
     "p05_null_predicate",
     "p06_range_predicate",
@@ -175,7 +149,6 @@ _PRIORITY: tuple[str, ...] = (
     "j03_left_outer_join",
     "j04_semi_join",
     "j05_anti_join",
-    "j07_star_join_broadcast",
     "j06_graph_reachability",
     "j09_asof_join",
     "a01_count_per_group",
@@ -183,23 +156,19 @@ _PRIORITY: tuple[str, ...] = (
     "a03_uniqueness_check",
     "a06_grouped_bool",
     "a07_error_report",
-    "a08_rollup",
     "w01_ordinal_assignment",
     "w02_batch_assignment",
-    "w03_rank_per_group",
     "w04_lag_running_sum",
     "o01_ordered_iteration",
     "o02_exists_shortcircuit",
     "o03_top1_latest",
     "u01_distinct",
     "u02_union_discriminated",
-    "u03_except",
     "u05_duplicate_consistency",
     "x04_centroid_udaf",
     "t01_tumbling_window",
     "f01_url_parse",
     "f09_json_map_explode",
-    "geo04_point_in_polygon",
     "ss01_cosine_topk",
     "mm01_blob_metadata",
     "dd01_exact_dedup_summary",
@@ -243,6 +212,10 @@ def load_all_queries() -> dict[str, QuerySpec]:
         )
         from geospatial_data_lake_spark.functions import scalars  # noqa: F401
 
+        if len(set(_PRIORITY)) != len(_PRIORITY):
+            seen: set[str] = set()
+            dups = [n for n in _PRIORITY if n in seen or seen.add(n)]
+            raise RuntimeError(f"_PRIORITY contains duplicates: {dups}")
         missing = [n for n in _PRIORITY if n not in REGISTRY]
         if missing:
             raise RuntimeError(f"_PRIORITY names not registered: {missing}")

@@ -57,7 +57,58 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
+# DuckDB logical type classes acceptable for each Spark simpleString type.
+# The driver's value hash is TYPED: an oracle column that comes back HUGEINT
+# (DuckDB's type for SUM(BIGINT) and integer window sums) hashes differently
+# from Spark's BIGINT even when every value is identical — r5's pk01 failed
+# exactly this way while the stringly-canonicalized local gate passed.  So
+# the local mirror now fails on type-class mismatches before values are
+# even compared.
+_INTEGRAL_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_SPARK_TO_DUCK: dict[str, set[str]] = {
+    "tinyint": _INTEGRAL_DUCK,
+    "smallint": _INTEGRAL_DUCK,
+    "int": _INTEGRAL_DUCK,
+    "bigint": _INTEGRAL_DUCK,
+    # DECIMAL fetches to float64 in pandas, so it is hash-compatible with
+    # a Spark double (unlike HUGEINT, which pandas-converts differently
+    # from int64)
+    "float": {"FLOAT", "DOUBLE", "DECIMAL"},
+    "double": {"FLOAT", "DOUBLE", "DECIMAL"},
+    "boolean": {"BOOLEAN"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+}
+
+
+def check_types(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    """Fail if any oracle column's DuckDB logical type is outside the
+    class of the matching Spark column's type (HUGEINT vs BIGINT, DOUBLE
+    vs BIGINT, ...).  Decimal/timestamp/nested Spark columns are skipped:
+    the registry's determinism rules already string-format those."""
+    con = duckdb_connection(sf_dir)
+    try:
+        rel = con.sql(oracle_sql)
+        duck_types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    finally:
+        con.close()
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    problems = []
+    for col, stype in spark_types.items():
+        dtype = duck_types.get(col)
+        if dtype is None:
+            continue  # column-set mismatch is reported by compare()
+        if dtype in ("HUGEINT", "UHUGEINT"):
+            problems.append(f"{col}: oracle={dtype} (never hash-compatible)")
+            continue
+        allowed = _SPARK_TO_DUCK.get(stype)
+        if allowed is not None and dtype.split("(")[0] not in allowed:
+            problems.append(f"{col}: spark={stype} oracle={dtype}")
+    assert not problems, "oracle/spark type-class mismatch: " + "; ".join(problems)
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    check_types(spark_df, oracle_sql, sf_dir)
     spark_pdf = spark_df.toPandas()
     con = duckdb_connection(sf_dir)
     try:

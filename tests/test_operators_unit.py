@@ -551,3 +551,90 @@ def should_fold_arrow_norms_with_empty_vectors(spark):
         ).collect()
     }
     assert out == {1: (2, 5.0), 2: (0, 0.0), 3: (2, 13.0)}
+
+
+def should_dispatch_incremental_path_by_measured_regime(spark, sf_dir, tmp_path):
+    """choose_incremental_path must pick the corpus-scan verify on the
+    near-dup-saturated fixture corpus and the band-index probe on a
+    sparse (disjoint-vocabulary) synthetic corpus — and dd12 must emit
+    the identical pair set either way."""
+    import os
+
+    from geospatial_data_lake_spark.operators.dedup import (
+        choose_incremental_path,
+    )
+    from geospatial_data_lake_spark.registry import load_all_queries
+    from geospatial_data_lake_spark.tables import tables
+
+    # fixture corpus: background Jaccard ~0.58 -> saturated -> scan
+    corpus = tables(spark, sf_dir).documents.filter(F.col("doc_id") % 13 != 0)
+    assert choose_incremental_path(corpus) == "scan"
+
+    # sparse corpus: disjoint vocabularies except one planted near-dup
+    # crossing the batch (% 13 == 0) / corpus split -> index
+    rows = [
+        (
+            i,
+            " ".join(f"w{i}_{j}" for j in range(12)),
+            "en",
+            "s",
+            10,
+        )
+        for i in range(1, 40)
+        if i != 13
+    ]
+    planted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows += [(13, planted, "en", "s", 10), (7, planted, "en", "s", 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sparse_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    sparse_corpus = tables(spark, sf).documents.filter(F.col("doc_id") % 13 != 0)
+    assert choose_incremental_path(sparse_corpus) == "index"
+
+    # both physical paths and the dispatcher agree on the sparse corpus
+    q = load_all_queries()
+    want = {(13, 7, 1.0)}
+    for name in (
+        "dd09_incremental_dedup",
+        "dd11_indexed_incremental_dedup",
+        "dd12_dispatched_incremental",
+    ):
+        got = {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in q[name].fn(spark, sf).collect()
+        }
+        assert got == want, name
+
+
+def should_match_window_path_with_salted_skew_escalation_in_dd10(spark):
+    """dd10's skew escalation (salted (h, salt) min/max pre-pass +
+    broadcast semi-join) must produce the identical duplicated-window
+    hit set as the default hash-keyed window on a corpus with a planted
+    hot hash (one boilerplate window shared by every document), and its
+    plan must carry the salted pre-aggregation instead of a window
+    exchange on h."""
+    from geospatial_data_lake_spark.operators.dedup import (
+        _dd10_hits,
+        _dd10_windows,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # hot 12-token window
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(20)), "en", "s", 1)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    wins = _dd10_windows(docs)
+    base = {(r.doc_id, r.p) for r in _dd10_hits(wins).collect()}
+    salted = {(r.doc_id, r.p) for r in _dd10_hits(wins, skew_safe=True).collect()}
+    assert salted == base
+    assert len(base) == 60  # exactly the planted boilerplate window per doc
+
+    plan = _dd10_hits(wins, skew_safe=True)._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # salted pre-pass present
+    assert "Window" not in plan  # no hash-keyed window funnel
