@@ -102,3 +102,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank in EXACT fixed-point integer arithmetic — every rank is
+    a BIGINT count of 1/scale units and every operation is integer
+    (``div`` floor division, integer sums), so the result is
+    bit-identical across engines, partitionings, and summation orders:
+    the property that lets an iterative graph fixpoint carry a DuckDB
+    hash oracle at all (float PageRank cannot — double addition is
+    order-dependent; cl01's decimal-fold trick, taken to integers).
+
+    Per iteration, with S = scale, d = damping_pct:
+      share_i   = rank_i div deg_i              (out-linking nodes)
+      inflow_j  = sum of shares over in-edges   (exact integer sum)
+      residual  = sum(rank) - sum(inflow)       (floor losses + dangling)
+      red       = residual div n
+      rank'_j   = (100-d)*S div (100*n)  +  (d * (inflow_j + red)) div 100
+
+    Floor losses bound total drift by ~2n units per iteration (< 1e-7
+    relative at n = 10^5, scale 10^12) — monotone, never negative, and
+    auditable exactly.  Scale shape matches ``pagerank``: one join +
+    one partial-agg shuffle per iteration, out-degrees broadcast,
+    lineage cut per iteration with localCheckpoint, driver state is
+    two scalar sums."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (100 - damping_pct) * scale // (100 * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(F.broadcast(out_deg), "src")
+            .join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("inflow"))
+            .localCheckpoint(eager=True)
+        )
+        total = ranks.agg(F.sum("rank")).collect()[0][0]
+        distributed = contribs.agg(F.sum("inflow")).collect()[0][0] or 0
+        red = (total - distributed) // n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inflow, 0L) + {red}L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

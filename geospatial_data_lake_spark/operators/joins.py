@@ -349,9 +349,64 @@ def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+_PR_ITERS = 10
+
+
+def _pr01_oracle() -> str:
+    """Generate the chained-CTE replay of pagerank_fixed_point: one
+    (contribs, ranks) CTE pair per iteration, all-integer arithmetic,
+    so DuckDB reproduces the Spark ranks bit-for-bit (cl01's
+    iteration-replay pattern applied to a graph fixpoint).  Internal
+    sums type HUGEINT; the final projection CASTs back to BIGINT per
+    the registry's determinism rules."""
+    s, d, iters = _PR_SCALE, _PR_DAMP, _PR_ITERS
+    parts = [
+        f"""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),
+        n0 AS (SELECT count(*) AS c FROM ids),
+        edges AS MATERIALIZED (
+            SELECT src, (src * m.m) % (SELECT c FROM n0) AS dst
+            FROM ids, (SELECT unnest([7919, 104729, 1299709]) AS m) m
+            WHERE src != (src * m.m) % (SELECT c FROM n0)
+        ),
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (SELECT node, (SELECT {s} // n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        c{k} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(r.rank // d.deg) AS inflow
+            FROM edges e JOIN deg d ON e.src = d.src
+                 JOIN r{k - 1} r ON e.src = r.node
+            GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT nodes.node,
+                   (SELECT ((100 - {d}) * {s}) // (100 * n) FROM nn)
+                   + ({d} * (COALESCE(c{k}.inflow, 0)
+                       + (((SELECT sum(rank) FROM r{k - 1})
+                           - (SELECT COALESCE(sum(inflow), 0) FROM c{k}))
+                          // (SELECT n FROM nn)))) // 100 AS rank
+            FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{iters}
+        ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 @register(
     "pr01_link_pagerank",
-    oracle=None,  # iterative fixpoint — not SQL-expressible; invariants unit-tested
+    oracle=_pr01_oracle(),
     tags=("graph", "iterative", "pagerank"),
 )
 def pr01_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,8 +414,16 @@ def pr01_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each doc links to 3 peers via multiplicative hashing): authority
     scoring of catalog metadata documents — the iterative-dataflow shape
     (bounded driver loop, per-iteration join+agg, checkpointed lineage)
-    that complements j06's BFS and dd07's label propagation."""
-    from geospatial_data_lake_spark.operators.graph import pagerank
+    that complements j06's BFS and dd07's label propagation.
+
+    Ranks are computed in EXACT fixed-point integer units (see
+    ``pagerank_fixed_point``), which upgrades this from a rows-only
+    check to a fully hash-gated query: the oracle replays the identical
+    integer iteration schedule in chained CTEs, so an iterative graph
+    fixpoint is externally verified value-by-value — previously thought
+    non-SQL-expressible because float summation order made ranks
+    engine-specific; integers remove the order dependence entirely."""
+    from geospatial_data_lake_spark.operators.graph import pagerank_fixed_point
 
     t = tables(spark, sf_dir)
     ids = t.documents.select(F.col("doc_id").cast("long").alias("src"))
@@ -373,20 +436,20 @@ def pr01_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    return pagerank(edges).select(
-        "node", F.round("rank", 8).alias("rank")
-    )
+    return pagerank_fixed_point(
+        edges, scale=_PR_SCALE, damping_pct=_PR_DAMP, iterations=_PR_ITERS
+    ).select("node", F.col("rank").alias("rank_fp")).orderBy("node")
 
 
 @register(
     "pr01b_pagerank_audit",
-    # pr01's per-node ranks are an iterative double fixpoint — engine-
-    # specific summation order makes the values un-hashable. This audit
-    # publishes what IS deterministic and SQL-checkable: the node count of
-    # the generated link graph (the oracle rebuilds the same graph in SQL)
-    # plus booleans for PageRank's hard invariants — probability mass is
-    # conserved (sum(rank) = 1; dangling mass is redistributed) and every
-    # rank is positive (the teleport term floors ranks above zero).
+    # Historical note: pr01 was rows-only while it used float ranks
+    # (summation order made values un-hashable); the fixed-point rewrite
+    # made pr01 itself hash-gated, and this audit now double-checks the
+    # algorithm-level invariants in exact integers: the node count of
+    # the generated link graph (the oracle rebuilds the same graph in
+    # SQL), probability-mass conservation within the deterministic
+    # floor-loss bound (2n units/iteration), and rank positivity.
     oracle="""
         WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),
         n AS (SELECT count(*) AS c FROM ids),
@@ -407,14 +470,16 @@ def pr01_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pr01b_pagerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated audit of pr01 (see register comment)."""
     ranks = pr01_link_pagerank(spark, sf_dir)
-    # ranks are rounded to 8 decimals, so the sum can drift from 1.0 by
-    # up to n_nodes * 5e-9 — 1e-4 is comfortably above that and far below
-    # any real mass leak (a single dangling node un-redistributed would
-    # lose ~0.85/n per iteration, orders of magnitude more).
+    # fixed-point floor losses are bounded by 2n units per iteration —
+    # an exact, deterministic envelope (no float tolerance needed)
+    bound = 2 * _PR_ITERS  # per-node allowance, times n below
     return ranks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        (F.abs(F.sum("rank") - F.lit(1.0)) < 1e-4).alias("mass_conserved"),
-        (F.min("rank") > 0).alias("all_positive"),
+        (
+            (F.lit(_PR_SCALE) - F.sum("rank_fp"))
+            <= F.lit(bound) * F.count(F.lit(1))
+        ).alias("mass_conserved"),
+        (F.min("rank_fp") > 0).alias("all_positive"),
     )
 
 

@@ -118,17 +118,20 @@ _PRIORITY: tuple[str, ...] = (
     "x07_arrow_batch_norms",
     # re-proof: r5's only hash-fail (oracle typed HUGEINT; CASTs added)
     "pk01_sequence_packing",
-    # 13 family canaries — driver-green in r2-r5, kept externally
+    # new / re-implemented in r6: the incremental-dedup dispatcher, the
+    # real BMP / container-demux codecs that replaced the mm stubs, and
+    # fixed-point PageRank (formerly rows-only, now fully hash-gated)
+    "dd12_dispatched_incremental",
+    "mm02_decode_features",
+    "mm03_frame_sample",
+    "pr01_link_pagerank",
+    # 9 family canaries — driver-green in r2-r5, kept externally
     # visible so a regression in a proven family still surfaces (the
     # full registry runs under the local mirror gate every session)
-    "s02_filtered_scan",  # scans
-    "p02_in_list_predicate",  # predicates
     "j07_star_join_broadcast",  # joins
     "w03_rank_per_group",  # windows
     "a08_rollup",  # aggregates
-    "u03_except",  # set ops
-    "o04_topk",  # ordered / top-k
-    "tpch_q18_large_volume_customers",  # TPC-H
+    "o04_topk",  # ordered / top-k / sorts
     "dd04_minhash_lsh_pairs",  # dedup / ANN
     "geo04_point_in_polygon",  # geospatial
     "tx07_winnowing_fingerprints",  # text analysis
@@ -136,6 +139,10 @@ _PRIORITY: tuple[str, ...] = (
     "vs01_manifest_merge_roundtrip",  # versioned lake
     # --- 50-entry mark; proven rows retired from the checked prefix ---
     "s01_point_lookup",
+    "s02_filtered_scan",
+    "p02_in_list_predicate",
+    "u03_except",
+    "tpch_q18_large_volume_customers",
     "s03_secondary_index_scan",
     "s04_prefix_range_scan",
     "s05_json_field_source",

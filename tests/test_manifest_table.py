@@ -1169,3 +1169,108 @@ def should_truncate_prune_and_skip_unmappable_bounds(spark, tmp_path):
     hi = datetime(2024, 1, 2, 0, 0, tzinfo=timezone.utc)
     got3 = {r.id for r in mtd.read(where={"ts": (lo, hi)}).collect()}
     assert got3 == {1}
+
+
+# -- hypothesis model check: hidden-partitioning predicate mapper ------------
+
+_HP_ROWS = [
+    (i, (i * 3) % 61 - 30, f"u{i % 17}")  # v spans negatives; 17 users
+    for i in range(150)
+]
+
+
+def _hp_table(spark, tmp_path):
+    """Build the hidden-partitioned table once per test invocation (all
+    hypothesis examples share one tmp_path); predicates vary per
+    example, the data does not."""
+    import os
+
+    root = str(tmp_path / "hp")
+    mt = ManifestTable(
+        spark,
+        root,
+        key_cols=["id"],
+        partition_by=["v_t", "u_b"],
+        partition_transforms={
+            "v_t": ("truncate", "v", 7),
+            "u_b": ("bucket", "user", 5),
+        },
+    )
+    if not os.path.exists(os.path.join(root, "_commits")):
+        mt.append(
+            spark.createDataFrame(_HP_ROWS, "id long, v long, user string")
+        )
+    return mt
+
+
+def _hp_settings():
+    from hypothesis import HealthCheck, settings
+
+    return settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+
+def should_prune_hidden_partitions_exactly_under_generated_predicates(
+    spark, tmp_path
+):
+    """Model check for _map_transform_predicates: for ANY generated
+    predicate spec over the SOURCE columns (points, ranges incl.
+    unbounded/empty/out-of-range, values absent from the table), a
+    hidden-partitioned read must return exactly the full-scan-filter
+    rows — pruning may only remove files, never rows — and a point
+    predicate must actually engage partition pruning."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    bound = st.one_of(st.none(), st.integers(-40, 40))
+    v_pred = st.one_of(
+        st.none(),
+        st.integers(-40, 40),  # point (incl. values not present)
+        st.tuples(bound, bound),  # range, possibly inverted/unbounded
+    )
+    u_pred = st.one_of(
+        st.none(),
+        st.integers(0, 20).map(lambda i: f"u{i}"),  # incl. absent users
+    )
+
+    mt = _hp_table(spark, tmp_path)
+    n_files_total = len(mt.planned_files())
+
+    @_hp_settings()
+    @given(vp=v_pred, up=u_pred)
+    def check(vp, up):
+        where = {}
+        if vp is not None:
+            where["v"] = vp
+        if up is not None:
+            where["user"] = up
+
+        def keep(row):
+            _id, v, user = row
+            if vp is not None:
+                if isinstance(vp, tuple):
+                    lo, hi = vp
+                    if lo is not None and v < lo:
+                        return False
+                    if hi is not None and v > hi:
+                        return False
+                elif v != vp:
+                    return False
+            if up is not None and user != up:
+                return False
+            return True
+
+        want = {r[0] for r in _HP_ROWS if keep(r)}
+        got = {r.id for r in mt.read(where=where or None).collect()}
+        assert got == want, (vp, up)
+        if where:
+            planned = mt.planned_files(where=where)
+            assert set(planned) <= set(mt.planned_files())
+            # a point predicate on either source column must prune files
+            if isinstance(vp, int) or up is not None:
+                assert len(planned) < n_files_total, (vp, up)
+
+    check()

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from geospatial_data_lake_spark import load_all_queries
 from geospatial_data_lake_spark.operators.asof import asof_join
 from geospatial_data_lake_spark.operators.graph import reachable
-from geospatial_data_lake_spark.operators.multimodal import decode_image_stub
+from geospatial_data_lake_spark.operators.multimodal import (
+    decode_bmp,
+    demux_ppm_container,
+    synth_bmp,
+    synth_ppm_container,
+)
 
 
 def should_asof_join_pick_latest_strictly_before(spark):
@@ -127,24 +132,68 @@ def should_simhash_agree_on_identical_docs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
-def should_decode_stub_be_deterministic():
-    a = decode_image_stub(b"same-bytes")
-    b = decode_image_stub(b"same-bytes")
-    c = decode_image_stub(b"other-bytes")
-    assert a == b
-    assert a != c
-    w, h, ch = a
-    assert 64 <= w < 256 and 64 <= h < 256 and ch in (1, 2, 3)
+def should_decode_bmp_payloads_faithfully():
+    """The BMP decoder must undo all three storage transforms (bottom-up
+    rows, BGR order, pad stride) and recover the exact logical pixel
+    array, for every width class incl. ones needing row padding."""
+    import numpy as np
+
+    for doc_id in range(20):  # widths 1..16: strides with 0..3 pad bytes
+        w, h, arr = decode_bmp(synth_bmp(doc_id))
+        assert (w, h) == (1 + doc_id % 16, 4)
+        want = np.array(
+            [(doc_id * 37 + k) % 256 for k in range(w * h * 3)], dtype=np.uint8
+        ).reshape(h, w, 3)
+        assert (arr == want).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + synth_bmp(1)[2:])  # bad magic
+    with _pytest.raises(ValueError):
+        decode_bmp(synth_bmp(3)[:-5])  # truncated raster
+
+
+def should_demux_ppm_container_frame_by_frame():
+    """The demuxer must walk variable-length frame boundaries exactly:
+    each frame's offset, dimensions, and pixel content match the
+    synthesis pattern, and a corrupted mid-container frame raises."""
+    import numpy as np
+
+    for doc_id in (0, 5, 11):
+        payload = synth_ppm_container(doc_id)
+        frames = list(demux_ppm_container(payload))
+        assert len(frames) == 2 + doc_id % 7
+        expect_off = 0
+        for idx, off, w, h, arr in frames:
+            assert off == expect_off
+            assert (w, h) == (1 + (doc_id + idx) % 8, 2)
+            want = np.array(
+                [(doc_id * 31 + idx * 17 + i) % 256 for i in range(w * h * 3)],
+                dtype=np.uint8,
+            ).reshape(h, w, 3)
+            assert (arr == want).all()
+            expect_off = off + 11 + w * h * 3
+        assert expect_off == len(payload)  # container fully consumed
+
+    import pytest as _pytest
+
+    broken = bytearray(synth_ppm_container(5))
+    # clobber the 2nd frame's magic (1st frame: 11-byte header + 6*2*3
+    # raster = 47 bytes)
+    broken[47:49] = b"XX"
+    with _pytest.raises(ValueError):
+        list(demux_ppm_container(bytes(broken)))
 
 
 def should_decode_features_have_stable_schema(spark, sf_dir):
     registry = load_all_queries()
     df = registry["mm02_decode_features"].fn(spark, sf_dir)
     assert [f.name for f in df.schema.fields] == [
-        "doc_id", "n_bytes", "mime", "width", "height", "channels",
+        "doc_id", "n_bytes", "mime", "width", "height", "channels", "mean_px",
     ]
     rows = df.limit(5).collect()
-    assert all(r.mime == "image/stub" for r in rows)
+    assert all(r.mime == "image/bmp" for r in rows)
 
 
 def should_entry_run_and_return_rows(spark):
