@@ -1144,3 +1144,139 @@ def dd12_dispatched_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if choose_incremental_path(corpus) == "scan":
         return dd09_incremental_dedup(spark, sf_dir)
     return dd11_indexed_incremental_dedup(spark, sf_dir)
+
+
+# -- dd13: substring-span REMOVAL (the cut pass dd10 plans for) ---------------
+
+
+@register(
+    "dd13_substring_removal",
+    # Extends dd10's oracle pipeline: after the gaps-and-islands span
+    # merge, tokens inside any duplicated span are dropped and the
+    # survivors re-joined in position order (string_agg ORDER BY p);
+    # docs whose every token is duplicated surface with an empty
+    # cleaned_text (LEFT JOIN + COALESCE), matching Spark's concat_ws
+    # over an empty array.
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        w AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(tk) - {_SPAN_W - 1})) AS p,
+                   tk
+            FROM d WHERE len(tk) >= {_SPAN_W}
+        ),
+        h AS (
+            SELECT doc_id, p,
+                   md5(array_to_string(tk[p:p + {_SPAN_W - 1}], ' ')) AS h
+            FROM w
+        ),
+        dup AS MATERIALIZED (
+            SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS MATERIALIZED (
+            SELECT doc_id, p FROM h WHERE h IN (SELECT h FROM dup)
+        ),
+        lagd AS MATERIALIZED (
+            SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+            FROM hits
+        ),
+        isl AS MATERIALIZED (
+            SELECT doc_id, p,
+                   sum(CASE WHEN pp IS NULL OR p - pp > {_SPAN_W}
+                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS UNBOUNDED PRECEDING) AS g
+            FROM lagd
+        ),
+        spans AS MATERIALIZED (
+            SELECT doc_id,
+                   min(p) AS span_start,
+                   max(p) + {_SPAN_W - 1} AS span_end
+            FROM isl GROUP BY doc_id, g
+        ),
+        tokpos AS MATERIALIZED (
+            SELECT doc_id, unnest(tk) AS tok,
+                   generate_subscripts(tk, 1) AS p
+            FROM d
+        ),
+        kept AS MATERIALIZED (
+            SELECT t.doc_id, t.tok, t.p
+            FROM tokpos t LEFT JOIN spans s
+              ON t.doc_id = s.doc_id
+             AND t.p BETWEEN s.span_start AND s.span_end
+            WHERE s.doc_id IS NULL
+        ),
+        agg AS MATERIALIZED (
+            SELECT doc_id,
+                   count(*) AS kept_tokens,
+                   string_agg(tok, ' ' ORDER BY p) AS cleaned
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.tk) AS BIGINT) AS total_tokens,
+               CAST(COALESCE(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               COALESCE(a.cleaned, '') AS cleaned_text
+        FROM d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    tags=("dedup", "substring", "pipeline", "writer"),
+)
+def dd13_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT pass of ExactSubstr dedup (Lee et al.): dd10 reports the
+    maximal duplicated spans; this operator actually removes them —
+    every token inside any >= {_SPAN_W}-token span appearing verbatim in
+    >= 2 documents is dropped (both occurrences: the conservative policy
+    for training-data leakage), and the survivors are re-joined in
+    position order as the cleaned training text.  Every document is
+    emitted, including span-free docs (text unchanged) and fully-
+    duplicated docs (empty cleaned_text) — a WRITER-shaped operator: its
+    output is the next pipeline stage's input table.
+
+    Scale shape: dd10's span derivation unchanged (one hash-keyed
+    shuffle + per-doc windows); the cut itself is one doc_id-keyed join
+    of the span lists (bounded by spans-per-doc) against the token
+    arrays, then pure in-row ``filter`` with a positional lambda — no
+    token-level shuffle: tokens never leave their row."""
+    t = tables(spark, sf_dir)
+    hits = _dd10_hits(_dd10_windows(t.documents))
+    from pyspark.sql import Window
+
+    by_doc = Window.partitionBy("doc_id").orderBy("p")
+    run = by_doc.rowsBetween(Window.unboundedPreceding, 0)
+    isl = hits.withColumn("pp", F.lag("p").over(by_doc)).withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("pp").isNull() | (F.col("p") - F.col("pp") > _SPAN_W), 1
+            ).otherwise(0)
+        ).over(run),
+    )
+    spans = (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + _SPAN_W - 1).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    docs = t.documents.select("doc_id", F.split("text", " ").alias("toks"))
+    joined = docs.join(spans, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", F.array())
+    )
+    in_span = lambda tok, i: F.exists(  # noqa: E731 — positional lambda
+        F.col("spans"), lambda sp: (i + 1 >= sp.s) & (i + 1 <= sp.e)
+    )
+    kept = F.filter("toks", lambda tok, i: ~in_span(tok, i))
+    return (
+        joined.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("total_tokens"),
+            F.size(kept).cast("bigint").alias("kept_tokens"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -69,11 +69,12 @@ _LOADED = False
 # never-driver-checked queries move up.  Round-6 prefix: the 36 queries
 # added late in r5 that have never had a driver CORRECTNESS row, plus
 # pk01 (r5's single hash-fail — oracle HUGEINT typing, fixed this round,
-# re-proven here), plus 13 family canaries = 50.  After this round
-# cumulative driver-green covers 185/188 (everything except the three
-# rows-only ANN/graph ops, which carry hash-gated audit companions).
-# Everything not listed keeps its registration order after the
-# prioritized prefix; nothing is dropped.
+# re-proven here), plus the 5 queries new or re-implemented in r6
+# (dd12/mm02/mm03/pr01/dd13), plus 8 family canaries = 50.  After this
+# round cumulative driver-green covers 188/190 (everything except
+# ss02/ss03, the two remaining rows-only ANN ops, which carry hash-gated
+# audit companions).  Everything not listed keeps its registration order
+# after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
     # first driver check: manifest lake engine (late r5)
     "vs05_bloom_point_read",
@@ -125,13 +126,13 @@ _PRIORITY: tuple[str, ...] = (
     "mm02_decode_features",
     "mm03_frame_sample",
     "pr01_link_pagerank",
-    # 9 family canaries — driver-green in r2-r5, kept externally
+    "dd13_substring_removal",
+    # 8 family canaries — driver-green in r2-r5, kept externally
     # visible so a regression in a proven family still surfaces (the
     # full registry runs under the local mirror gate every session)
     "j07_star_join_broadcast",  # joins
     "w03_rank_per_group",  # windows
     "a08_rollup",  # aggregates
-    "o04_topk",  # ordered / top-k / sorts
     "dd04_minhash_lsh_pairs",  # dedup / ANN
     "geo04_point_in_polygon",  # geospatial
     "tx07_winnowing_fingerprints",  # text analysis
@@ -139,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "vs01_manifest_merge_roundtrip",  # versioned lake
     # --- 50-entry mark; proven rows retired from the checked prefix ---
     "s01_point_lookup",
+    "o04_topk",
     "s02_filtered_scan",
     "p02_in_list_predicate",
     "u03_except",

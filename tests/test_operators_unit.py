@@ -687,3 +687,33 @@ def should_match_window_path_with_salted_skew_escalation_in_dd10(spark):
     plan = _dd10_hits(wins, skew_safe=True)._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # salted pre-pass present
     assert "Window" not in plan  # no hash-keyed window funnel
+
+
+def should_cut_exact_duplicated_spans_in_dd13(spark, tmp_path):
+    """The removal writer must cut exactly the duplicated span from both
+    documents (keeping everything else, order preserved) and leave the
+    disjoint document untouched."""
+    import os
+
+    shared = " ".join(f"s{i}" for i in range(15))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5", "en", "s", 10),
+        (2, shared + " b1 b2 b3 b4 b5 b6 b7", "en", "s", 10),
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    got = {
+        r.doc_id: (r.total_tokens, r.kept_tokens, r.cleaned_text)
+        for r in load_all_queries()["dd13_substring_removal"].fn(spark, sf).collect()
+    }
+    assert got[1] == (20, 5, "a1 a2 a3 a4 a5")
+    assert got[2] == (22, 7, "b1 b2 b3 b4 b5 b6 b7")
+    assert got[3] == (30, 30, " ".join(f"z{i}" for i in range(30)))
