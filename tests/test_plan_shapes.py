@@ -508,3 +508,24 @@ def should_fold_constraint_suite_in_one_scan(spark, registry, sf_dir):
     plan = _plan(spark, registry, "dq06_constraint_suite", sf_dir)
     assert plan.count("Scan parquet") <= 2, plan
     assert "HashAggregate" in plan, plan
+
+
+def should_cut_spans_in_row_without_token_shuffle(spark, registry, sf_dir):
+    # dd13's cut pass: the span lists join their documents doc-keyed and
+    # the token filtering is pure in-row lambda work — tokens must never
+    # explode into a token-level shuffle, and nothing may go cartesian.
+    plan = _plan(spark, registry, "dd13_substring_removal", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # one Generate for dd10's gram explode (+1 in the detail block); the
+    # cut side must NOT add a token explode
+    assert plan.count("Generate") <= 2, plan
+
+
+def should_decode_media_in_single_arrow_pass(spark, registry, sf_dir):
+    # the real codecs run as exactly one mapInPandas pass over the ids —
+    # no joins, no extra Python round-trips
+    for name in ("mm02_decode_features", "mm03_frame_sample"):
+        plan = _plan(spark, registry, name, sf_dir)
+        assert plan.count("MapInPandas") == 2, plan  # tree + detail block
+        assert "Join" not in plan, plan
