@@ -107,6 +107,48 @@ def check_types(spark_df, oracle_sql: str, sf_dir: str) -> None:
     assert not problems, "oracle/spark type-class mismatch: " + "; ".join(problems)
 
 
+def _coerce_fast(df: pd.DataFrame) -> pd.DataFrame | None:
+    """Dtype-normalize for the vectorized fast path; None = not eligible
+    (unusual dtypes fall back to the authoritative canon compare)."""
+    out = {}
+    for c in df.columns:
+        col = df[c]
+        kind = col.dtype.kind
+        try:
+            if kind in "iu":
+                out[c] = col.astype("int64")
+            elif kind == "f":
+                out[c] = col.astype("float64")
+            elif kind == "b":
+                out[c] = col.astype("bool")
+            elif kind == "O" or str(col.dtype) == "string":
+                out[c] = col.astype("string")
+            else:
+                return None  # datetimes/categoricals etc.: canon path
+        except (TypeError, ValueError):
+            return None
+    return pd.DataFrame(out) if out else pd.DataFrame(index=df.index)
+
+
+def _fast_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> bool:
+    """Vectorized order-insensitive equality — column sort + row sort +
+    DataFrame.equals.  STRICTER than the canon compare (no int/float
+    unification), so a True here implies the canon compare would pass;
+    any False or ineligibility falls through to canon.  Exists because
+    the per-value Python canon costs minutes on million-row outputs
+    (the sf0.1 sweep's dominant cost) where this takes seconds."""
+    s = _coerce_fast(spark_pdf.reindex(sorted(spark_pdf.columns), axis=1))
+    o = _coerce_fast(oracle_pdf.reindex(sorted(oracle_pdf.columns), axis=1))
+    if s is None or o is None or list(s.dtypes) != list(o.dtypes):
+        return False
+    try:
+        s = s.sort_values(by=list(s.columns), ignore_index=True)
+        o = o.sort_values(by=list(o.columns), ignore_index=True)
+    except TypeError:
+        return False  # unorderable mixed objects: canon path
+    return s.equals(o)
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     check_types(spark_df, oracle_sql, sf_dir)
     spark_pdf = spark_df.toPandas()
@@ -115,6 +157,11 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         oracle_pdf = con.execute(oracle_sql).fetchdf()
     finally:
         con.close()
+
+    if len(spark_pdf) == len(oracle_pdf) and sorted(spark_pdf.columns) == sorted(
+        oracle_pdf.columns
+    ) and _fast_equal(spark_pdf, oracle_pdf):
+        return
 
     assert len(spark_pdf) == len(oracle_pdf), (
         f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
