@@ -5,8 +5,10 @@
 - ``queries()``: every declared operator from SURVEY.md §2 plus the
   training-data extensions, from the package registry.
 - ``oracle_sql()``: the DuckDB oracle for each query that is
-  SQL-expressible (rows-only ops — HLL sketches, LSH bucketing, stubbed
-  codecs — are omitted by design and carry unit tests instead).
+  SQL-expressible. Only ss02/ss03 (seeded hyperplane/IVF LSH ANN) are
+  omitted by design — DuckDB cannot replay xxhash64-seeded projections;
+  each carries a hash-gated audit companion (ss02b/ss03b) plus recall
+  unit tests.
 """
 
 from __future__ import annotations
