@@ -102,6 +102,81 @@ def ct01_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ct02_decontaminate",
+    # ct01's detection CTEs, finished as the REMOVAL decision: any
+    # corpus doc sharing >= 1 benchmark gram is dropped (the
+    # conservative eval-leakage policy); survivors are the clean
+    # training corpus.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - {_GRAM_N - 1})) AS pos
+            FROM toks
+        ),
+        bg AS (
+            SELECT DISTINCT array_to_string(tk[pos:pos+{_GRAM_N - 1}], ' ') AS gram
+            FROM pos WHERE doc_id % 97 = 0
+        ),
+        contaminated AS (
+            SELECT DISTINCT p.doc_id
+            FROM pos p
+            JOIN bg ON array_to_string(p.tk[p.pos:p.pos+{_GRAM_N - 1}], ' ')
+                       = bg.gram
+            WHERE p.doc_id % 97 <> 0
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "contamination", "writer"),
+)
+def ct02_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination WRITER — ct01 detects benchmark n-gram overlap;
+    this operator acts on it: every corpus document sharing ANY word
+    {_GRAM_N}-gram with the held-out benchmark set (doc_id % 97 == 0)
+    is dropped, and the surviving clean corpus is emitted — the table a
+    training run actually reads.  Detect (ct01) -> remove (ct02) is
+    the same pairing as dd10 -> dd13.
+
+    Scale shape: identical to ct01 up to the contaminated-doc set
+    (scan-side gram derivation, broadcast benchmark gram set, one
+    distinct), then one doc-keyed LEFT ANTI join — the corpus is
+    scanned once, nothing token-level ever shuffles, and the
+    contaminated id set (bounded by true leaks) broadcasts."""
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    grams = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(tk, _GRAM_N),
+                lambda p: F.concat_ws(" ", F.slice(tk, p, _GRAM_N)),
+            )
+        ).alias("gram"),
+    )
+    benchmark = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(benchmark), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        t.documents.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 # -- px01: PII redaction ------------------------------------------------------
 
 _EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"

@@ -555,6 +555,54 @@ _VB02_ORACLE = (
 )
 
 
+def _bpe_train(documents: DataFrame):
+    """The shared BPE training loop (vb02 learns from it, vb03 applies
+    it): build the word-frequency working set with ONE corpus scan,
+    then per iteration find the top adjacent pair (count DESC, pair ASC
+    tie-break) and apply it greedily in-row; yields
+    ``(iteration, top_row, working_set_after)`` so callers can read
+    per-iteration stats (vb02) or keep the final vocab table (vb03).
+    localCheckpoint per merge keeps each iteration's jobs on the
+    materialized vocab table instead of a growing fold-of-folds plan —
+    without the initial one, lazy lineage re-reads the corpus on every
+    iteration's actions (6 scans for 3 merges)."""
+    words = (
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    for k in range(1, _BPE_ITERS + 1):
+        pairs = (
+            s.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> named_struct("
+                        "'a', element_at(syms, i),"
+                        " 'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()[0]
+        s = _bpe_apply_merge(s, top.a, top.b).localCheckpoint(eager=True)
+        yield k, top, s
+
+
 def _bpe_apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
     """Apply one merge (a, b) to every word's symbol list — the greedy
     left-to-right non-overlapping BPE walk as ONE in-row fold (the
@@ -624,45 +672,8 @@ def vb02_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy left-to-right merge expressed positionally (odd ranks within
     consecutive candidate runs)."""
     t = tables(spark, sf_dir)
-    words = (
-        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    s = words.select(
-        "word",
-        "freq",
-        F.expr(
-            "transform(sequence(1, length(word)),"
-            " i -> substring(word, i, 1))"
-        ).alias("syms"),
-    ).localCheckpoint(eager=True)  # ONE corpus scan, materialized as the
-    # vocab-sized working set — without this, lazy lineage re-reads the
-    # corpus on every iteration's actions (6 scans for 3 merges)
     out = None
-    for k in range(1, _BPE_ITERS + 1):
-        pairs = (
-            s.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> named_struct("
-                        "'a', element_at(syms, i),"
-                        " 'b', element_at(syms, i + 1)))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        )
-        top = pairs.orderBy(
-            F.desc("cnt"), F.asc("a"), F.asc("b")
-        ).limit(1).collect()[0]
-        # checkpoint per merge: keeps each iteration's jobs on the
-        # materialized vocab table instead of a growing fold-of-folds plan
-        s = _bpe_apply_merge(s, top.a, top.b).localCheckpoint(eager=True)
+    for k, top, s in _bpe_train(t.documents):
         row = s.agg(
             F.sum(F.col("freq") * F.size("syms"))
             .cast("bigint")
@@ -676,6 +687,84 @@ def vb02_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("iteration")
+
+
+_VB03_ORACLE = (
+    """
+        WITH w AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY 1
+        ),
+        s0 AS (
+            SELECT word, freq,
+                   list_transform(generate_series(1, len(word)),
+                                  i -> word[i:i]) AS syms
+            FROM w
+        ),"""
+    + ",".join(_bpe_iteration_sql(k) for k in range(1, _BPE_ITERS + 1))
+    + f""",
+        tl AS MATERIALIZED (
+            SELECT word, len(syms) AS tok FROM s{_BPE_ITERS}
+        ),
+        dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(t.tok) AS BIGINT) AS n_tokens,
+               round(sum(len(dw.word)) * 1.0 / sum(t.tok), 4)
+                   AS chars_per_token
+        FROM dw JOIN tl t USING (word)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+)
+
+
+@register(
+    "vb03_bpe_tokenize",
+    oracle=_VB03_ORACLE,
+    tags=("text", "tokenizer", "pipeline", "writer"),
+)
+def vb03_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the vb02 loop: train
+    the same {_BPE_ITERS}-merge BPE schedule, then tokenize the corpus
+    with it, reporting per-document word/token counts and the
+    chars-per-token compression ratio (the number a tokenizer-budget
+    planner actually consumes).
+
+    Scale shape — the key insight production tokenizer-application jobs
+    use: documents are NOT re-folded symbol-by-symbol; the trained
+    working set already maps every distinct word to its final symbol
+    count, so corpus tokenization is a word-keyed equi-join of the doc
+    word stream against the vocabulary table + one per-doc partial agg.
+    Corpus-sized work = one scan + one shuffle; the merge folds only
+    ever ran on the vocabulary-sized table during training.  The
+    DuckDB oracle replays the identical training schedule, then joins
+    the same vocab table back (MATERIALIZED — it is referenced through
+    a doc-sized join and must not re-inline the training chain)."""
+    t = tables(spark, sf_dir)
+    s = None
+    for _k, _top, s in _bpe_train(t.documents):
+        pass
+    vocab = s.select("word", F.size("syms").alias("tok"))
+    dw = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("tok"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # -- tx10: bigram-probability quality score -----------------------------------

@@ -529,3 +529,23 @@ def should_decode_media_in_single_arrow_pass(spark, registry, sf_dir):
         plan = _plan(spark, registry, name, sf_dir)
         assert plan.count("MapInPandas") == 2, plan  # tree + detail block
         assert "Join" not in plan, plan
+
+
+def should_broadcast_benchmark_grams_in_decontamination(spark, registry, sf_dir):
+    # ct02: the benchmark gram set and the contaminated-id set both
+    # broadcast; the corpus is never shuffled token-level — the only
+    # joins are broadcast hash joins
+    plan = _plan(spark, registry, "ct02_decontaminate", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def should_tokenize_corpus_via_vocab_join_not_per_doc_folds(spark, registry, sf_dir):
+    # vb03: corpus tokenization is a word-keyed equi-join against the
+    # trained vocab table — the merge folds must NOT appear in the
+    # corpus-side plan (they only ever ran on the vocab working set,
+    # whose lineage is cut by localCheckpoint)
+    plan = _plan(spark, registry, "vb03_bpe_tokenize", sf_dir)
+    assert "aggregate(" not in plan.lower() or "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
