@@ -356,12 +356,13 @@ _PQ_K = 4  # codewords per subspace (2-bit codes)
 _PQ_ITERS = 2  # Lloyd rounds per subspace codebook
 
 
-def _pq_oracle(
+def _pq_cte_blocks(
     m: int = _PQ_M, sub: int = _PQ_SUB, k: int = _PQ_K, iters: int = _PQ_ITERS
-) -> str:
-    """DuckDB replay of per-subspace codebook training + encoding: the
-    cl01 Lloyd schedule run independently on each dimension slice, then
-    per-(subspace, code) cell stats."""
+) -> list[str]:
+    """The shared WITH-clause replaying per-subspace PQ codebook
+    training: v0 (corpus), v_m{j} (slices), c_m{j}_{it} (per-iteration
+    centroids), a_m{j}_fin (final code assignment per vector).  Both
+    em02 (codebook audit) and ss05 (ADC search) build on these."""
     blocks = [
         """
 WITH v0 AS (
@@ -369,7 +370,6 @@ WITH v0 AS (
   FROM embeddings
 )"""
     ]
-    selects = []
     sq = _sq_expr("v.v", "c.c", sub)
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
@@ -412,12 +412,23 @@ a_m{j}_fin AS (
   WHERE rn = 1
 )"""
         )
-        selects.append(
-            f"""SELECT CAST({j} AS BIGINT) AS subspace, cid AS code,
+    return blocks
+
+
+def _pq_oracle(
+    m: int = _PQ_M, sub: int = _PQ_SUB, k: int = _PQ_K, iters: int = _PQ_ITERS
+) -> str:
+    """DuckDB replay of per-subspace codebook training + encoding: the
+    cl01 Lloyd schedule run independently on each dimension slice, then
+    per-(subspace, code) cell stats."""
+    blocks = _pq_cte_blocks(m, sub, k, iters)
+    selects = [
+        f"""SELECT CAST({j} AS BIGINT) AS subspace, cid AS code,
        CAST(count(*) AS BIGINT) AS n_vectors,
        round(avg(dist), 4) AS avg_sq_err
 FROM a_m{j}_fin GROUP BY 1, 2"""
-        )
+        for j in range(m)
+    ]
     return (
         "".join(blocks)
         + "\n"
@@ -475,3 +486,149 @@ def em02_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("subspace", "code")
+
+
+# -- ss05: PQ asymmetric-distance search --------------------------------------
+
+_ADC_NQ = 5  # query vectors (vec_id < 5 — ss01's convention)
+_ADC_TOPK = 3
+
+
+def _pq_adc_oracle(
+    m: int = _PQ_M,
+    sub: int = _PQ_SUB,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    n_q: int = _ADC_NQ,
+    topk: int = _ADC_TOPK,
+) -> str:
+    """Replay of PQ training + encoding + ADC ranking: codes from
+    a_m{j}_fin, codewords from the final per-subspace centroids, the
+    asymmetric distance as the fixed-order sum of per-subspace
+    9-dp-rounded squared distances (query slice vs codeword), top-k by
+    (adc, c_id)."""
+    blocks = _pq_cte_blocks(m, sub, k, iters)
+    enc_joins = " JOIN ".join(
+        [f"a_m0_fin f0"]
+        + [f"a_m{j}_fin f{j} USING (vec_id)" for j in range(1, m)]
+    )
+    enc_cols = ", ".join(f"f{j}.cid AS code{j}" for j in range(m))
+    cw_joins = " ".join(
+        f"JOIN c_m{j}_{iters} c{j} ON c{j}.cid = e.code{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        _sq_expr(f"(q.v[{j * sub + 1}:{(j + 1) * sub}])", f"c{j}.c", sub)
+        for j in range(m)
+    )
+    return (
+        "".join(blocks)
+        + f""",
+enc AS (
+  SELECT f0.vec_id, {enc_cols}
+  FROM {enc_joins}
+),
+q AS (SELECT vec_id AS q_id, v FROM v0 WHERE vec_id < {n_q}),
+d AS (
+  SELECT q.q_id, e.vec_id AS c_id, {adc} AS adc
+  FROM q CROSS JOIN enc e {cw_joins}
+  WHERE q.q_id <> e.vec_id
+)
+SELECT q_id, c_id, round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, c_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+  FROM d
+)
+WHERE rn <= {topk}
+ORDER BY q_id, rnk"""
+    )
+
+
+def _sq_between(col: Column, centroid: list[float]) -> Column:
+    """Squared L2 between an arbitrary array column and a literal
+    centroid — `_sq_dist_to` generalized beyond the hardcoded ``v``
+    column; same left-to-right fold and 9-dp round as the oracle."""
+    c = F.array(*[F.lit(x) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(col, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        9,
+    )
+
+
+@register(
+    "ss05_pq_adc_search",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "compression", "ann", "pipeline"),
+)
+def ss05_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-k search — the query path the em02
+    codebooks exist for, completing the quantized-ANN loop (train em02
+    -> encode -> search here, as ss04 completed cl01's IVF loop):
+    every corpus vector is reduced to m={_PQ_M} codes, and each query
+    ranks candidates by the sum of per-subspace squared distances to
+    the CODEWORDS (full-precision query vs quantized database — the
+    'asymmetric' in ADC), never touching the original vectors.
+
+    Scale shape: after training (vocab-sized driver model), encoding
+    is one in-row codegen pass over the corpus; search broadcasts the
+    query block and streams the encoded corpus once — per candidate
+    the work is m codeword selections + m fixed-order rounded sums,
+    independent of the raw dimension (the 16x arithmetic reduction
+    that makes billion-scale ANN affordable; a production run also
+    caches the |Q| x m x k lookup table, which this in-row form fuses
+    into codegen).  Every step — codebooks, codes, distances, ranks —
+    is deterministic arithmetic, so the entire compressed-index search
+    is hash-gated, unlike seeded-projection ANN (ss02/ss03)."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents_per_sub = []
+    for j in range(_PQ_M):
+        em = e.select(
+            "vec_id", F.slice("v", j * _PQ_SUB + 1, _PQ_SUB).alias("v")
+        )
+        _fin, cents = kmeans_fit(em, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUB)
+        cents_per_sub.append(cents)
+    enc = e
+    for j, cents in enumerate(cents_per_sub):
+        sl = F.slice("v", j * _PQ_SUB + 1, _PQ_SUB)
+        structs = [
+            F.struct(
+                _sq_between(sl, cw).alias("dist"), F.lit(cid).alias("cid")
+            )
+            for cid, cw in sorted(cents.items())
+        ]
+        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*structs))["cid"])
+    q = e.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = enc.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+    adc = None
+    for j, cents in enumerate(cents_per_sub):
+        qsl = F.slice("qv", j * _PQ_SUB + 1, _PQ_SUB)
+        dj = None
+        for cid, cw in sorted(cents.items()):
+            cond = F.col(f"code{j}") == cid
+            term = _sq_between(qsl, cw)
+            dj = F.when(cond, term) if dj is None else dj.when(cond, term)
+        adc = dj if adc is None else adc + dj
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    return (
+        pairs.select("q_id", F.col("vec_id").alias("c_id"), adc.alias("adc"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 4).alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
