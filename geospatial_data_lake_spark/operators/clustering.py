@@ -580,7 +580,13 @@ def ss05_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of the raw dimension (the 16x arithmetic reduction
     that makes billion-scale ANN affordable; a production run also
     caches the |Q| x m x k lookup table, which this in-row form fuses
-    into codegen).  Every step — codebooks, codes, distances, ranks —
+    into codegen).  At 100 TB this exhaustive-ADC form composes with
+    ss04's trained-IVF probe (the FAISS IVFPQ layout): the inverted
+    lists cut each query's candidate stream to nprobe lists BEFORE the
+    ADC ranking, so the final per-query top-k window runs over
+    list-sized, not corpus-sized, input — here the corpus is scanned
+    whole because this query IS the exact-ADC oracle baseline for that
+    composition.  Every step — codebooks, codes, distances, ranks —
     is deterministic arithmetic, so the entire compressed-index search
     is hash-gated, unlike seeded-projection ANN (ss02/ss03)."""
     from pyspark.sql import Window

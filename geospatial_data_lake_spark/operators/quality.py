@@ -557,3 +557,116 @@ def dq06_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# -- dq07: rolling z-score volume anomalies -----------------------------------
+
+_DQ07_WIN = 24  # trailing hourly buckets in the baseline window
+_DQ07_MIN = 12  # minimum baseline buckets before scoring
+_DQ07_Z = 3.0  # |z| flag threshold
+
+
+@register(
+    "dq07_volume_anomalies",
+    # Exact-integer baseline statistics make the z-score cross-engine
+    # deterministic: the rolling window carries n / sum(x) / sum(x^2)
+    # as INTEGER sums (CAST back from DuckDB's HUGEINT), and the double
+    # arithmetic on top is written in the identical association order
+    # on both engines.
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, hour, cnt,
+                   CAST(count(cnt) OVER tw AS BIGINT) AS n,
+                   CAST(COALESCE(sum(cnt) OVER tw, 0) AS BIGINT) AS sx,
+                   CAST(COALESCE(sum(cnt * cnt) OVER tw, 0) AS BIGINT)
+                       AS sxx
+            FROM b
+            WINDOW tw AS (
+                PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN {_DQ07_WIN} PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_type, hour, cnt,
+               CASE WHEN n >= {_DQ07_MIN} AND
+                         (sxx - n * (sx * 1.0 / n) * (sx * 1.0 / n))
+                             / (n - 1) > 0
+                    THEN round(
+                        (cnt - sx * 1.0 / n)
+                        / sqrt((sxx - n * (sx * 1.0 / n) * (sx * 1.0 / n))
+                               / (n - 1)), 4)
+               END AS zscore,
+               COALESCE(abs(
+                   (cnt - sx * 1.0 / n)
+                   / sqrt((sxx - n * (sx * 1.0 / n) * (sx * 1.0 / n))
+                          / (n - 1))) > {_DQ07_Z}
+                   AND n >= {_DQ07_MIN}, FALSE) AS is_anomaly
+        FROM w
+        ORDER BY event_type, hour
+    """,
+    tags=("quality", "timeseries", "anomaly"),
+)
+def dq07_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume anomaly monitor: hourly per-type event counts
+    scored against a trailing {_DQ07_WIN}-bucket rolling baseline by
+    z-score, flagging |z| > {_DQ07_Z} — the freshness/volume alarm every
+    ingest pipeline runs ahead of its quality gates (dq01/dq04 catch
+    distribution drift; this catches the pipeline silently stalling or
+    doubling).
+
+    Determinism discipline: the baseline window aggregates n / sum(x) /
+    sum(x^2) as EXACT integer sums — partial-aggregation order cannot
+    move them — and the mean/variance/z double arithmetic on top is
+    association-identical on both engines, so a continuous statistic
+    over a rolling window still hash-gates.  Scale shape: one scan to
+    hourly cells (partial-agg shuffle bounded by types x hours), then
+    a per-type ordered window over the BUCKET table (types x hours
+    rows, corpus-size-independent) — the window never touches raw
+    events."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    b = (
+        t.events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_DQ07_WIN, -1)
+    )
+    w = (
+        b.withColumn("n", F.count("cnt").over(tw).cast("long"))
+        .withColumn(
+            "sx", F.coalesce(F.sum("cnt").over(tw), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "sxx",
+            F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(tw), F.lit(0))
+            .cast("long"),
+        )
+    )
+    # try_divide: NULL instead of an ANSI error on empty baselines —
+    # common-subexpression elimination evaluates these even under the
+    # CASE guard, so the guard alone cannot prevent the division
+    mean = F.try_divide(F.col("sx") * F.lit(1.0), F.col("n"))
+    var = F.try_divide(
+        F.col("sxx") - F.col("n") * mean * mean, F.col("n") - 1
+    )
+    z = F.try_divide(F.col("cnt") - mean, F.sqrt(var))
+    scored = F.col("n") >= _DQ07_MIN
+    return w.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.when(scored & (var > 0), F.round(z, 4)).alias("zscore"),
+        F.coalesce(
+            (F.abs(z) > _DQ07_Z) & scored, F.lit(False)
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")
