@@ -807,3 +807,97 @@ def vs11_hidden_partition_pruned_read(
         )
         .orderBy("event_id")
     )
+
+
+# -- st03: streaming hourly-cell maintenance + volume monitor -----------------
+
+_VOLUME_STREAMED: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_volume_streamed_cells(spark, sf_dir: str) -> ManifestTable:
+    """events -> streaming hourly-cell materialization: the event log
+    arrives as a 4-file stream (one micro-batch per file, split by
+    event_id hash — deliberately NOT time-ordered), a stateful tumbling
+    1-hour windowed count runs in UPDATE mode, and each micro-batch's
+    changed cells MERGE into a lake table keyed (event_type, hour).
+    Update-mode emission + keyed upsert is what makes the final table
+    equal the batch hourly counts for ANY arrival order — the property
+    that lets a declarative SQL oracle check a streaming monitor."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _VOLUME_STREAMED:
+        return _VOLUME_STREAMED[cache_key]
+    from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
+
+    t = tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gdl_lake_st3_")
+    src = os.path.join(root, "src")
+    ev = t.events.select("event_id", "ts", "event_type")
+    for b in range(4):
+        ev.filter(F.pmod(F.xxhash64("event_id"), 4) == b).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    mt = ManifestTable(
+        spark,
+        os.path.join(root, "table"),
+        key_cols=["event_type", "hour"],
+        partition_by=["event_type"],
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "cnt",
+        )
+    )
+    q = stream_upsert(
+        cells,
+        mt,
+        os.path.join(root, "ckpt"),
+        app_id="st03",
+        output_mode="update",
+    )
+    q.awaitTermination()
+    _VOLUME_STREAMED[cache_key] = mt
+    return mt
+
+
+from geospatial_data_lake_spark.operators.quality import (  # noqa: E402
+    DQ07_ORACLE as _DQ07_ORACLE,
+)
+
+
+@register(
+    "st03_stream_volume_monitor",
+    # Same oracle as dq07, shared verbatim — the streaming cell
+    # maintenance must land on exactly the batch hourly counts, and the
+    # monitor's scoring on top is the identical deterministic
+    # integer-baseline arithmetic.
+    oracle=_DQ07_ORACLE,
+    tags=("lake", "streaming", "quality", "anomaly"),
+)
+def st03_stream_volume_monitor(spark, sf_dir: str):
+    """The dq07 volume monitor fed by STREAMING state: hourly cells are
+    maintained by a stateful update-mode windowed count merged into a
+    lake table per micro-batch (exactly-once via txn-stamped upserts),
+    and the rolling z-score scoring runs over the streamed cells — the
+    production deployment shape, where the monitor reads continuously
+    maintained aggregates instead of rescanning the raw log.  The
+    external check is end-to-end: stream -> state -> merge -> monitor
+    must reproduce dq07's batch answer bit-for-bit.
+
+    Scale shape: streaming state is one (type, hour) cell per group
+    (watermark-evictable in a continuous deployment); each micro-batch
+    merges only the cells it changed (O(touched partitions)); the
+    scoring window runs on the cell table, corpus-size-independent."""
+    from geospatial_data_lake_spark.operators.quality import score_volume_cells
+
+    mt = _build_volume_streamed_cells(spark, sf_dir)
+    return score_volume_cells(mt.read().select("event_type", "hour", "cnt"))
+

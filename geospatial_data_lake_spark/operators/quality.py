@@ -566,14 +566,13 @@ _DQ07_MIN = 12  # minimum baseline buckets before scoring
 _DQ07_Z = 3.0  # |z| flag threshold
 
 
-@register(
-    "dq07_volume_anomalies",
-    # Exact-integer baseline statistics make the z-score cross-engine
-    # deterministic: the rolling window carries n / sum(x) / sum(x^2)
-    # as INTEGER sums (CAST back from DuckDB's HUGEINT), and the double
-    # arithmetic on top is written in the identical association order
-    # on both engines.
-    oracle=f"""
+# Exact-integer baseline statistics make the z-score cross-engine
+# deterministic: the rolling window carries n / sum(x) / sum(x^2) as
+# INTEGER sums (CAST back from DuckDB's HUGEINT), and the double
+# arithmetic on top is written in the identical association order on
+# both engines.  Shared verbatim with st03, whose streamed cells must
+# reproduce this exact answer.
+DQ07_ORACLE = f"""
         WITH b AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
                    CAST(count(*) AS BIGINT) AS cnt
@@ -607,7 +606,55 @@ _DQ07_Z = 3.0  # |z| flag threshold
                    AND n >= {_DQ07_MIN}, FALSE) AS is_anomaly
         FROM w
         ORDER BY event_type, hour
-    """,
+    """
+
+
+def score_volume_cells(cells: DataFrame) -> DataFrame:
+    """The dq07 scoring pass over an (event_type, hour, cnt) cell
+    table — shared by the batch monitor (dq07) and the streaming-state
+    monitor (st03).  See dq07's docstring for the determinism
+    discipline."""
+    from pyspark.sql import Window
+
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_DQ07_WIN, -1)
+    )
+    w = (
+        cells.withColumn("n", F.count("cnt").over(tw).cast("long"))
+        .withColumn(
+            "sx", F.coalesce(F.sum("cnt").over(tw), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "sxx",
+            F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(tw), F.lit(0))
+            .cast("long"),
+        )
+    )
+    # try_divide: NULL instead of an ANSI error on empty baselines —
+    # common-subexpression elimination evaluates these even under the
+    # CASE guard, so the guard alone cannot prevent the division
+    mean = F.try_divide(F.col("sx") * F.lit(1.0), F.col("n"))
+    var = F.try_divide(
+        F.col("sxx") - F.col("n") * mean * mean, F.col("n") - 1
+    )
+    z = F.try_divide(F.col("cnt") - mean, F.sqrt(var))
+    scored = F.col("n") >= _DQ07_MIN
+    return w.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.when(scored & (var > 0), F.round(z, 4)).alias("zscore"),
+        F.coalesce(
+            (F.abs(z) > _DQ07_Z) & scored, F.lit(False)
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")
+
+
+@register(
+    "dq07_volume_anomalies",
+    oracle=DQ07_ORACLE,
     tags=("quality", "timeseries", "anomaly"),
 )
 def dq07_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:

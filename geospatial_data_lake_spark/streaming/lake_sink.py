@@ -28,10 +28,22 @@ from pyspark.sql import DataFrame
 from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
 
 
-def _start(stream: DataFrame, batch_fn, checkpoint_dir: str, available_now: bool):
+def _start(
+    stream: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    available_now: bool,
+    output_mode: str | None = None,
+):
     writer = stream.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", checkpoint_dir
     )
+    if output_mode is not None:
+        # streaming AGGREGATIONS need update/complete even under
+        # foreachBatch: update mode delivers each group's CURRENT
+        # accumulated value per micro-batch, which a keyed upsert
+        # materializes arrival-order-independently
+        writer = writer.outputMode(output_mode)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -43,6 +55,7 @@ def stream_upsert(
     checkpoint_dir: str,
     app_id: str,
     available_now: bool = True,
+    output_mode: str | None = None,
 ):
     """MERGE each micro-batch into ``table`` exactly once.
 
@@ -50,9 +63,17 @@ def stream_upsert(
     1:1 with ``checkpoint_dir``); Structured Streaming's monotone
     ``batch_id`` becomes the txn version.  ``availableNow`` drains the
     backlog and stops (the incremental-batch pattern); pass
-    ``available_now=False`` for a continuously running query."""
+    ``available_now=False`` for a continuously running query.  Pass
+    ``output_mode="update"`` when ``stream`` carries a stateful
+    aggregation: each micro-batch then delivers the groups it changed
+    with their current accumulated values, and the keyed MERGE turns
+    that into the final table state regardless of arrival order."""
     return _start(
-        stream, upsert_batch_fn(table, app_id), checkpoint_dir, available_now
+        stream,
+        upsert_batch_fn(table, app_id),
+        checkpoint_dir,
+        available_now,
+        output_mode,
     )
 
 
