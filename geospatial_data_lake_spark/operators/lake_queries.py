@@ -901,3 +901,60 @@ def st03_stream_volume_monitor(spark, sf_dir: str):
     mt = _build_volume_streamed_cells(spark, sf_dir)
     return score_volume_cells(mt.read().select("event_type", "hour", "cnt"))
 
+
+
+# -- vs12: tagged snapshot protected across retention GC ----------------------
+
+_TAGGED_LAKE: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_tagged_lake(spark, sf_dir: str) -> ManifestTable:
+    """A small keyed table under AGGRESSIVE retention (keep_versions=2):
+    v1 appends the base slice and is tagged; four further MERGE commits
+    then push v1 far outside the retention window, so by the time the
+    query reads, every untagged early version is GC'd — the tag is the
+    only thing keeping the snapshot alive."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _TAGGED_LAKE:
+        return _TAGGED_LAKE[cache_key]
+    t = tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gdl_lake_vs12_")
+    mt = ManifestTable(
+        spark,
+        root,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderstatus"],
+        keep_versions=2,
+    )
+    base = t.orders.filter(F.col("o_orderkey") % 50 == 0).select(*_COLS)
+    mt.append(base)
+    mt.tag("train-corpus")  # pins v1
+    for i in range(2, 6):
+        mt.upsert(
+            base.withColumn("o_totalprice", F.col("o_totalprice") * i)
+        )
+    _TAGGED_LAKE[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs12_tagged_snapshot_read",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 50 = 0
+    """,
+    tags=("lake", "manifest", "tags", "time-travel"),
+)
+def vs12_tagged_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read an Iceberg-style NAMED TAG through retention pressure: the
+    table keeps only 2 versions and has committed 4 MERGEs since the
+    tag, so every untagged early snapshot is GC'd — yet
+    ``read(version="train-corpus")`` must return the exact tagged state
+    (the untouched base slice), proving both the named-ref resolution
+    path and the GC protection that lets a training run cite the
+    precise corpus it consumed long after the rolling window moved on.
+    Scale shape: a tag is one ref file; protection costs GC exactly the
+    tagged manifest's file set — O(1) metadata, no data copies."""
+    mt = _build_tagged_lake(spark, sf_dir)
+    return mt.read(version="train-corpus").select(*_COLS)

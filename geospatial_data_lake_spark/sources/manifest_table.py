@@ -135,6 +135,7 @@ class ManifestTable:
         self._commits = os.path.join(root, "commits")
         self._manifests = os.path.join(root, "manifests")
         self._data = os.path.join(root, "data")
+        self._refs = os.path.join(root, "refs")
 
     # -- manifest plumbing -------------------------------------------------
     def _current(self) -> tuple[int, dict | None]:
@@ -188,12 +189,17 @@ class ManifestTable:
             names = sorted(os.listdir(self._commits))
         except FileNotFoundError:
             return
-        expired = [n for n in names if int(n) <= committed_gen - self.keep]
+        tagged = set(self.tags().values())
+        expired = [
+            n
+            for n in names
+            if int(n) <= committed_gen - self.keep and int(n) not in tagged
+        ]
         if not expired:
             return
         retained_files: set[str] = set()
         for n in names:
-            if int(n) > committed_gen - self.keep:
+            if int(n) > committed_gen - self.keep or int(n) in tagged:
                 try:
                     m = self._load_manifest(int(n))
                 except NotFoundError:
@@ -699,13 +705,74 @@ class ManifestTable:
                 cond = cond & (F.col(col) == F.lit(spec))
         return cond
 
-    def _manifest_at(self, version: int | None) -> dict | None:
+    def _manifest_at(self, version: int | str | None) -> dict | None:
         """The manifest for ``version`` (head when None; None when the
         table has never been committed) — the single version-resolution
-        path every read-side accessor goes through."""
+        path every read-side accessor goes through.  A string version
+        is a TAG name (resolved through ``resolve_tag``), so every
+        versioned accessor — read, planned_files, changes — accepts
+        tags for free."""
         if version is None:
             return self._current()[1]
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         return self._load_manifest(version)
+
+    # -- named refs (tags) ---------------------------------------------------
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to ``version`` (default: current head) — the
+        Iceberg tag: an immutable named ref that (a) reads like a
+        version (``read(version="release-1")``) and (b) PROTECTS its
+        snapshot from retention GC for as long as it exists, so a
+        training run can cite the exact corpus state it consumed long
+        after the rolling window moved on.  Atomic-create, so two
+        racing taggers cannot both win one name; re-tagging an existing
+        name raises (delete first — an audit-visible two-step, like
+        Iceberg's replace)."""
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"bad tag name {name!r}")
+        gen = self.current_version() if version is None else int(version)
+        self._load_manifest(gen)  # must exist and still be retained
+        os.makedirs(self._refs, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(self._refs, name),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(gen))
+        return gen
+
+    def resolve_tag(self, name: str) -> int:
+        try:
+            with open(os.path.join(self._refs, name)) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            raise NotFoundError(f"unknown tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        """All tags as {name: version}."""
+        try:
+            names = os.listdir(self._refs)
+        except FileNotFoundError:
+            return {}
+        out = {}
+        for n in sorted(names):
+            try:
+                out[n] = self.resolve_tag(n)
+            except (NotFoundError, ValueError):
+                continue  # concurrent delete / partial write
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        """Drop the tag; its snapshot re-enters normal retention and is
+        reclaimed by the NEXT commit's GC pass once outside the window."""
+        try:
+            os.unlink(os.path.join(self._refs, name))
+        except FileNotFoundError:
+            raise NotFoundError(f"unknown tag {name!r}") from None
 
     def planned_files(
         self, where: dict | None = None, version: int | None = None

@@ -1274,3 +1274,49 @@ def should_prune_hidden_partitions_exactly_under_generated_predicates(
                 assert len(planned) < n_files_total, (vp, up)
 
     check()
+
+
+def should_read_by_tag_and_protect_tagged_snapshots_from_gc(spark, tmp_path):
+    """Iceberg-style tags: a named ref reads like a version, survives
+    retention GC for as long as it exists, and re-enters normal
+    retention when deleted."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["part"],
+        keep_versions=2,
+    )
+    v1 = mt.upsert(_mk(spark, [(1, "a", "x")]))
+    mt.tag("release-1")  # pins v1 (head)
+    assert mt.tags() == {"release-1": v1}
+    for i in range(2, 7):  # push v1 far outside the 2-version window
+        mt.upsert(_mk(spark, [(1, "a", f"x{i}")]))
+    # untagged old versions are gone...
+    with pytest.raises(NotFoundError):
+        mt.read(version=v1 + 1)
+    # ...but the tagged snapshot still reads, by tag AND by number
+    assert _state(mt.read(version="release-1")) == {1: ("a", "x")}
+    assert _state(mt.read(version=v1)) == {1: ("a", "x")}
+    # immutability: re-tagging raises; unknown tags raise
+    with pytest.raises(ValueError):
+        mt.tag("release-1")
+    with pytest.raises(NotFoundError):
+        mt.read(version="no-such-tag")
+    # delete -> the snapshot is reclaimed by the next commit's GC pass
+    mt.delete_tag("release-1")
+    assert mt.tags() == {}
+    mt.upsert(_mk(spark, [(9, "a", "q")]))
+    with pytest.raises(NotFoundError):
+        mt.read(version=v1)
+
+
+def should_reject_bad_tag_names_and_untagged_versions(spark, tmp_path):
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    with pytest.raises(ValueError):
+        mt.tag("bad/name")
+    with pytest.raises(NotFoundError):
+        mt.tag("ok", version=999)  # version never committed
