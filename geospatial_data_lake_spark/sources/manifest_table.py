@@ -743,6 +743,22 @@ class ManifestTable:
             raise ValueError(f"tag {name!r} already exists") from None
         with os.fdopen(fd, "w") as fh:
             fh.write(str(gen))
+        # re-validate AFTER publishing the ref: a concurrent commit's GC
+        # pass may have expired the snapshot between our first check and
+        # the ref create (the ref only protects from GC passes that see
+        # it).  If the manifest is gone, withdraw the tag and fail
+        # loudly instead of leaving a dangling ref.
+        try:
+            self._load_manifest(gen)
+        except NotFoundError:
+            try:
+                os.unlink(os.path.join(self._refs, name))
+            except FileNotFoundError:
+                pass
+            raise NotFoundError(
+                f"version {gen} was garbage-collected while tagging; "
+                f"tag a retained version"
+            ) from None
         return gen
 
     def resolve_tag(self, name: str) -> int:
