@@ -958,3 +958,92 @@ def vs12_tagged_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged manifest's file set — O(1) metadata, no data copies."""
     mt = _build_tagged_lake(spark, sf_dir)
     return mt.read(version="train-corpus").select(*_COLS)
+
+
+# -- vs13: write-audit-publish lifecycle --------------------------------------
+
+_WAP_LAKE: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_wap_lake(spark, sf_dir: str) -> ManifestTable:
+    """Full WAP cycle against a live table: base append (v1); a FAILED
+    audit cycle first (staged MERGE poisons prices negative, the audit
+    query catches it, abort — the parent must never see it); then a
+    clean cycle (staged MERGE doubles the %100 keys' prices + staged
+    append of a disjoint slice, audit passes, publish) — the parent
+    jumps base -> audited state in ONE commit."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _WAP_LAKE:
+        return _WAP_LAKE[cache_key]
+    t = tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gdl_lake_vs13_")
+    mt = ManifestTable(
+        spark,
+        root,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    base = t.orders.filter(F.col("o_orderkey") % 3 == 0).select(*_COLS)
+    mt.append(base)
+
+    # cycle 1: poisoned MERGE caught by the audit -> abort
+    bad = mt.begin_staged()
+    bad.table.upsert(
+        base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+    )
+    n_bad = bad.table.read().filter(F.col("o_totalprice") < 0).count()
+    assert n_bad > 0  # the audit sees the staged poison...
+    mt.abort_staged(bad)  # ...and the parent never does
+
+    # cycle 2: clean MERGE + append, audit passes, publish
+    staged = mt.begin_staged()
+    staged.table.upsert(
+        base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    staged.table.append(
+        t.orders.filter(
+            (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 7 == 0)
+        ).select(*_COLS)
+    )
+    assert staged.table.read().filter(F.col("o_totalprice") < 0).count() == 0
+    mt.publish_staged(staged)
+    _WAP_LAKE[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs13_wap_publish",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+    """,
+    tags=("lake", "manifest", "wap", "staging"),
+)
+def vs13_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH, externally hash-gated end-to-end: a
+    poisoned staged MERGE is caught by its audit and aborted (the
+    parent never sees it — checked by the final state), then a clean
+    staged MERGE + append is audited and fast-forward-published as ONE
+    metadata-only parent commit.  The head must equal exactly
+    base-with-doubled-%100-prices plus the appended disjoint slice —
+    any leak from the aborted cycle, lost staged commit, or data
+    rewrite during publish breaks the hash.
+
+    Scale shape: staging shares the parent's data directory, so
+    publish/abort never move data — publish is one manifest commit
+    regardless of staged volume; the audit runs ordinary reads against
+    the staged snapshot (here a constraint-style scan)."""
+    mt = _build_wap_lake(spark, sf_dir)
+    return mt.read().select(*_COLS)

@@ -69,12 +69,13 @@ _LOADED = False
 # never-driver-checked queries move up.  Round-6 prefix: the 36 queries
 # added late in r5 that have never had a driver CORRECTNESS row, plus
 # pk01 (r5's single hash-fail — oracle HUGEINT typing, fixed this round,
-# re-proven here), plus the 11 queries new or re-implemented in r6
-# (dd12/mm02/mm03/pr01/dd13/vb03/ct02/ss05/dq07/st03/vs12), plus 2
-# family canaries (dd04 LSH and geo04 — the two most algorithmically
-# intricate proven paths; every other proven family re-proves through
-# this round's first-timer rows or the local mirror gate).  After this
-# round cumulative driver-green covers 194/196 (everything
+# re-proven here), plus the 12 queries new or re-implemented in r6
+# (dd12/mm02/mm03/pr01/dd13/vb03/ct02/ss05/dq07/st03/vs12/vs13), plus
+# 1 canary (geo04 — the most algorithmically intricate proven path;
+# every other proven family re-proves through this round's first-timer
+# rows, the bench headline set the driver also runs, or the local
+# mirror gate).  After this round cumulative driver-green covers
+# 195/197 (everything
 # except ss02/ss03, the two remaining rows-only ANN ops, which carry
 # hash-gated audit companions).  Everything not listed keeps its registration order
 # after the prioritized prefix; nothing is dropped.
@@ -136,13 +137,13 @@ _PRIORITY: tuple[str, ...] = (
     "dq07_volume_anomalies",
     "st03_stream_volume_monitor",
     "vs12_tagged_snapshot_read",
-    # 2 family canaries — driver-green in r2-r5, kept externally
+    "vs13_wap_publish",
+    # 1 family canary — driver-green in r2-r5, kept externally
     # visible so a regression in a proven family still surfaces (the
     # full registry runs under the local mirror gate every session; the
     # windows/aggregates families got fresh rows via w05/a09/a14/a15
     # in r5, so their canaries rotated out to make room for r6's new
     # queries)
-    "dd04_minhash_lsh_pairs",  # dedup / ANN
     "geo04_point_in_polygon",  # geospatial
     # --- 50-entry mark; proven rows retired from the checked prefix ---
     "s01_point_lookup",

@@ -1973,3 +1973,121 @@ def _safe_lt(a, b) -> bool:
     if isinstance(a, str) and isinstance(b, str):
         return a < b
     return False
+
+
+# -- write-audit-publish staging ----------------------------------------------
+
+
+class StagedCommit:
+    """Handle for an in-progress write-audit-publish cycle (see
+    ``ManifestTable.begin_staged``): ``table`` is a fully functional
+    ManifestTable invisible to the parent's readers — run any sequence
+    of appends/upserts/deletes against it, AUDIT the staged state with
+    ordinary reads/queries, then ``publish_staged`` (one metadata-only
+    parent commit) or ``abort_staged`` (parent never changes)."""
+
+    def __init__(
+        self, table: "ManifestTable", base_version: int, staging_root: str
+    ):
+        self.table = table
+        self.base_version = base_version
+        self.staging_root = staging_root
+
+
+def begin_staged(self) -> StagedCommit:
+    """Open a WRITE-AUDIT-PUBLISH staging area (Iceberg/Netflix WAP):
+    a private ManifestTable seeded BY REFERENCE with the parent's
+    current snapshot (metadata-only — zero data copies; its commit
+    chain lives under ``<root>/staging/<id>`` where no parent reader
+    looks, but its data files write into the PARENT's data directory,
+    which is what makes the eventual publish metadata-only).  Stage any
+    number of mutating commits, audit the result with ordinary queries
+    (constraints, dq checks, row counts), then publish or abort.
+
+    Unpublished staged data files are invisible to parent GC (no parent
+    manifest references them, and _gc only reclaims files referenced by
+    EXPIRED parent manifests); ``vacuum`` could reclaim them past its
+    age horizon — the same in-flight-writer exposure its docstring
+    already documents."""
+    base_gen, base_manifest = self._current()
+    staging_root = os.path.join(
+        self.root, "staging", uuid.uuid4().hex[:12]
+    )
+    staged = ManifestTable(
+        self._spark,
+        staging_root,
+        key_cols=list(self.key_cols),
+        partition_by=list(self.partition_by),
+        keep_versions=self.keep,
+        bloom_cols=list(self.bloom_cols),
+        partition_transforms=dict(self.partition_transforms),
+    )
+    staged._data = self._data  # shared data dir => publish is metadata-only
+    if base_manifest is not None:
+        staged._publish(base_manifest, expected_gen=0)
+    return StagedCommit(staged, base_gen, staging_root)
+
+
+def publish_staged(self, staged: StagedCommit) -> int:
+    """Fast-forward the parent to the staged head as ONE commit.
+
+    Readers of the parent atomically jump from the base snapshot to the
+    audited final state — none of the intermediate staged commits ever
+    becomes a parent version (the audit trail stays in the staging
+    chain until cleanup).  Raises CommitConflict if any writer
+    committed to the parent since ``begin_staged`` — WAP publishes are
+    strict fast-forwards; on conflict, re-stage on the new base (the
+    staged chain is untouched, so nothing is lost).  The staged head's
+    file REFERENCES are published as-is: no data is read, rewritten,
+    or moved."""
+    head_gen, _ = self._current()
+    if head_gen != staged.base_version:
+        raise CommitConflict(
+            f"parent advanced {staged.base_version} -> {head_gen} during "
+            f"staging; re-stage on the new base"
+        )
+    staged_gen, staged_manifest = staged.table._current()
+    if staged_manifest is None:
+        return head_gen  # nothing ever staged: publish is a no-op
+    self._publish(staged_manifest, expected_gen=head_gen)
+    shutil.rmtree(staged.staging_root, ignore_errors=True)
+    return head_gen + 1
+
+
+def abort_staged(self, staged: StagedCommit) -> None:
+    """Drop the staging area; the parent never changes.  Data files
+    that only staged commits referenced are deleted (they live in the
+    parent's data dir but no parent manifest knows them); files carried
+    by reference from the base snapshot are naturally protected."""
+    base_refs: set[str] = set()
+    try:
+        base_m = self._manifest_at(staged.base_version)
+    except NotFoundError:
+        base_m = None
+    if base_m:
+        for files in base_m["partitions"].values():
+            base_refs.update(files)
+        for entries in base_m.get("deletes", {}).values():
+            base_refs.update(d["file"] for d in entries)
+    staged_refs: set[str] = set()
+    try:
+        commits = os.listdir(staged.table._commits)
+    except FileNotFoundError:
+        commits = []
+    for n in commits:
+        try:
+            m = staged.table._load_manifest(int(n))
+        except (NotFoundError, ValueError):
+            continue
+        for files in m["partitions"].values():
+            staged_refs.update(files)
+        for entries in m.get("deletes", {}).values():
+            staged_refs.update(d["file"] for d in entries)
+    for f in staged_refs - base_refs:
+        shutil.rmtree(os.path.join(self._data, f), ignore_errors=True)
+    shutil.rmtree(staged.staging_root, ignore_errors=True)
+
+
+ManifestTable.begin_staged = begin_staged
+ManifestTable.publish_staged = publish_staged
+ManifestTable.abort_staged = abort_staged

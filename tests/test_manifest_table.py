@@ -1320,3 +1320,77 @@ def should_reject_bad_tag_names_and_untagged_versions(spark, tmp_path):
         mt.tag("bad/name")
     with pytest.raises(NotFoundError):
         mt.tag("ok", version=999)  # version never committed
+
+
+# -- write-audit-publish ------------------------------------------------------
+
+
+def should_publish_audited_staging_as_one_metadata_commit(spark, tmp_path):
+    """WAP golden path: multiple staged mutating commits become exactly
+    ONE parent version on publish, readers never see intermediates, and
+    the publish rewrites no data (the staged head's file references are
+    published verbatim)."""
+    import os
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    base_v = mt.current_version()
+
+    staged = mt.begin_staged()
+    staged.table.upsert(_mk(spark, [(1, "a", "x2")]))
+    staged.table.append(_mk(spark, [(3, "b", "z")]))
+    # AUDIT: staged state visible to the stager, invisible to readers
+    assert _state(staged.table.read()) == {
+        1: ("a", "x2"), 2: ("b", "y"), 3: ("b", "z"),
+    }
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y")}
+
+    staged_files = {
+        f
+        for files in staged.table._current()[1]["partitions"].values()
+        for f in files
+    }
+    data_before = set(os.listdir(mt._data))
+    v = mt.publish_staged(staged)
+    assert v == base_v + 1  # ONE commit, no intermediate versions
+    assert mt.current_version() == v
+    assert _state(mt.read()) == {1: ("a", "x2"), 2: ("b", "y"), 3: ("b", "z")}
+    published_files = {
+        f for files in mt._current()[1]["partitions"].values() for f in files
+    }
+    assert published_files == staged_files  # metadata-only fast-forward
+    assert set(os.listdir(mt._data)) == data_before  # no data written
+    assert not os.path.exists(staged.staging_root)
+
+
+def should_reject_publish_after_concurrent_parent_commit(spark, tmp_path):
+    """WAP publishes are strict fast-forwards: a parent commit during
+    staging fails the publish and leaves both sides intact."""
+    from geospatial_data_lake_spark.plans.catalog import CommitConflict
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    staged = mt.begin_staged()
+    staged.table.upsert(_mk(spark, [(2, "a", "y")]))
+    mt.upsert(_mk(spark, [(9, "b", "w")]))  # concurrent writer wins
+    with pytest.raises(CommitConflict):
+        mt.publish_staged(staged)
+    assert _state(mt.read()) == {1: ("a", "x"), 9: ("b", "w")}
+    # staged chain untouched: re-staging on the new base loses nothing
+    assert _state(staged.table.read()) == {1: ("a", "x"), 2: ("a", "y")}
+
+
+def should_abort_staging_without_touching_parent(spark, tmp_path):
+    """Abort removes staged-only data files, keeps base-referenced
+    files, and the parent keeps working (reads + further commits)."""
+    import os
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    staged = mt.begin_staged()
+    staged.table.upsert(_mk(spark, [(1, "a", "BAD"), (2, "b", "BAD")]))
+    mt.abort_staged(staged)
+    assert not os.path.exists(staged.staging_root)
+    assert _state(mt.read()) == {1: ("a", "x")}
+    mt.upsert(_mk(spark, [(3, "a", "z")]))
+    assert _state(mt.read()) == {1: ("a", "x"), 3: ("a", "z")}
