@@ -1394,3 +1394,70 @@ def should_abort_staging_without_touching_parent(spark, tmp_path):
     assert _state(mt.read()) == {1: ("a", "x")}
     mt.upsert(_mk(spark, [(3, "a", "z")]))
     assert _state(mt.read()) == {1: ("a", "x"), 3: ("a", "z")}
+
+
+def should_match_direct_application_for_generated_staged_sequences(
+    spark, tmp_path
+):
+    """WAP model check: for ANY generated sequence of staged
+    upsert/append batches, publish must land the parent on exactly the
+    state produced by applying the same sequence directly — staging is
+    an atomicity mechanism, never a semantics change."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.tuples(
+        st.sampled_from(["upsert", "append"]),
+        st.lists(
+            st.tuples(st.integers(0, 5), st.sampled_from(["a", "b"])),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=3))
+    def check(ops):
+        counter[0] += 1
+        base_rows = [(1, "a", "base1"), (2, "b", "base2")]
+        direct = ManifestTable(
+            spark,
+            str(tmp_path / f"direct_{counter[0]}"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+        wap = ManifestTable(
+            spark,
+            str(tmp_path / f"wap_{counter[0]}"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+        for mt in (direct, wap):
+            mt.append(_mk(spark, base_rows))
+        staged = wap.begin_staged()
+        for i, (kind, rows) in enumerate(ops):
+            batch = _mk(
+                spark, [(rid, part, f"v{counter[0]}_{i}") for rid, part in rows]
+            )
+            getattr(direct, kind)(batch)
+            getattr(staged.table, kind)(batch)
+        base_version = wap.current_version()
+        wap.publish_staged(staged)
+        # ONE parent commit regardless of sequence length...
+        assert wap.current_version() == base_version + 1
+        # ...landing on the directly-applied state (multiset: appends
+        # can duplicate keys, so compare full row multisets)
+        def rows_of(mt):
+            return sorted(
+                (r.id, r.part, r.v) for r in mt.read().collect()
+            )
+
+        assert rows_of(wap) == rows_of(direct), ops
+
+    check()

@@ -549,3 +549,25 @@ def should_tokenize_corpus_via_vocab_join_not_per_doc_folds(spark, registry, sf_
     plan = _plan(spark, registry, "vb03_bpe_tokenize", sf_dir)
     assert "aggregate(" not in plan.lower() or "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def should_rank_adc_candidates_from_encoded_scan_without_smj(
+    spark, registry, sf_dir
+):
+    # ss05: the encoded corpus meets the broadcast query block; ranking
+    # must never fall back to a sort-merge join or cartesian product,
+    # and the codeword selection is in-row (no join against a codeword
+    # table — the trained model is codegen literals)
+    plan = _plan(spark, registry, "ss05_pq_adc_search", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def should_score_volume_cells_not_raw_events(spark, registry, sf_dir):
+    # dq07: the rolling window must run over the hourly CELL table —
+    # exactly one aggregate over raw events feeds it (partial + final
+    # of the same groupBy; a second aggregate pair would mean the
+    # window re-derived cells from raw rows)
+    plan = _plan(spark, registry, "dq07_volume_anomalies", sf_dir)
+    assert plan.count("HashAggregate") <= 4, plan  # partial+final, x2 blocks
+    assert "Window" in plan, plan
