@@ -638,3 +638,159 @@ def ss05_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rnk")
     )
+
+
+# -- ss06: IVFPQ — coarse probe + ADC ranking ---------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    """Replay of the composed index: the Lloyd prefix (coarse quantizer
+    + inverted lists, shared with cl01/ss04) merged with the PQ blocks
+    (codebooks + codes, shared with em02/ss05), then probe -> candidate
+    -> ADC -> top-k.  Heavily-reused CTEs are MATERIALIZED — DuckDB
+    inlines CTEs per reference, and this oracle references both
+    training chains from two consumers each."""
+    km_prefix, cfin = _kmeans_cte_prefix()
+    pq = "".join(_pq_cte_blocks())
+    sq_q = _sq_expr("q.qv", "c.c", _DIM)
+    enc_joins = " JOIN ".join(
+        ["a_m0_fin f0"]
+        + [f"a_m{j}_fin f{j} USING (vec_id)" for j in range(1, _PQ_M)]
+    )
+    enc_cols = ", ".join(f"f{j}.cid AS code{j}" for j in range(_PQ_M))
+    cw_joins = " ".join(
+        f"JOIN c_m{j}_{_PQ_ITERS} cj{j} ON cj{j}.cid = e.code{j}"
+        for j in range(_PQ_M)
+    )
+    adc = " + ".join(
+        _sq_expr(
+            f"(cand.qv[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}])",
+            f"cj{j}.c",
+            _PQ_SUB,
+        )
+        for j in range(_PQ_M)
+    )
+    sql = (
+        pq
+        + ","
+        + km_prefix.replace("\nWITH ", "\n", 1)
+        + f""",
+q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT q_id, qv, cid FROM (
+    SELECT q.q_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY {sq_q}, c.cid)
+               AS rn
+    FROM q CROSS JOIN {cfin} c)
+  WHERE rn <= {_NPROBE}
+),
+enc AS MATERIALIZED (
+  SELECT f0.vec_id, {enc_cols} FROM {enc_joins}
+),
+cand AS (
+  SELECT p.q_id, p.qv, a.vec_id AS c_id
+  FROM probe p JOIN afin a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+),
+d AS (
+  SELECT cand.q_id, cand.c_id, {adc} AS adc
+  FROM cand JOIN enc e ON e.vec_id = cand.c_id {cw_joins}
+)
+SELECT q_id, c_id, round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, c_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+  FROM d)
+WHERE rn <= {_ADC_TOPK}
+ORDER BY q_id, rnk"""
+    )
+    for name in (
+        ["v0 AS (", "afin AS (", f"{cfin} AS ("]
+        + [f"c_m{j}_{_PQ_ITERS} AS (" for j in range(_PQ_M)]
+        + [f"a_m{j}_fin AS (" for j in range(_PQ_M)]
+    ):
+        sql = sql.replace(name, name.replace("AS (", "AS MATERIALIZED ("), 1)
+    sql = sql.replace("\nv AS (", "\nv AS MATERIALIZED (", 1)
+    return sql
+
+
+@register(
+    "ss06_ivfpq_search",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "compression", "clustering", "pipeline"),
+)
+def ss06_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the composed billion-scale ANN index (the FAISS layout):
+    ss04's TRAINED coarse quantizer cuts each query's candidate stream
+    to nprobe inverted lists, and ss05's PQ codes rank the survivors by
+    asymmetric distance — probe cost O(nprobe/k of the corpus), per-
+    candidate cost m codeword sums independent of the raw dimension,
+    memory per vector m log2(k) bits.  This is exactly the composition
+    ss05's docstring promises at 100 TB, realized and hash-gated
+    end-to-end: coarse training, list assignment, PQ training, codes,
+    probe ranking, and ADC ranking all replay in the oracle.
+
+    (Classic IVFPQ encodes RESIDUALS v - coarse_centroid for tighter
+    codes; that refinement changes reconstruction quality, not the
+    structure — the codebooks here train on raw vectors so the PQ
+    chain stays shared verbatim with em02/ss05.)"""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fin, coarse = kmeans_fit(e)
+    corpus = fin.select("vec_id", "v", "cid")
+    cents_per_sub = []
+    for j in range(_PQ_M):
+        em = e.select(
+            "vec_id", F.slice("v", j * _PQ_SUB + 1, _PQ_SUB).alias("v")
+        )
+        _f, cents = kmeans_fit(em, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUB)
+        cents_per_sub.append(cents)
+    enc = corpus
+    for j, cents in enumerate(cents_per_sub):
+        sl = F.slice("v", j * _PQ_SUB + 1, _PQ_SUB)
+        structs = [
+            F.struct(
+                _sq_between(sl, cw).alias("dist"), F.lit(cid).alias("cid")
+            )
+            for cid, cw in sorted(cents.items())
+        ]
+        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*structs))["cid"])
+    probe_structs = [
+        F.struct(_sq_dist_to(cv).alias("dist"), F.lit(cid).alias("cid"))
+        for cid, cv in sorted(coarse.items())
+    ]
+    probed = F.slice(F.array_sort(F.array(*probe_structs)), 1, _NPROBE)
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("cid", F.explode(F.transform(probed, lambda s: s["cid"])))
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cid")
+    )
+    cand = enc.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    adc = None
+    for j, cents in enumerate(cents_per_sub):
+        qsl = F.slice("qv", j * _PQ_SUB + 1, _PQ_SUB)
+        dj = None
+        for cid, cw in sorted(cents.items()):
+            cond = F.col(f"code{j}") == cid
+            term = _sq_between(qsl, cw)
+            dj = F.when(cond, term) if dj is None else dj.when(cond, term)
+        adc = dj if adc is None else adc + dj
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    return (
+        cand.select("q_id", F.col("vec_id").alias("c_id"), adc.alias("adc"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 4).alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
