@@ -673,9 +673,9 @@ def dq07_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly cells (partial-agg shuffle bounded by types x hours), then
     a per-type ordered window over the BUCKET table (types x hours
     rows, corpus-size-independent) — the window never touches raw
-    events."""
-    from pyspark.sql import Window
-
+    events.  The scoring pass itself is ``score_volume_cells``, shared
+    verbatim with the streaming-state monitor (st03) so the two cannot
+    drift apart."""
     t = tables(spark, sf_dir)
     b = (
         t.events.groupBy(
@@ -683,37 +683,4 @@ def dq07_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    tw = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-_DQ07_WIN, -1)
-    )
-    w = (
-        b.withColumn("n", F.count("cnt").over(tw).cast("long"))
-        .withColumn(
-            "sx", F.coalesce(F.sum("cnt").over(tw), F.lit(0)).cast("long")
-        )
-        .withColumn(
-            "sxx",
-            F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(tw), F.lit(0))
-            .cast("long"),
-        )
-    )
-    # try_divide: NULL instead of an ANSI error on empty baselines —
-    # common-subexpression elimination evaluates these even under the
-    # CASE guard, so the guard alone cannot prevent the division
-    mean = F.try_divide(F.col("sx") * F.lit(1.0), F.col("n"))
-    var = F.try_divide(
-        F.col("sxx") - F.col("n") * mean * mean, F.col("n") - 1
-    )
-    z = F.try_divide(F.col("cnt") - mean, F.sqrt(var))
-    scored = F.col("n") >= _DQ07_MIN
-    return w.select(
-        "event_type",
-        "hour",
-        "cnt",
-        F.when(scored & (var > 0), F.round(z, 4)).alias("zscore"),
-        F.coalesce(
-            (F.abs(z) > _DQ07_Z) & scored, F.lit(False)
-        ).alias("is_anomaly"),
-    ).orderBy("event_type", "hour")
+    return score_volume_cells(b)

@@ -136,6 +136,13 @@ class ManifestTable:
         self._manifests = os.path.join(root, "manifests")
         self._data = os.path.join(root, "data")
         self._refs = os.path.join(root, "refs")
+        # Retention GC runs after every commit by default.  Staged (WAP /
+        # branch) tables share the PARENT's data directory, so their GC
+        # must never delete data files — a staged chain longer than
+        # ``keep`` would otherwise expire its seeded base manifest and
+        # reclaim base-snapshot files the parent's live manifests still
+        # reference.  begin_staged() flips this off.
+        self._gc_enabled = True
 
     # -- manifest plumbing -------------------------------------------------
     def _current(self) -> tuple[int, dict | None]:
@@ -185,6 +192,8 @@ class ManifestTable:
         RETAINED manifest still references them (files are shared across
         manifests by design).  Data entries are Spark output DIRECTORIES,
         so removal is a recursive delete."""
+        if not self._gc_enabled:
+            return
         try:
             names = sorted(os.listdir(self._commits))
         except FileNotFoundError:
@@ -208,7 +217,27 @@ class ManifestTable:
                     retained_files.update(files)
                 for entries in m.get("deletes", {}).values():
                     retained_files.update(d["file"] for d in entries)
+        # Re-read tags immediately before reclaiming: a tagger may have
+        # published a ref between the listing above and now.  This
+        # narrows (not closes) the tag-vs-GC TOCTOU — a ref created
+        # after THIS read can still lose its manifest; tag()'s
+        # post-publish re-validation catches the common interleavings,
+        # and the residual window needs a real lock service to close,
+        # which a filesystem-only harness deliberately doesn't have.
+        tagged |= set(self.tags().values())
         for n in expired:
+            if int(n) in tagged:  # protected since the first listing
+                try:
+                    m = self._load_manifest(int(n))
+                except NotFoundError:
+                    continue
+                for files in m["partitions"].values():
+                    retained_files.update(files)
+                for entries in m.get("deletes", {}).values():
+                    retained_files.update(d["file"] for d in entries)
+        for n in expired:
+            if int(n) in tagged:
+                continue
             try:
                 m = self._load_manifest(int(n))
                 with open(os.path.join(self._commits, n)) as fh:
@@ -2023,6 +2052,13 @@ def begin_staged(self) -> StagedCommit:
         partition_transforms=dict(self.partition_transforms),
     )
     staged._data = self._data  # shared data dir => publish is metadata-only
+    # The staged chain must NEVER run retention GC: it deletes data files
+    # in the shared directory, and once the staged chain outgrows
+    # ``keep`` its seeded base manifest expires — staged GC would then
+    # reclaim base-snapshot files the PARENT's live manifests still
+    # reference.  The chain is bounded (rmtree'd wholesale at
+    # publish/abort), so skipping GC costs only staging-local metadata.
+    staged._gc_enabled = False
     if base_manifest is not None:
         staged._publish(base_manifest, expected_gen=0)
     return StagedCommit(staged, base_gen, staging_root)
@@ -2057,17 +2093,27 @@ def publish_staged(self, staged: StagedCommit) -> int:
 def abort_staged(self, staged: StagedCommit) -> None:
     """Drop the staging area; the parent never changes.  Data files
     that only staged commits referenced are deleted (they live in the
-    parent's data dir but no parent manifest knows them); files carried
-    by reference from the base snapshot are naturally protected."""
+    parent's data dir but no parent manifest knows them).  The
+    protected set is built from EVERY retained parent manifest (plus
+    tagged snapshots, which stay in the commit listing), not just the
+    base-version manifest: if parent writers advanced past the
+    retention window during staging, the base manifest may itself be
+    GC'd, and files it carried forward by reference can live on in the
+    parent's CURRENT manifests — deleting them would corrupt the live
+    parent table."""
     base_refs: set[str] = set()
     try:
-        base_m = self._manifest_at(staged.base_version)
-    except NotFoundError:
-        base_m = None
-    if base_m:
-        for files in base_m["partitions"].values():
+        parent_commits = os.listdir(self._commits)
+    except FileNotFoundError:
+        parent_commits = []
+    for n in parent_commits:
+        try:
+            m = self._load_manifest(int(n))
+        except (NotFoundError, ValueError):
+            continue
+        for files in m["partitions"].values():
             base_refs.update(files)
-        for entries in base_m.get("deletes", {}).values():
+        for entries in m.get("deletes", {}).values():
             base_refs.update(d["file"] for d in entries)
     staged_refs: set[str] = set()
     try:

@@ -1196,7 +1196,7 @@ def _hp_table(spark, tmp_path):
             "u_b": ("bucket", "user", 5),
         },
     )
-    if not os.path.exists(os.path.join(root, "_commits")):
+    if not os.path.exists(os.path.join(root, "commits")):
         mt.append(
             spark.createDataFrame(_HP_ROWS, "id long, v long, user string")
         )
@@ -1394,6 +1394,51 @@ def should_abort_staging_without_touching_parent(spark, tmp_path):
     assert _state(mt.read()) == {1: ("a", "x")}
     mt.upsert(_mk(spark, [(3, "a", "z")]))
     assert _state(mt.read()) == {1: ("a", "x"), 3: ("a", "z")}
+
+
+def should_not_let_long_staged_chains_gc_parent_base_files(spark, tmp_path):
+    """Regression: the staged table shares the parent's data directory,
+    so a staged chain longer than ``keep_versions`` must NOT run
+    retention GC — it would expire its seeded base manifest and delete
+    base-snapshot files the parent's live manifests still reference,
+    silently corrupting the parent."""
+    mt = _table(spark, tmp_path, keep_versions=2)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    staged = mt.begin_staged()
+    # Rewrite partition 'a' well past the 2-version staged retention
+    # window; partition 'b' is carried by reference from the base.
+    for i in range(5):
+        staged.table.upsert(_mk(spark, [(1, "a", f"s{i}")]))
+    # Parent must still read its base snapshot intact (pre-fix, staged
+    # GC reclaimed the base 'a'/'b' files out from under it).
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y")}
+    v = mt.publish_staged(staged)
+    assert _state(mt.read(version=v)) == {1: ("a", "s4"), 2: ("b", "y")}
+
+
+def should_protect_live_parent_files_on_abort_after_base_expired(
+    spark, tmp_path
+):
+    """Regression: abort after the parent advanced past retention (so
+    the base-version manifest is GC'd) must still protect base files the
+    parent's CURRENT manifests carry forward by reference — the
+    protected set is every retained parent manifest, not just the
+    (possibly vanished) base manifest."""
+    mt = _table(spark, tmp_path, keep_versions=2)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    staged = mt.begin_staged()
+    staged.table.upsert(_mk(spark, [(9, "c", "staged-only")]))
+    # Parent writers churn partition 'a' until the base manifest falls
+    # out of the retention window; partition 'b' rides along untouched
+    # (same physical file as at base time).
+    for i in range(4):
+        mt.upsert(_mk(spark, [(1, "a", f"p{i}")]))
+    with pytest.raises(NotFoundError):
+        mt._manifest_at(staged.base_version)  # base really is GC'd
+    mt.abort_staged(staged)
+    # Pre-fix, base_refs was empty and abort deleted partition 'b's
+    # file, which the parent's head manifest still references.
+    assert _state(mt.read()) == {1: ("a", "p3"), 2: ("b", "y")}
 
 
 def should_match_direct_application_for_generated_staged_sequences(
