@@ -9,21 +9,26 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 Each query is fully materialized into a noop sink so the timing covers
 scan -> shuffle -> result, not just plan construction.
 
-Methodology: every query runs TWICE; the second (steady-state) run is the
-one timed. The first run pays Spark's whole-stage-codegen compilation and
-JVM JIT — a per-query constant of ~0.5-3 s that is pure compilation, not
-data processing, and is amortized to nothing at the 100 TB design point
-(and in any long-lived session). Steady-state timings are therefore the
-signal that actually tracks plan quality across scale factors. Data is
-NOT cached between the runs (spark.catalog caching is never used here);
-both runs re-read parquet, re-shuffle, and re-aggregate — OS page cache
-on a 17 MB fixture is warm either way.
+Methodology: every query runs once untimed (whole-stage-codegen
+compilation + JVM JIT — a per-query constant of ~0.5-3 s that is pure
+compilation, not data processing, and is amortized to nothing at the
+100 TB design point and in any long-lived session), then
+``$SPARK_GRAFT_RUNS`` (default 3) timed steady-state runs; the
+recorded per-query value is the MEDIAN and the raw values are emitted
+alongside it under ``"runs"``. The median exists because this host
+shows multi-second CPU-throttle windows (see BENCHNOTES.md: r4 tx07,
+r5 dd04, r6 q9/q13/q17) that have twice counterfeited regressions in a
+single-shot recording — one noisy window can now distort at most one of
+three runs. Data is NOT cached between runs (spark.catalog caching is
+never used here); every run re-reads parquet, re-shuffles, and
+re-aggregates — OS page cache on a 17 MB fixture is warm either way.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -82,17 +87,23 @@ def main() -> None:
     spark = get_spark(app_name="gdl-bench")
     registry = load_all_queries()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = registry[name]
         df = spec.fn(spark, sf_dir)
-        # run 1 (untimed): whole-stage-codegen compile + JIT warmup
+        # warmup (untimed): whole-stage-codegen compile + JIT
         df.write.format("noop").mode("overwrite").save()
-        start = time.perf_counter()
-        # run 2 (timed, noop sink): steady-state scan -> shuffle -> result,
-        # full materialization JVM-side, no driver collect cost
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            # timed, noop sink: steady-state scan -> shuffle -> result,
+            # full materialization JVM-side, no driver collect cost
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - start, 3))
+        raw_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -102,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": raw_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
