@@ -744,17 +744,61 @@ def vb03_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever ran on the vocabulary-sized table during training.  The
     DuckDB oracle replays the identical training schedule, then joins
     the same vocab table back (MATERIALIZED — it is referenced through
-    a doc-sized join and must not re-inline the training chain)."""
+    a doc-sized join and must not re-inline the training chain).
+
+    Train-once / apply-many: the trained vocab is PERSISTED as a keyed
+    lake table (``persist_bpe_vocab``) and the tokenizer reads it back
+    — the production deployment shape, where one training job's vocab
+    amortizes over every later scoring/packing run on any corpus (see
+    ``tokenize_with_vocab`` + the second-corpus test)."""
+    import tempfile
+
     t = tables(spark, sf_dir)
+    mt = persist_bpe_vocab(
+        spark, t.documents, tempfile.mkdtemp(prefix="gdl_bpe_vocab_")
+    )
+    return tokenize_with_vocab(t.documents, mt.read())
+
+
+def train_bpe_vocab(documents: DataFrame) -> DataFrame:
+    """The trained vocabulary table — (word, tok) where ``tok`` is the
+    word's symbol count after the full merge schedule."""
     s = None
-    for _k, _top, s in _bpe_train(t.documents):
+    for _k, _top, s in _bpe_train(documents):
         pass
-    vocab = s.select("word", F.size("syms").alias("tok"))
-    dw = t.documents.select(
+    return s.select("word", F.size("syms").alias("tok"))
+
+
+def persist_bpe_vocab(spark: SparkSession, documents: DataFrame, root: str):
+    """Train the BPE schedule once and persist the vocab into a keyed
+    ManifestTable at ``root`` (word-keyed, bucket-partitioned on the
+    hidden ``wb`` transform so vocab lookups prune).  Returns the
+    table; later runs tokenize against ``mt.read()`` with no
+    retraining."""
+    from geospatial_data_lake_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    mt = ManifestTable(
+        spark,
+        root,
+        key_cols=["word"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "word", 8)},
+    )
+    mt.upsert(train_bpe_vocab(documents))
+    return mt
+
+
+def tokenize_with_vocab(documents: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Tokenizer application against an already-trained vocab table:
+    word-keyed equi-join + one per-doc partial agg — no merge folds
+    ever touch the corpus."""
+    dw = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     return (
-        dw.join(vocab, "word")
+        dw.join(vocab.select("word", "tok"), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

@@ -404,10 +404,16 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension chain broadcasts; the two fact joins shuffle once each; the
     share is a conditional-sum ratio in one aggregation (no second pass).
     The part-type filter uses min(p_type) so the constant tracks the
-    synthetic dictionary."""
+    synthetic dictionary; the 1-row min aggregate joins back via a
+    broadcast crossJoin (the q11/mx02 pattern) so the whole query is
+    ONE Spark plan — no driver-side collect, no extra job."""
     t = tables(spark, sf_dir)
-    ptype = t.part.agg(F.min("p_type")).collect()[0][0]
-    parts = t.part.filter(F.col("p_type") == ptype).select("p_partkey")
+    min_type = t.part.agg(F.min("p_type").alias("min_ptype"))
+    parts = (
+        t.part.crossJoin(F.broadcast(min_type))
+        .filter(F.col("p_type") == F.col("min_ptype"))
+        .select("p_partkey")
+    )
     asia_cust = (
         t.customer.join(
             F.broadcast(

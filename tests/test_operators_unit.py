@@ -555,6 +555,54 @@ def should_apply_bpe_merge_greedy_left_to_right(spark):
     assert got2["aabab"] == ["a", "ab", "ab"]
 
 
+def should_tokenize_second_corpus_against_persisted_vocab(spark, tmp_path):
+    """Train-once / apply-many: a vocab persisted from corpus A must
+    tokenize a DIFFERENT corpus B by reading the stored table alone —
+    no retraining — and agree with applying the in-memory trained vocab
+    directly."""
+    from geospatial_data_lake_spark.operators.textops import (
+        persist_bpe_vocab,
+        tokenize_with_vocab,
+        train_bpe_vocab,
+    )
+    from geospatial_data_lake_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    corpus_a = spark.createDataFrame(
+        [(1, "abab abba baba"), (2, "abab abab cc"), (3, "cc abba")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "vocab")
+    persist_bpe_vocab(spark, corpus_a, root)
+
+    # A fresh handle opened from disk — nothing but the stored table.
+    stored = ManifestTable(
+        spark,
+        root,
+        key_cols=["word"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "word", 8)},
+    )
+    corpus_b = spark.createDataFrame(
+        [(10, "abba abab"), (11, "cc cc abab baba")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in tokenize_with_vocab(corpus_b, stored.read()).collect()
+    }
+    want = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in tokenize_with_vocab(
+            corpus_b, train_bpe_vocab(corpus_a)
+        ).collect()
+    }
+    assert got == want and set(got) == {10, 11}
+    # every word of corpus B was coverable by A's vocab (join is inner)
+    assert sum(w for w, _t, _c in got.values()) == 6
+
+
 def should_find_planted_duplicate_via_band_index_in_dd11(spark, tmp_path):
     """The index-probe path must find the same cross-batch near-dup the
     scan path (dd09) finds, and nothing else."""
