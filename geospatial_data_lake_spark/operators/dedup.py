@@ -762,7 +762,14 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted MinHash band index (dd04 step 3's band keys, bucketed at
     write time via layout.py), making ingest cost O(batch x bands) index
     lookups + exact verify of the candidates — same dispatch discipline
-    as dd04, same verified-exact output."""
+    as dd04, same verified-exact output.
+
+    Candidate prefilter: before the exact ``array_intersect`` verify,
+    each (corpus x batch) pair passes two provably-lossless cuts —
+    a size-ratio bound and the SSJoin/PPJoin sorted-prefix filter
+    (``_ppjoin_prefix_overlap``) — both pure codegen over already-
+    computed array sizes/prefixes, so the expensive set intersection
+    runs only on pairs that can still reach the threshold."""
     from geospatial_data_lake_spark.tables import spread
 
     t = tables(spark, sf_dir)
@@ -783,6 +790,8 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = F.size(F.array_intersect("h1", "h2"))
     return (
         corpus.crossJoin(F.broadcast(batch))
+        .filter(_jaccard_size_ratio_ok("h1", "h2", num=4, den=5))
+        .filter(_ppjoin_prefix_overlap("h1", "h2", num=4, den=9))
         .withColumn("common", common)
         .withColumn(
             "jaccard",
@@ -790,6 +799,32 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
         .select("new_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _jaccard_size_ratio_ok(c1: str, c2: str, num: int, den: int):
+    """Exact-safe size cut for Jaccard >= num/den: J(A,B) <=
+    min(|A|,|B|)/max(|A|,|B|), so any qualifying pair satisfies
+    den*min >= num*max — integer codegen, no recall loss."""
+    s1, s2 = F.size(c1), F.size(c2)
+    return (s1 * den >= s2 * num) & (s2 * den >= s1 * num)
+
+
+def _ppjoin_prefix_overlap(c1: str, c2: str, num: int, den: int):
+    """The SSJoin/PPJoin prefix filter for sorted distinct-element
+    arrays, exact-safe for Jaccard >= t where t/(1+t) = num/den:
+    J(A,B) >= t implies overlap alpha = ceil(num*(|A|+|B|)/den), and a
+    pair with that much overlap MUST share an element within the first
+    |A|-alpha+1 / |B|-alpha+1 smallest elements (pigeonhole on the
+    global sort order) — so pairs with disjoint prefixes are provably
+    below threshold.  Integer ceil keeps the bound exact (sizes are
+    far below double precision loss)."""
+    s1, s2 = F.size(c1), F.size(c2)
+    alpha = F.floor(((s1 + s2) * num + (den - 1)) / den).cast("int")
+    p1 = F.greatest(s1 - alpha + 1, F.lit(0))
+    p2 = F.greatest(s2 - alpha + 1, F.lit(0))
+    return F.arrays_overlap(
+        F.slice(c1, F.lit(1), p1), F.slice(c2, F.lit(1), p2)
     )
 
 

@@ -502,6 +502,56 @@ def should_detect_planted_cross_batch_duplicate_in_dd09(spark, tmp_path):
     assert got == {(13, 7, 1.0)}
 
 
+def should_cut_dd09_candidates_losslessly_with_prefix_filter(spark):
+    """The size-ratio + PPJoin prefix prefilters must (a) shrink the
+    candidate-pair set on a mixed-length fixture and (b) never cut a
+    pair the exact verify would keep — checked against brute force over
+    ALL pairs."""
+    from geospatial_data_lake_spark.operators.dedup import (
+        _jaccard_size_ratio_ok,
+        _ppjoin_prefix_overlap,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    # overlapping prefixes of one vocabulary: many sub-threshold pairs
+    # with varied sizes, plus one genuinely >= 0.8 pair (sizes 19/20)
+    for i, n in enumerate([3, 5, 8, 12, 19, 20, 30, 40]):
+        rows.append((i, " ".join(words[:n])))
+    # and one disjoint-vocabulary doc (prefilter should drop instantly)
+    rows.append((8, " ".join(f"z{i}" for i in range(20))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = df.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+            )
+        ).alias("h"),
+    )
+    a = hashed.select(F.col("doc_id").alias("ida"), F.col("h").alias("h1"))
+    b = hashed.select(F.col("doc_id").alias("idb"), F.col("h").alias("h2"))
+    allp = a.crossJoin(b).filter(F.col("ida") < F.col("idb"))
+    common = F.size(F.array_intersect("h1", "h2"))
+    jacc = common / (F.size("h1") + F.size("h2") - common)
+
+    brute = {
+        (r.ida, r.idb)
+        for r in allp.filter(jacc >= 0.8).select("ida", "idb").collect()
+    }
+    cand = allp.filter(
+        _jaccard_size_ratio_ok("h1", "h2", num=4, den=5)
+    ).filter(_ppjoin_prefix_overlap("h1", "h2", num=4, den=9))
+    kept = {(r.ida, r.idb) for r in cand.select("ida", "idb").collect()}
+    filtered = {
+        (r.ida, r.idb)
+        for r in cand.filter(jacc >= 0.8).select("ida", "idb").collect()
+    }
+    n_all = allp.count()
+    assert filtered == brute == {(4, 5)}  # lossless
+    assert len(kept) < n_all / 3, (len(kept), n_all)  # and a real cut
+
+
 def should_recover_exact_maximal_spans_in_dd10(spark, tmp_path):
     """Two documents sharing a verbatim 15-token run (at different
     offsets) must yield exactly that span in each doc — maximal, with
