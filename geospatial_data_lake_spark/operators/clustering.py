@@ -357,25 +357,36 @@ _PQ_ITERS = 2  # Lloyd rounds per subspace codebook
 
 
 def _pq_cte_blocks(
-    m: int = _PQ_M, sub: int = _PQ_SUB, k: int = _PQ_K, iters: int = _PQ_ITERS
+    m: int = _PQ_M,
+    sub: int = _PQ_SUB,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    src: str = "v0",
+    include_v0: bool = True,
 ) -> list[str]:
     """The shared WITH-clause replaying per-subspace PQ codebook
     training: v0 (corpus), v_m{j} (slices), c_m{j}_{it} (per-iteration
-    centroids), a_m{j}_fin (final code assignment per vector).  Both
-    em02 (codebook audit) and ss05 (ADC search) build on these."""
-    blocks = [
-        """
+    centroids), a_m{j}_fin (final code assignment per vector).  em02
+    (codebook audit) and ss05 (ADC search) build on these over the raw
+    corpus; ss07 reuses the identical chain over a RESIDUAL table by
+    passing ``src="r0", include_v0=False``."""
+    blocks = (
+        [
+            """
 WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 )"""
-    ]
+        ]
+        if include_v0
+        else []
+    )
     sq = _sq_expr("v.v", "c.c", sub)
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
         blocks.append(
             f""",
-v_m{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM v0),
+v_m{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {src}),
 c_m{j}_0 AS (SELECT vec_id AS cid, v AS c FROM v_m{j} WHERE vec_id < {k})"""
         )
         prev = f"c_m{j}_0"
@@ -731,9 +742,10 @@ def ss06_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe ranking, and ADC ranking all replay in the oracle.
 
     (Classic IVFPQ encodes RESIDUALS v - coarse_centroid for tighter
-    codes; that refinement changes reconstruction quality, not the
-    structure — the codebooks here train on raw vectors so the PQ
-    chain stays shared verbatim with em02/ss05.)"""
+    codes; ss07_ivfpq_residual_search IS that refinement — the
+    codebooks here train on raw vectors so the PQ chain stays shared
+    verbatim with em02/ss05, and the residual variant's lower
+    quantization error is pinned by the recall-audit test.)"""
     from pyspark.sql import Window
 
     t = tables(spark, sf_dir)
@@ -775,6 +787,209 @@ def ss06_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = None
     for j, cents in enumerate(cents_per_sub):
         qsl = F.slice("qv", j * _PQ_SUB + 1, _PQ_SUB)
+        dj = None
+        for cid, cw in sorted(cents.items()):
+            cond = F.col(f"code{j}") == cid
+            term = _sq_between(qsl, cw)
+            dj = F.when(cond, term) if dj is None else dj.when(cond, term)
+        adc = dj if adc is None else adc + dj
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    return (
+        cand.select("q_id", F.col("vec_id").alias("c_id"), adc.alias("adc"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 4).alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+# -- ss07: residual-encoded IVFPQ ---------------------------------------------
+
+
+def _ivfpq_residual_oracle() -> str:
+    """Replay of CLASSIC residual IVFPQ: the Lloyd prefix trains the
+    coarse quantizer (shared with cl01/ss04/ss06), r0 subtracts each
+    vector's coarse centroid, the PQ chain (_pq_cte_blocks with
+    src="r0") trains codebooks ON THE RESIDUALS, and the query side
+    re-derives the per-probed-cell query residual before the ADC sums —
+    the FAISS IndexIVFPQ encoding, where codes capture the within-cell
+    displacement instead of absolute position (tighter codes at equal
+    bits).  Residual arithmetic is plain double subtraction of
+    6-dp-rounded centroids from parquet doubles, identical across
+    engines, so the whole composition stays hash-gated."""
+    km_prefix, cfin = _kmeans_cte_prefix()
+    pq = "".join(_pq_cte_blocks(src="r0", include_v0=False))
+    sq_q = _sq_expr("q.qv", "c.c", _DIM)
+    enc_joins = " JOIN ".join(
+        ["a_m0_fin f0"]
+        + [f"a_m{j}_fin f{j} USING (vec_id)" for j in range(1, _PQ_M)]
+    )
+    enc_cols = ", ".join(f"f{j}.cid AS code{j}" for j in range(_PQ_M))
+    cw_joins = " ".join(
+        f"JOIN c_m{j}_{_PQ_ITERS} cj{j} ON cj{j}.cid = e.code{j}"
+        for j in range(_PQ_M)
+    )
+    adc = " + ".join(
+        _sq_expr(
+            f"(cand.qr[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}])",
+            f"cj{j}.c",
+            _PQ_SUB,
+        )
+        for j in range(_PQ_M)
+    )
+    sql = (
+        km_prefix
+        + f""",
+r0 AS (
+  SELECT a.vec_id,
+         list_transform(range(1, {_DIM + 1}), i -> a.v[i] - c.c[i]) AS v
+  FROM afin a JOIN {cfin} c ON c.cid = a.cid
+)"""
+        + pq
+        + f""",
+q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT q_id, qv, cid FROM (
+    SELECT q.q_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY {sq_q}, c.cid)
+               AS rn
+    FROM q CROSS JOIN {cfin} c)
+  WHERE rn <= {_NPROBE}
+),
+qres AS (
+  SELECT p.q_id, p.cid,
+         list_transform(range(1, {_DIM + 1}), i -> p.qv[i] - c.c[i]) AS qr
+  FROM probe p JOIN {cfin} c ON c.cid = p.cid
+),
+enc AS MATERIALIZED (
+  SELECT f0.vec_id, {enc_cols} FROM {enc_joins}
+),
+cand AS (
+  SELECT p.q_id, p.qr, a.vec_id AS c_id
+  FROM qres p JOIN afin a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+),
+d AS (
+  SELECT cand.q_id, cand.c_id, {adc} AS adc
+  FROM cand JOIN enc e ON e.vec_id = cand.c_id {cw_joins}
+)
+SELECT q_id, c_id, round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, c_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+  FROM d)
+WHERE rn <= {_ADC_TOPK}
+ORDER BY q_id, rnk"""
+    )
+    for name in (
+        ["afin AS (", "r0 AS (", f"{cfin} AS ("]
+        + [f"c_m{j}_{_PQ_ITERS} AS (" for j in range(_PQ_M)]
+        + [f"a_m{j}_fin AS (" for j in range(_PQ_M)]
+    ):
+        sql = sql.replace(name, name.replace("AS (", "AS MATERIALIZED ("), 1)
+    sql = sql.replace("\nWITH v AS (", "\nWITH v AS MATERIALIZED (", 1)
+    return sql
+
+
+def _cent_array_for(cid_col: Column, cents: dict[int, list[float]]) -> Column:
+    """The centroid ARRAY for a per-row cluster id — a codegen CASE
+    chain over the (model-sized) trained centroids, used to form
+    residuals in-row without a join."""
+    expr = None
+    for cid, cv in sorted(cents.items()):
+        arr = F.array(*[F.lit(x) for x in cv])
+        expr = (
+            F.when(cid_col == cid, arr)
+            if expr is None
+            else expr.when(cid_col == cid, arr)
+        )
+    return expr
+
+
+@register(
+    "ss07_ivfpq_residual_search",
+    oracle=_ivfpq_residual_oracle(),
+    tags=("similarity", "ann", "compression", "clustering", "pipeline"),
+)
+def ss07_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVFPQ — ss06 upgraded to the classic FAISS
+    IndexIVFPQ encoding: PQ codebooks train on ``v − coarse_centroid(v)``
+    and queries rank by ADC against the PER-PROBED-CELL query residual
+    ``q − centroid(cell)``.  Residuals cluster tightly around the origin
+    regardless of which coarse cell a vector landed in, so the same
+    m·log2(k) bits quantize a much smaller spread — the recall-at-
+    equal-bits refinement the ss06 docstring deferred (see the
+    recall-audit test comparing both against the exact-L2 ground
+    truth).
+
+    Scale shape is ss06's unchanged: training state is model-sized
+    (k×dim coarse + m×k×sub codebooks on the driver), residual
+    formation and encoding are one fused in-row pass over the corpus
+    (the CASE chain over centroids is codegen, no join), the probe cuts
+    each query to nprobe inverted lists, and per-candidate ADC work is
+    m codeword sums independent of the raw dimension.  The only new
+    arithmetic is a zip-subtract before slicing — double subtraction of
+    6-dp centroid literals, deterministic on both engines, so the full
+    residual pipeline hash-gates at every scale."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fin, coarse = kmeans_fit(e)
+    corpus = fin.select("vec_id", "v", "cid").withColumn(
+        "r",
+        F.zip_with(
+            "v", _cent_array_for(F.col("cid"), coarse), lambda x, y: x - y
+        ),
+    )
+    cents_per_sub = []
+    for j in range(_PQ_M):
+        rm = corpus.select(
+            "vec_id", F.slice("r", j * _PQ_SUB + 1, _PQ_SUB).alias("v")
+        )
+        _f, cents = kmeans_fit(rm, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUB)
+        cents_per_sub.append(cents)
+    enc = corpus
+    for j, cents in enumerate(cents_per_sub):
+        sl = F.slice("r", j * _PQ_SUB + 1, _PQ_SUB)
+        structs = [
+            F.struct(
+                _sq_between(sl, cw).alias("dist"), F.lit(cid).alias("cid")
+            )
+            for cid, cw in sorted(cents.items())
+        ]
+        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*structs))["cid"])
+    probe_structs = [
+        F.struct(_sq_dist_to(cv).alias("dist"), F.lit(cid).alias("cid"))
+        for cid, cv in sorted(coarse.items())
+    ]
+    probed = F.slice(F.array_sort(F.array(*probe_structs)), 1, _NPROBE)
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("cid", F.explode(F.transform(probed, lambda s: s["cid"])))
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cid")
+        .withColumn(
+            "qr",
+            F.zip_with(
+                "qv",
+                _cent_array_for(F.col("cid"), coarse),
+                lambda x, y: x - y,
+            ),
+        )
+    )
+    cand = enc.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    adc = None
+    for j, cents in enumerate(cents_per_sub):
+        qsl = F.slice("qr", j * _PQ_SUB + 1, _PQ_SUB)
         dj = None
         for cid, cw in sorted(cents.items()):
             cond = F.col(f"code{j}") == cid
