@@ -1047,3 +1047,120 @@ def vs13_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     the staged snapshot (here a constraint-style scan)."""
     mt = _build_wap_lake(spark, sf_dir)
     return mt.read().select(*_COLS)
+
+
+# -- vs14: named-branch divergence read ---------------------------------------
+
+_BRANCHED_LAKE: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_branched_lake(spark, sf_dir: str) -> ManifestTable:
+    """A live table plus a NAMED BRANCH diverging from it: base append
+    (%4 slice); branch "audit" cut at v1; the branch triples every 20th
+    key's price and appends a disjoint slice (%4!=0 and %9==0) while
+    MAIN independently doubles every 40th key's price — so by read
+    time the two refs have genuinely diverged (a fast-forward would
+    raise CommitConflict, which is the point: the branch is an analysis
+    lane, not a merge queue)."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _BRANCHED_LAKE:
+        return _BRANCHED_LAKE[cache_key]
+    t = tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gdl_lake_vs14_")
+    mt = ManifestTable(
+        spark,
+        root,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    base = t.orders.filter(F.col("o_orderkey") % 4 == 0).select(*_COLS)
+    mt.append(base)
+    mt.create_branch("audit")
+    b = mt.branch("audit")
+    b.table.upsert(
+        base.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        )
+    )
+    b.table.append(
+        t.orders.filter(
+            (F.col("o_orderkey") % 4 != 0) & (F.col("o_orderkey") % 9 == 0)
+        ).select(*_COLS)
+    )
+    mt.upsert(  # main advances independently of the branch
+        base.filter(F.col("o_orderkey") % 40 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    _BRANCHED_LAKE[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs14_branch_divergence",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 4 = 0
+        ),
+        m AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 40 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM base
+        ),
+        b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 3
+                        ELSE o_totalprice END AS p
+            FROM base
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 4 <> 0 AND o_orderkey % 9 = 0
+        )
+        SELECT COALESCE(m.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN m.o_orderkey IS NULL THEN 'branch_only'
+                    WHEN m.p <> b.p THEN 'diverged'
+                    ELSE 'same' END AS status,
+               CAST(m.p AS DOUBLE) AS main_price,
+               CAST(b.p AS DOUBLE) AS branch_price
+        FROM m FULL JOIN b ON m.o_orderkey = b.o_orderkey
+        ORDER BY o_orderkey
+    """,
+    tags=("lake", "manifest", "branch", "refs"),
+)
+def vs14_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a NAMED BRANCH against main and report their divergence —
+    the Iceberg-branch workflow tags cannot express: "audit" carries a
+    writable chain (a tripled-price MERGE + a disjoint append) while
+    main kept committing its own MERGE, and the query full-outer-joins
+    the two ref heads into a per-key status (same / diverged /
+    branch_only).  Any leak between the refs — branch commits visible
+    on main, main commits visible on the branch, lost branch appends —
+    changes the status histogram and breaks the hash.
+
+    Scale shape: a branch is one ref file plus a metadata-only seeded
+    chain (zero data copies — its base files are carried by
+    reference); the divergence read is an ordinary key-equi full outer
+    join of two snapshot reads, shuffling each side once on the join
+    key.  GC safety under divergence is what the branch REF buys: the
+    base snapshot both refs grew from stays pinned against parent
+    retention for the branch's lifetime (pinned by the lifecycle unit
+    tests)."""
+    mt = _build_branched_lake(spark, sf_dir)
+    m = mt.read().select(
+        "o_orderkey", F.col("o_totalprice").alias("mp")
+    )
+    b = mt.branch("audit").table.read().select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("bp")
+    )
+    j = m.join(b, m.o_orderkey == b.b_key, "full_outer")
+    return j.select(
+        F.coalesce("o_orderkey", "b_key").alias("o_orderkey"),
+        F.when(F.col("o_orderkey").isNull(), F.lit("branch_only"))
+        .when(F.col("mp") != F.col("bp"), F.lit("diverged"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+        F.col("mp").cast("double").alias("main_price"),
+        F.col("bp").cast("double").alias("branch_price"),
+    ).orderBy("o_orderkey")

@@ -198,7 +198,8 @@ class ManifestTable:
             names = sorted(os.listdir(self._commits))
         except FileNotFoundError:
             return
-        tagged = set(self.tags().values())
+        # Tags AND branch bases protect their snapshots from retention.
+        tagged = set(self.tags().values()) | set(self.branches().values())
         expired = [
             n
             for n in names
@@ -224,7 +225,7 @@ class ManifestTable:
         # post-publish re-validation catches the common interleavings,
         # and the residual window needs a real lock service to close,
         # which a filesystem-only harness deliberately doesn't have.
-        tagged |= set(self.tags().values())
+        tagged |= set(self.tags().values()) | set(self.branches().values())
         for n in expired:
             if int(n) in tagged:  # protected since the first listing
                 try:
@@ -283,6 +284,11 @@ class ManifestTable:
                 referenced.update(files)
             for entries in m.get("deletes", {}).values():
                 referenced.update(d["file"] for d in entries)
+        # Live ref chains (named branches, in-flight WAP staging) write
+        # into this data directory too — their manifests protect their
+        # files just like the parent's do.
+        for d in self._ref_chain_dirs():
+            referenced |= _chain_refs(d)
         removed: list[str] = []
         horizon = _time.time() - min_age_seconds
         for dirpath, _dirnames, filenames in os.walk(self._data):
@@ -2004,104 +2010,132 @@ def _safe_lt(a, b) -> bool:
     return False
 
 
-# -- write-audit-publish staging ----------------------------------------------
+# -- named branches & write-audit-publish staging -----------------------------
+#
+# Both are REF CHAINS: a private ManifestTable seeded BY REFERENCE with a
+# parent snapshot (metadata-only, zero data copies) whose commit chain
+# lives where no parent reader looks but whose data files write into the
+# PARENT's data directory — which is what makes an eventual publish
+# metadata-only.  A named BRANCH (Iceberg-style) persists under
+# ``<root>/branches/<name>``, is re-openable, writable, and protects its
+# base snapshot from parent retention GC for as long as it exists (tags
+# are the read-only special case of the same ref idea).  The WAP
+# StagedCommit is the one-shot ANONYMOUS branch under ``<root>/staging/``
+# — same chain mechanics, no ref name, no GC protection (its publish is
+# a strict fast-forward anyway, and abort protects live parent files).
 
 
-class StagedCommit:
-    """Handle for an in-progress write-audit-publish cycle (see
-    ``ManifestTable.begin_staged``): ``table`` is a fully functional
+class RefChain:
+    """Handle on a writable ref chain: ``table`` is a fully functional
     ManifestTable invisible to the parent's readers — run any sequence
-    of appends/upserts/deletes against it, AUDIT the staged state with
-    ordinary reads/queries, then ``publish_staged`` (one metadata-only
-    parent commit) or ``abort_staged`` (parent never changes)."""
+    of appends/upserts/deletes against it, AUDIT the state with
+    ordinary reads/queries, then fast-forward-publish or drop it."""
 
     def __init__(
-        self, table: "ManifestTable", base_version: int, staging_root: str
+        self, table: "ManifestTable", base_version: int, chain_root: str
     ):
         self.table = table
         self.base_version = base_version
-        self.staging_root = staging_root
+        self.chain_root = chain_root
 
 
-def begin_staged(self) -> StagedCommit:
-    """Open a WRITE-AUDIT-PUBLISH staging area (Iceberg/Netflix WAP):
-    a private ManifestTable seeded BY REFERENCE with the parent's
-    current snapshot (metadata-only — zero data copies; its commit
-    chain lives under ``<root>/staging/<id>`` where no parent reader
-    looks, but its data files write into the PARENT's data directory,
-    which is what makes the eventual publish metadata-only).  Stage any
-    number of mutating commits, audit the result with ordinary queries
-    (constraints, dq checks, row counts), then publish or abort.
+class StagedCommit(RefChain):
+    """An in-progress write-audit-publish cycle (``begin_staged``) —
+    the anonymous one-shot branch."""
 
-    Unpublished staged data files are invisible to parent GC (no parent
-    manifest references them, and _gc only reclaims files referenced by
-    EXPIRED parent manifests); ``vacuum`` could reclaim them past its
-    age horizon — the same in-flight-writer exposure its docstring
-    already documents."""
-    base_gen, base_manifest = self._current()
-    staging_root = os.path.join(
-        self.root, "staging", uuid.uuid4().hex[:12]
-    )
-    staged = ManifestTable(
+    @property
+    def staging_root(self) -> str:
+        return self.chain_root
+
+
+class BranchHandle(RefChain):
+    """A named branch (``create_branch`` / ``branch``): persists across
+    handles, GC-protects its base snapshot, fast-forwards by name."""
+
+    def __init__(
+        self,
+        table: "ManifestTable",
+        base_version: int,
+        chain_root: str,
+        name: str,
+    ):
+        super().__init__(table, base_version, chain_root)
+        self.name = name
+
+
+def _open_ref_chain(
+    self, chain_root: str, seed_manifest: dict | None = None
+) -> "ManifestTable":
+    """Construct the private chain table: same spec as the parent,
+    SHARED data directory, retention GC disabled (a chain longer than
+    ``keep`` would otherwise expire its seeded base manifest and
+    reclaim base-snapshot files the parent still references — the
+    chain is dropped wholesale instead, so skipping GC costs only
+    chain-local metadata).  Seeds the chain with ``seed_manifest`` as
+    gen 1 when given and the chain is empty."""
+    t = ManifestTable(
         self._spark,
-        staging_root,
+        chain_root,
         key_cols=list(self.key_cols),
         partition_by=list(self.partition_by),
         keep_versions=self.keep,
         bloom_cols=list(self.bloom_cols),
         partition_transforms=dict(self.partition_transforms),
     )
-    staged._data = self._data  # shared data dir => publish is metadata-only
-    # The staged chain must NEVER run retention GC: it deletes data files
-    # in the shared directory, and once the staged chain outgrows
-    # ``keep`` its seeded base manifest expires — staged GC would then
-    # reclaim base-snapshot files the PARENT's live manifests still
-    # reference.  The chain is bounded (rmtree'd wholesale at
-    # publish/abort), so skipping GC costs only staging-local metadata.
-    staged._gc_enabled = False
-    if base_manifest is not None:
-        staged._publish(base_manifest, expected_gen=0)
-    return StagedCommit(staged, base_gen, staging_root)
+    t._data = self._data  # shared data dir => publish is metadata-only
+    t._gc_enabled = False
+    if seed_manifest is not None and t._current()[0] == 0:
+        t._publish(seed_manifest, expected_gen=0)
+    return t
 
 
-def publish_staged(self, staged: StagedCommit) -> int:
-    """Fast-forward the parent to the staged head as ONE commit.
+def _chain_refs(chain_commits_dir: str) -> set[str]:
+    """Every data-file reference carried by any manifest of a ref
+    chain (commit pointer files -> manifest JSONs in the sibling
+    ``manifests`` dir)."""
+    refs: set[str] = set()
+    manifests_dir = os.path.join(os.path.dirname(chain_commits_dir), "manifests")
+    try:
+        names = os.listdir(chain_commits_dir)
+    except FileNotFoundError:
+        return refs
+    for n in names:
+        try:
+            with open(os.path.join(chain_commits_dir, n)) as fh:
+                mname = fh.read().strip()
+            with open(os.path.join(manifests_dir, mname)) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for files in m["partitions"].values():
+            refs.update(files)
+        for entries in m.get("deletes", {}).values():
+            refs.update(d["file"] for d in entries)
+    return refs
 
-    Readers of the parent atomically jump from the base snapshot to the
-    audited final state — none of the intermediate staged commits ever
-    becomes a parent version (the audit trail stays in the staging
-    chain until cleanup).  Raises CommitConflict if any writer
-    committed to the parent since ``begin_staged`` — WAP publishes are
-    strict fast-forwards; on conflict, re-stage on the new base (the
-    staged chain is untouched, so nothing is lost).  The staged head's
-    file REFERENCES are published as-is: no data is read, rewritten,
-    or moved."""
-    head_gen, _ = self._current()
-    if head_gen != staged.base_version:
-        raise CommitConflict(
-            f"parent advanced {staged.base_version} -> {head_gen} during "
-            f"staging; re-stage on the new base"
-        )
-    staged_gen, staged_manifest = staged.table._current()
-    if staged_manifest is None:
-        return head_gen  # nothing ever staged: publish is a no-op
-    self._publish(staged_manifest, expected_gen=head_gen)
-    shutil.rmtree(staged.staging_root, ignore_errors=True)
-    return head_gen + 1
+
+def _ref_chain_dirs(self) -> list[str]:
+    """Commit dirs of every live ref chain (named branches + anonymous
+    staging areas) under this table's root."""
+    out: list[str] = []
+    for sub, nested in (("branches", "chain"), ("staging", None)):
+        base = os.path.join(self.root, sub)
+        try:
+            names = os.listdir(base)
+        except FileNotFoundError:
+            continue
+        for n in names:
+            d = os.path.join(base, n, nested) if nested else os.path.join(base, n)
+            out.append(os.path.join(d, "commits"))
+    return out
 
 
-def abort_staged(self, staged: StagedCommit) -> None:
-    """Drop the staging area; the parent never changes.  Data files
-    that only staged commits referenced are deleted (they live in the
-    parent's data dir but no parent manifest knows them).  The
-    protected set is built from EVERY retained parent manifest (plus
-    tagged snapshots, which stay in the commit listing), not just the
-    base-version manifest: if parent writers advanced past the
-    retention window during staging, the base manifest may itself be
-    GC'd, and files it carried forward by reference can live on in the
-    parent's CURRENT manifests — deleting them would corrupt the live
-    parent table."""
-    base_refs: set[str] = set()
+def _protected_parent_refs(self) -> set[str]:
+    """Every data-file reference carried by any RETAINED parent
+    manifest (tagged snapshots stay in the commit listing, so they are
+    covered) — the set a chain drop must never delete, even if the
+    chain's base manifest has been GC'd from the parent."""
+    refs: set[str] = set()
     try:
         parent_commits = os.listdir(self._commits)
     except FileNotFoundError:
@@ -2112,28 +2146,205 @@ def abort_staged(self, staged: StagedCommit) -> None:
         except (NotFoundError, ValueError):
             continue
         for files in m["partitions"].values():
-            base_refs.update(files)
+            refs.update(files)
         for entries in m.get("deletes", {}).values():
-            base_refs.update(d["file"] for d in entries)
-    staged_refs: set[str] = set()
-    try:
-        commits = os.listdir(staged.table._commits)
-    except FileNotFoundError:
-        commits = []
-    for n in commits:
-        try:
-            m = staged.table._load_manifest(int(n))
-        except (NotFoundError, ValueError):
-            continue
-        for files in m["partitions"].values():
-            staged_refs.update(files)
-        for entries in m.get("deletes", {}).values():
-            staged_refs.update(d["file"] for d in entries)
-    for f in staged_refs - base_refs:
+            refs.update(d["file"] for d in entries)
+    return refs
+
+
+def _drop_ref_chain(self, chain: RefChain) -> None:
+    """Delete a chain and the data files ONLY it references: protected
+    are all retained parent manifests (not just the possibly-GC'd base
+    manifest — files carried forward by reference can live on in the
+    parent's CURRENT manifests) and every OTHER live chain (two
+    branches cut from the same base share its files by reference)."""
+    protected = self._protected_parent_refs()
+    own_commits = os.path.join(chain.chain_root, "commits")
+    this_chain = chain.table._commits
+    for d in self._ref_chain_dirs():
+        if os.path.normpath(d) != os.path.normpath(this_chain):
+            protected |= _chain_refs(d)
+    chain_files = _chain_refs(own_commits)
+    for f in chain_files - protected:
         shutil.rmtree(os.path.join(self._data, f), ignore_errors=True)
-    shutil.rmtree(staged.staging_root, ignore_errors=True)
+    shutil.rmtree(chain.chain_root, ignore_errors=True)
 
 
+def _fast_forward_chain(self, chain: RefChain) -> int:
+    """Fast-forward the parent to the chain head as ONE commit.
+
+    Readers of the parent atomically jump from the base snapshot to
+    the audited final state — none of the intermediate chain commits
+    ever becomes a parent version.  Raises CommitConflict if any
+    writer committed to the parent since the chain was cut — ref-chain
+    publishes are strict fast-forwards; on conflict, re-cut on the new
+    base (the chain is untouched, so nothing is lost).  The chain
+    head's file REFERENCES are published as-is: no data is read,
+    rewritten, or moved."""
+    head_gen, _ = self._current()
+    if head_gen != chain.base_version:
+        raise CommitConflict(
+            f"parent advanced {chain.base_version} -> {head_gen} since the "
+            f"ref chain was cut; re-stage on the new base"
+        )
+    chain_gen, chain_manifest = chain.table._current()
+    seeded = 1 if chain.base_version > 0 else 0
+    if chain_manifest is None or chain_gen <= seeded:
+        return head_gen  # no divergence: publish is a no-op
+    self._publish(chain_manifest, expected_gen=head_gen)
+    return head_gen + 1
+
+
+# -- write-audit-publish (anonymous one-shot branch) --
+
+
+def begin_staged(self) -> StagedCommit:
+    """Open a WRITE-AUDIT-PUBLISH staging area (Iceberg/Netflix WAP):
+    an anonymous ref chain under ``<root>/staging/<id>``.  Stage any
+    number of mutating commits, audit the result with ordinary queries
+    (constraints, dq checks, row counts), then publish or abort.
+
+    Unpublished staged data files are invisible to parent GC (no
+    parent manifest references them, and _gc only reclaims files
+    referenced by EXPIRED parent manifests); ``vacuum`` protects them
+    by scanning live ref chains, subject to its in-flight-writer age
+    horizon."""
+    base_gen, base_manifest = self._current()
+    staging_root = os.path.join(self.root, "staging", uuid.uuid4().hex[:12])
+    staged = self._open_ref_chain(staging_root, base_manifest)
+    return StagedCommit(staged, base_gen, staging_root)
+
+
+def publish_staged(self, staged: StagedCommit) -> int:
+    """Strict-fast-forward the parent to the staged head as ONE
+    metadata-only commit (see ``_fast_forward_chain``), then drop the
+    staging area — the audit trail lives only until publish."""
+    new_head = self._fast_forward_chain(staged)
+    shutil.rmtree(staged.chain_root, ignore_errors=True)
+    return new_head
+
+
+def abort_staged(self, staged: StagedCommit) -> None:
+    """Drop the staging area; the parent never changes.  Data files
+    that only staged commits referenced are deleted (they live in the
+    parent's data dir but no parent manifest knows them); everything
+    referenced by retained parent manifests or other live chains is
+    protected (see ``_drop_ref_chain``)."""
+    self._drop_ref_chain(staged)
+
+
+# -- named branches --
+
+
+def _branch_dir(self, name: str) -> str:
+    return os.path.join(self.root, "branches", name)
+
+
+def create_branch(self, name: str, version: int | None = None) -> BranchHandle:
+    """Cut a NAMED, WRITABLE, GC-PROTECTED branch at ``version``
+    (default: current head) — the Iceberg branch: an audit/backfill/
+    experiment lane that (a) accepts any sequence of commits without
+    parent readers ever seeing them, (b) re-opens by name across
+    sessions (``branch``), (c) pins its base snapshot against parent
+    retention GC for as long as it exists (the writable generalization
+    of ``tag``), and (d) lands on the parent only through a strict
+    ``fast_forward``.  Atomic directory create, so two racing creators
+    cannot both win one name; re-creating an existing name raises
+    (delete first, like tags)."""
+    if not name or "/" in name or name != name.strip():
+        raise ValueError(f"bad branch name {name!r}")
+    base_gen = self.current_version() if version is None else int(version)
+    base_manifest = self._load_manifest(base_gen) if base_gen > 0 else None
+    broot = self._branch_dir(name)
+    try:
+        os.makedirs(broot, exist_ok=False)
+    except FileExistsError:
+        raise ValueError(f"branch {name!r} already exists") from None
+    with open(os.path.join(broot, "BASE"), "w") as fh:
+        fh.write(str(base_gen))
+    chain_root = os.path.join(broot, "chain")
+    chain = self._open_ref_chain(chain_root, base_manifest)
+    if base_gen > 0:
+        # same post-publish re-validation discipline as tag(): a GC
+        # pass that listed branches before the ref existed may have
+        # expired the base; withdraw instead of leaving a broken ref.
+        try:
+            self._load_manifest(base_gen)
+        except NotFoundError:
+            shutil.rmtree(broot, ignore_errors=True)
+            raise NotFoundError(
+                f"version {base_gen} was garbage-collected while branching; "
+                f"branch from a retained version"
+            ) from None
+    return BranchHandle(chain, base_gen, chain_root, name)
+
+
+def branch(self, name: str) -> BranchHandle:
+    """Re-open an existing named branch."""
+    broot = self._branch_dir(name)
+    try:
+        with open(os.path.join(broot, "BASE")) as fh:
+            base_gen = int(fh.read().strip())
+    except FileNotFoundError:
+        raise NotFoundError(f"unknown branch {name!r}") from None
+    chain_root = os.path.join(broot, "chain")
+    return BranchHandle(
+        self._open_ref_chain(chain_root), base_gen, chain_root, name
+    )
+
+
+def branches(self) -> dict[str, int]:
+    """All branches as {name: base_version}."""
+    base = os.path.join(self.root, "branches")
+    try:
+        names = os.listdir(base)
+    except FileNotFoundError:
+        return {}
+    out: dict[str, int] = {}
+    for n in sorted(names):
+        try:
+            with open(os.path.join(base, n, "BASE")) as fh:
+                out[n] = int(fh.read().strip())
+        except (OSError, ValueError):
+            continue  # concurrent create/delete; partial write
+    return out
+
+
+def fast_forward(self, name: str) -> int:
+    """Publish the branch head onto the parent as ONE metadata-only
+    commit (strict fast-forward — raises CommitConflict if the parent
+    advanced since the branch was cut).  The branch stays alive and
+    its base advances to the published version, so work can continue
+    on it and fast-forward again later — delete_branch ends it."""
+    b = self.branch(name)
+    new_head = self._fast_forward_chain(b)
+    if new_head != b.base_version:
+        with open(os.path.join(self._branch_dir(name), "BASE"), "w") as fh:
+            fh.write(str(new_head))
+    return new_head
+
+
+def delete_branch(self, name: str) -> None:
+    """Drop the branch: its base snapshot re-enters normal parent
+    retention, and data files ONLY its chain referenced are deleted
+    (retained parent manifests and every other live chain stay
+    protected)."""
+    b = self.branch(name)
+    self._drop_ref_chain(b)
+    shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+
+
+ManifestTable._open_ref_chain = _open_ref_chain
+ManifestTable._ref_chain_dirs = _ref_chain_dirs
+ManifestTable._protected_parent_refs = _protected_parent_refs
+ManifestTable._drop_ref_chain = _drop_ref_chain
+ManifestTable._fast_forward_chain = _fast_forward_chain
 ManifestTable.begin_staged = begin_staged
 ManifestTable.publish_staged = publish_staged
 ManifestTable.abort_staged = abort_staged
+ManifestTable._branch_dir = _branch_dir
+ManifestTable.create_branch = create_branch
+ManifestTable.branch = branch
+ManifestTable.branches = branches
+ManifestTable.fast_forward = fast_forward
+ManifestTable.delete_branch = delete_branch

@@ -1396,6 +1396,127 @@ def should_abort_staging_without_touching_parent(spark, tmp_path):
     assert _state(mt.read()) == {1: ("a", "x"), 3: ("a", "z")}
 
 
+# -- named branches -----------------------------------------------------------
+
+
+def should_run_branch_lifecycle_create_commit_fast_forward_delete(
+    spark, tmp_path
+):
+    """Branch golden path: cut a named branch, commit to it (invisible
+    to the parent), re-open it by name, fast-forward the parent to the
+    branch head as ONE commit, keep working on the branch, fast-forward
+    again, then delete."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    v1 = mt.current_version()
+
+    mt.create_branch("audit")
+    assert mt.branches() == {"audit": v1}
+    b = mt.branch("audit")  # a fresh handle opened by name
+    b.table.upsert(_mk(spark, [(1, "a", "x2"), (3, "c", "z")]))
+    assert _state(b.table.read()) == {
+        1: ("a", "x2"), 2: ("b", "y"), 3: ("c", "z"),
+    }
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y")}  # invisible
+
+    v2 = mt.fast_forward("audit")
+    assert v2 == v1 + 1  # ONE parent commit for the whole branch chain
+    assert _state(mt.read()) == {1: ("a", "x2"), 2: ("b", "y"), 3: ("c", "z")}
+    assert mt.branches() == {"audit": v2}  # base advanced, branch alive
+
+    b2 = mt.branch("audit")
+    b2.table.upsert(_mk(spark, [(4, "a", "w")]))
+    v3 = mt.fast_forward("audit")
+    assert v3 == v2 + 1
+    assert 4 in _state(mt.read())
+
+    mt.delete_branch("audit")
+    assert mt.branches() == {}
+    with pytest.raises(NotFoundError):
+        mt.branch("audit")
+    # parent untouched by the delete
+    assert _state(mt.read()) == {
+        1: ("a", "x2"), 2: ("b", "y"), 3: ("c", "z"), 4: ("a", "w"),
+    }
+
+
+def should_reject_fast_forward_after_parent_advanced(spark, tmp_path):
+    """Branch publishes are strict fast-forwards, like WAP."""
+    from geospatial_data_lake_spark.plans.catalog import CommitConflict
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    mt.create_branch("exp")
+    mt.branch("exp").table.upsert(_mk(spark, [(2, "a", "y")]))
+    mt.upsert(_mk(spark, [(9, "b", "w")]))  # concurrent parent writer
+    with pytest.raises(CommitConflict):
+        mt.fast_forward("exp")
+    assert _state(mt.read()) == {1: ("a", "x"), 9: ("b", "w")}
+    assert _state(mt.branch("exp").table.read()) == {
+        1: ("a", "x"), 2: ("a", "y"),
+    }
+
+
+def should_protect_branch_base_snapshot_from_parent_gc(spark, tmp_path):
+    """A branch base is GC-protected like a tag: after enough parent
+    commits to expire it from normal retention, the branch must still
+    read its base state; deleting the branch releases the pin."""
+    mt = _table(spark, tmp_path, keep_versions=2)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    v1 = mt.current_version()
+    mt.create_branch("pin")
+    for i in range(4):
+        mt.upsert(_mk(spark, [(1, "a", f"p{i}")]))
+    # v1 is far outside keep=2, but the branch base pins it
+    assert mt._manifest_at(v1) is not None
+    assert _state(mt.branch("pin").table.read()) == {
+        1: ("a", "x"), 2: ("b", "y"),
+    }
+    mt.delete_branch("pin")
+    mt.upsert(_mk(spark, [(1, "a", "p4")]))  # next commit GCs v1
+    with pytest.raises(NotFoundError):
+        mt._manifest_at(v1)
+    assert _state(mt.read()) == {1: ("a", "p4"), 2: ("b", "y")}
+
+
+def should_protect_sibling_branch_files_when_deleting_a_branch(
+    spark, tmp_path
+):
+    """Two branches cut from the same base share its files by
+    reference; deleting one — even after the base expired from parent
+    retention — must not take the other's data with it."""
+    mt = _table(spark, tmp_path, keep_versions=2)
+    mt.upsert(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    mt.create_branch("keepme")
+    mt.create_branch("dropme")
+    mt.branch("dropme").table.upsert(_mk(spark, [(3, "c", "tmp")]))
+    for i in range(4):  # push the shared base out of parent retention
+        mt.upsert(_mk(spark, [(1, "a", f"p{i}")]))
+    mt.delete_branch("dropme")
+    assert _state(mt.branch("keepme").table.read()) == {
+        1: ("a", "x"), 2: ("b", "y"),
+    }
+    assert _state(mt.read()) == {1: ("a", f"p3"), 2: ("b", "y")}
+
+
+def should_not_vacuum_files_written_by_live_ref_chains(spark, tmp_path):
+    """vacuum must treat branch- and staging-chain manifests as
+    referencing: unpublished chain data files are not orphans."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    mt.create_branch("wip")
+    mt.branch("wip").table.upsert(_mk(spark, [(2, "b", "unpublished")]))
+    staged = mt.begin_staged()
+    staged.table.upsert(_mk(spark, [(3, "c", "staged")]))
+    removed = mt.vacuum(min_age_seconds=0.0)
+    # only writer-junk (_SUCCESS markers) may go — never chain data
+    assert [f for f in removed if f.endswith(".parquet")] == []
+    assert _state(mt.branch("wip").table.read()) == {
+        1: ("a", "x"), 2: ("b", "unpublished"),
+    }
+    assert _state(staged.table.read()) == {1: ("a", "x"), 3: ("c", "staged")}
+
+
 def should_not_let_long_staged_chains_gc_parent_base_files(spark, tmp_path):
     """Regression: the staged table shares the parent's data directory,
     so a staged chain longer than ``keep_versions`` must NOT run
