@@ -892,8 +892,11 @@ def st03_stream_volume_monitor(spark, sf_dir: str):
     external check is end-to-end: stream -> state -> merge -> monitor
     must reproduce dq07's batch answer bit-for-bit.
 
-    Scale shape: streaming state is one (type, hour) cell per group
-    (watermark-evictable in a continuous deployment); each micro-batch
+    Scale shape: streaming state is one (type, hour) cell per group —
+    watermark-evictable in a continuous deployment, DRIVEN by
+    test_lake_sink's long-horizon replay (peak state stays a fraction
+    of the cell space while the merged table still matches the batch
+    answer); each micro-batch
     merges only the cells it changed (O(touched partitions)); the
     scoring window runs on the cell table, corpus-size-independent."""
     from geospatial_data_lake_spark.operators.quality import score_volume_cells

@@ -133,3 +133,102 @@ def should_reject_cross_batch_duplicates_in_dedup_ingest(spark, tmp_path):
     apply(mk([(3, "z y x x"), (4, "totally different words")]), 1)  # replay
     assert mt.current_version() == v
     assert {r.doc_id for r in mt.read().collect()} == {1, 4}
+
+
+def should_evict_watermarked_cells_while_matching_batch_answer(
+    spark, tmp_path
+):
+    """The st03 docstring's claim, driven: with a watermark on the
+    event-time window, streaming state must stay BOUNDED over a long
+    replay (old (type, hour) cells evicted as the watermark passes
+    them) while the merged lake table still lands on exactly the batch
+    hourly counts — including late-but-within-watermark arrivals."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    base = "2026-01-01 00:00:00"
+    rows_of_block = []
+    n_blocks, block_hours = 8, 6
+    for blk in range(n_blocks):
+        rows = []
+        for h in range(blk * block_hours, (blk + 1) * block_hours):
+            for t, typ in enumerate(["A", "B", "C"]):
+                for i in range(1 + (h + t) % 3):
+                    rows.append((h * 100 + t * 10 + i, h, typ))
+        if blk > 0:  # late data: previous block's last hour, 1-5h late
+            lh = blk * block_hours - 1
+            rows.append((90000 + blk, lh, "A"))
+        rows_of_block.append(rows)
+    for rows in rows_of_block:
+        df = spark.createDataFrame(
+            rows, "event_id long, h int, event_type string"
+        ).select(
+            "event_id",
+            (
+                F.to_timestamp(F.lit(base))
+                + F.make_interval(hours=F.col("h"))
+            ).alias("ts"),
+            "event_type",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.2)  # distinct mtimes => deterministic file order
+
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "table"),
+        key_cols=["event_type", "hour"],
+        partition_by=["event_type"],
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells = (
+        stream.withWatermark("ts", "6 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "cnt",
+        )
+    )
+    q = stream_upsert(
+        cells,
+        mt,
+        str(tmp_path / "ckpt"),
+        app_id="evict",
+        output_mode="update",
+    )
+    q.awaitTermination(300)
+    peak_state = max(
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    )
+
+    want = {
+        (r.event_type, r.hour): r.cnt
+        for r in spark.read.parquet(src)
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    got = {
+        (r.event_type, r.hour): r.cnt for r in mt.read().collect()
+    }
+    assert got == want  # stream == batch, late rows included
+    n_cells = len(want)
+    assert n_cells == n_blocks * block_hours * 3
+    # BOUNDED state: the watermark evicted closed cells as it advanced —
+    # the peak live state is a fraction of the full cell space
+    assert 0 < peak_state < n_cells * 0.6, (peak_state, n_cells)
