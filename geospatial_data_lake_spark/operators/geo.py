@@ -795,3 +795,117 @@ def geo07_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("nearest_doc"),
         F.round(F.sqrt("b.d2"), 6).alias("dist"),
     ).orderBy("event_id")
+
+
+@register(
+    "geo08_wkb_point_in_polygon",
+    oracle="""
+        WITH d AS (""" + _DIAMOND_SQL + """),
+        p AS (
+            SELECT event_id,
+                   (event_id * 7919) % 900 - 450 AS px,
+                   (event_id * 104729) % 425 - 212 AS py
+            FROM events
+        )
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_points
+        FROM p JOIN d ON """ + _SQL_INSIDE + """
+        WHERE d.doc_id % 5 = 0
+        GROUP BY d.doc_id
+    """,
+    tags=("geo", "polygon", "wkb", "geoparquet", "source"),
+)
+def geo08_wkb_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo04's containment count with every geometry routed through the
+    GEOPARQUET WKB CONTRACT: points and polygon rings are encoded to
+    spec WKB binary columns and decoded back by the Arrow-batched
+    kernels in sources/wkb_source.py before the spatial join runs — the
+    end-to-end proof that a GeoParquet-shaped table (geometry as opaque
+    ``binary``) drives the engine's native predicates.  The oracle
+    computes from the raw coordinates and never sees WKB, so the hash
+    gate certifies the encode->decode round trip bit-for-bit along with
+    the join.
+
+    Scale shape: the codecs are narrow mapInPandas stages (no shuffle,
+    partition-parallel — the multimodal-codec shape) on each side of
+    geo04's plan: polygon cells broadcast, points meet them on grid
+    cell, codegen bbox prefilter, unrolled ray cast.  Only the %5
+    polygon slice is decoded — predicate pushdown happens BEFORE the
+    decode kernel, the order a GeoParquet reader must preserve."""
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        points_to_wkb,
+        polygons_to_wkb,
+        wkb_to_points,
+        wkb_to_polygons,
+    )
+    from geospatial_data_lake_spark.tables import spread
+
+    t = tables(spark, sf_dir)
+    d = _doc_diamonds(t.documents).filter(F.col("doc_id") % 5 == 0)
+    ring_src = d.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                (F.col("ccx") + F.col("w")).cast("double").alias("x"),
+                F.col("ccy").cast("double").alias("y"),
+            ),
+            F.struct(
+                F.col("ccx").cast("double").alias("x"),
+                (F.col("ccy") + F.col("h")).cast("double").alias("y"),
+            ),
+            F.struct(
+                (F.col("ccx") - F.col("w")).cast("double").alias("x"),
+                F.col("ccy").cast("double").alias("y"),
+            ),
+            F.struct(
+                F.col("ccx").cast("double").alias("x"),
+                (F.col("ccy") - F.col("h")).cast("double").alias("y"),
+            ),
+            F.struct(
+                (F.col("ccx") + F.col("w")).cast("double").alias("x"),
+                F.col("ccy").cast("double").alias("y"),
+            ),
+        ).alias("ring"),
+    )
+    # geometry -> WKB binary column -> back: the GeoParquet round trip
+    polys = wkb_to_polygons(
+        polygons_to_wkb(ring_src, "ring").drop("ring"), "wkb"
+    )
+    ring = polys.select(
+        "doc_id",
+        "ring",
+        F.array_min(F.transform("ring", lambda v: v["x"])).alias("x1"),
+        F.array_min(F.transform("ring", lambda v: v["y"])).alias("y1"),
+        F.array_max(F.transform("ring", lambda v: v["x"])).alias("x2"),
+        F.array_max(F.transform("ring", lambda v: v["y"])).alias("y2"),
+    )
+    ring_cells = ring.withColumn(
+        "cx",
+        F.explode(F.sequence(F.floor(F.col("x1") / _U), F.floor(F.col("x2") / _U))),
+    ).withColumn(
+        "cy",
+        F.explode(F.sequence(F.floor(F.col("y1") / _U), F.floor(F.col("y2") / _U))),
+    )
+    pts_src = t.events.select(
+        "event_id",
+        ((F.col("event_id") * 7919) % 900 - 450).cast("double").alias("px"),
+        ((F.col("event_id") * 104729) % 425 - 212).cast("double").alias("py"),
+    )
+    points = wkb_to_points(
+        points_to_wkb(pts_src, "px", "py").drop("px", "py"), "wkb"
+    ).select(F.col("x").alias("px"), F.col("y").alias("py"))
+    points = spread(spark, points).withColumns(
+        {
+            "cx": F.floor(F.col("px") / _U),
+            "cy": F.floor(F.col("py") / _U),
+        }
+    )
+    bbox_hit = F.col("px").between(F.col("x1"), F.col("x2")) & F.col(
+        "py"
+    ).between(F.col("y1"), F.col("y2"))
+    return (
+        points.join(F.broadcast(ring_cells), ["cx", "cy"])
+        .filter(bbox_hit)
+        .filter(unrolled_ray_cast(F.col("ring"), F.col("px"), F.col("py"), 4))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

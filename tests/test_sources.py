@@ -325,3 +325,64 @@ def should_load_every_fixture_table_at_every_scale(spark):
                         sf, name, col, dtypes[col],
                     )
             assert df.limit(1).count() >= 0  # scan actually executes
+
+
+def should_roundtrip_wkb_geometries_and_accept_big_endian(spark):
+    """WKB codec: encode->decode is identity for points and closed
+    polygon rings; decode also accepts big-endian blobs (the other
+    spec-legal byte order); malformed input raises."""
+    import struct
+
+    import pytest
+
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        decode_wkb,
+        encode_wkb_point,
+        encode_wkb_polygon,
+        points_to_wkb,
+        polygons_to_wkb,
+        wkb_to_points,
+        wkb_to_polygons,
+    )
+
+    # pure-codec roundtrip
+    assert decode_wkb(encode_wkb_point(3.5, -7.25)) == (1, [(3.5, -7.25)])
+    ring = [(0.0, 0.0), (4.0, 0.0), (2.0, 3.0), (0.0, 0.0)]
+    assert decode_wkb(encode_wkb_polygon(ring)) == (3, ring)
+
+    # big-endian point: byte order 0, same payload
+    be = struct.pack(">BIdd", 0, 1, 1.5, 2.5)
+    assert decode_wkb(be) == (1, [(1.5, 2.5)])
+
+    with pytest.raises(ValueError):
+        decode_wkb(b"\x01\x07\x00\x00\x00")  # unsupported type / short
+    with pytest.raises(ValueError):
+        decode_wkb(struct.pack("<BI", 1, 9))  # unsupported geometry
+
+    # DataFrame kernels: passthrough columns survive, values roundtrip
+    pts = spark.createDataFrame(
+        [(1, 10.5, -4.0), (2, -0.25, 8.0)], "id long, px double, py double"
+    )
+    back = {
+        r.id: (r.x, r.y)
+        for r in wkb_to_points(
+            points_to_wkb(pts, "px", "py").drop("px", "py"), "wkb"
+        ).collect()
+    }
+    assert back == {1: (10.5, -4.0), 2: (-0.25, 8.0)}
+
+    from pyspark.sql import functions as F
+
+    polys = spark.createDataFrame([(7,)], "doc long").select(
+        "doc",
+        F.expr(
+            "array(struct(0.0D as x, 0.0D as y), struct(2.0D as x, 0.0D as y),"
+            " struct(1.0D as x, 1.0D as y), struct(0.0D as x, 0.0D as y))"
+        ).alias("ring"),
+    )
+    out = wkb_to_polygons(
+        polygons_to_wkb(polys, "ring").drop("ring"), "wkb"
+    ).collect()
+    assert [(v.x, v.y) for v in out[0].ring] == [
+        (0.0, 0.0), (2.0, 0.0), (1.0, 1.0), (0.0, 0.0),
+    ]
