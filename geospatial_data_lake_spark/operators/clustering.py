@@ -42,6 +42,8 @@ part of the training-data-pipeline extension scope (SURVEY.md §2
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -983,6 +985,196 @@ def ss07_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x, y: x - y,
             ),
         )
+    )
+    cand = enc.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    adc = None
+    for j, cents in enumerate(cents_per_sub):
+        qsl = F.slice("qr", j * _PQ_SUB + 1, _PQ_SUB)
+        dj = None
+        for cid, cw in sorted(cents.items()):
+            cond = F.col(f"code{j}") == cid
+            term = _sq_between(qsl, cw)
+            dj = F.when(cond, term) if dj is None else dj.when(cond, term)
+        adc = dj if adc is None else adc + dj
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    return (
+        cand.select("q_id", F.col("vec_id").alias("c_id"), adc.alias("adc"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 4).alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+# -- ss08: persisted IVFPQ index — build once, search from the store ----------
+
+_IVFPQ_STORE: dict[tuple[int, str], tuple] = {}
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, root: str):
+    """TRAIN the residual-IVFPQ model once and PERSIST it as lake
+    tables — the index-build job of a production ANN deployment:
+
+    - ``codes``: one row per corpus vector ``(vec_id, cid, code0..m)``,
+      PARTITIONED BY the coarse cell id — the IVF inverted lists ARE
+      the table's partitions, so an nprobe search is a partition-pruned
+      read, not a scan;
+    - ``model``: the coarse centroids + per-subspace codebooks
+      (model-sized — k x dim + m x k x sub rows).
+
+    Returns (codes_table, model_table)."""
+    from geospatial_data_lake_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fin, coarse = kmeans_fit(e)
+    corpus = fin.select("vec_id", "v", "cid").withColumn(
+        "r",
+        F.zip_with(
+            "v", _cent_array_for(F.col("cid"), coarse), lambda x, y: x - y
+        ),
+    )
+    cents_per_sub = []
+    for j in range(_PQ_M):
+        rm = corpus.select(
+            "vec_id", F.slice("r", j * _PQ_SUB + 1, _PQ_SUB).alias("v")
+        )
+        _f, cents = kmeans_fit(rm, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUB)
+        cents_per_sub.append(cents)
+    enc = corpus
+    for j, cents in enumerate(cents_per_sub):
+        sl = F.slice("r", j * _PQ_SUB + 1, _PQ_SUB)
+        structs = [
+            F.struct(
+                _sq_between(sl, cw).alias("dist"), F.lit(cid).alias("cid")
+            )
+            for cid, cw in sorted(cents.items())
+        ]
+        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*structs))["cid"])
+    codes = ManifestTable(
+        spark,
+        os.path.join(root, "codes"),
+        key_cols=["vec_id"],
+        partition_by=["cid"],
+    )
+    codes.append(
+        enc.select(
+            "vec_id", "cid", *[f"code{j}" for j in range(_PQ_M)]
+        )
+    )
+    model = ManifestTable(
+        spark,
+        os.path.join(root, "model"),
+        key_cols=["kind", "subspace", "cid"],
+        partition_by=["kind"],
+    )
+    rows = [
+        ("coarse", -1, cid, [float(x) for x in cv])
+        for cid, cv in sorted(coarse.items())
+    ] + [
+        ("pq", j, cid, [float(x) for x in cw])
+        for j, cents in enumerate(cents_per_sub)
+        for cid, cw in sorted(cents.items())
+    ]
+    model.append(
+        spark.createDataFrame(
+            rows, "kind string, subspace int, cid int, c array<double>"
+        )
+    )
+    return codes, model
+
+
+def load_ivfpq_model(model) -> tuple[dict, list[dict]]:
+    """Read the persisted model back into driver literals (model-sized
+    collect — the 'load the index metadata' step of every ANN server)."""
+    coarse: dict[int, list[float]] = {}
+    per_sub: list[dict[int, list[float]]] = [{} for _ in range(_PQ_M)]
+    for r in model.read().collect():
+        if r.kind == "coarse":
+            coarse[int(r.cid)] = [float(x) for x in r.c]
+        else:
+            per_sub[int(r.subspace)][int(r.cid)] = [float(x) for x in r.c]
+    return coarse, per_sub
+
+
+def _ivfpq_store(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _IVFPQ_STORE:
+        root = tempfile.mkdtemp(prefix="gdl_ivfpq_idx_")
+        _IVFPQ_STORE[cache_key] = build_ivfpq_index(spark, sf_dir, root)
+    return _IVFPQ_STORE[cache_key]
+
+
+@register(
+    "ss08_persisted_ivfpq_search",
+    oracle=_ivfpq_residual_oracle(),
+    tags=("similarity", "ann", "compression", "lake", "pipeline"),
+)
+def ss08_persisted_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss07's residual-IVFPQ search served FROM A PERSISTED INDEX — the
+    production deployment split: ``build_ivfpq_index`` trains once and
+    stores codes + model as lake tables; this query performs NO
+    training — it loads the model-sized codebooks from the store and
+    probes the codes table, whose partitions ARE the inverted lists, so
+    each probed cell is a PARTITION-PRUNED read (``read(where={cid})``)
+    — at a billion vectors the search touches nprobe/k of the files,
+    enforced by manifest partition pruning rather than a filter over a
+    full scan (pruning pinned by the planned_files unit test).  Same
+    oracle as ss07: identical results must come out of the stored index
+    as out of the inline pipeline — any training/persist/reload drift
+    breaks the hash.
+
+    Scale shape: index build amortizes over every later query set (the
+    vb03/tx10 persist-then-serve discipline); the search is nprobe
+    pruned scans + a broadcast of (queries x nprobe) residual rows +
+    m codeword CASE sums per candidate; driver state is model-sized."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    codes, model = _ivfpq_store(spark, sf_dir)
+    coarse, cents_per_sub = load_ivfpq_model(model)
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe_structs = [
+        F.struct(_sq_dist_to(cv).alias("dist"), F.lit(cid).alias("cid"))
+        for cid, cv in sorted(coarse.items())
+    ]
+    probed = F.slice(F.array_sort(F.array(*probe_structs)), 1, _NPROBE)
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("cid", F.explode(F.transform(probed, lambda s: s["cid"])))
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cid")
+        .withColumn(
+            "qr",
+            F.zip_with(
+                "qv",
+                _cent_array_for(F.col("cid"), coarse),
+                lambda x, y: x - y,
+            ),
+        )
+    )
+    # the probed cell set is (queries x nprobe)-bounded: collect it and
+    # read ONLY those partitions from the stored index
+    probed_cids = sorted(
+        {int(r.cid) for r in q.select("cid").distinct().collect()}
+    )
+    enc = reduce(
+        lambda a, b: a.unionByName(b),
+        [codes.read(where={"cid": c}) for c in probed_cids],
     )
     cand = enc.join(F.broadcast(q), "cid").filter(
         F.col("vec_id") != F.col("q_id")

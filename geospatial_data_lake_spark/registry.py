@@ -68,8 +68,9 @@ _LOADED = False
 # per family so a regression is still externally visible) and
 # never-driver-checked queries move up.  Round-7 prefix: ss06 (the one
 # query with no driver row after r6 — registered past r6's 50-entry
-# mark), the 3 queries NEW in r7 (ss07 residual IVFPQ, vs14 branch
-# divergence, geo08 WKB round trip), the 6 queries whose implementation
+# mark), the 4 queries NEW in r7 (ss07 residual IVFPQ, ss08
+# persisted-index IVFPQ serving, vs14 branch divergence, geo08 WKB
+# round trip), the 6 queries whose implementation
 # or shared machinery changed in r7 (vb03 persisted-vocab rewrite, q8
 # single-plan scalar join, dd09/dd12 candidate prefilters, dq07/st03
 # shared scoring extraction, vs12/vs13 over the rewritten ref-chain +
@@ -78,13 +79,14 @@ _LOADED = False
 # round).  Cumulative driver-green entering r7: 195 of 196 oracled
 # queries (all but ss06) + ss02/ss03 rows-only by design with hash-gated
 # audit companions; a green r7 prefix makes every oracled query,
-# including the 3 new ones, externally proven.  Everything not listed
+# including the 4 new ones, externally proven.  Everything not listed
 # keeps its registration order after the prioritized prefix; nothing is
 # dropped.
 _PRIORITY: tuple[str, ...] = (
     # first driver check: the r6 leftover + this round's new queries
     "ss06_ivfpq_search",
     "ss07_ivfpq_residual_search",
+    "ss08_persisted_ivfpq_search",
     "vs14_branch_divergence",
     "geo08_wkb_point_in_polygon",
     # re-proof: implementations or shared machinery changed in r7
@@ -143,8 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "s01_point_lookup",
     "j07_star_join_broadcast",
     "w03_rank_per_group",
-    "a08_rollup",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
+    "a08_rollup",
     "dq03_referential_integrity",
     "dq04_chi2_drift",
     "dq05_embedding_drift",

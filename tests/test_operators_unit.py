@@ -154,6 +154,27 @@ def should_residual_ivfpq_beat_raw_codes_at_equal_bits(spark, sf_dir):
     assert res >= raw, f"residual recall {res} < raw recall {raw}"
 
 
+def should_serve_ivfpq_from_partition_pruned_index_store(spark, sf_dir, tmp_path):
+    """The persisted index's inverted lists are lake-table PARTITIONS:
+    a single-cell probe must plan a strict subset of the index files
+    (manifest partition pruning, not a post-scan filter), and the
+    stored model must round-trip exactly."""
+    from geospatial_data_lake_spark.operators.clustering import (
+        build_ivfpq_index,
+        load_ivfpq_model,
+    )
+
+    codes, model = build_ivfpq_index(spark, sf_dir, str(tmp_path / "idx"))
+    all_files = set(codes.planned_files())
+    probed = set(codes.planned_files(where={"cid": 0}))
+    assert probed and probed < all_files, (len(probed), len(all_files))
+    # every stored row belongs to the probed cell — pruning is exact
+    assert codes.read(where={"cid": 0}).filter(F.col("cid") != 0).count() == 0
+    coarse, per_sub = load_ivfpq_model(model)
+    assert len(coarse) > 0 and all(len(c) == 64 for c in coarse.values())
+    assert len(per_sub) == 4 and all(len(cw) == 16 for d in per_sub for cw in d.values())
+
+
 def should_lsh_ann_recall_match_bruteforce(spark, sf_dir):
     """ss02 (LSH ANN) must recover most of ss01's exact top-3 neighbors."""
     registry = load_all_queries()
