@@ -571,3 +571,38 @@ def should_score_volume_cells_not_raw_events(spark, registry, sf_dir):
     plan = _plan(spark, registry, "dq07_volume_anomalies", sf_dir)
     assert plan.count("HashAggregate") <= 4, plan  # partial+final, x2 blocks
     assert "Window" in plan, plan
+
+
+def should_run_wkb_roundtrip_as_passthrough_map_stages(spark, registry, sf_dir):
+    # geo08: the WKB codecs are narrow mapInPandas stages on each side
+    # of geo04's join shape — polygon cells broadcast, no cartesian, no
+    # sort-merge join; 4 kernel stages (2 encodes + 2 decodes), each
+    # appearing in tree + detail block.
+    plan = _plan(spark, registry, "geo08_wkb_point_in_polygon", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("MapInPandas") == 8, plan
+
+
+def should_compare_branch_heads_without_cartesian(spark, registry, sf_dir):
+    # vs14: the divergence read is a key-equi full outer join of two
+    # snapshot reads — never a cartesian/BNLJ.
+    plan = _plan(spark, registry, "vs14_branch_divergence", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def should_search_persisted_ivfpq_without_training_or_smj(
+    spark, registry, sf_dir
+):
+    # ss08: the search plan reads the stored codes table (union of
+    # pruned partition scans) against the broadcast residual query
+    # block; codewords are codegen literals loaded from the model store
+    # — no sort-merge join, no cartesian, no Python stage.
+    plan = _plan(spark, registry, "ss08_persisted_ivfpq_search", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan, plan
