@@ -1018,6 +1018,48 @@ def ss07_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_STORE: dict[tuple[int, str], tuple] = {}
 
 
+def encode_with_ivfpq_model(
+    e: DataFrame,
+    coarse: dict[int, list[float]],
+    cents_per_sub: list[dict[int, list[float]]],
+) -> DataFrame:
+    """Encode ``e(vec_id, v)`` against an ALREADY-TRAINED residual-IVFPQ
+    model: assign the coarse cell, form the residual, pick the argmin
+    codeword per subspace — one fused in-row codegen pass, shared by the
+    index build and incremental maintenance so a vector encodes
+    identically whichever path wrote it."""
+    enc = _assign(e, coarse).select("vec_id", "v", "cid").withColumn(
+        "r",
+        F.zip_with(
+            "v", _cent_array_for(F.col("cid"), coarse), lambda x, y: x - y
+        ),
+    )
+    for j, cents in enumerate(cents_per_sub):
+        sl = F.slice("r", j * _PQ_SUB + 1, _PQ_SUB)
+        structs = [
+            F.struct(
+                _sq_between(sl, cw).alias("dist"), F.lit(cid).alias("cid")
+            )
+            for cid, cw in sorted(cents.items())
+        ]
+        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*structs))["cid"])
+    return enc.select("vec_id", "cid", *[f"code{j}" for j in range(_PQ_M)])
+
+
+def append_to_ivfpq_index(codes, model, batch: DataFrame) -> int:
+    """INCREMENTAL index maintenance — the ingest path of a production
+    ANN deployment: new vectors are encoded against the STORED model
+    (no retraining; coarse assignment + residual PQ codes in one
+    codegen pass) and MERGEd into the codes table by vec_id, landing in
+    their inverted-list partitions (O(touched partitions), snapshot-
+    isolated, re-sending a batch is a no-op state-wise).  Periodic
+    retraining remains a rebuild — exactly FAISS's add/train split."""
+    coarse, cents_per_sub = load_ivfpq_model(model)
+    return codes.upsert(
+        encode_with_ivfpq_model(batch, coarse, cents_per_sub)
+    )
+
+
 def build_ivfpq_index(spark: SparkSession, sf_dir: str, root: str):
     """TRAIN the residual-IVFPQ model once and PERSIST it as lake
     tables — the index-build job of a production ANN deployment:
@@ -1038,7 +1080,8 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, root: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     fin, coarse = kmeans_fit(e)
-    corpus = fin.select("vec_id", "v", "cid").withColumn(
+    corpus = fin.select("vec_id", "v", "cid")
+    res = corpus.withColumn(
         "r",
         F.zip_with(
             "v", _cent_array_for(F.col("cid"), coarse), lambda x, y: x - y
@@ -1046,21 +1089,12 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, root: str):
     )
     cents_per_sub = []
     for j in range(_PQ_M):
-        rm = corpus.select(
+        rm = res.select(
             "vec_id", F.slice("r", j * _PQ_SUB + 1, _PQ_SUB).alias("v")
         )
         _f, cents = kmeans_fit(rm, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUB)
         cents_per_sub.append(cents)
-    enc = corpus
-    for j, cents in enumerate(cents_per_sub):
-        sl = F.slice("r", j * _PQ_SUB + 1, _PQ_SUB)
-        structs = [
-            F.struct(
-                _sq_between(sl, cw).alias("dist"), F.lit(cid).alias("cid")
-            )
-            for cid, cw in sorted(cents.items())
-        ]
-        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*structs))["cid"])
+    enc = encode_with_ivfpq_model(e, coarse, cents_per_sub)
     codes = ManifestTable(
         spark,
         os.path.join(root, "codes"),

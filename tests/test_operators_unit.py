@@ -909,3 +909,54 @@ def should_cut_exact_duplicated_spans_in_dd13(spark, tmp_path):
     assert got[1] == (20, 5, "a1 a2 a3 a4 a5")
     assert got[2] == (22, 7, "b1 b2 b3 b4 b5 b6 b7")
     assert got[3] == (30, 30, " ".join(f"z{i}" for i in range(30)))
+
+
+def should_maintain_persisted_ivfpq_index_incrementally(spark, sf_dir, tmp_path):
+    """Index maintenance without retraining: new vectors encode against
+    the STORED model and MERGE into their inverted-list partitions;
+    re-sending the batch leaves the table state unchanged; the stored
+    rows equal the encoder's output exactly (persist/reload is
+    lossless)."""
+    from geospatial_data_lake_spark.operators.clustering import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        encode_with_ivfpq_model,
+        load_ivfpq_model,
+    )
+
+    codes, model = build_ivfpq_index(spark, sf_dir, str(tmp_path / "idx"))
+    n0 = codes.read().count()
+
+    # the "new crawl": copies of existing vectors under fresh ids, so
+    # their expected codes are known-good by construction
+    batch = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 6)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    append_to_ivfpq_index(codes, model, batch)
+    got = {
+        r.vec_id: (r.cid, r.code0, r.code1, r.code2, r.code3)
+        for r in codes.read().filter(F.col("vec_id") >= 100000).collect()
+    }
+    coarse, per_sub = load_ivfpq_model(model)
+    want = {
+        r.vec_id: (r.cid, r.code0, r.code1, r.code2, r.code3)
+        for r in encode_with_ivfpq_model(batch, coarse, per_sub).collect()
+    }
+    assert got == want and len(got) == 6
+    assert codes.read().count() == n0 + 6
+    # a copied vector must share its original's cell and codes
+    orig = {
+        r.vec_id: (r.cid, r.code0, r.code1, r.code2, r.code3)
+        for r in codes.read().filter(F.col("vec_id") < 6).collect()
+    }
+    assert all(got[k + 100000] == orig[k] for k in orig)
+
+    # idempotent re-send: same rows in, same table state out
+    state_before = sorted(map(tuple, codes.read().collect()))
+    append_to_ivfpq_index(codes, model, batch)
+    assert sorted(map(tuple, codes.read().collect())) == state_before
