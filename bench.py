@@ -106,6 +106,12 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Raw per-run values first, on their own line, for spread adjudication.
+    # The compact medians-only record goes LAST so the driver's bounded
+    # stdout-tail capture always contains the "metric"/"value" line
+    # (r7's combined line outgrew the tail window -> parsed: null).
+    print(json.dumps({"raw_runs": raw_runs, "sf": sf_val}))
     print(
         json.dumps(
             {
@@ -113,8 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": raw_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -909,3 +909,141 @@ def geo08_wkb_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+def _rect_ring(cx, cy, hx, hy):
+    """Closed 5-vertex axis-aligned rectangle ring (Column structs)."""
+    return F.array(
+        F.struct((cx - hx).alias("x"), (cy - hy).alias("y")),
+        F.struct((cx + hx).alias("x"), (cy - hy).alias("y")),
+        F.struct((cx + hx).alias("x"), (cy + hy).alias("y")),
+        F.struct((cx - hx).alias("x"), (cy + hy).alias("y")),
+        F.struct((cx - hx).alias("x"), (cy - hy).alias("y")),
+    )
+
+
+@register(
+    "geo09_wkb_multipolygon_holes",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   (doc_id * 31) % 700 - 350 AS ccx,
+                   (doc_id * 57) % 300 - 150 AS ccy,
+                   3 + doc_id % 4 AS w,
+                   3 + doc_id % 3 AS h,
+                   (doc_id * 31) % 700 - 350 + 30 + doc_id % 40 AS p2x,
+                   (doc_id * 57) % 300 - 150 AS p2y
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        p AS (
+            SELECT event_id,
+                   (event_id * 7919) % 900 - 450 AS px,
+                   (event_id * 104729) % 425 - 212 AS py
+            FROM events
+        )
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_points
+        FROM p JOIN g ON (
+            (abs(px - ccx) < w + 0.5 AND abs(py - ccy) < h + 0.5
+             AND NOT (abs(px - ccx) < w - 1.5 AND abs(py - ccy) < h - 1.5))
+            OR (abs(px - p2x) < 2.5 AND abs(py - p2y) < 2.5)
+        )
+        GROUP BY g.doc_id
+    """,
+    tags=("geo", "polygon", "wkb", "multipolygon", "holes", "geoparquet"),
+)
+def geo09_wkb_multipolygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-MULTIPOLYGON counts where the geometry travels as WKB
+    MultiPolygon (type 6) with INTERIOR RINGS: each selected document
+    owns a two-part multipolygon — part 1 is a rectangle with a
+    rectangular HOLE punched out (points inside the hole must NOT
+    count), part 2 a disjoint solid rectangle — encoded to spec WKB by
+    ``multipolygons_to_wkb`` and decoded back by ``wkb_to_rings``
+    (sources/wkb_source.py) before the spatial join.  The oracle
+    computes containment from the raw rectangle arithmetic and never
+    sees WKB, so the hash gate certifies the nested
+    parts->rings->vertices encode/decode round trip bit-for-bit AND
+    that holes flip containment.
+
+    Scale shape: even-odd parity across rings — ``wkb_to_rings``
+    flattens shells and holes into one ring array, each ring explodes
+    to its grid cells (small, broadcast), points meet rings on cell,
+    the codegen'd unrolled ray cast marks per-ring containment, and a
+    per-(doc, point) parity aggregate XORs shells against holes.  No
+    ring identity bookkeeping: a hole is just a ring whose containment
+    flips the parity, so the same plan serves any nesting depth.  Ring
+    boundaries sit on half-integers while points sit on the integer
+    lattice, so no point is ever ON a boundary and the even-odd answer
+    is exact.  Both aggregates are partial-aggregatable; the candidate
+    fan-out is bounded by rings-per-cell exactly as in geo04."""
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        multipolygons_to_wkb,
+        wkb_to_rings,
+    )
+    from geospatial_data_lake_spark.tables import spread
+
+    t = tables(spark, sf_dir)
+    g = t.documents.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        ((F.col("doc_id") * 31) % 700 - 350).cast("double").alias("ccx"),
+        ((F.col("doc_id") * 57) % 300 - 150).cast("double").alias("ccy"),
+        (3 + F.col("doc_id") % 4).cast("double").alias("w"),
+        (3 + F.col("doc_id") % 3).cast("double").alias("h"),
+    )
+    cx, cy = F.col("ccx"), F.col("ccy")
+    w, h = F.col("w"), F.col("h")
+    p2x = cx + 30 + F.col("doc_id") % 40
+    parts = F.array(
+        # part 1: outer shell + interior hole (strictly inside: w >= 3)
+        F.array(
+            _rect_ring(cx, cy, w + 0.5, h + 0.5),
+            _rect_ring(cx, cy, w - 1.5, h - 1.5),
+        ),
+        # part 2: disjoint solid rectangle 30+ units east (no overlap:
+        # max shell half-extent 6.5 + 2.5 < 30)
+        F.array(_rect_ring(p2x, cy, F.lit(2.5), F.lit(2.5))),
+    )
+    geom_src = g.select("doc_id", parts.alias("parts"))
+    # geometry -> WKB MultiPolygon binary -> back: the holed round trip
+    decoded = wkb_to_rings(multipolygons_to_wkb(geom_src, "parts"), "wkb")
+    ring = decoded.select("doc_id", F.explode("rings").alias("ring")).select(
+        "doc_id",
+        "ring",
+        F.array_min(F.transform("ring", lambda v: v["x"])).alias("x1"),
+        F.array_min(F.transform("ring", lambda v: v["y"])).alias("y1"),
+        F.array_max(F.transform("ring", lambda v: v["x"])).alias("x2"),
+        F.array_max(F.transform("ring", lambda v: v["y"])).alias("y2"),
+    )
+    ring_cells = ring.withColumn(
+        "cx",
+        F.explode(F.sequence(F.floor(F.col("x1") / _U), F.floor(F.col("x2") / _U))),
+    ).withColumn(
+        "cy",
+        F.explode(F.sequence(F.floor(F.col("y1") / _U), F.floor(F.col("y2") / _U))),
+    )
+    points = spread(
+        spark,
+        t.events.select(
+            "event_id",
+            ((F.col("event_id") * 7919) % 900 - 450).cast("double").alias("px"),
+            ((F.col("event_id") * 104729) % 425 - 212).cast("double").alias("py"),
+        ),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("px") / _U),
+            "cy": F.floor(F.col("py") / _U),
+        }
+    )
+    bbox_hit = F.col("px").between(F.col("x1"), F.col("x2")) & F.col(
+        "py"
+    ).between(F.col("y1"), F.col("y2"))
+    # one row per (doc, point, containing ring); XOR rings via parity —
+    # holes cancel their shell, disjoint parts contribute independently
+    contained = (
+        points.join(F.broadcast(ring_cells), ["cx", "cy"])
+        .filter(bbox_hit)
+        .filter(unrolled_ray_cast(F.col("ring"), F.col("px"), F.col("py"), 4))
+        .groupBy("doc_id", "event_id")
+        .agg(F.count(F.lit(1)).alias("n_rings"))
+        .filter(F.col("n_rings") % 2 == 1)
+    )
+    return contained.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_points"))

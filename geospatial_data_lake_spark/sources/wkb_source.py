@@ -3,10 +3,10 @@
 GeoParquet stores geometry as WKB (well-known binary) in a plain
 ``binary`` parquet column; engines decode it into their native layout.
 The reference's catalog carries GeoJSON geometry (tests/stac_objects.py
-bbox arrays; geojson-spec submodule in .gitmodules:5-8) and its
-USAGE.md north-star names GeoParquet as the interchange format — this
-module is that interchange surface for the Spark engine: encode the
-engine's array-layout geometries (``struct<x,y>`` points,
+bbox arrays; geojson-spec submodule in .gitmodules:5-8) and this
+engine's BASELINE.json names GeoParquet as the interchange north-star —
+this module is that interchange surface for the Spark engine: encode
+the engine's array-layout geometries (``struct<x,y>`` points,
 ``array<struct<x,y>>`` rings) to spec-conformant WKB, and decode WKB
 (either endianness) back.
 
@@ -18,10 +18,16 @@ passthroughs for every non-geometry column, so they slot into any plan
 as a narrow map stage: no shuffle, no driver state, partition-parallel
 like the multimodal codecs (operators/multimodal.py).
 
-Supported: WKB Point (type 1) and Polygon (type 3, outer ring;
-multi-ring polygons decode their outer ring, the engine's predicate
-layout).  Encoders always write little-endian; decoders accept both
-byte orders.
+Supported geometry types: Point (1), LineString (2), Polygon (3,
+ALL rings — outer + interior holes), MultiPolygon (6).  Encoders
+always write little-endian; decoders accept both byte orders.
+
+Error contract: every malformed input raises ``ValueError`` — a bad
+byte-order byte (anything but 0/1), an unsupported geometry type, or a
+buffer too short for the counts it declares.  Declared point/ring
+counts are bounds-checked against the remaining buffer BEFORE any
+allocation, so an adversarial count (e.g. 2^31) fails in O(1) instead
+of materializing gigabytes.
 """
 
 from __future__ import annotations
@@ -33,7 +39,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 _WKB_POINT = 1
+_WKB_LINESTRING = 2
 _WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
 
 
 def encode_wkb_point(x: float, y: float) -> bytes:
@@ -41,34 +49,148 @@ def encode_wkb_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
 
 
-def encode_wkb_polygon(ring: list[tuple[float, float]]) -> bytes:
-    """Little-endian single-ring WKB POLYGON; ``ring`` must be closed
-    (first vertex repeated last), per the spec."""
-    out = struct.pack("<BIII", 1, _WKB_POLYGON, 1, len(ring))
-    for px, py in ring:
+def encode_wkb_linestring(pts: list[tuple[float, float]]) -> bytes:
+    """Little-endian WKB LINESTRING."""
+    out = struct.pack("<BII", 1, _WKB_LINESTRING, len(pts))
+    for px, py in pts:
         out += struct.pack("<dd", px, py)
     return out
 
 
-def decode_wkb(buf: bytes) -> tuple[int, list[tuple[float, float]]]:
-    """Parse one WKB blob -> (geom_type, vertices).  Point yields one
-    vertex; Polygon yields its OUTER ring's vertices.  Raises
-    ValueError on malformed/unsupported input."""
-    if len(buf) < 5:
-        raise ValueError("short WKB")
-    endian = "<" if buf[0] == 1 else ">"
-    (gtype,) = struct.unpack_from(endian + "I", buf, 1)
+def _pack_rings(rings: list[list[tuple[float, float]]]) -> bytes:
+    out = struct.pack("<I", len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for px, py in ring:
+            out += struct.pack("<dd", px, py)
+    return out
+
+
+def encode_wkb_polygon_rings(rings: list[list[tuple[float, float]]]) -> bytes:
+    """Little-endian WKB POLYGON with explicit rings: ``rings[0]`` is
+    the outer shell, the rest are interior holes; every ring must be
+    closed (first vertex repeated last), per the spec."""
+    return struct.pack("<BI", 1, _WKB_POLYGON) + _pack_rings(rings)
+
+
+def encode_wkb_polygon(ring: list[tuple[float, float]]) -> bytes:
+    """Little-endian single-ring WKB POLYGON (no holes)."""
+    return encode_wkb_polygon_rings([ring])
+
+
+def encode_wkb_multipolygon(
+    parts: list[list[list[tuple[float, float]]]],
+) -> bytes:
+    """Little-endian WKB MULTIPOLYGON: ``parts`` is a list of polygons,
+    each a list of closed rings (outer shell first, then holes).  Per
+    the spec each part is a full nested WKB POLYGON with its own
+    byte-order byte."""
+    out = struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(parts))
+    for rings in parts:
+        out += encode_wkb_polygon_rings(rings)
+    return out
+
+
+def _need(buf: bytes, off: int, nbytes: int) -> None:
+    if off + nbytes > len(buf):
+        raise ValueError(
+            f"truncated WKB: need {nbytes} bytes at offset {off}, "
+            f"buffer holds {len(buf)}"
+        )
+
+
+def _read_rings(
+    buf: bytes, off: int, endian: str
+) -> tuple[list[list[tuple[float, float]]], int]:
+    """Parse a polygon body (ring count + rings) -> (rings, next_off).
+    Counts are validated against the remaining buffer before unpacking."""
+    _need(buf, off, 4)
+    (nrings,) = struct.unpack_from(endian + "I", buf, off)
+    off += 4
+    if nrings < 1:
+        raise ValueError("empty polygon")
+    rings: list[list[tuple[float, float]]] = []
+    for _ in range(nrings):
+        _need(buf, off, 4)
+        (npts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        _need(buf, off, 16 * npts)  # bounds-check BEFORE any allocation
+        ring = [
+            struct.unpack_from(endian + "dd", buf, off + 16 * i)
+            for i in range(npts)
+        ]
+        rings.append(ring)
+        off += 16 * npts
+    return rings, off
+
+
+def _header(buf: bytes, off: int) -> tuple[str, int, int]:
+    """Parse one byte-order + geometry-type header -> (endian, gtype,
+    next_off).  Rejects byte-order bytes other than 0/1."""
+    _need(buf, off, 5)
+    order = buf[off]
+    if order == 1:
+        endian = "<"
+    elif order == 0:
+        endian = ">"
+    else:
+        raise ValueError(f"invalid WKB byte-order byte {order}")
+    (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
+    return endian, gtype, off + 5
+
+
+def decode_wkb_rings(buf: bytes) -> tuple[int, list[list[tuple[float, float]]]]:
+    """Parse one WKB blob -> (geom_type, rings).  Point yields one
+    single-vertex ring; LineString yields one ring of its vertices;
+    Polygon yields ALL its rings (outer first, then holes);
+    MultiPolygon yields every ring of every part, outer-before-holes
+    within each part.  Raises ValueError on malformed/unsupported
+    input (see module error contract)."""
+    endian, gtype, off = _header(buf, 0)
     if gtype == _WKB_POINT:
-        x, y = struct.unpack_from(endian + "dd", buf, 5)
-        return gtype, [(x, y)]
+        _need(buf, off, 16)
+        x, y = struct.unpack_from(endian + "dd", buf, off)
+        return gtype, [[(x, y)]]
+    if gtype == _WKB_LINESTRING:
+        _need(buf, off, 4)
+        (npts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        _need(buf, off, 16 * npts)
+        return gtype, [
+            [struct.unpack_from(endian + "dd", buf, off + 16 * i) for i in range(npts)]
+        ]
     if gtype == _WKB_POLYGON:
-        (nrings,) = struct.unpack_from(endian + "I", buf, 5)
-        if nrings < 1:
-            raise ValueError("empty polygon")
-        (npts,) = struct.unpack_from(endian + "I", buf, 9)
-        pts = struct.unpack_from(endian + "d" * (2 * npts), buf, 13)
-        return gtype, [(pts[2 * i], pts[2 * i + 1]) for i in range(npts)]
+        rings, _ = _read_rings(buf, off, endian)
+        return gtype, rings
+    if gtype == _WKB_MULTIPOLYGON:
+        _need(buf, off, 4)
+        (nparts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        if nparts < 1:
+            raise ValueError("empty multipolygon")
+        all_rings: list[list[tuple[float, float]]] = []
+        for _ in range(nparts):
+            p_endian, p_gtype, off = _header(buf, off)
+            if p_gtype != _WKB_POLYGON:
+                raise ValueError(
+                    f"multipolygon part has geometry type {p_gtype}, expected 3"
+                )
+            rings, off = _read_rings(buf, off, p_endian)
+            all_rings.extend(rings)
+        return gtype, all_rings
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def decode_wkb(buf: bytes) -> tuple[int, list[tuple[float, float]]]:
+    """Compat wrapper: parse one WKB blob -> (geom_type, vertices) of
+    the FIRST ring — a Point's single vertex, a LineString's vertices,
+    or a Polygon's outer ring.  Use :func:`decode_wkb_rings` for holes
+    and MultiPolygon.  Raises ValueError on malformed input."""
+    try:
+        gtype, rings = decode_wkb_rings(buf)
+    except struct.error as exc:  # belt-and-braces: contract is ValueError
+        raise ValueError(f"malformed WKB: {exc}") from exc
+    return gtype, rings[0]
 
 
 def _with_fields(base: T.StructType, extra: list[T.StructField]) -> T.StructType:
@@ -83,6 +205,8 @@ _RING_TYPE = T.ArrayType(
         ]
     )
 )
+
+_RINGS_TYPE = T.ArrayType(_RING_TYPE)
 
 
 def points_to_wkb(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
@@ -119,6 +243,48 @@ def polygons_to_wkb(df: DataFrame, ring_col: str) -> DataFrame:
     return df.mapInPandas(enc, schema)
 
 
+def multipolygons_to_wkb(df: DataFrame, parts_col: str) -> DataFrame:
+    """Encode a ``array<array<array<struct<x,y>>>>`` column (parts ->
+    rings -> vertices; within each part the outer shell first, holes
+    after) as a ``wkb`` WKB-MultiPolygon binary column — the
+    holed-geometry GeoParquet writer side.  The parts column is
+    consumed (replaced by ``wkb``); everything else passes through.
+
+    This kernel is ``mapInArrow``, not ``mapInPandas``: a ragged
+    triply-nested array (parts with differing ring counts) cannot round
+    trip through numpy (`np.array` rejects inhomogeneous nesting), while
+    Arrow list offsets represent it natively — same narrow no-shuffle
+    map-stage shape either way."""
+    import pyarrow as pa
+
+    base = [f for f in df.schema.fields if f.name != parts_col]
+    schema = T.StructType(base + [T.StructField("wkb", T.BinaryType())])
+
+    def enc(batches: Iterator) -> Iterator:
+        for batch in batches:
+            names = batch.schema.names
+            wkb = [
+                encode_wkb_multipolygon(
+                    [
+                        [
+                            [(float(v["x"]), float(v["y"])) for v in ring]
+                            for ring in rings
+                        ]
+                        for rings in parts
+                    ]
+                )
+                for parts in batch.column(names.index(parts_col)).to_pylist()
+            ]
+            keep = [i for i, n in enumerate(names) if n != parts_col]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in keep]
+                + [pa.array(wkb, type=pa.binary())],
+                names=[names[i] for i in keep] + ["wkb"],
+            )
+
+    return df.mapInArrow(enc, schema)
+
+
 def wkb_to_points(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
     """Decode a WKB Point column into ``x``/``y`` doubles (other
     columns pass through; the wkb column is dropped)."""
@@ -147,7 +313,8 @@ def wkb_to_points(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
 def wkb_to_polygons(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
     """Decode a WKB Polygon column into the engine's closed-ring layout
     ``ring: array<struct<x,y>>`` (outer ring; other columns pass
-    through; the wkb column is dropped)."""
+    through; the wkb column is dropped).  Use :func:`wkb_to_rings` to
+    keep interior holes."""
     base = T.StructType([f for f in df.schema.fields if f.name != wkb_col])
     schema = _with_fields(base, [T.StructField("ring", _RING_TYPE)])
 
@@ -164,3 +331,67 @@ def wkb_to_polygons(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
             yield out
 
     return df.mapInPandas(dec, schema)
+
+
+def wkb_to_linestrings(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
+    """Decode a WKB LineString column into ``path: array<struct<x,y>>``
+    (other columns pass through; the wkb column is dropped)."""
+    base = T.StructType([f for f in df.schema.fields if f.name != wkb_col])
+    schema = _with_fields(base, [T.StructField("path", _RING_TYPE)])
+
+    def dec(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            paths = []
+            for buf in pdf[wkb_col]:
+                gtype, rings = decode_wkb_rings(bytes(buf))
+                if gtype != _WKB_LINESTRING:
+                    raise ValueError("expected WKB LineString")
+                paths.append([{"x": vx, "y": vy} for vx, vy in rings[0]])
+            out = pdf.drop(columns=[wkb_col])
+            out["path"] = paths
+            yield out
+
+    return df.mapInPandas(dec, schema)
+
+
+def wkb_to_rings(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
+    """Decode a WKB Polygon or MultiPolygon column into EVERY ring —
+    outer shells AND interior holes, all parts — as
+    ``rings: array<array<struct<x,y>>>`` (other columns pass through;
+    the wkb column is dropped).
+
+    This is the even-odd-containment feed: a point is inside the
+    (multi)polygon iff its ray crosses an ODD total number of ring
+    edges, so holes flip containment for free and downstream plans can
+    ``explode(rings)`` -> per-ring crossing parity -> XOR per key
+    without knowing which ring is a shell and which is a hole.
+
+    ``mapInArrow`` for the same reason as :func:`multipolygons_to_wkb`:
+    the ragged nested output is Arrow-native but not numpy-expressible."""
+    import pyarrow as pa
+
+    base = T.StructType([f for f in df.schema.fields if f.name != wkb_col])
+    schema = _with_fields(base, [T.StructField("rings", _RINGS_TYPE)])
+    pa_rings = pa.list_(
+        pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
+    )
+
+    def dec(batches: Iterator) -> Iterator:
+        for batch in batches:
+            names = batch.schema.names
+            out_rings = []
+            for buf in batch.column(names.index(wkb_col)).to_pylist():
+                gtype, rings = decode_wkb_rings(bytes(buf))
+                if gtype not in (_WKB_POLYGON, _WKB_MULTIPOLYGON):
+                    raise ValueError("expected WKB Polygon or MultiPolygon")
+                out_rings.append(
+                    [[{"x": vx, "y": vy} for vx, vy in ring] for ring in rings]
+                )
+            keep = [i for i, n in enumerate(names) if n != wkb_col]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in keep]
+                + [pa.array(out_rings, type=pa_rings)],
+                names=[names[i] for i in keep] + ["rings"],
+            )
+
+    return df.mapInArrow(dec, schema)

@@ -386,3 +386,108 @@ def should_roundtrip_wkb_geometries_and_accept_big_endian(spark):
     assert [(v.x, v.y) for v in out[0].ring] == [
         (0.0, 0.0), (2.0, 0.0), (1.0, 1.0), (0.0, 0.0),
     ]
+
+
+def should_decode_full_wkb_surface_and_enforce_error_contract(spark):
+    """WKB codec, full surface: LineString, Polygon with interior
+    rings, MultiPolygon round trips; the error contract (ValueError on
+    bad byte-order byte, truncated buffers, adversarial counts —
+    checked BEFORE allocation); and the ragged mapInArrow kernels."""
+    import struct
+    import time
+
+    import pytest
+
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        decode_wkb,
+        decode_wkb_rings,
+        encode_wkb_linestring,
+        encode_wkb_multipolygon,
+        encode_wkb_polygon_rings,
+        multipolygons_to_wkb,
+        wkb_to_linestrings,
+        wkb_to_rings,
+    )
+
+    # LineString round trip (pure codec + kernel)
+    path = [(0.0, 0.0), (3.0, 4.0), (3.0, 9.5)]
+    assert decode_wkb_rings(encode_wkb_linestring(path)) == (2, [path])
+    assert decode_wkb(encode_wkb_linestring(path)) == (2, path)
+
+    # Polygon with an interior hole: ALL rings survive
+    shell = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    gtype, rings = decode_wkb_rings(encode_wkb_polygon_rings([shell, hole]))
+    assert (gtype, rings) == (3, [shell, hole])
+    # compat decoder still yields the outer ring only
+    assert decode_wkb(encode_wkb_polygon_rings([shell, hole])) == (3, shell)
+
+    # MultiPolygon: parts flatten outer-before-holes, ragged part sizes
+    part2 = [(20.0, 0.0), (22.0, 0.0), (21.0, 2.0), (20.0, 0.0)]
+    mp = encode_wkb_multipolygon([[shell, hole], [part2]])
+    assert decode_wkb_rings(mp) == (6, [shell, hole, part2])
+
+    # --- error contract: always ValueError, never struct.error ---
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_wkb_rings(b"\x02" + b"\x00" * 20)  # byte order must be 0/1
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wkb_rings(struct.pack("<BIdd", 1, 1, 0.0, 0.0)[:-3])
+    # polygon header claiming more points than the buffer holds
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wkb_rings(struct.pack("<BIII", 1, 3, 1, 99) + b"\x00" * 64)
+    # adversarial count (2^31 points) must fail fast, without building
+    # a gigabyte format string or allocating
+    start = time.perf_counter()
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wkb_rings(struct.pack("<BIII", 1, 3, 1, 2**31) + b"\x00" * 64)
+    assert time.perf_counter() - start < 0.1
+    with pytest.raises(ValueError):
+        decode_wkb_rings(struct.pack("<BII", 1, 6, 0))  # empty multipolygon
+    # multipolygon whose nested part is not a polygon
+    bad_part = struct.pack("<BII", 1, 6, 1) + encode_wkb_linestring(path)
+    with pytest.raises(ValueError, match="expected 3"):
+        decode_wkb_rings(bad_part)
+
+    # --- DataFrame kernels over ragged nesting ---
+    from pyspark.sql import functions as F
+
+    def rect(cx, cy, hx, hy):
+        return (
+            f"array(struct({cx - hx}D as x, {cy - hy}D as y),"
+            f" struct({cx + hx}D as x, {cy - hy}D as y),"
+            f" struct({cx + hx}D as x, {cy + hy}D as y),"
+            f" struct({cx - hx}D as x, {cy + hy}D as y),"
+            f" struct({cx - hx}D as x, {cy - hy}D as y))"
+        )
+
+    src = spark.createDataFrame([(1,), (2,)], "doc long").select(
+        "doc",
+        F.expr(
+            # doc-invariant: part1 = shell+hole, part2 = solid (ragged)
+            f"array(array({rect(0, 0, 5, 5)}, {rect(0, 0, 2, 2)}),"
+            f" array({rect(20, 0, 1, 1)}))"
+        ).alias("parts"),
+    )
+    out = wkb_to_rings(multipolygons_to_wkb(src, "parts"), "wkb").collect()
+    assert len(out) == 2
+    for row in out:
+        assert len(row.rings) == 3  # shell, hole, part2 — flattened
+        assert [len(r) for r in row.rings] == [5, 5, 5]
+        assert (row.rings[1][0].x, row.rings[1][0].y) == (-2.0, -2.0)
+        assert (row.rings[2][0].x, row.rings[2][0].y) == (19.0, -1.0)
+
+    # LineString kernel: decode + type guard
+    bin_df = spark.createDataFrame(
+        [(9, bytearray(encode_wkb_linestring([(0.0, 0.0), (1.0, 2.0)])))],
+        "id long, wkb binary",
+    )
+    got = wkb_to_linestrings(bin_df, "wkb").collect()[0]
+    assert [(v.x, v.y) for v in got.path] == [(0.0, 0.0), (1.0, 2.0)]
+    with pytest.raises(Exception, match="expected WKB LineString"):
+        wkb_to_linestrings(
+            spark.createDataFrame(
+                [(1, bytearray(struct.pack("<BIdd", 1, 1, 0.0, 0.0)))],
+                "id long, wkb binary",
+            ),
+            "wkb",
+        ).collect()
