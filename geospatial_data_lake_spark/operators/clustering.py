@@ -43,6 +43,7 @@ part of the training-data-pipeline extension scope (SURVEY.md §2
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1015,7 +1016,12 @@ def ss07_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- ss08: persisted IVFPQ index — build once, search from the store ----------
 
-_IVFPQ_STORE: dict[tuple[int, str], tuple] = {}
+# {SparkSession -> {sf_dir -> (codes, model)}}: weak session keys, like
+# tables._MEMO — id(spark) can be REUSED after a session is GC'd, which
+# would serve a dead session's index handles to a new session.
+_IVFPQ_STORE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def encode_with_ivfpq_model(
@@ -1144,11 +1150,11 @@ def load_ivfpq_model(model) -> tuple[dict, list[dict]]:
 def _ivfpq_store(spark: SparkSession, sf_dir: str):
     import tempfile
 
-    cache_key = (id(spark), sf_dir)
-    if cache_key not in _IVFPQ_STORE:
+    per_session = _IVFPQ_STORE.setdefault(spark, {})
+    if sf_dir not in per_session:
         root = tempfile.mkdtemp(prefix="gdl_ivfpq_idx_")
-        _IVFPQ_STORE[cache_key] = build_ivfpq_index(spark, sf_dir, root)
-    return _IVFPQ_STORE[cache_key]
+        per_session[sf_dir] = build_ivfpq_index(spark, sf_dir, root)
+    return per_session[sf_dir]
 
 
 @register(

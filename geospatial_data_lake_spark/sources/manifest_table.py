@@ -2170,7 +2170,7 @@ def _drop_ref_chain(self, chain: RefChain) -> None:
     shutil.rmtree(chain.chain_root, ignore_errors=True)
 
 
-def _fast_forward_chain(self, chain: RefChain) -> int:
+def _fast_forward_chain(self, chain: RefChain, published_gen: int | None = None) -> int:
     """Fast-forward the parent to the chain head as ONE commit.
 
     Readers of the parent atomically jump from the base snapshot to
@@ -2180,7 +2180,14 @@ def _fast_forward_chain(self, chain: RefChain) -> int:
     publishes are strict fast-forwards; on conflict, re-cut on the new
     base (the chain is untouched, so nothing is lost).  The chain
     head's file REFERENCES are published as-is: no data is read,
-    rewritten, or moved."""
+    rewritten, or moved.
+
+    ``published_gen`` is the chain generation already landed on the
+    parent by a prior fast-forward (named branches persist it next to
+    BASE); anything at or below it is a no-op, so a periodic
+    fast-forward of an idle branch never mints duplicate parent
+    commits.  ``None`` means never published: only the seed generation
+    (the base manifest re-seeded into the chain) is skipped."""
     head_gen, _ = self._current()
     if head_gen != chain.base_version:
         raise CommitConflict(
@@ -2188,9 +2195,10 @@ def _fast_forward_chain(self, chain: RefChain) -> int:
             f"ref chain was cut; re-stage on the new base"
         )
     chain_gen, chain_manifest = chain.table._current()
-    seeded = 1 if chain.base_version > 0 else 0
-    if chain_manifest is None or chain_gen <= seeded:
-        return head_gen  # no divergence: publish is a no-op
+    if published_gen is None:
+        published_gen = 1 if chain.base_version > 0 else 0
+    if chain_manifest is None or chain_gen <= published_gen:
+        return head_gen  # no divergence since last publish: no-op
     self._publish(chain_manifest, expected_gen=head_gen)
     return head_gen + 1
 
@@ -2315,12 +2323,27 @@ def fast_forward(self, name: str) -> int:
     commit (strict fast-forward — raises CommitConflict if the parent
     advanced since the branch was cut).  The branch stays alive and
     its base advances to the published version, so work can continue
-    on it and fast-forward again later — delete_branch ends it."""
+    on it and fast-forward again later — delete_branch ends it.
+
+    IDEMPOTENT: the chain generation last landed on the parent is
+    persisted (``PUBLISHED``, next to ``BASE``), so calling this again
+    with no new branch commits returns the current head WITHOUT
+    minting a duplicate parent commit — a periodic/automated
+    fast-forward of an idle branch cannot churn parent retention."""
     b = self.branch(name)
-    new_head = self._fast_forward_chain(b)
+    broot = self._branch_dir(name)
+    try:
+        with open(os.path.join(broot, "PUBLISHED")) as fh:
+            published = int(fh.read().strip())
+    except (OSError, ValueError):
+        published = None  # never published (or pre-upgrade branch)
+    new_head = self._fast_forward_chain(b, published_gen=published)
     if new_head != b.base_version:
-        with open(os.path.join(self._branch_dir(name), "BASE"), "w") as fh:
+        chain_gen, _ = b.table._current()
+        with open(os.path.join(broot, "BASE"), "w") as fh:
             fh.write(str(new_head))
+        with open(os.path.join(broot, "PUBLISHED"), "w") as fh:
+            fh.write(str(chain_gen))
     return new_head
 
 

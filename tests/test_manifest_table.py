@@ -1627,3 +1627,33 @@ def should_match_direct_application_for_generated_staged_sequences(
         assert rows_of(wap) == rows_of(direct), ops
 
     check()
+
+
+def should_make_idle_fast_forward_a_no_op(spark, tmp_path):
+    """fast_forward is IDEMPOTENT: with no new branch commits since the
+    last publish, a repeat call returns the current head without
+    minting a duplicate parent commit — a periodic automated
+    fast-forward on an idle branch must not churn retention (with
+    keep_versions=N, each duplicate would silently expire a real
+    historical snapshot)."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    mt.create_branch("idle")
+    b = mt.branch("idle")
+    b.table.upsert(_mk(spark, [(2, "b", "y")]))
+
+    v2 = mt.fast_forward("idle")
+    assert v2 == mt.current_version()
+    # idle repeats: same head, zero new parent versions
+    for _ in range(3):
+        assert mt.fast_forward("idle") == v2
+    assert mt.current_version() == v2
+    assert mt.branches() == {"idle": v2}
+
+    # new branch work publishes again, exactly once
+    mt.branch("idle").table.upsert(_mk(spark, [(3, "c", "z")]))
+    v3 = mt.fast_forward("idle")
+    assert v3 == v2 + 1
+    assert mt.fast_forward("idle") == v3  # and idles again
+    assert mt.current_version() == v3
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}

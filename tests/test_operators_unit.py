@@ -960,3 +960,36 @@ def should_maintain_persisted_ivfpq_index_incrementally(spark, sf_dir, tmp_path)
     state_before = sorted(map(tuple, codes.read().collect()))
     append_to_ivfpq_index(codes, model, batch)
     assert sorted(map(tuple, codes.read().collect())) == state_before
+
+
+def should_cache_persist_then_serve_stores_per_session(spark, sf_dir):
+    """Persist-then-serve caches (_IVFPQ_STORE, _BPE_VOCAB_STORE) are
+    keyed on the SESSION OBJECT with weak references — repeat calls in
+    one session reuse the stored table (no retraining, no temp-table
+    leak per call), while a different session gets its own entry:
+    id(spark) reuse after GC must never serve a dead session's index."""
+    from geospatial_data_lake_spark.operators.clustering import (
+        _IVFPQ_STORE,
+        _ivfpq_store,
+    )
+    from geospatial_data_lake_spark.operators.textops import (
+        _BPE_VOCAB_STORE,
+        _bpe_vocab_store,
+    )
+
+    vocab = _bpe_vocab_store(spark, sf_dir)
+    assert _bpe_vocab_store(spark, sf_dir) is vocab  # cached, no retrain
+    idx = _ivfpq_store(spark, sf_dir)
+    assert _ivfpq_store(spark, sf_dir) is idx
+
+    # an isolated session (same JVM context, distinct session object)
+    # must not observe the first session's entries
+    other = spark.newSession()
+    try:
+        assert other not in _BPE_VOCAB_STORE
+        assert other not in _IVFPQ_STORE
+        assert _bpe_vocab_store(other, sf_dir) is not vocab
+    finally:
+        # weak keys: dropping the session handle lets the entry die
+        _BPE_VOCAB_STORE.pop(other, None)
+        _IVFPQ_STORE.pop(other, None)
