@@ -1059,8 +1059,10 @@ def append_to_ivfpq_index(codes, model, batch: DataFrame) -> int:
     codegen pass) and MERGEd into the codes table by vec_id, landing in
     their inverted-list partitions (O(touched partitions), snapshot-
     isolated, re-sending a batch is a no-op state-wise).  Periodic
-    retraining remains a rebuild — exactly FAISS's add/train split."""
-    coarse, cents_per_sub = load_ivfpq_model(model)
+    retraining remains a rebuild — exactly FAISS's add/train split.
+    The shared build stamp is validated first: appending to a codes
+    table with a mismatched model would corrupt the index."""
+    coarse, cents_per_sub = load_ivfpq_model(model, codes=codes)
     return codes.upsert(
         encode_with_ivfpq_model(batch, coarse, cents_per_sub)
     )
@@ -1131,12 +1133,38 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, root: str):
             rows, "kind string, subspace int, cid int, c array<double>"
         )
     )
+    # stamp BOTH tables with a shared build id (deterministic content
+    # hash of the trained model) — load-side validation fails loudly on
+    # a stale or mismatched model/codes pairing instead of silently
+    # decoding codes against the wrong codebooks
+    import hashlib
+
+    build_id = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+    codes.set_property(_IVFPQ_STAMP_KEY, build_id)
+    model.set_property(_IVFPQ_STAMP_KEY, build_id)
     return codes, model
 
 
-def load_ivfpq_model(model) -> tuple[dict, list[dict]]:
+_IVFPQ_STAMP_KEY = "ivfpq.build_id"
+
+
+def load_ivfpq_model(model, codes=None) -> tuple[dict, list[dict]]:
     """Read the persisted model back into driver literals (model-sized
-    collect — the 'load the index metadata' step of every ANN server)."""
+    collect — the 'load the index metadata' step of every ANN server).
+
+    When ``codes`` is given, the two tables' ``ivfpq.build_id`` stamps
+    must agree — a codes table paired with a retrained or foreign model
+    would decode every code against the wrong codebooks (silently wrong
+    distances), so a mismatch raises instead."""
+    if codes is not None:
+        ms = model.properties().get(_IVFPQ_STAMP_KEY)
+        cs = codes.properties().get(_IVFPQ_STAMP_KEY)
+        if ms != cs:
+            raise ValueError(
+                f"IVFPQ model/codes build stamps disagree "
+                f"(model={ms!r}, codes={cs!r}): the pairing is stale — "
+                f"rebuild the index or load the matching tables"
+            )
     coarse: dict[int, list[float]] = {}
     per_sub: list[dict[int, list[float]]] = [{} for _ in range(_PQ_M)]
     for r in model.read().collect():
@@ -1145,6 +1173,16 @@ def load_ivfpq_model(model) -> tuple[dict, list[dict]]:
         else:
             per_sub[int(r.subspace)][int(r.cid)] = [float(x) for x in r.c]
     return coarse, per_sub
+
+
+def delete_from_ivfpq_index(codes, vec_ids: list[int]) -> int:
+    """Remove vectors from the served index IN INDEX TERMS — an
+    equality-delete commit against the codes table (O(deleted keys),
+    no partition rewrite; see ``ManifestTable.delete_where_eq``), so
+    the next search's pruned read anti-joins them out: deleted vectors
+    can never surface as candidates.  The FAISS remove_ids analog,
+    with lake merge-on-read semantics instead of list compaction."""
+    return codes.delete_where_eq(F.col("vec_id").isin(vec_ids))
 
 
 def _ivfpq_store(spark: SparkSession, sf_dir: str):
@@ -1168,7 +1206,9 @@ def ss08_persisted_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores codes + model as lake tables; this query performs NO
     training — it loads the model-sized codebooks from the store and
     probes the codes table, whose partitions ARE the inverted lists, so
-    each probed cell is a PARTITION-PRUNED read (``read(where={cid})``)
+    the probed cell set is ONE PARTITION-PRUNED read
+    (``read(where={"cid": [..]})`` — the IN-list data-skipping spec
+    plans a single scan over just the files admitting any probed cid)
     — at a billion vectors the search touches nprobe/k of the files,
     enforced by manifest partition pruning rather than a filter over a
     full scan (pruning pinned by the planned_files unit test).  Same
@@ -1180,12 +1220,10 @@ def ss08_persisted_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb03/tx10 persist-then-serve discipline); the search is nprobe
     pruned scans + a broadcast of (queries x nprobe) residual rows +
     m codeword CASE sums per candidate; driver state is model-sized."""
-    from functools import reduce
-
     from pyspark.sql import Window
 
     codes, model = _ivfpq_store(spark, sf_dir)
-    coarse, cents_per_sub = load_ivfpq_model(model)
+    coarse, cents_per_sub = load_ivfpq_model(model, codes=codes)
     e = tables(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1208,14 +1246,13 @@ def ss08_persisted_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the probed cell set is (queries x nprobe)-bounded: collect it and
-    # read ONLY those partitions from the stored index
+    # read ONLY those partitions from the stored index — ONE IN-list
+    # pruned scan (read plans just the files whose stats admit any
+    # probed cid), not a union of per-cell scan subtrees
     probed_cids = sorted(
         {int(r.cid) for r in q.select("cid").distinct().collect()}
     )
-    enc = reduce(
-        lambda a, b: a.unionByName(b),
-        [codes.read(where={"cid": c}) for c in probed_cids],
-    )
+    enc = codes.read(where={"cid": probed_cids})
     cand = enc.join(F.broadcast(q), "cid").filter(
         F.col("vec_id") != F.col("q_id")
     )

@@ -436,6 +436,12 @@ class ManifestTable:
                     ):
                         continue  # underivable bound: skip, stay exact
                     out[tcol] = (dlo, dhi)
+                elif isinstance(sv, list):
+                    ds = [self._day_of(v) for v in sv if v is not None]
+                    if len(ds) == len(sv) and all(
+                        d is not None for d in ds
+                    ):
+                        out[tcol] = ds
                 elif sv is not None:
                     d = self._day_of(sv)
                     if d is not None:
@@ -449,6 +455,9 @@ class ManifestTable:
                             lo - lo % w if lo is not None else None,
                             hi - hi % w if hi is not None else None,
                         )
+                    elif isinstance(sv, list):
+                        if all(v is not None for v in sv):
+                            out[tcol] = [v - v % w for v in sv]
                     elif sv is not None:
                         out[tcol] = sv - sv % w
                 except TypeError:
@@ -457,22 +466,29 @@ class ManifestTable:
                 kind == "bucket"
                 and not isinstance(sv, tuple)
                 and sv is not None
+                and (not isinstance(sv, list) or (sv and None not in sv))
                 and manifest is not None
             ):
                 n = int(spec[2])
+                values = sv if isinstance(sv, list) else [sv]
                 try:
                     schema = T.StructType.fromDDL(manifest["schema_ddl"])
                     types = {f.name: f.dataType for f in schema.fields}
                     probe_df = self._spark.createDataFrame(
-                        [(sv,)],
+                        [(v,) for v in values],
                         T.StructType([T.StructField(src, types[src])]),
                     )
-                    row = probe_df.select(
-                        F.pmod(F.xxhash64(F.col(src)), n)
-                        .cast("int")
-                        .alias("b")
-                    ).collect()[0]
-                    out[tcol] = int(row.b)
+                    buckets = [
+                        int(r.b)
+                        for r in probe_df.select(
+                            F.pmod(F.xxhash64(F.col(src)), n)
+                            .cast("int")
+                            .alias("b")
+                        ).collect()
+                    ]
+                    out[tcol] = (
+                        buckets if isinstance(sv, list) else buckets[0]
+                    )
                 except (TypeError, ValueError, KeyError):
                     continue  # untypable literal: skip pruning
         return out
@@ -645,12 +661,14 @@ class ManifestTable:
     # -- reads -------------------------------------------------------------
     def _bloom_probes(
         self, manifest: dict, where: dict
-    ) -> dict[str, list[tuple[int, int]]]:
-        """(word index, bit mask) probe positions for every equality
-        spec whose column has at least one recorded bloom — computed by
-        Spark itself (one tiny local job over literal rows), so the
-        probe hash agrees with the write-side xxhash64 by construction
-        for every column type."""
+    ) -> dict[str, list[list[tuple[int, int]]]]:
+        """(word index, bit mask) probe positions for every equality or
+        IN-list spec whose column has at least one recorded bloom —
+        computed by Spark itself (one tiny local job over literal
+        rows), so the probe hash agrees with the write-side xxhash64 by
+        construction for every column type.  Returns ONE probe set per
+        requested value, index-aligned with the spec's value list (a
+        scalar spec is a one-set list)."""
         stats = manifest.get("stats", {})
         bloomed = {
             k.split(":", 1)[1]
@@ -659,45 +677,47 @@ class ManifestTable:
             if k.startswith("__bloom:")
         }
         wanted = {
-            col: spec
+            col: (spec if isinstance(spec, list) else [spec])
             for col, spec in where.items()
             if col in bloomed
             and spec is not None
             and not isinstance(spec, tuple)
+            and (not isinstance(spec, list) or spec)
         }
         if not wanted:
             return {}
         schema = T.StructType.fromDDL(manifest["schema_ddl"])
         types = {f.name: f.dataType for f in schema.fields}
-        try:
-            probe_df = self._spark.createDataFrame(
-                [tuple(wanted.values())],
-                T.StructType(
-                    [T.StructField(c, types[c]) for c in wanted]
-                ),
-            )
-            exprs = [
-                F.expr(f"pmod(xxhash64(`{c}`, {s}), {_BLOOM_BITS})").alias(
-                    f"__p_{i}_{s}"
+        out: dict[str, list[list[tuple[int, int]]]] = {}
+        for col, values in wanted.items():
+            try:
+                probe_df = self._spark.createDataFrame(
+                    [(v,) for v in values],
+                    T.StructType([T.StructField(col, types[col])]),
                 )
-                for i, c in enumerate(wanted)
-                for s in range(1, _BLOOM_K + 1)
+                exprs = [
+                    F.expr(
+                        f"pmod(xxhash64(`{col}`, {s}), {_BLOOM_BITS})"
+                    ).alias(f"__p_{s}")
+                    for s in range(1, _BLOOM_K + 1)
+                ]
+                rows = probe_df.select(*exprs).collect()
+            except (TypeError, ValueError, KeyError):
+                # a spec value incompatible with the column type cannot
+                # be hashed consistently — skip bloom pruning for this
+                # column, stay correct
+                continue
+            out[col] = [
+                [
+                    (
+                        int(row[f"__p_{s}"]) // 64,
+                        1 << (int(row[f"__p_{s}"]) % 64),
+                    )
+                    for s in range(1, _BLOOM_K + 1)
+                ]
+                for row in rows
             ]
-            row = probe_df.select(*exprs).first()
-        except (TypeError, ValueError, KeyError):
-            # a spec value incompatible with the column type cannot be
-            # hashed consistently — skip bloom pruning, stay correct
-            return {}
-        return {
-            c: [
-                (
-                    int(row[f"__p_{i}_{s}"]) // 64,
-                    1 << (int(row[f"__p_{i}_{s}"]) % 64),
-                )
-                for s in range(1, _BLOOM_K + 1)
-            ]
-            for i, c in enumerate(wanted)
-        }
+        return out
 
     def _resolve_files(
         self, manifest: dict, where: dict | None
@@ -725,7 +745,8 @@ class ManifestTable:
         """The Column predicate equivalent of a ``where`` spec — applied
         to the pruned scan so results are exact regardless of stats.
         An equality spec of None means IS NULL (so NULL partitions are
-        addressable); a tuple bound of None means unbounded."""
+        addressable); a tuple bound of None means unbounded; a LIST is
+        an IN-list (non-null members; empty list matches nothing)."""
         cond = F.lit(True)
         for col, spec in where.items():
             if isinstance(spec, tuple):
@@ -734,6 +755,10 @@ class ManifestTable:
                     cond = cond & (F.col(col) >= F.lit(lo))
                 if hi is not None:
                     cond = cond & (F.col(col) <= F.lit(hi))
+            elif isinstance(spec, list):
+                cond = cond & (
+                    F.col(col).isin(*spec) if spec else F.lit(False)
+                )
             elif spec is None:
                 cond = cond & F.col(col).isNull()
             else:
@@ -900,10 +925,13 @@ class ManifestTable:
         commits cannot change the resolved files).
 
         ``where`` is an optional data-skipping spec, ``{col: value}``
-        for equality or ``{col: (lo, hi)}`` for an inclusive range
-        (None = unbounded): files whose recorded min/max cannot overlap
-        are never planned, and the predicate is ALSO applied to the
-        surviving files, so the result equals a full-scan filter."""
+        for equality, ``{col: (lo, hi)}`` for an inclusive range
+        (None = unbounded), or ``{col: [v1, v2, ...]}`` for an IN-list
+        (one pruned scan planning only files that might hold ANY
+        member — the multi-partition probe shape, e.g. an ANN nprobe
+        read): files whose recorded min/max cannot overlap are never
+        planned, and the predicate is ALSO applied to the surviving
+        files, so the result equals a full-scan filter."""
         manifest = self._manifest_at(version)
         if manifest is None:
             raise NotFoundError(f"table never committed: {self.root}")
@@ -1193,6 +1221,7 @@ class ManifestTable:
             else {},
             "deletes": deletes if deletes is not None else {},
             "txns": txns,
+            "props": dict(manifest.get("props", {})) if manifest else {},
         }
         try:
             self._publish(new_manifest, gen)
@@ -1276,6 +1305,42 @@ class ManifestTable:
                 continue
         raise CommitConflict("manifest-table contention: retries exhausted")
 
+    def properties(self) -> dict[str, str]:
+        """Current table properties — the Iceberg/Delta table-property
+        map (``TBLPROPERTIES``): string key/value pairs carried forward
+        through every commit, versioned with the manifest (time-travel
+        reads see the properties of their snapshot via
+        ``properties_at``)."""
+        m = self._current()[1]
+        return dict(m.get("props", {})) if m else {}
+
+    def properties_at(self, version: int | str) -> dict[str, str]:
+        m = self._manifest_at(version)
+        return dict(m.get("props", {})) if m else {}
+
+    def set_property(self, key: str, value: str) -> int:
+        """Set one table property as a metadata-only commit (file lists
+        untouched).  Returns the committed version.  Properties survive
+        every later data commit; ``restore`` restores the target
+        snapshot's properties along with its data."""
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            base = manifest or {
+                "partitions": {},
+                "stats": {},
+                "schema_ddl": "",
+                "txns": {},
+            }
+            props = dict(base.get("props", {}))
+            props[str(key)] = str(value)
+            new_manifest = {**base, "props": props}
+            try:
+                self._publish(new_manifest, gen)
+                return gen + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def drop_constraint(self, name: str) -> int:
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
@@ -1339,6 +1404,7 @@ class ManifestTable:
                 "constraints": dict(target.get("constraints", {})),
                 "deletes": dict(target.get("deletes", {})),
                 "txns": dict(head.get("txns", {})) if head else {},
+                "props": dict(target.get("props", {})),
             }
             try:
                 self._publish(new_manifest, gen)
@@ -1963,37 +2029,69 @@ class ManifestTable:
 def _file_overlaps(
     file_stats: dict | None,
     where: dict,
-    probes: dict[str, list[tuple[int, int]]] | None = None,
+    probes: dict[str, list[list[tuple[int, int]]]] | None = None,
 ) -> bool:
     """Conservative overlap test: prune a file only when some ``where``
     column's recorded stats provably exclude every requested value —
     [min, max] for value specs, the null count for IS-NULL specs, the
-    bloom bitset for equality specs on bloom-indexed columns.  Missing
+    bloom bitset for equality/IN-list specs on bloom-indexed columns
+    (an IN-list survives if ANY member might be present).  Missing
     stats, NULL bounds, or cross-type comparisons keep the file."""
     if not file_stats:
         return True
     for col, spec in where.items():
         bounds = file_stats.get(col)
+        mn = mx = n_null = None
         if bounds:
             mn, mx = bounds[0], bounds[1]
             n_null = bounds[2] if len(bounds) > 2 else None
-            if spec is None:
-                # IS NULL: a file recorded as null-free cannot match
-                if n_null == 0:
-                    return False
-                continue
+        if spec is None:
+            # IS NULL: a file recorded as null-free cannot match
+            if bounds and n_null == 0:
+                return False
+            continue
+        if isinstance(spec, list):
+            # IN-list: track which members remain possible for this
+            # file; indices stay aligned with the per-value probe sets
+            alive = set(range(len(spec)))
             if mn is not None and mx is not None:
-                lo, hi = spec if isinstance(spec, tuple) else (spec, spec)
-                if lo is not None and _safe_lt(mx, lo):
-                    return False
-                if hi is not None and _safe_lt(hi, mn):
-                    return False
+                alive = {
+                    i
+                    for i in alive
+                    if not (
+                        _safe_lt(mx, spec[i]) or _safe_lt(spec[i], mn)
+                    )
+                }
+            if probes and col in probes:
+                words = file_stats.get(f"__bloom:{col}")
+                sets = probes[col]
+                if words:
+                    alive = {
+                        i
+                        for i in alive
+                        if i >= len(sets)
+                        or all(
+                            (int(words[w]) & mask) == mask
+                            for w, mask in sets[i]
+                        )
+                    }
+            if not alive:
+                return False
+            continue
+        if mn is not None and mx is not None:
+            lo, hi = spec if isinstance(spec, tuple) else (spec, spec)
+            if lo is not None and _safe_lt(mx, lo):
+                return False
+            if hi is not None and _safe_lt(hi, mn):
+                return False
         if probes and col in probes:
             words = file_stats.get(f"__bloom:{col}")
             # membership needs ALL probe bits set; one clear bit is a
             # definite miss (blooms have no false negatives)
             if words and any(
-                (int(words[w]) & mask) != mask for w, mask in probes[col]
+                (int(words[w]) & mask) != mask
+                for probe_set in probes[col]
+                for w, mask in probe_set
             ):
                 return False
     return True

@@ -1657,3 +1657,75 @@ def should_make_idle_fast_forward_a_no_op(spark, tmp_path):
     assert mt.fast_forward("idle") == v3  # and idles again
     assert mt.current_version() == v3
     assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+
+
+def should_prune_with_in_list_data_skipping_spec(spark, tmp_path):
+    """``where={col: [v1, v2, ...]}`` is an IN-list data-skipping spec:
+    ONE pruned scan planning only the files that might hold ANY member
+    (the ANN-nprobe / multi-partition-probe shape), exact results, and
+    transform mapping (bucket/truncate/day) per member."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(
+        _mk(
+            spark,
+            [(i, "a", f"v{i}") for i in range(0, 10)]
+            + [(i, "b", f"v{i}") for i in range(100, 110)]
+            + [(i, "c", f"v{i}") for i in range(200, 210)],
+        )
+    )
+    all_files = mt.planned_files()
+    assert len(all_files) == 3
+    # two members across two partitions: exactly those files plan
+    pruned = mt.planned_files(where={"id": [5, 205]})
+    assert len(pruned) == 2
+    assert set(pruned) < set(all_files)
+    got = _state(mt.read(where={"id": [5, 205]}))
+    assert got == {5: ("a", "v5"), 205: ("c", "v205")}
+    # IN-list on the partition column prunes the same way
+    assert len(mt.planned_files(where={"part": ["a", "c"]})) == 2
+    # members that match nothing plan nothing / return nothing
+    assert mt.planned_files(where={"id": [5000, 6000]}) == []
+    assert mt.read(where={"id": []}).count() == 0
+
+    # hidden bucket transform: each member maps to its own bucket, the
+    # union of those buckets' files is planned in ONE read
+    mtb = ManifestTable(
+        spark,
+        str(tmp_path / "mtb"),
+        key_cols=["id"],
+        partition_by=["vb"],
+        partition_transforms={"vb": ("bucket", "v", 8)},
+    )
+    mtb.upsert(_mk(spark, [(i, "x", f"w{i}") for i in range(64)]))
+    n_all = len(mtb.planned_files())
+    probe = ["w3", "w17", "w41"]
+    n_probe = len(mtb.planned_files(where={"v": probe}))
+    assert 0 < n_probe < n_all
+    assert {r.id for r in mtb.read(where={"v": probe}).collect()} == {3, 17, 41}
+
+
+def should_carry_table_properties_through_commits_and_restore(spark, tmp_path):
+    """Table properties (TBLPROPERTIES analog): set as a metadata-only
+    commit, carried forward through data commits, versioned with the
+    snapshot (time travel sees the old value), and restored by
+    restore."""
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    assert mt.properties() == {}
+    v_set = mt.set_property("owner", "pipeline-a")
+    assert mt.properties() == {"owner": "pipeline-a"}
+    # survives later data commits
+    mt.upsert(_mk(spark, [(2, "b", "y")]))
+    mt.delete_where_eq(F.col("id") == 2)
+    assert mt.properties()["owner"] == "pipeline-a"
+    # versioned: the pre-set snapshot has no properties
+    assert mt.properties_at(v_set - 1) == {}
+    # overwrite + second key
+    mt.set_property("owner", "pipeline-b")
+    mt.set_property("retention.days", "30")
+    assert mt.properties() == {
+        "owner": "pipeline-b", "retention.days": "30",
+    }
+    # restore brings back the target snapshot's properties
+    mt.restore(v_set)
+    assert mt.properties() == {"owner": "pipeline-a"}

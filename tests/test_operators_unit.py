@@ -993,3 +993,57 @@ def should_cache_persist_then_serve_stores_per_session(spark, sf_dir):
         # weak keys: dropping the session handle lets the entry die
         _BPE_VOCAB_STORE.pop(other, None)
         _IVFPQ_STORE.pop(other, None)
+
+
+def should_delete_from_ivfpq_index_and_validate_build_stamps(
+    spark, sf_dir, tmp_path
+):
+    """ANN index lifecycle beyond add: (a) delete removes vectors IN
+    INDEX TERMS — an equality-delete commit on the codes table, so a
+    later pruned search read can never surface them as candidates; (b)
+    model and codes carry a shared ``ivfpq.build_id`` property and a
+    stale/mismatched pairing fails loudly at load instead of silently
+    decoding against the wrong codebooks."""
+    import pytest
+
+    from geospatial_data_lake_spark.operators.clustering import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        load_ivfpq_model,
+    )
+
+    codes, model = build_ivfpq_index(spark, sf_dir, str(tmp_path / "idx"))
+    stamp = codes.properties()["ivfpq.build_id"]
+    assert model.properties()["ivfpq.build_id"] == stamp
+
+    # delete two vectors; their cells' pruned reads exclude them
+    victims = [int(r.vec_id) for r in codes.read().limit(2).collect()]
+    cells = {
+        int(r.cid)
+        for r in codes.read(
+            where={"vec_id": victims}
+        ).select("cid").collect()
+    }
+    delete_from_ivfpq_index(codes, victims)
+    survivors = {
+        int(r.vec_id)
+        for r in codes.read(where={"cid": sorted(cells)}).collect()
+    }
+    assert not (set(victims) & survivors)
+    assert not (
+        set(victims)
+        & {int(r.vec_id) for r in codes.read().collect()}
+    )
+    # valid pairing still loads
+    coarse, _per_sub = load_ivfpq_model(model, codes=codes)
+    assert coarse
+
+    # a retrained model (fresh stamp) against the old codes table raises
+    _codes2, model2 = build_ivfpq_index(spark, sf_dir, str(tmp_path / "idx2"))
+    model2.set_property("ivfpq.build_id", "deadbeef00000000")
+    with pytest.raises(ValueError, match="build stamps disagree"):
+        load_ivfpq_model(model2, codes=codes)
+    # an unstamped table (e.g. hand-built) also fails against a stamped one
+    model.set_property("ivfpq.build_id", "somethingelse123")
+    with pytest.raises(ValueError, match="build stamps disagree"):
+        load_ivfpq_model(model, codes=codes)

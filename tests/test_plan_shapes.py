@@ -597,8 +597,9 @@ def should_compare_branch_heads_without_cartesian(spark, registry, sf_dir):
 def should_search_persisted_ivfpq_without_training_or_smj(
     spark, registry, sf_dir
 ):
-    # ss08: the search plan reads the stored codes table (union of
-    # pruned partition scans) against the broadcast residual query
+    # ss08: the search plan reads the stored codes table as ONE
+    # IN-list-pruned scan (read(where={"cid": [..]}) — not a union of
+    # per-cell scan subtrees) against the broadcast residual query
     # block; codewords are codegen literals loaded from the model store
     # — no sort-merge join, no cartesian, no Python stage.
     plan = _plan(spark, registry, "ss08_persisted_ivfpq_search", sf_dir)
@@ -606,3 +607,7 @@ def should_search_persisted_ivfpq_without_training_or_smj(
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "MapInPandas" not in plan, plan
+    assert "Union" not in plan, plan
+    # exactly two parquet scans: the embeddings (queries) + the codes
+    # (explain("formatted") prints each scan twice: tree + details)
+    assert plan.count("Scan parquet") == 4, plan
