@@ -1167,3 +1167,84 @@ def vs14_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mp").cast("double").alias("main_price"),
         F.col("bp").cast("double").alias("branch_price"),
     ).orderBy("o_orderkey")
+
+
+# -- vs15: partition-spec evolution across eras -------------------------------
+
+_SPEC_EVOLVED: dict[tuple[int, str], ManifestTable] = {}
+
+
+def _build_spec_evolved_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """events -> a lake table whose hidden partition spec EVOLVES
+    mid-history: the first half of the log lands under bucket(user_id,
+    4), the spec evolves to bucket(user_id, 16) — zero rewrites, a
+    metadata-only commit — and the second half lands under the new
+    spec.  Old files keep (and are pruned under) the old spec."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _SPEC_EVOLVED:
+        return _SPEC_EVOLVED[cache_key]
+    t = tables(spark, sf_dir)
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_spec_"),
+        key_cols=["event_id"],
+        partition_by=["ub"],
+        partition_transforms={"ub": ("bucket", "user_id", 4)},
+    )
+    ev = t.events.select("event_id", "user_id", "event_type", "ts", "value")
+    mt.append(ev.filter(F.col("event_id") % 2 == 0))
+    mt.evolve_partition_spec({"ub": ("bucket", "user_id", 16)})
+    mt.append(ev.filter(F.col("event_id") % 2 == 1))
+    _SPEC_EVOLVED[cache_key] = mt
+    return mt
+
+
+@register(
+    "vs15_spec_evolution_read",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+        FROM events
+        WHERE user_id = 7
+        ORDER BY event_id
+    """,
+    tags=("lake", "manifest", "spec-evolution", "hidden-partitioning"),
+)
+def vs15_spec_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION driven end-to-end (Iceberg semantics —
+    a long-lived 100 TB table changes its bucketing without rewriting
+    history): half the event log is written under bucket(user_id, 4),
+    the spec evolves, the other half lands under bucket(user_id, 16),
+    and a raw ``user_id`` point read must (a) return every matching
+    row from BOTH eras — the per-file spec stamp maps the predicate to
+    bucket[4] bounds for old files and bucket[16] bounds for new, so
+    neither era is mis-pruned — and (b) still PRUNE on both sides: at
+    most one bucket's files per era plan, guarded below.  The oracle
+    computes from the raw parquet and never sees the lake layout, so
+    the hash gate certifies cross-era reads are lossless and exact.
+
+    Scale shape: the evolution commit is metadata-only (a spec-registry
+    entry; zero data movement); a point read plans <= s files for s
+    spec eras instead of the table's full file list — the same
+    manifest-pruned single-scan read as vs11, just with an era-aware
+    predicate mapping."""
+    mt = _build_spec_evolved_lake(spark, sf_dir)
+    planned = mt.planned_files(where={"user_id": 7})
+    total = len(mt.planned_files())
+    # one bucket per era at most; must survive python -O (no assert)
+    if not (0 < len(planned) <= 2 and len(planned) < total):
+        raise RuntimeError(
+            f"spec-evolution pruning disengaged: planned {len(planned)}"
+            f"/{total} files for a single-user point read"
+        )
+    return (
+        mt.read(where={"user_id": 7})
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+        .orderBy("event_id")
+    )

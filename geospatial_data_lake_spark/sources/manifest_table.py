@@ -152,7 +152,18 @@ class ManifestTable:
             return 0, None
         if not names:
             return 0, None
-        return int(names[-1]), self._load_manifest(int(names[-1]))
+        gen = int(names[-1])
+        manifest = self._load_manifest(gen)
+        # spec-evolution sync: after evolve_partition_spec, the ACTIVE
+        # transforms live in the manifest (a handle constructed with the
+        # original transforms must write/prune under the evolved spec)
+        if manifest and manifest.get("specs"):
+            tr = manifest["specs"].get(str(manifest.get("current_spec", "0")))
+            if tr is not None:
+                self.partition_transforms = {
+                    k: tuple(v) for k, v in tr.items()
+                }
+        return gen, manifest
 
     def _load_manifest(self, gen: int) -> dict:
         try:
@@ -403,8 +414,22 @@ class ManifestTable:
 
         return day if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", day) else None
 
+    def _spec_registry(self, manifest: dict | None) -> dict[str, dict]:
+        """{spec_id: transforms} for every partition spec this table has
+        ever written under.  A table that never evolved has the single
+        implicit spec "0" (the constructor's transforms)."""
+        if manifest and manifest.get("specs"):
+            return {
+                sid: {k: tuple(v) for k, v in tr.items()}
+                for sid, tr in manifest["specs"].items()
+            }
+        return {"0": dict(self.partition_transforms)}
+
     def _map_transform_predicates(
-        self, where: dict | None, manifest: dict | None = None
+        self,
+        where: dict | None,
+        manifest: dict | None = None,
+        transforms: dict | None = None,
     ) -> dict | None:
         """Widen a ``where`` spec with derived-column bounds implied by
         source-column predicates — used for FILE PRUNING ONLY (the row
@@ -415,11 +440,19 @@ class ManifestTable:
         a literal CAST TO THE COLUMN'S RECORDED TYPE (xxhash64 is
         type-sensitive; the _bloom_probes discipline), guarded so an
         incompatible literal skips pruning instead of failing the
-        read."""
-        if not where or not self.partition_transforms:
+        read.
+
+        ``transforms`` selects the partition spec to map under (default:
+        the table's active spec) — spec evolution prunes each file under
+        the spec it was WRITTEN with, so the same source predicate maps
+        separately per era (e.g. bucket[8] for old files, bucket[16]
+        for new)."""
+        if transforms is None:
+            transforms = self.partition_transforms
+        if not where or not transforms:
             return where
         out = dict(where)
-        for tcol, spec in self.partition_transforms.items():
+        for tcol, spec in transforms.items():
             if tcol in out:
                 continue
             kind, src = spec[0], spec[1]
@@ -726,7 +759,17 @@ class ManifestTable:
         is skipped only when its recorded min/max provably cannot
         overlap the predicate, or an equality spec's bloom probe misses
         the file's recorded bitset.  Missing stats -> kept
-        (conservative)."""
+        (conservative).
+
+        ``where`` arrives RAW (source-column predicates); the hidden-
+        partition mapping runs here, PER SPEC: a file stamped with the
+        spec it was written under (era-pure appends) is tested against
+        that spec's mapped predicate, so after spec evolution an old
+        bucket[8] file is never pruned by a bucket[16]-mapped bound;
+        an unstamped file (pre-stamp history, or a rewrite that may mix
+        eras) is kept if ANY spec's mapping admits it — sound for any
+        row mixture, and with s specs a point read plans at most one
+        partition's files per era, Iceberg's per-spec scan shape."""
         files = [
             f for files in manifest["partitions"].values() for f in files
         ]
@@ -734,11 +777,25 @@ class ManifestTable:
             return files
         stats = manifest.get("stats", {})
         probes = self._bloom_probes(manifest, where)
-        return [
-            f
-            for f in files
-            if _file_overlaps(stats.get(f), where, probes)
-        ]
+        mapped = {
+            sid: self._map_transform_predicates(
+                where, manifest, transforms=tr
+            )
+            for sid, tr in self._spec_registry(manifest).items()
+        }
+
+        def admit(f: str) -> bool:
+            fs = stats.get(f)
+            if fs is None:
+                return True
+            sid = fs.get("__spec")
+            if sid is not None and str(sid) in mapped:
+                return _file_overlaps(fs, mapped[str(sid)], probes)
+            return any(
+                _file_overlaps(fs, m, probes) for m in mapped.values()
+            )
+
+        return [f for f in files if admit(f)]
 
     @staticmethod
     def _where_condition(where: dict):
@@ -858,9 +915,7 @@ class ManifestTable:
         manifest = self._manifest_at(version)
         if manifest is None:
             return []
-        return self._resolve_files(
-            manifest, self._map_transform_predicates(where, manifest)
-        )
+        return self._resolve_files(manifest, where)
 
     def _effective_df(
         self,
@@ -935,9 +990,7 @@ class ManifestTable:
         manifest = self._manifest_at(version)
         if manifest is None:
             raise NotFoundError(f"table never committed: {self.root}")
-        sel = self._resolve_files(
-            manifest, self._map_transform_predicates(where, manifest)
-        )
+        sel = self._resolve_files(manifest, where)
         if manifest.get("deletes"):
             df = self._effective_df(manifest, sel_files=set(sel))
             return df.filter(self._where_condition(where)) if where else df
@@ -1197,6 +1250,7 @@ class ManifestTable:
         batch_dir: str | None = None,
         txn: tuple[str, int] | None = None,
         deletes: dict | None = None,
+        spec_stamp: str | None = None,
     ) -> bool:
         """Build and publish the next manifest.  On a lost race, drop
         the batch's freshly written files (when ``batch_dir`` is given —
@@ -1210,11 +1264,26 @@ class ManifestTable:
         txns = dict(manifest.get("txns", {})) if manifest else {}
         if txn is not None:
             txns[str(txn[0])] = int(txn[1])
+        stats = self._carry_stats(
+            manifest, new_partitions, produced, batch_stats
+        )
+        # era-pure commits (append) stamp their new files with the spec
+        # their derived values were computed under — the per-file
+        # record spec-evolution pruning consults.  Rewrite commits
+        # (upsert/compact/overwrite) can mix rows from several eras in
+        # one file and pass no stamp; unstamped files prune under
+        # ANY-SPEC-ADMITS (sound for any mixture, one partition per
+        # era's mapping — Iceberg's per-spec scan behavior).
+        if spec_stamp is not None:
+            for _pkey, rel in produced.items():
+                if rel in stats:
+                    stats[rel] = {**stats[rel], "__spec": str(spec_stamp)}
+        cur_sid = (
+            str(manifest.get("current_spec", "0")) if manifest else "0"
+        )
         new_manifest = {
             "partitions": new_partitions,
-            "stats": self._carry_stats(
-                manifest, new_partitions, produced, batch_stats
-            ),
+            "stats": stats,
             "schema_ddl": schema_ddl,
             "constraints": dict(manifest.get("constraints", {}))
             if manifest
@@ -1223,6 +1292,9 @@ class ManifestTable:
             "txns": txns,
             "props": dict(manifest.get("props", {})) if manifest else {},
         }
+        if manifest and manifest.get("specs"):
+            new_manifest["specs"] = dict(manifest["specs"])
+            new_manifest["current_spec"] = cur_sid
         try:
             self._publish(new_manifest, gen)
             return True
@@ -1304,6 +1376,68 @@ class ManifestTable:
             except CommitConflict:
                 continue
         raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def evolve_partition_spec(self, partition_transforms: dict) -> int:
+        """Change the table's HIDDEN-PARTITION TRANSFORMS without
+        rewriting a byte — Iceberg partition-spec evolution: a 100 TB
+        table can move from bucket[8] to bucket[16] (or day to a wider
+        truncate) and (a) files already written keep their old spec,
+        (b) new commits route and stamp under the new spec, (c) pruning
+        consults THE SPEC EACH FILE WAS WRITTEN UNDER (per-file
+        ``__spec`` stamp), so a source-column predicate maps to
+        bucket[8] bounds for old files and bucket[16] bounds for new —
+        never cross-era, never wrong.
+
+        The partition COLUMN NAMES are fixed for the table's lifetime
+        (``partition_by`` — the manifest's key space); only how derived
+        values are computed evolves.  Upserts keep working across eras
+        because routing reads the STORED partition values of existing
+        rows: old rows stay in old-spec partitions, updated rows land
+        under the new spec (an ordinary partition move).
+
+        Metadata-only commit; returns the committed version."""
+        new = {
+            k: tuple(v) for k, v in dict(partition_transforms).items()
+        }
+        for tcol in new:
+            if tcol not in self.partition_by:
+                raise ValueError(
+                    f"transform column {tcol!r} must be in partition_by "
+                    f"(partition columns are fixed; only transforms evolve)"
+                )
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                raise NotFoundError(
+                    "cannot evolve a never-committed table: construct "
+                    "it with the desired transforms instead"
+                )
+            specs = {
+                sid: {k: list(v) for k, v in tr.items()}
+                for sid, tr in self._spec_registry(manifest).items()
+            }
+            new_sid = str(max(int(s) for s in specs) + 1)
+            specs[new_sid] = {k: list(v) for k, v in new.items()}
+            new_manifest = {
+                **manifest,
+                "specs": specs,
+                "current_spec": new_sid,
+            }
+            try:
+                self._publish(new_manifest, gen)
+                self.partition_transforms = dict(new)
+                return gen + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def partition_spec(self) -> tuple[str, dict]:
+        """(active spec id, its transforms)."""
+        _gen, manifest = self._current()
+        sid = (
+            str(manifest.get("current_spec", "0")) if manifest else "0"
+        )
+        return sid, dict(self.partition_transforms)
 
     def properties(self) -> dict[str, str]:
         """Current table properties — the Iceberg/Delta table-property
@@ -1406,6 +1540,11 @@ class ManifestTable:
                 "txns": dict(head.get("txns", {})) if head else {},
                 "props": dict(target.get("props", {})),
             }
+            if target.get("specs"):
+                new_manifest["specs"] = dict(target["specs"])
+                new_manifest["current_spec"] = target.get(
+                    "current_spec", "0"
+                )
             try:
                 self._publish(new_manifest, gen)
                 return gen + 1
@@ -1429,6 +1568,8 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
+        # era-pure batch: every derived value computed under THIS spec
+        batch_sid = str(head.get("current_spec", "0")) if head else "0"
         batch = self._with_partition_transforms(batch)
         enforced = dict(head.get("constraints", {})) if head else {}
         self._enforce(batch, enforced)
@@ -1489,6 +1630,7 @@ class ManifestTable:
                 # appended files postdate every pending delete (their
                 # applies_to lists cannot name them), so entries carry
                 deletes=dict(manifest.get("deletes", {})) if manifest else {},
+                spec_stamp=batch_sid,
             ):
                 return gen + 1
         shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)

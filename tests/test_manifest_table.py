@@ -1729,3 +1729,81 @@ def should_carry_table_properties_through_commits_and_restore(spark, tmp_path):
     # restore brings back the target snapshot's properties
     mt.restore(v_set)
     assert mt.properties() == {"owner": "pipeline-a"}
+
+
+def should_evolve_partition_spec_with_per_era_pruning(spark, tmp_path):
+    """Partition-spec evolution (Iceberg semantics): transforms change
+    without rewriting data; old files keep their spec; pruning maps the
+    source predicate PER ERA (bucket[4] for old files, bucket[16] for
+    new), so reads across the boundary are exact AND still pruned on
+    both sides; upserting an old key after evolution moves it to its
+    new-spec partition without duplication."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "v", 4)},
+    )
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(48)]))
+    assert mt.partition_spec() == ("0", {"wb": ("bucket", "v", 4)})
+    n_era0 = len(mt.planned_files())
+
+    mt.evolve_partition_spec({"wb": ("bucket", "v", 16)})
+    sid, tr = mt.partition_spec()
+    assert (sid, tr) == ("1", {"wb": ("bucket", "v", 16)})
+    # old files untouched by the evolution commit
+    assert len(mt.planned_files()) == n_era0
+
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(100, 148)]))
+    total = len(mt.planned_files())
+    assert total > n_era0
+
+    # a fresh handle opened with the ORIGINAL constructor args serves
+    # the evolved spec (the manifest owns the active spec)
+    mt2 = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "v", 4)},
+    )
+    assert mt2.partition_spec()[0] == "1"
+
+    # point reads across the boundary: exact on BOTH eras (an era-blind
+    # mapping would prune old files by the bucket[16] bound and lose
+    # rows), and pruned on both sides (at most one bucket's files per
+    # era)
+    for probe_v, want_ids in (("w7", {7}), ("w107", {107})):
+        planned = mt.planned_files(where={"v": probe_v})
+        assert 0 < len(planned) < total
+        got = {r.id for r in mt.read(where={"v": probe_v}).collect()}
+        assert got == want_ids, (probe_v, got)
+    # one value per era in a single IN-list read
+    got = {r.id for r in mt.read(where={"v": ["w7", "w107"]}).collect()}
+    assert got == {7, 107}
+    # pruning effectiveness: a point read plans at most one partition's
+    # files per era
+    per_era_max = 2  # 1 old bucket file + 1 new bucket file
+    assert len(mt.planned_files(where={"v": "w7"})) <= per_era_max
+
+    # upsert an OLD key after evolution: lands under the new spec, no
+    # duplicate survives in the old partition
+    mt.upsert(_mk(spark, [(7, "x", "w7")]))
+    rows = mt.read().filter(F.col("id") == 7).collect()
+    assert len(rows) == 1
+    got = {r.id for r in mt.read(where={"v": "w7"}).collect()}
+    assert got == {7}
+    # full state intact across eras
+    assert {r.id for r in mt.read().collect()} == (
+        set(range(48)) | set(range(100, 148))
+    )
+
+    # spec registry is versioned: time travel to the pre-evolution
+    # snapshot still reads exactly (per-file mapping is manifest-driven)
+    v1_rows = {r.id for r in mt.read(version=1).collect()}
+    assert v1_rows == set(range(48))
+
+    # guard: partition COLUMNS are fixed — only transforms evolve
+    with pytest.raises(ValueError, match="must be in partition_by"):
+        mt.evolve_partition_spec({"other": ("bucket", "v", 8)})

@@ -378,6 +378,10 @@ _mt_op = st.one_of(
     ),
     st.tuples(st.just("restore"), st.integers(0, 10)),  # rollback target pick
     st.tuples(st.just("delete_eq"), st.integers(2, 4), st.integers(0, 3)),
+    # partition-spec evolution: new truncate width (hidden layout) —
+    # content-invariant by definition, and every later op must keep
+    # behaving identically across the spec boundary
+    st.tuples(st.just("evolve"), st.sampled_from([8, 16, 64])),
 )
 
 
@@ -481,6 +485,27 @@ def should_manifest_table_match_multiset_model(spark, layout, ops):
             target = versions[op[1] % len(versions)]
             v = mt.restore(target)
             model = list(snapshots[target])
+        elif op[0] == "evolve":
+            if mt.current_version() == 0:
+                import pytest
+
+                from geospatial_data_lake_spark.plans.catalog import (
+                    NotFoundError,
+                )
+
+                with pytest.raises(NotFoundError):
+                    mt.evolve_partition_spec(
+                        {"vt": ("truncate", "v", op[1])}
+                        if layout == "hidden"
+                        else {}
+                    )
+                continue
+            v = mt.evolve_partition_spec(
+                {"vt": ("truncate", "v", op[1])}
+                if layout == "hidden"
+                else {}
+            )
+            # metadata-only: the model's multiset is untouched
         elif op[0] == "txn_upsert":
             _, rows, k = op
             before = mt.current_version()
@@ -512,3 +537,17 @@ def should_manifest_table_match_multiset_model(spark, layout, ops):
             key=canon,
         )
         assert at_v == sorted(snap, key=canon), (ops, v)
+    # a pruned source-column read stays exact across any sequence of
+    # spec evolutions (per-era predicate mapping must never lose rows)
+    want = sorted(
+        (r for r in snapshots[max(snapshots)] if 10 <= r[2] <= 60),
+        key=canon,
+    )
+    got_w = sorted(
+        (
+            tuple(r)
+            for r in mt.read(where={"v": (10, 60)}).select(*cols).collect()
+        ),
+        key=canon,
+    )
+    assert got_w == want, ops
