@@ -41,10 +41,12 @@ linear in true pairs), where the quadratic exact join is impossible and
 banding is the only viable strategy.
 
 dd04 therefore **dispatches**: a 256-doc deterministic sample estimates
-the background Jaccard up front (one tiny job, ~32k pair evaluations on
-the driver); saturated corpora (mean >= 0.2) route to the inverted-index
-exact join, sparse corpora — every real crawl — route to MinHash+LSH
-banding. Both paths produce the identical exact-verified pair set at
+the background similarity up front (one tiny job, ~32k pair evaluations
+on the driver); saturated corpora (mean Jaccard >= 0.2, OR >= 2% of
+sampled pairs near-dup at 0.5 — the dense-ISLANDS shape of multilingual
+or sharded crawls, where the mean alone is blind) route to the
+inverted-index exact join, sparse corpora — every real crawl — route to
+MinHash+LSH banding. Both paths produce the identical exact-verified pair set at
 threshold 0.8, so the SQL oracle is path-independent.
 """
 
@@ -126,10 +128,12 @@ def _allpairs_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame
     )
 
 
-# docs beyond which the hashed-set table stops being broadcastable
-# (~100k docs x ~50 hashed tokens x 8 B = 40 MB) and the saturated
-# regime falls back to the inverted-index join
-_ALLPAIRS_MAX_DOCS = 100_000
+# docs beyond which the all-pairs broadcast verify loses to the
+# inverted-index join.  The binding constraint is the PAIR COUNT (the
+# verify evaluates C(n,2) array intersections), not broadcast size:
+# 10k docs = 50M pairs is the measured knee; at 50k docs (1.25B pairs)
+# the inverted join's candidates-sharing-a-word stream is far smaller.
+_ALLPAIRS_MAX_DOCS = 10_000
 
 
 def _exact_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
@@ -221,17 +225,27 @@ def dd02_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sampled_background_jaccard(documents: DataFrame, n_sample: int = 256) -> float:
-    """Estimate the corpus's background (all-pairs) token-set Jaccard from a
-    deterministic hash-based sample.
+def _sampled_jaccard_stats(
+    documents: DataFrame, n_sample: int = 256
+) -> tuple[float, float]:
+    """(mean pairwise Jaccard, fraction of pairs with Jaccard >= 0.5)
+    over a deterministic hash-based sample.
 
     The sample is picked by ``xxhash64(doc_id) % k == 0`` (stable across
     runs and partitionings, unlike ``limit`` without order), its hashed
-    token sets are collected (bounded: <= n_sample rows), and the mean
-    pairwise Jaccard is computed driver-side — ~32k set intersections,
+    token sets are collected (bounded: <= n_sample rows), and both
+    statistics are computed driver-side — ~32k set intersections,
     milliseconds. This is the measurement a production dedup driver runs
     before choosing between LSH banding (sparse regime) and the
-    inverted-index exact join (saturated regime)."""
+    inverted-index exact join (saturated regime).
+
+    Two statistics because dense corpora come in two shapes: uniformly
+    saturated (high MEAN — the synthetic fixture) and ISLANDS of
+    saturation in a sparse sea (multilingual / sharded crawls: dense
+    within a shard, ~0 across — high FRACTION, low mean).  Both imply
+    near-quadratic OUTPUT, where banding is pure overhead; dispatching
+    on the mean alone routed the island shape to LSH, measured 2.6x
+    slower than the inverted join at x10 scale (tools/scale_stress)."""
     hashed = documents.select(
         F.col("doc_id"),
         F.array_distinct(
@@ -249,15 +263,34 @@ def _sampled_background_jaccard(documents: DataFrame, n_sample: int = 256) -> fl
     )
     sets = [frozenset(r.hs) for r in sample if r.hs]
     if len(sets) < 2:
-        return 0.0
+        return 0.0, 0.0
     tot = 0.0
+    n_hi = 0
     n_pairs = 0
     for i in range(len(sets)):
         for j in range(i + 1, len(sets)):
             inter = len(sets[i] & sets[j])
-            tot += inter / (len(sets[i]) + len(sets[j]) - inter)
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            tot += jac
+            if jac >= 0.5:
+                n_hi += 1
             n_pairs += 1
-    return tot / n_pairs
+    return tot / n_pairs, n_hi / n_pairs
+
+
+def _sampled_background_jaccard(documents: DataFrame, n_sample: int = 256) -> float:
+    """Mean sampled pairwise Jaccard (see ``_sampled_jaccard_stats``)."""
+    return _sampled_jaccard_stats(documents, n_sample)[0]
+
+
+def _is_saturated(documents: DataFrame) -> bool:
+    """The dispatch predicate shared by dd04 and the incremental
+    family: saturated when the sampled MEAN Jaccard >= 0.2 (uniformly
+    dense) OR >= 2% of sampled pairs are near-dups at 0.5 (dense
+    islands) — either way the pair OUTPUT is near-quadratic and the
+    exact inverted join beats banding."""
+    mean, frac = _sampled_jaccard_stats(documents)
+    return mean >= 0.2 or frac >= 0.02
 
 
 _JACCARD_ORACLE = """
@@ -312,8 +345,9 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with regime dispatch.
 
     **Dispatch** (module docstring, "Crossover note"): a 256-doc sample
-    estimates the background Jaccard. Saturated corpora (mean >= 0.2 —
-    this synthetic fixture measures 0.58) route to the inverted-index
+    estimates the background similarity. Saturated corpora (mean >= 0.2
+    — this synthetic fixture measures 0.58 — or a >= 2% near-dup pair
+    fraction, the dense-islands shape) route to the inverted-index
     exact join, where output density makes banding pure overhead; sparse
     corpora (every real crawl) take the LSH path below. Both produce the
     identical exact pair set at 0.8, so the oracle is path-independent
@@ -347,7 +381,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tables(spark, sf_dir)
     raw = spread(spark, t.documents)
-    if _sampled_background_jaccard(raw) >= 0.2:
+    if _is_saturated(raw):
         # saturated: output is quadratic anyway; verify all pairs via
         # broadcast array-intersect while the set table is broadcastable,
         # else the inverted-index word join (same exact pair set)
@@ -1160,7 +1194,7 @@ def choose_incremental_path(corpus: DataFrame) -> str:
     plan on a 100 TB corpus with ~0 background similarity.  Same
     threshold and same 256-doc deterministic sample as dd04's dispatch,
     so the two operator families switch regimes together."""
-    return "scan" if _sampled_background_jaccard(corpus) >= 0.2 else "index"
+    return "scan" if _is_saturated(corpus) else "index"
 
 
 @register(

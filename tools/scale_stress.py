@@ -1,0 +1,264 @@
+"""x10 scale-stress harness: do the 100 TB claims survive an order of
+magnitude more data than the bench fixture?
+
+Every plan-shape claim in the repo is pinned at <= sf0.1 (~600k
+lineitem rows).  This tool builds a x``--factor`` derivative of the
+sf0.1 tables in a scratch directory (key-shifted unions — /root/testdata
+is never touched), then for each HEAVY query family:
+
+- times the query at sf0.1 and at xN on the same session/config,
+- re-asserts the family's pinned plan shape AT xN by calling the exact
+  pin functions from tests/test_plan_shapes.py against the scaled dir,
+- records everything in a resumable JSON checkpoint (one entry per
+  step, so an interrupted run continues instead of restarting).
+
+Scaling expectations (reported per family):
+
+- dedup (dd04/dd10/dd13), ANN serve (ss08 search), lake (vs01/vs14),
+  streaming (st03), relational (q9): work is ~linear in rows -> the
+  time ratio should be ~factor (amortized; small-fixture constants
+  make sub-factor ratios common).
+- geo (geo04/geo07/geo08/geo09): the fixture derives coordinates from
+  ids over a FIXED area, so a xN corpus is xN DENSER — candidate pairs
+  per point grow xN and total work grows ~xN^2.  That is a property of
+  densifying the fixture, not of the plan: at constant density (the
+  production case — more data covers more area) the same plan is
+  linear.  The report therefore also prints ratio/factor ("per unit of
+  candidate growth") for the geo family; ~factor there = linear in
+  work.
+
+Copy construction (copy i of ``--factor``, i=0 keeps the original):
+
+- ids shift by i*K (K=10_000_000: far above any fixture key) so keys
+  stay unique and modular derivations stay uniformly distributed;
+- documents.text is vowel/consonant-rotated per copy (``translate``),
+  so cross-copy docs are NOT near-duplicates and dup density per copy
+  matches the original (a naive 10x copy would make every doc a
+  10-clique and blow up pair OUTPUT quadratically — unrealistic);
+- embeddings get a small per-copy additive offset (distinct vectors,
+  same geometry per copy);
+- events shift ts by i*777 hours so time-windowed state (st03) grows
+  xN instead of piling into the same hours.
+
+Usage:
+    python tools/scale_stress.py [--factor 10] [--out DIR]
+        [--checkpoint FILE] [--budget-secs N] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_K = 10_000_000  # id shift per copy
+
+# query -> (plan-pin function name in tests.test_plan_shapes, family)
+HEAVY: dict[str, tuple[str | None, str]] = {
+    "dd04_minhash_lsh_pairs": (
+        "should_pin_lsh_candidate_join_as_broadcast", "dedup"),
+    "dd10_substring_spans": (
+        "should_keep_dd10_substring_dedup_hash_keyed", "dedup"),
+    "dd13_substring_removal": (
+        "should_cut_spans_in_row_without_token_shuffle", "dedup"),
+    "geo04_point_in_polygon": (
+        "should_broadcast_polygon_cells_in_point_containment", "geo"),
+    "geo07_nearest_within_radius": (
+        "should_run_knn_join_via_cell_probe_not_cartesian", "geo"),
+    "geo08_wkb_point_in_polygon": (
+        "should_run_wkb_roundtrip_as_passthrough_map_stages", "geo"),
+    "geo09_wkb_multipolygon_holes": (None, "geo"),
+    "ss08_persisted_ivfpq_search": (
+        "should_search_persisted_ivfpq_without_training_or_smj", "ann"),
+    "vs01_manifest_merge_roundtrip": (None, "lake"),
+    "vs14_branch_divergence": (
+        "should_compare_branch_heads_without_cartesian", "lake"),
+    "vs15_spec_evolution_read": (None, "lake"),
+    "st03_stream_volume_monitor": (
+        "should_score_volume_cells_not_raw_events", "stream"),
+    "tpch_q9_product_profit": (None, "relational"),
+}
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# per-copy text rotation alphabets: rotating common letters changes
+# most shingles, so copies are not near-duplicates of each other
+_ROT_SRC = "etaoinsrhl"
+
+
+def _rot(i: int) -> str:
+    return _ROT_SRC[i % len(_ROT_SRC):] + _ROT_SRC[: i % len(_ROT_SRC)]
+
+
+def _copy_expr(spark, src_dir: str, name: str, i: int):
+    """Copy i of one source table, key-shifted/perturbed (i=0: as-is)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
+    if i == 0:
+        return df
+    shift = i * _K
+    if name == "orders":
+        return df.withColumn("o_orderkey", F.col("o_orderkey") + shift)
+    if name == "lineitem":
+        return df.withColumn("l_orderkey", F.col("l_orderkey") + shift)
+    if name == "documents":
+        return df.withColumns(
+            {
+                "doc_id": F.col("doc_id") + shift,
+                "text": F.translate("text", _ROT_SRC, _rot(i)),
+            }
+        )
+    if name == "embeddings":
+        elem = df.schema["embedding"].dataType.elementType.simpleString()
+        return df.withColumns(
+            {
+                "vec_id": F.col("vec_id") + shift,
+                "embedding": F.transform(
+                    "embedding",
+                    lambda x: (x + F.lit(i * 0.013)).cast(elem),
+                ),
+            }
+        )
+    if name == "events":
+        return df.withColumns(
+            {
+                "event_id": F.col("event_id") + shift,
+                "user_id": F.col("user_id") + i * 1000,
+                "ts": F.col("ts") + F.expr(f"INTERVAL {i * 777} HOURS"),
+            }
+        )
+    return None  # dimension tables stay 1x
+
+
+def build_scaled_dir(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Materialize the scaled tables (resumable: existing outputs are
+    kept — delete the directory to force a rebuild)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        first = _copy_expr(spark, src_dir, name, 1)
+        if first is None:  # unscaled dimension: single copy
+            out = _copy_expr(spark, src_dir, name, 0)
+        else:
+            out = _copy_expr(spark, src_dir, name, 0)
+            for i in range(1, factor):
+                out = out.unionByName(_copy_expr(spark, src_dir, name, i))
+        tmp = dst + ".tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, dst)
+        print(f"[scale] built {name} x{1 if first is None else factor}")
+
+
+def _time_query(spec, spark, sf_dir: str) -> float:
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warmup/compile
+    start = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - start, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/gdl_scale_x10")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--checkpoint", default="/tmp/gdl_scale_x10_ckpt.json")
+    ap.add_argument("--budget-secs", type=float, default=1e9)
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+
+    ckpt: dict = {}
+    if os.path.exists(args.checkpoint):
+        with open(args.checkpoint) as fh:
+            ckpt = json.load(fh)
+
+    def save() -> None:
+        with open(args.checkpoint + ".tmp", "w") as fh:
+            json.dump(ckpt, fh, indent=1, sort_keys=True)
+        os.replace(args.checkpoint + ".tmp", args.checkpoint)
+
+    from geospatial_data_lake_spark import load_all_queries
+    from geospatial_data_lake_spark.session import get_spark
+
+    spark = get_spark(app_name="gdl-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all_queries()
+    t0 = time.time()
+
+    build_scaled_dir(spark, args.sf_dir, args.out, args.factor)
+
+    names = [q for q in args.queries.split(",") if q] or list(HEAVY)
+    from tests import test_plan_shapes as pins
+
+    for name in names:
+        if time.time() - t0 > args.budget_secs:
+            print("[scale] budget exhausted; re-run to resume")
+            break
+        pin_name, family = HEAVY[name]
+        entry = ckpt.setdefault(name, {"family": family})
+
+        # ss08: time the index BUILD separately from the serve path
+        if name.startswith("ss08") and "build_x_secs" not in entry:
+            from geospatial_data_lake_spark.operators import clustering
+
+            start = time.perf_counter()
+            clustering._ivfpq_store(spark, args.out)
+            entry["build_x_secs"] = round(time.perf_counter() - start, 3)
+            save()
+
+        try:
+            if "base_secs" not in entry:
+                entry["base_secs"] = _time_query(
+                    registry[name], spark, args.sf_dir
+                )
+                save()
+            if "x_secs" not in entry:
+                entry["x_secs"] = _time_query(registry[name], spark, args.out)
+                entry["ratio"] = round(
+                    entry["x_secs"] / max(entry["base_secs"], 1e-9), 2
+                )
+                save()
+            if pin_name and "pin" not in entry:
+                try:
+                    getattr(pins, pin_name)(spark, registry, args.out)
+                    entry["pin"] = "pass"
+                except AssertionError as exc:
+                    entry["pin"] = f"FAIL: {str(exc)[:400]}"
+                save()
+        except Exception:
+            entry["error"] = traceback.format_exc()[-800:]
+            save()
+        print(f"[scale] {name}: {entry.get('base_secs')}s -> "
+              f"{entry.get('x_secs')}s (x{entry.get('ratio')}) "
+              f"pin={entry.get('pin', '-')}")
+
+    ckpt["_meta"] = {
+        "factor": args.factor,
+        "src": args.sf_dir,
+        "out": args.out,
+        "note": (
+            "geo family densifies at fixed area -> expected ~factor^2 "
+            "raw ratio; see module docstring"
+        ),
+    }
+    save()
+    print(json.dumps(
+        {n: {k: v for k, v in e.items() if k != "error"}
+         for n, e in ckpt.items() if n != "_meta"},
+        indent=1, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
