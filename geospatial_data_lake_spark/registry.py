@@ -66,41 +66,41 @@ _LOADED = False
 # the first 50 entries.  The prefix is ROTATED each round: queries proven
 # driver-green at sf0.01 in a prior round step aside (keeping canaries
 # per family so a regression is still externally visible) and
-# never-driver-checked queries move up.  Round-7 prefix: ss06 (the one
-# query with no driver row after r6 — registered past r6's 50-entry
-# mark), the 4 queries NEW in r7 (ss07 residual IVFPQ, ss08
-# persisted-index IVFPQ serving, vs14 branch divergence, geo08 WKB
-# round trip), the 6 queries whose implementation
-# or shared machinery changed in r7 (vb03 persisted-vocab rewrite, q8
-# single-plan scalar join, dd09/dd12 candidate prefilters, dq07/st03
-# shared scoring extraction, vs12/vs13 over the rewritten ref-chain +
-# GC-protection machinery), then 38 family canaries weighted toward the
-# manifest-lake family (its GC/staging internals changed most this
-# round).  Cumulative driver-green entering r7: 195 of 196 oracled
-# queries (all but ss06) + ss02/ss03 rows-only by design with hash-gated
-# audit companions; a green r7 prefix makes every oracled query,
-# including the 4 new ones, externally proven.  Everything not listed
-# keeps its registration order after the prioritized prefix; nothing is
-# dropped.
+# never-driver-checked queries move up.  Cumulative driver-green entering
+# r8: ALL 200 oracled queries of the r7 registry (the r7 prefix closed
+# the evidence matrix) + ss02/ss03 rows-only by design with hash-gated
+# audit companions.  Round-8 prefix: the 2 queries NEW in r8 (geo09
+# holed-multipolygon WKB round trip, vs15 partition-spec evolution),
+# then re-proofs of everything whose machinery changed in r8 — the
+# dedup family (island-robust saturation dispatch + all-pairs cutoff),
+# the IVFPQ chain (IN-list single-scan probe, build stamps, weak-keyed
+# store), vb03 (per-session vocab store), geo08 (hardened WKB decode),
+# and the FULL manifest-lake family (the _try_commit path gained spec
+# registries, per-file spec stamps, and table properties; fast_forward
+# gained idempotency — every vs/st query proves that machinery
+# end-to-end) — then family canaries for everything else.  Everything
+# not listed keeps its registration order after the prioritized prefix;
+# nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # first driver check: the r6 leftover + this round's new queries
+    # first driver check: new in r8
+    "geo09_wkb_multipolygon_holes",
+    "vs15_spec_evolution_read",
+    # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
+    "dd04_minhash_lsh_pairs",
+    "dd03_jaccard_pairs",
+    "dd09_incremental_dedup",
+    "dd11_indexed_incremental_dedup",
+    "dd12_dispatched_incremental",
+    # re-proof: IVFPQ chain (IN-list probe, build stamps, weak store)
     "ss06_ivfpq_search",
     "ss07_ivfpq_residual_search",
     "ss08_persisted_ivfpq_search",
-    "vs14_branch_divergence",
-    "geo08_wkb_point_in_polygon",
-    # re-proof: implementations or shared machinery changed in r7
+    # re-proof: per-session vocab store / hardened WKB decode
     "vb03_bpe_tokenize",
-    "tpch_q8_market_share",
-    "dd09_incremental_dedup",
-    "dd12_dispatched_incremental",
-    "dq07_volume_anomalies",
-    "st03_stream_volume_monitor",
-    "vs12_tagged_snapshot_read",
-    "vs13_wap_publish",
-    # family canaries — manifest lake weighted heaviest (ref-chain, GC,
-    # vacuum internals all changed this round; every query below proves
-    # the shared machinery end-to-end)
+    "geo08_wkb_point_in_polygon",
+    # re-proof: manifest-lake family over the changed commit path
+    # (spec registry + per-file stamps + props ride _try_commit; reads
+    # go through the spec-aware _resolve_files; fast_forward idempotent)
     "vs01_manifest_merge_roundtrip",
     "vs05_bloom_point_read",
     "vs06_incremental_view_maintenance",
@@ -109,40 +109,35 @@ _PRIORITY: tuple[str, ...] = (
     "vs09_restore_constrained_lifecycle",
     "vs10_equality_delete_feed",
     "vs11_hidden_partition_pruned_read",
+    "vs12_tagged_snapshot_read",
+    "vs13_wap_publish",
+    "vs14_branch_divergence",
     "st01_stream_lake_merge",
     "st02_stream_dedup_ingest",
-    # geo (geo08 shares geo04's join machinery + spread)
-    "geo04_point_in_polygon",
-    "geo06_zorder_cells",
-    # dedup (dd09's prefilter helpers sit beside these paths)
+    "st03_stream_volume_monitor",
+    # family canaries
     "dd01_exact_dedup_summary",
-    "dd04_minhash_lsh_pairs",
     "dd10_substring_spans",
-    "dd11_indexed_incremental_dedup",
     "dd13_substring_removal",
-    # ANN / clustering (ss07 reuses kmeans_fit + the PQ chain)
+    "geo04_point_in_polygon",
+    "geo07_nearest_within_radius",
     "cl01_kmeans_train",
+    "ss01_cosine_topk",
     "ss04_ivf_trained_ann",
     "ss05_pq_adc_search",
     "em02_product_quantization",
-    "ss01_cosine_topk",
-    # text / tokenizer (vb03's training loop is vb02's)
     "vb01_vocab_coverage",
     "vb02_bpe_merges",
     "tx10_bigram_prob_score",
-    # quality (dq07's scoring extraction)
     "dq01_ks_drift",
     "dq02_column_profile",
     "dq06_constraint_suite",
-    # pipeline / sampling
     "pk01_sequence_packing",
     "ct02_decontaminate",
     "mx02_temperature_mixture",
     "sm04_weighted_sample",
-    # relational core
     "tpch_q9_product_profit",
     "tpch_q17_small_qty_revenue",
-    "s01_point_lookup",
     "j07_star_join_broadcast",
     "w03_rank_per_group",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
@@ -155,7 +150,6 @@ _PRIORITY: tuple[str, ...] = (
     "ev04_hierarchical_rollup",
     "s12_orc_roundtrip",
     "j12_full_outer_join",
-    "geo07_nearest_within_radius",
     "mm06_png_decode_stats",
     "x05_group_rank_normalize",
     "x06_udtf_segment_split",
@@ -166,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "o04_topk",
     "tx07_winnowing_fingerprints",
     "t03_session_window",
+    "s01_point_lookup",
     "s02_filtered_scan",
     "p02_in_list_predicate",
     "u03_except",
@@ -206,6 +201,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm01_blob_metadata",
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
+    "geo06_zorder_cells",
+    "tpch_q8_market_share",
+    "dq07_volume_anomalies",
     "dd07_duplicate_groups",
 )
 
