@@ -1047,3 +1047,82 @@ def geo09_wkb_multipolygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rings") % 2 == 1)
     )
     return contained.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@register(
+    "geo10_wkb_polyline_length",
+    oracle="""
+        SELECT doc_id,
+               CAST(5 AS BIGINT) AS n_pts,
+               round(list_sum(list_transform(range(1, 5), k ->
+                   sqrt(
+                       (CAST((doc_id * 31 + k * 17) % 500 AS DOUBLE)
+                        - CAST((doc_id * 31 + (k - 1) * 17) % 500 AS DOUBLE))
+                     * (CAST((doc_id * 31 + k * 17) % 500 AS DOUBLE)
+                        - CAST((doc_id * 31 + (k - 1) * 17) % 500 AS DOUBLE))
+                     + (CAST((doc_id * 57 + k * 29) % 300 AS DOUBLE)
+                        - CAST((doc_id * 57 + (k - 1) * 29) % 300 AS DOUBLE))
+                     * (CAST((doc_id * 57 + k * 29) % 300 AS DOUBLE)
+                        - CAST((doc_id * 57 + (k - 1) * 29) % 300 AS DOUBLE))
+                   ))), 4) AS length
+        FROM documents
+        WHERE doc_id % 3 = 0
+        ORDER BY doc_id
+    """,
+    tags=("geo", "linestring", "wkb", "geoparquet"),
+)
+def geo10_wkb_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document polyline length where the geometry travels as WKB
+    LINESTRING (type 2): a deterministic 5-vertex path per selected
+    document is encoded by ``linestrings_to_wkb`` and decoded back by
+    ``wkb_to_linestrings`` (sources/wkb_source.py) before the length
+    fold runs — with geo08 (Point/Polygon) and geo09 (MultiPolygon +
+    holes) this puts every supported WKB geometry type behind a hash
+    gate.  The oracle computes from the raw vertex arithmetic and
+    never sees WKB.
+
+    Scale shape: the codec is a narrow passthrough mapInPandas stage;
+    the length is a per-row left-to-right ``aggregate`` fold over the
+    decoded vertex array (segment order fixed on both engines, one
+    4-dp round at the end) — no shuffle at all before the final sort."""
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        linestrings_to_wkb,
+        wkb_to_linestrings,
+    )
+
+    t = tables(spark, sf_dir)
+    vx = lambda k: ((F.col("doc_id") * 31 + k * 17) % 500).cast("double")  # noqa: E731
+    vy = lambda k: ((F.col("doc_id") * 57 + k * 29) % 300).cast("double")  # noqa: E731
+    src = t.documents.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.array(
+            *[
+                F.struct(vx(k).alias("x"), vy(k).alias("y"))
+                for k in range(5)
+            ]
+        ).alias("path"),
+    )
+    # geometry -> WKB LineString binary -> back: the polyline round trip
+    decoded = wkb_to_linestrings(
+        linestrings_to_wkb(src, "path").drop("path"), "wkb"
+    )
+    path = F.col("path")
+    seg = lambda i: F.sqrt(  # noqa: E731
+        (F.element_at(path, i + 1)["x"] - F.element_at(path, i)["x"])
+        * (F.element_at(path, i + 1)["x"] - F.element_at(path, i)["x"])
+        + (F.element_at(path, i + 1)["y"] - F.element_at(path, i)["y"])
+        * (F.element_at(path, i + 1)["y"] - F.element_at(path, i)["y"])
+    )
+    length = F.round(
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(path) - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + seg(i),
+        ),
+        4,
+    )
+    return decoded.select(
+        "doc_id",
+        F.size(path).cast("bigint").alias("n_pts"),
+        length.alias("length"),
+    ).orderBy("doc_id")

@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     # first driver check: new in r8
     "geo09_wkb_multipolygon_holes",
     "vs15_spec_evolution_read",
+    "geo10_wkb_polyline_length",
     # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
     "dd04_minhash_lsh_pairs",
     "dd03_jaccard_pairs",
@@ -137,7 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "mx02_temperature_mixture",
     "sm04_weighted_sample",
     "tpch_q9_product_profit",
-    "tpch_q17_small_qty_revenue",
     "j07_star_join_broadcast",
     "w03_rank_per_group",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
@@ -202,6 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo06_zorder_cells",
+    "tpch_q17_small_qty_revenue",
     "tpch_q8_market_share",
     "dq07_volume_anomalies",
     "dd07_duplicate_groups",

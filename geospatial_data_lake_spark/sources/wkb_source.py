@@ -243,6 +243,25 @@ def polygons_to_wkb(df: DataFrame, ring_col: str) -> DataFrame:
     return df.mapInPandas(enc, schema)
 
 
+def linestrings_to_wkb(df: DataFrame, path_col: str) -> DataFrame:
+    """Append a ``wkb`` binary column encoding the ``array<struct<x,y>>``
+    vertex path as WKB LineString."""
+    schema = _with_fields(df.schema, [T.StructField("wkb", T.BinaryType())])
+
+    def enc(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["wkb"] = [
+                encode_wkb_linestring(
+                    [(float(v["x"]), float(v["y"])) for v in path]
+                )
+                for path in pdf[path_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(enc, schema)
+
+
 def multipolygons_to_wkb(df: DataFrame, parts_col: str) -> DataFrame:
     """Encode a ``array<array<array<struct<x,y>>>>`` column (parts ->
     rings -> vertices; within each part the outer shell first, holes
