@@ -52,6 +52,8 @@ threshold 0.8, so the SQL oracle is path-independent.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1045,7 +1047,9 @@ def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- dd11: index-backed incremental near-dup admission ------------------------
 
-_DD11_INDEX: dict = {}
+_DD11_INDEX: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_band_index(spark: SparkSession, sf_dir: str):
@@ -1064,9 +1068,9 @@ def _build_band_index(spark: SparkSession, sf_dir: str):
     )
     from geospatial_data_lake_spark.tables import spread
 
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _DD11_INDEX:
-        return _DD11_INDEX[cache_key]
+    cache = _DD11_INDEX.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     corpus = spread(spark, t.documents.filter(F.col("doc_id") % 13 != 0))
     root = tempfile.mkdtemp(prefix="gdl_dd11_")
@@ -1079,7 +1083,7 @@ def _build_band_index(spark: SparkSession, sf_dir: str):
     mt.append(_band_keys(corpus))
     store = os.path.join(root, "docstore")
     corpus.select("doc_id", _hashed_tokens()).write.parquet(store)
-    _DD11_INDEX[cache_key] = (mt, store)
+    cache[sf_dir] = (mt, store)
     return mt, store
 
 

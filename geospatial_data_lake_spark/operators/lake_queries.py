@@ -19,6 +19,8 @@ lifecycle create->update->read, backend/dataset_versions/create.py:58-75.
 
 from __future__ import annotations
 
+import weakref
+
 import os
 import tempfile
 
@@ -35,7 +37,9 @@ _COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 # one build per (session, fixture): vs01 and vs02 read different versions
 # of the SAME immutable history, so they can share a table — every
 # version is snapshot-isolated by construction
-_BUILT: dict[tuple[int, str], ManifestTable] = {}
+_BUILT: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
@@ -45,9 +49,9 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     3.  Partitioned by o_orderpriority (5 partitions), keyed by
     o_orderkey — keys do NOT subsume the partition spec, so the upsert
     exercises the key-location probe path."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _BUILT:
-        return _BUILT[cache_key]
+    cache = _BUILT.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     base = t.orders.select(*_COLS)
     mt = ManifestTable(
@@ -65,7 +69,7 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     mt.delete_where(  # v3: TRUE-predicate rows only
         (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 3)
     )
-    _BUILT[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -271,7 +275,9 @@ def vs06_incremental_view_maintenance(
     )
 
 
-_REPLACED: dict[tuple[int, str], ManifestTable] = {}
+_REPLACED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 @register(
@@ -299,8 +305,8 @@ def vs07_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the commit rewrites O(slice partitions) in one job; a
     daily-reprocess on a 100 TB table touches one day's partitions and
     a manifest document, never the table."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key not in _REPLACED:
+    cache = _REPLACED.setdefault(spark, {})
+    if sf_dir not in cache:
         t = tables(spark, sf_dir)
         base = t.orders.select(*_COLS)
         mt = ManifestTable(
@@ -317,11 +323,13 @@ def vs07_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).withColumn("o_totalprice", F.col("o_totalprice") * 3),
             F.col("o_orderpriority") == "3-MEDIUM",
         )
-        _REPLACED[cache_key] = mt
-    return _REPLACED[cache_key].read().select(*_COLS)
+        cache[sf_dir] = mt
+    return cache[sf_dir].read().select(*_COLS)
 
 
-_BLOOMED: dict[tuple[int, str], ManifestTable] = {}
+_BLOOMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_bloomed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
@@ -329,9 +337,9 @@ def _build_bloomed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     bloom index on c_custkey: every file's key min/max spans the whole
     keyspace (append order is round-robin by ``c_custkey % 4``), so
     ONLY the blooms can discriminate a point read between files."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _BLOOMED:
-        return _BLOOMED[cache_key]
+    cache = _BLOOMED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     base = t.customer.select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
@@ -345,7 +353,7 @@ def _build_bloomed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     )
     for b in range(4):
         mt.append(base.filter(F.col("c_custkey") % 4 == b))
-    _BLOOMED[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -378,7 +386,9 @@ def vs05_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_STREAMED: dict[tuple[int, str], ManifestTable] = {}
+_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
@@ -388,9 +398,9 @@ def _build_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     txn-stamped upsert), keyed by event_id, partitioned by event_type."""
     from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
 
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _STREAMED:
-        return _STREAMED[cache_key]
+    cache = _STREAMED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="gdl_lake_st_")
     src = os.path.join(root, "src")
@@ -410,7 +420,7 @@ def _build_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
         stream, mt, os.path.join(root, "ckpt"), app_id="st01"
     )
     q.awaitTermination()
-    _STREAMED[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -509,7 +519,9 @@ def vs08_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_from_counts(c)
 
 
-_DEDUP_STREAMED: dict[tuple[int, str], ManifestTable] = {}
+_DEDUP_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_dedup_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
@@ -527,9 +539,9 @@ def _build_dedup_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTabl
         stream_dedup_ingest,
     )
 
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _DEDUP_STREAMED:
-        return _DEDUP_STREAMED[cache_key]
+    cache = _DEDUP_STREAMED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="gdl_lake_st2_")
     src = os.path.join(root, "src")
@@ -557,7 +569,7 @@ def _build_dedup_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTabl
         stream, mt, os.path.join(root, "ckpt"), app_id="st02"
     )
     q.awaitTermination()
-    _DEDUP_STREAMED[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -602,7 +614,9 @@ def st02_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RESTORED: dict[tuple[int, str], ManifestTable] = {}
+_RESTORED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_restored_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
@@ -615,9 +629,9 @@ def _build_restored_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     enforcement (the poisoned batch must be absent), and append."""
     from geospatial_data_lake_spark.plans.catalog import ValidationError
 
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _RESTORED:
-        return _RESTORED[cache_key]
+    cache = _RESTORED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     base = t.orders.select(*_COLS).filter(F.col("o_orderkey") % 3 == 0)
     extra = t.orders.select(*_COLS).filter(F.col("o_orderkey") % 3 == 1)
@@ -642,7 +656,7 @@ def _build_restored_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     except ValidationError:
         pass
     mt.append(extra)  # v5: conforming
-    _RESTORED[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -674,7 +688,9 @@ def vs09_restore_constrained_lifecycle(
     return mt.read().select(*_COLS)
 
 
-_EQDEL: dict[tuple[int, str], ManifestTable] = {}
+_EQDEL: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_eqdelete_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
@@ -684,9 +700,9 @@ def _build_eqdelete_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     1.0 (v3).  The head must show the survivors PLUS the re-appended
     rows — sensitive to the anti-join read path AND the applies-to
     sequence rule (a delete must not tombstone later appends)."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _EQDEL:
-        return _EQDEL[cache_key]
+    cache = _EQDEL.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     base = t.orders.select(*_COLS)
     mt = ManifestTable(
@@ -705,7 +721,7 @@ def _build_eqdelete_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
             "o_totalprice", F.lit(1.0)
         )
     )
-    _EQDEL[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -736,7 +752,9 @@ def vs10_equality_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mt.read().select(*_COLS)
 
 
-_HIDDEN: dict[tuple[int, str], ManifestTable] = {}
+_HIDDEN: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_hidden_partitioned_lake(
@@ -745,9 +763,9 @@ def _build_hidden_partitioned_lake(
     """events -> lake table with HIDDEN day partitioning: the writer
     never supplies the derived day column (the table derives
     day(ts) itself), and readers filter on raw ``ts``."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _HIDDEN:
-        return _HIDDEN[cache_key]
+    cache = _HIDDEN.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     mt = ManifestTable(
         spark,
@@ -757,7 +775,7 @@ def _build_hidden_partitioned_lake(
         partition_transforms={"ts_day": ("day", "ts")},
     )
     mt.append(t.events.select("event_id", "user_id", "event_type", "ts", "value"))
-    _HIDDEN[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -811,7 +829,9 @@ def vs11_hidden_partition_pruned_read(
 
 # -- st03: streaming hourly-cell maintenance + volume monitor -----------------
 
-_VOLUME_STREAMED: dict[tuple[int, str], ManifestTable] = {}
+_VOLUME_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_volume_streamed_cells(spark, sf_dir: str) -> ManifestTable:
@@ -823,9 +843,9 @@ def _build_volume_streamed_cells(spark, sf_dir: str) -> ManifestTable:
     Update-mode emission + keyed upsert is what makes the final table
     equal the batch hourly counts for ANY arrival order — the property
     that lets a declarative SQL oracle check a streaming monitor."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _VOLUME_STREAMED:
-        return _VOLUME_STREAMED[cache_key]
+    cache = _VOLUME_STREAMED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
 
     t = tables(spark, sf_dir)
@@ -864,7 +884,7 @@ def _build_volume_streamed_cells(spark, sf_dir: str) -> ManifestTable:
         output_mode="update",
     )
     q.awaitTermination()
-    _VOLUME_STREAMED[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -908,7 +928,9 @@ def st03_stream_volume_monitor(spark, sf_dir: str):
 
 # -- vs12: tagged snapshot protected across retention GC ----------------------
 
-_TAGGED_LAKE: dict[tuple[int, str], ManifestTable] = {}
+_TAGGED_LAKE: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_tagged_lake(spark, sf_dir: str) -> ManifestTable:
@@ -917,9 +939,9 @@ def _build_tagged_lake(spark, sf_dir: str) -> ManifestTable:
     then push v1 far outside the retention window, so by the time the
     query reads, every untagged early version is GC'd — the tag is the
     only thing keeping the snapshot alive."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _TAGGED_LAKE:
-        return _TAGGED_LAKE[cache_key]
+    cache = _TAGGED_LAKE.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="gdl_lake_vs12_")
     mt = ManifestTable(
@@ -936,7 +958,7 @@ def _build_tagged_lake(spark, sf_dir: str) -> ManifestTable:
         mt.upsert(
             base.withColumn("o_totalprice", F.col("o_totalprice") * i)
         )
-    _TAGGED_LAKE[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -965,7 +987,9 @@ def vs12_tagged_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- vs13: write-audit-publish lifecycle --------------------------------------
 
-_WAP_LAKE: dict[tuple[int, str], ManifestTable] = {}
+_WAP_LAKE: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_wap_lake(spark, sf_dir: str) -> ManifestTable:
@@ -975,9 +999,9 @@ def _build_wap_lake(spark, sf_dir: str) -> ManifestTable:
     clean cycle (staged MERGE doubles the %100 keys' prices + staged
     append of a disjoint slice, audit passes, publish) — the parent
     jumps base -> audited state in ONE commit."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _WAP_LAKE:
-        return _WAP_LAKE[cache_key]
+    cache = _WAP_LAKE.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="gdl_lake_vs13_")
     mt = ManifestTable(
@@ -1014,7 +1038,7 @@ def _build_wap_lake(spark, sf_dir: str) -> ManifestTable:
     )
     assert staged.table.read().filter(F.col("o_totalprice") < 0).count() == 0
     mt.publish_staged(staged)
-    _WAP_LAKE[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -1054,7 +1078,9 @@ def vs13_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- vs14: named-branch divergence read ---------------------------------------
 
-_BRANCHED_LAKE: dict[tuple[int, str], ManifestTable] = {}
+_BRANCHED_LAKE: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_branched_lake(spark, sf_dir: str) -> ManifestTable:
@@ -1065,9 +1091,9 @@ def _build_branched_lake(spark, sf_dir: str) -> ManifestTable:
     time the two refs have genuinely diverged (a fast-forward would
     raise CommitConflict, which is the point: the branch is an analysis
     lane, not a merge queue)."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _BRANCHED_LAKE:
-        return _BRANCHED_LAKE[cache_key]
+    cache = _BRANCHED_LAKE.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="gdl_lake_vs14_")
     mt = ManifestTable(
@@ -1095,7 +1121,7 @@ def _build_branched_lake(spark, sf_dir: str) -> ManifestTable:
             "o_totalprice", F.col("o_totalprice") * 2
         )
     )
-    _BRANCHED_LAKE[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 
@@ -1171,7 +1197,9 @@ def vs14_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- vs15: partition-spec evolution across eras -------------------------------
 
-_SPEC_EVOLVED: dict[tuple[int, str], ManifestTable] = {}
+_SPEC_EVOLVED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _build_spec_evolved_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
@@ -1180,9 +1208,9 @@ def _build_spec_evolved_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     4), the spec evolves to bucket(user_id, 16) — zero rewrites, a
     metadata-only commit — and the second half lands under the new
     spec.  Old files keep (and are pruned under) the old spec."""
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _SPEC_EVOLVED:
-        return _SPEC_EVOLVED[cache_key]
+    cache = _SPEC_EVOLVED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
     t = tables(spark, sf_dir)
     mt = ManifestTable(
         spark,
@@ -1195,7 +1223,7 @@ def _build_spec_evolved_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     mt.append(ev.filter(F.col("event_id") % 2 == 0))
     mt.evolve_partition_spec({"ub": ("bucket", "user_id", 16)})
     mt.append(ev.filter(F.col("event_id") % 2 == 1))
-    _SPEC_EVOLVED[cache_key] = mt
+    cache[sf_dir] = mt
     return mt
 
 

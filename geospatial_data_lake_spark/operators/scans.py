@@ -18,6 +18,8 @@ Reference behaviors re-expressed Spark-first:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -171,7 +173,9 @@ def s11_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORC_DIRS: dict[tuple[int, str], str] = {}
+_ORC_DIRS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 @register(
@@ -195,13 +199,13 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    cache_key = (id(spark), sf_dir)
-    if cache_key not in _ORC_DIRS:
+    cache = _ORC_DIRS.setdefault(spark, {})
+    if sf_dir not in cache:
         out = os.path.join(tempfile.mkdtemp(prefix="gdl_orc_"), "part")
         tables(spark, sf_dir).part.write.orc(out)
-        _ORC_DIRS[cache_key] = out
+        cache[sf_dir] = out
     return (
-        spark.read.orc(_ORC_DIRS[cache_key])
+        spark.read.orc(cache[sf_dir])
         .filter(F.col("p_size") >= 40)
         .select("p_partkey", "p_name", "p_brand", "p_retailprice")
         .orderBy("p_partkey")

@@ -1439,6 +1439,64 @@ class ManifestTable:
         )
         return sid, dict(self.partition_transforms)
 
+    def rewrite_to_current_spec(self) -> int | None:
+        """MIGRATE old-spec data to the current partition spec — the
+        Iceberg ``rewriteDataFiles`` maintenance action that retires
+        spec-evolution debt: every partition holding a file NOT stamped
+        with the current spec is read (pending equality deletes
+        applied), its rows re-derive their transform columns under the
+        current spec, and ONE write job lands them in their new-spec
+        partitions; untouched partitions carry by reference.  After
+        this commits, point reads plan single-era files again (the
+        any-spec/mixed fallbacks stop paying the multi-era tax), and a
+        second call is a no-op ``None`` — idempotent.  Run it partition
+        batch by partition batch off-peak on a 100 TB table; nothing
+        requires it for correctness (reads are exact across eras either
+        way)."""
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                raise NotFoundError(f"table never committed: {self.root}")
+            if not manifest.get("specs"):
+                return None  # never evolved: nothing to migrate
+            cur = str(manifest.get("current_spec", "0"))
+            stats = manifest.get("stats", {})
+            partitions = manifest["partitions"]
+            stale = {
+                pk
+                for pk, files in partitions.items()
+                if any(
+                    str(stats.get(f, {}).get("__spec", "")) != cur
+                    for f in files
+                )
+            }
+            if not stale:
+                return None
+            batch = self._with_partition_transforms(
+                self._effective_df(manifest, pkeys=stale)
+            )
+            batch_dir = uuid.uuid4().hex
+            produced = self._write_partitioned(batch, batch_dir)
+            batch_stats = self._collect_stats_for_batch(batch_dir, produced)
+            new_partitions = dict(partitions)
+            for pk in stale:
+                new_partitions.pop(pk, None)
+            for pk, rel in produced.items():
+                new_partitions[pk] = [*new_partitions.get(pk, []), rel]
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                manifest["schema_ddl"],
+                batch_dir,
+                deletes=self._deletes_minus(manifest, stale),
+                spec_stamp=cur,
+            ):
+                return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def properties(self) -> dict[str, str]:
         """Current table properties — the Iceberg/Delta table-property
         map (``TBLPROPERTIES``): string key/value pairs carried forward

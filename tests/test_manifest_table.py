@@ -1807,3 +1807,48 @@ def should_evolve_partition_spec_with_per_era_pruning(spark, tmp_path):
     # guard: partition COLUMNS are fixed — only transforms evolve
     with pytest.raises(ValueError, match="must be in partition_by"):
         mt.evolve_partition_spec({"other": ("bucket", "v", 8)})
+
+
+def should_rewrite_old_spec_partitions_to_current_spec(spark, tmp_path):
+    """rewrite_to_current_spec retires spec-evolution debt: after the
+    rewrite every live file carries the current spec, a point read
+    plans single-era files, content and history are preserved, and a
+    second call is an idempotent no-op."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "v", 4)},
+    )
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(48)]))
+    mt.evolve_partition_spec({"wb": ("bucket", "v", 16)})
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(100, 148)]))
+    before = {r.id for r in mt.read().collect()}
+    v_pre = mt.current_version()
+
+    v = mt.rewrite_to_current_spec()
+    assert v == v_pre + 1
+    # content preserved; old snapshot still time-travels
+    assert {r.id for r in mt.read().collect()} == before
+    assert {r.id for r in mt.read(version=v_pre).collect()} == before
+    # all live files now carry the current spec stamp
+    _gen, manifest = mt._current()
+    cur = manifest["current_spec"]
+    for files in manifest["partitions"].values():
+        for f in files:
+            assert str(manifest["stats"][f].get("__spec")) == cur, f
+    # single-era point read: every planned file sits in ONE partition
+    # (pre-rewrite it planned one partition PER ERA; compaction, not
+    # the rewrite, folds multiple files within a partition)
+    planned = mt.planned_files(where={"v": "w7"})
+    assert len({f.rsplit("__mt_pk=", 1)[-1] for f in planned}) == 1
+    assert {r.id for r in mt.read(where={"v": "w7"}).collect()} == {7}
+    # idempotent
+    assert mt.rewrite_to_current_spec() is None
+    # a never-evolved table is a no-op too
+    mt2 = ManifestTable(
+        spark, str(tmp_path / "mt2"), key_cols=["id"], partition_by=["part"]
+    )
+    mt2.upsert(_mk(spark, [(1, "a", "x")]))
+    assert mt2.rewrite_to_current_spec() is None
