@@ -1222,6 +1222,26 @@ def ss08_persisted_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     m codeword CASE sums per candidate; driver state is model-sized."""
     from pyspark.sql import Window
 
+    cand = _ivfpq_adc_candidates(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 4).alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _ivfpq_adc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index probe shared by ss08/ss09: stamp-validated
+    model load, IN-list pruned codes read, broadcast residual query
+    block, per-candidate residual ADC sum.  Returns (q_id, c_id, adc)
+    for every candidate in the probed cells."""
     codes, model = _ivfpq_store(spark, sf_dir)
     coarse, cents_per_sub = load_ivfpq_model(model, codes=codes)
     e = tables(spark, sf_dir).embeddings.select(
@@ -1265,15 +1285,122 @@ def ss08_persisted_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             term = _sq_between(qsl, cw)
             dj = F.when(cond, term) if dj is None else dj.when(cond, term)
         adc = dj if adc is None else adc + dj
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    return cand.select("q_id", F.col("vec_id").alias("c_id"), adc.alias("adc"))
+
+
+# -- ss09: refined IVFPQ search — exact rerank of the ADC shortlist ----------
+
+_REFINE_K = 8  # ADC shortlist size fed to the exact reranker
+
+
+def _ivfpq_refined_oracle() -> str:
+    """ss08's residual-IVFPQ replay with the REFINE tail: ADC ranks a
+    shortlist of {_REFINE_K}, the shortlist joins back to the RAW
+    vectors, and exact L2 (the same 9-dp-rounded fold as every other
+    distance here) re-ranks the final top-{_ADC_TOPK}."""
+    base = _ivfpq_residual_oracle()
+    old_tail = f"""
+SELECT q_id, c_id, round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, c_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+  FROM d)
+WHERE rn <= {_ADC_TOPK}
+ORDER BY q_id, rnk"""
+    sq_exact = _sq_expr("q.qv", "cv.v", _DIM)
+    new_tail = f""",
+shortlist AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+    FROM d)
+  WHERE rn <= {_REFINE_K}
+),
+ex AS (
+  SELECT s.q_id, s.c_id, {sq_exact} AS ex_dist
+  FROM shortlist s
+  JOIN q ON q.q_id = s.q_id
+  JOIN v cv ON cv.vec_id = s.c_id
+)
+SELECT q_id, c_id, round(ex_dist, 4) AS exact_dist, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, c_id, ex_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY ex_dist, c_id) AS rn
+  FROM ex)
+WHERE rn <= {_ADC_TOPK}
+ORDER BY q_id, rnk"""
+    assert base.endswith(old_tail)
+    return base[: -len(old_tail)] + new_tail
+
+
+@register(
+    "ss09_ivfpq_refined_search",
+    oracle=_ivfpq_refined_oracle(),
+    tags=("similarity", "ann", "compression", "lake", "refine"),
+)
+def ss09_ivfpq_refined_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss08's persisted-index search with an EXACT-RERANK refine step —
+    the FAISS IndexRefineFlat pattern every production ANN serving
+    stack uses to buy back quantization error: the compressed index
+    cheaply ranks an ADC shortlist (k'={_REFINE_K}), only those
+    shortlist ids join back to the RAW vector table, and exact L2
+    re-ranks the final top-{_ADC_TOPK}.  Output distances are TRUE
+    distances (reportable to users), while the expensive exact
+    arithmetic touches shortlist-sized data only.
+
+    Scale shape: everything up to the shortlist is ss08's plan (one
+    IN-list partition-pruned codes read, broadcast residual block,
+    codegen ADC); the refine adds ONE equi-join of a (queries x k')-row
+    shortlist — broadcastable by construction — against the vector
+    table, then a per-query top-k window over (queries x k') rows.
+    At a billion vectors the raw-vector side is the only big table
+    touched, and only through a broadcast-hash probe of k' ids per
+    query — no shuffle of the corpus, no full-scan rerank."""
+    from pyspark.sql import Window
+
+    cand = _ivfpq_adc_candidates(spark, sf_dir)
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc(), F.col("c_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _REFINE_K)
+        .select("q_id", "c_id")
+    )
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    ex = (
+        e.join(
+            F.broadcast(shortlist), e.vec_id == shortlist.c_id
+        )
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                9,
+            ).alias("ex_dist"),
+        )
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.col("ex_dist").asc(), F.col("c_id").asc()
+    )
     return (
-        cand.select("q_id", F.col("vec_id").alias("c_id"), adc.alias("adc"))
-        .withColumn("rnk", F.row_number().over(w))
+        ex.withColumn("rnk", F.row_number().over(w_ex))
         .filter(F.col("rnk") <= _ADC_TOPK)
         .select(
             "q_id",
             "c_id",
-            F.round("adc", 4).alias("adc_dist"),
+            F.round("ex_dist", 4).alias("exact_dist"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
         .orderBy("q_id", "rnk")

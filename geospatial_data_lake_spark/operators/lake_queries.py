@@ -1276,3 +1276,74 @@ def vs15_spec_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_SPEC_REWRITTEN: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+@register(
+    "vs16_spec_rewrite_read",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+        FROM events
+        WHERE user_id = 7
+        ORDER BY event_id
+    """,
+    tags=("lake", "manifest", "spec-evolution", "maintenance"),
+)
+def vs16_spec_rewrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vs15's cross-era table AFTER ``rewrite_to_current_spec`` — the
+    rewriteDataFiles maintenance action that retires spec-evolution
+    debt: stale-spec partitions re-derive under the current spec in
+    one write job, and the same point read that planned one partition
+    PER ERA in vs15 now plans files in a SINGLE partition (guarded
+    in-query).  The oracle is vs15's — the rewrite must be perfectly
+    content-invariant, so any row lost, duplicated, or mutated by the
+    migration breaks the same hash that passed before it.
+
+    Scale shape: the rewrite is one partitioned write of O(stale
+    partitions) + a manifest swap; run off-peak, batch by batch, on a
+    100 TB table — correctness never requires it (vs15 is exact across
+    eras), it only buys back the one-partition-per-era read tax."""
+    cache = _SPEC_REWRITTEN.setdefault(spark, {})
+    if sf_dir not in cache:
+        t = tables(spark, sf_dir)
+        mt = ManifestTable(
+            spark,
+            tempfile.mkdtemp(prefix="gdl_lake_specrw_"),
+            key_cols=["event_id"],
+            partition_by=["ub"],
+            partition_transforms={"ub": ("bucket", "user_id", 4)},
+        )
+        ev = t.events.select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        mt.append(ev.filter(F.col("event_id") % 2 == 0))
+        mt.evolve_partition_spec({"ub": ("bucket", "user_id", 16)})
+        mt.append(ev.filter(F.col("event_id") % 2 == 1))
+        mt.rewrite_to_current_spec()
+        cache[sf_dir] = mt
+    mt = cache[sf_dir]
+    planned = mt.planned_files(where={"user_id": 7})
+    pkeys = {f.rsplit("__mt_pk=", 1)[-1] for f in planned}
+    # post-rewrite: single-era read — ONE partition's files plan; must
+    # survive python -O (no assert)
+    if not planned or len(pkeys) != 1:
+        raise RuntimeError(
+            f"spec-rewrite pruning regressed: {len(planned)} files across "
+            f"{len(pkeys)} partitions for a single-user point read"
+        )
+    return (
+        mt.read(where={"user_id": 7})
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+        .orderBy("event_id")
+    )

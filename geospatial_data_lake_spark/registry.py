@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "geo09_wkb_multipolygon_holes",
     "vs15_spec_evolution_read",
     "geo10_wkb_polyline_length",
+    "vs16_spec_rewrite_read",
+    "ss09_ivfpq_refined_search",
     # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
     "dd04_minhash_lsh_pairs",
     "dd03_jaccard_pairs",
@@ -131,11 +133,9 @@ _PRIORITY: tuple[str, ...] = (
     "vb02_bpe_merges",
     "tx10_bigram_prob_score",
     "dq01_ks_drift",
-    "dq02_column_profile",
     "dq06_constraint_suite",
     "pk01_sequence_packing",
     "ct02_decontaminate",
-    "mx02_temperature_mixture",
     "sm04_weighted_sample",
     "tpch_q9_product_profit",
     "j07_star_join_broadcast",
@@ -202,6 +202,8 @@ _PRIORITY: tuple[str, ...] = (
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo06_zorder_cells",
+    "dq02_column_profile",
+    "mx02_temperature_mixture",
     "tpch_q17_small_qty_revenue",
     "tpch_q8_market_share",
     "dq07_volume_anomalies",
