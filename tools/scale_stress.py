@@ -73,6 +73,9 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "geo08_wkb_point_in_polygon": (
         "should_run_wkb_roundtrip_as_passthrough_map_stages", "geo"),
     "geo09_wkb_multipolygon_holes": (None, "geo"),
+    "geo10_wkb_polyline_length": (None, "geo"),
+    "ss09_ivfpq_refined_search": (None, "ann"),
+    "vs16_spec_rewrite_read": (None, "lake"),
     "ss08_persisted_ivfpq_search": (
         "should_search_persisted_ivfpq_without_training_or_smj", "ann"),
     "vs01_manifest_merge_roundtrip": (None, "lake"),
@@ -139,16 +142,29 @@ def _copy_expr(spark, src_dir: str, name: str, i: int):
     return None  # dimension tables stay 1x
 
 
-def build_scaled_dir(spark, src_dir: str, out_dir: str, factor: int) -> None:
+def build_scaled_dir(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    factor: int,
+    only_tables: set[str] | None = None,
+) -> None:
     """Materialize the scaled tables (resumable: existing outputs are
-    kept — delete the directory to force a rebuild)."""
+    kept — delete the directory to force a rebuild).  ``only_tables``
+    restricts which tables scale (others copy 1x) — e.g. scaling ONLY
+    ``events`` gives a constant-density geo corpus (x10 points against
+    1x polygons), isolating per-point linearity from the densification
+    effect a fixed-area x10-everything corpus has."""
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(dst):
             continue
         first = _copy_expr(spark, src_dir, name, 1)
-        if first is None:  # unscaled dimension: single copy
+        scale_this = first is not None and (
+            only_tables is None or name in only_tables
+        )
+        if not scale_this:
             out = _copy_expr(spark, src_dir, name, 0)
         else:
             out = _copy_expr(spark, src_dir, name, 0)
@@ -157,7 +173,7 @@ def build_scaled_dir(spark, src_dir: str, out_dir: str, factor: int) -> None:
         tmp = dst + ".tmp"
         out.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, dst)
-        print(f"[scale] built {name} x{1 if first is None else factor}")
+        print(f"[scale] built {name} x{factor if scale_this else 1}")
 
 
 def _time_query(spec, spark, sf_dir: str) -> float:
@@ -176,6 +192,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", default="/tmp/gdl_scale_x10_ckpt.json")
     ap.add_argument("--budget-secs", type=float, default=1e9)
     ap.add_argument("--queries", default="")
+    ap.add_argument(
+        "--scale-tables",
+        default="",
+        help="comma-separated tables to scale (others copy 1x); "
+        "default: every fact table",
+    )
     args = ap.parse_args()
 
     ckpt: dict = {}
@@ -196,7 +218,8 @@ def main() -> None:
     registry = load_all_queries()
     t0 = time.time()
 
-    build_scaled_dir(spark, args.sf_dir, args.out, args.factor)
+    only = set(t for t in args.scale_tables.split(",") if t) or None
+    build_scaled_dir(spark, args.sf_dir, args.out, args.factor, only)
 
     names = [q for q in args.queries.split(",") if q] or list(HEAVY)
     from tests import test_plan_shapes as pins
