@@ -611,3 +611,44 @@ def should_search_persisted_ivfpq_without_training_or_smj(
     # exactly two parquet scans: the embeddings (queries) + the codes
     # (explain("formatted") prints each scan twice: tree + details)
     assert plan.count("Scan parquet") == 4, plan
+
+
+def should_route_holed_multipolygons_through_arrow_kernels(
+    spark, registry, sf_dir
+):
+    # geo09: the ragged WKB MultiPolygon encode/decode runs as
+    # mapInArrow passthrough stages (2 kernels; formatted explain
+    # prints each twice), ring cells broadcast onto the point side —
+    # no cartesian, no sort-merge join, no pandas conversion (numpy
+    # cannot hold the ragged nesting).
+    plan = _plan(spark, registry, "geo09_wkb_multipolygon_holes", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("MapInArrow") == 4, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def should_fold_polyline_length_without_any_join(spark, registry, sf_dir):
+    # geo10: WKB LineString round trip is two passthrough mapInPandas
+    # stages over ONE scan subtree — no join anywhere; the only
+    # exchange is the final presentation sort.
+    plan = _plan(spark, registry, "geo10_wkb_polyline_length", sf_dir)
+    assert "Join" not in plan, plan
+    assert plan.count("MapInPandas") == 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def should_refine_adc_shortlist_with_broadcast_exact_rerank(
+    spark, registry, sf_dir
+):
+    # ss09: ss08's pruned probe feeds an ADC shortlist that
+    # broadcast-joins back to the raw vector table for the exact
+    # rerank — no sort-merge join, no cartesian, no Python stage; the
+    # corpus is only touched through broadcast-hash probes.
+    plan = _plan(spark, registry, "ss09_ivfpq_refined_search", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "Union" not in plan, plan
