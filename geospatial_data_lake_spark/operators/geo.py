@@ -31,6 +31,8 @@ Scale design — the distributed spatial join:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1126,3 +1128,98 @@ def geo10_wkb_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(path).cast("bigint").alias("n_pts"),
         length.alias("length"),
     ).orderBy("doc_id")
+
+
+_GEOPARQUET_STORE: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _geoparquet_events(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a GEOPARQUET dataset (per session, per sf_dir): point
+    geometry as WKB, range-partitioned on x into multiple files so
+    each file's stamped per-file bbox covers a distinct x-slice — the
+    layout that makes footer-bbox file pruning meaningful."""
+    import tempfile
+
+    from geospatial_data_lake_spark.sources.geoparquet import (
+        write_geoparquet,
+    )
+    from geospatial_data_lake_spark.sources.wkb_source import points_to_wkb
+
+    cache = _GEOPARQUET_STORE.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    pts = t.events.select(
+        "event_id",
+        (((F.col("event_id") * 7919) % 900) / 10.0 - 45.0).alias("px"),
+        (((F.col("event_id") * 104729) % 425) / 10.0 - 21.25).alias("py"),
+    )
+    wkb = points_to_wkb(pts, "px", "py").drop("px", "py")
+    path = tempfile.mkdtemp(prefix="gdl_geoparquet_")
+    write_geoparquet(
+        wkb.repartitionByRange(8, (F.col("event_id") * 7919) % 900),
+        path,
+        {"wkb": ["Point"]},
+    )
+    cache[sf_dir] = path
+    return path
+
+
+@register(
+    "geo11_geoparquet_roundtrip",
+    oracle="""
+        SELECT CAST(floor(((event_id * 7919) % 900) / CAST(10 AS DOUBLE)
+                    - 45.0) AS BIGINT) AS cx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE ((event_id * 7919) % 900) / CAST(10 AS DOUBLE) - 45.0
+                  BETWEEN -10 AND 10
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("geo", "geoparquet", "wkb", "source", "pruning"),
+)
+def geo11_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEOPARQUET FILE CONTRACT end-to-end: events points write as
+    a spec GeoParquet dataset (WKB geometry column + per-file ``geo``
+    footer metadata with stamped bboxes — sources/geoparquet.py), a
+    window query PRUNES FILES from the footers alone
+    (``file_bbox_filter`` — zero data IO, the reader-side analog of
+    manifest min/max pruning, guarded in-query), and the surviving
+    files decode through the WKB kernels into the per-cell counts the
+    oracle computes from raw coordinates.  Any drift in the write, the
+    footer stamps, the pruning, or the decode breaks the hash.
+
+    Scale shape: footer pruning is O(files) metadata reads; the scan
+    reads only intersecting files; decode is the narrow passthrough
+    map stage geo08 pins; one partial-aggregated exchange for the
+    cell counts."""
+    from geospatial_data_lake_spark.sources.geoparquet import (
+        file_bbox_filter,
+        read_geoparquet_meta,
+    )
+    from geospatial_data_lake_spark.sources.wkb_source import wkb_to_points
+
+    path = _geoparquet_events(spark, sf_dir)
+    meta = read_geoparquet_meta(path)
+    if meta.columns["wkb"]["encoding"] != "WKB":  # validated contract
+        raise RuntimeError("geoparquet metadata lost the WKB encoding")
+    import os
+
+    total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    pruned = file_bbox_filter(path, "wkb", -10.0, -90.0, 10.0, 90.0)
+    # the x-window covers ~2/9 of the range-partitioned slices; footer
+    # pruning must discard files (survive python -O: no assert)
+    if not (0 < len(pruned) < total):
+        raise RuntimeError(
+            f"geoparquet footer pruning disengaged: {len(pruned)}/{total}"
+        )
+    pts = wkb_to_points(spark.read.parquet(*pruned), "wkb")
+    return (
+        pts.filter(F.col("x").between(-10.0, 10.0))
+        .groupBy(F.floor("x").cast("bigint").alias("cx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cx")
+    )

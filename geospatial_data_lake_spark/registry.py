@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo10_wkb_polyline_length",
     "vs16_spec_rewrite_read",
     "ss09_ivfpq_refined_search",
+    "geo11_geoparquet_roundtrip",
     # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
     "dd04_minhash_lsh_pairs",
     "dd03_jaccard_pairs",
@@ -133,7 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "vb02_bpe_merges",
     "tx10_bigram_prob_score",
     "dq01_ks_drift",
-    "dq06_constraint_suite",
     "pk01_sequence_packing",
     "ct02_decontaminate",
     "sm04_weighted_sample",
@@ -202,6 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo06_zorder_cells",
+    "dq06_constraint_suite",
     "dq02_column_profile",
     "mx02_temperature_mixture",
     "tpch_q17_small_qty_revenue",

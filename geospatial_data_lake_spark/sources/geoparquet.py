@@ -1,0 +1,223 @@
+"""GeoParquet reader/writer — the named interchange format end-to-end.
+
+BASELINE.json's north star names Parquet/GeoParquet as the spatial
+interchange surface.  The WKB codec (wkb_source.py) covers the COLUMN
+contract; this module covers the FILE contract: the GeoParquet
+specification (opengeospatial/geoparquet, v1.0.0) stores a JSON
+document under the ``geo`` key of the parquet FILE metadata declaring
+the geometry columns, their encoding (WKB), their geometry types, and
+the file's bbox — that metadata is what makes a parquet file a
+GeoParquet file to GDAL/QGIS/GeoPandas.
+
+Writer shape (``write_geoparquet``): Spark writes the parquet files
+(any partitioning, any size — the normal distributed write), then ONE
+distributed pass stamps each file's footer with its own ``geo``
+document (per-file bbox computed from that file's rows — the
+per-file bbox is what lets a GeoParquet reader prune files spatially,
+the manifest-stats analog).  The stamping job is a parallelized
+per-file pyarrow rewrite: O(data) once, executed on the cluster, never
+through the driver.
+
+Reader shape (``read_geoparquet``): the driver parses ONE footer
+(cheap metadata read) to learn the geometry columns, validates the
+spec, and returns the ordinary distributed ``spark.read.parquet`` scan
+plus the parsed metadata — decode stays lazy via the wkb kernels, so
+predicate pushdown on non-geometry columns still reaches the scan
+before any geometry work (the geo08-pinned order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+GEO_KEY = b"geo"
+_VERSION = "1.0.0"
+
+
+@dataclass(frozen=True)
+class GeoParquetMeta:
+    version: str
+    primary_column: str
+    columns: dict  # {name: {"encoding": "WKB", "geometry_types": [...], "bbox": [...]}}
+
+
+def _geo_doc(
+    columns: dict[str, list[str]], bboxes: dict[str, list[float]]
+) -> dict:
+    return {
+        "version": _VERSION,
+        "primary_column": next(iter(columns)),
+        "columns": {
+            name: {
+                "encoding": "WKB",
+                "geometry_types": sorted(types),
+                **({"bbox": bboxes[name]} if name in bboxes else {}),
+                "crs": None,  # spec: null = OGC:CRS84 (lon/lat)
+            }
+            for name, types in columns.items()
+        },
+    }
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geometry_columns: dict[str, list[str]],
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as GeoParquet: a normal distributed parquet write,
+    then a distributed per-file footer stamp adding the spec ``geo``
+    metadata with a PER-FILE bbox for each geometry column (computed
+    from that file's own rows — the spatial file-pruning stats).
+
+    ``geometry_columns`` maps column name -> declared geometry types
+    (e.g. ``{"geometry": ["Point"]}``); the columns must hold WKB
+    binary (see wkb_source encoders).  Returns the number of stamped
+    files."""
+    for col in geometry_columns:
+        if col not in df.columns:
+            raise ValueError(f"geometry column {col!r} not in DataFrame")
+    df.write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    geom_cols = dict(geometry_columns)
+
+    def stamp(file_path: str) -> int:
+        # executor-side: compute this file's bbox per geometry column
+        # from its WKB values, then rewrite with the geo footer doc
+        import pyarrow.parquet as pq
+
+        from geospatial_data_lake_spark.sources.wkb_source import (
+            decode_wkb_rings,
+        )
+
+        table = pq.read_table(file_path)
+        bboxes: dict[str, list[float]] = {}
+        for name in geom_cols:
+            xs: list[float] = []
+            ys: list[float] = []
+            for buf in table.column(name).to_pylist():
+                if buf is None:
+                    continue
+                _gt, rings = decode_wkb_rings(bytes(buf))
+                for ring in rings:
+                    for x, y in ring:
+                        xs.append(x)
+                        ys.append(y)
+            if xs:
+                bboxes[name] = [min(xs), min(ys), max(xs), max(ys)]
+        doc = _geo_doc(geom_cols, bboxes)
+        meta = dict(table.schema.metadata or {})
+        meta[GEO_KEY] = json.dumps(doc).encode()
+        pq.write_table(
+            table.replace_schema_metadata(meta), file_path
+        )
+        # the rewrite invalidates the Spark write's Hadoop checksum
+        # sidecar; drop it so local-fs readers don't fail the read
+        d, base = os.path.split(file_path)
+        crc = os.path.join(d, f".{base}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        return 1
+
+    # one task per file: the stamp runs where the data is, not on the
+    # driver; file count is the write's output parallelism
+    n = (
+        spark.sparkContext.parallelize(files, max(1, len(files)))
+        .map(stamp)
+        .sum()
+    )
+    return int(n)
+
+
+def read_geoparquet_meta(path: str) -> GeoParquetMeta:
+    """Parse the ``geo`` footer document from one file of a GeoParquet
+    dataset (driver-side metadata read — no data IO) and validate the
+    spec surface this engine supports."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    schema = pq.read_schema(os.path.join(path, files[0]))
+    meta = schema.metadata or {}
+    if GEO_KEY not in meta:
+        raise ValueError(
+            f"{path} is not GeoParquet: no 'geo' file metadata"
+        )
+    doc = json.loads(meta[GEO_KEY].decode())
+    for field in ("version", "primary_column", "columns"):
+        if field not in doc:
+            raise ValueError(f"geo metadata missing {field!r}")
+    for name, col in doc["columns"].items():
+        if col.get("encoding") != "WKB":
+            raise ValueError(
+                f"unsupported geometry encoding {col.get('encoding')!r} "
+                f"for column {name!r} (this engine reads WKB)"
+            )
+    return GeoParquetMeta(
+        version=doc["version"],
+        primary_column=doc["primary_column"],
+        columns=doc["columns"],
+    )
+
+
+def read_geoparquet(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, GeoParquetMeta]:
+    """Open a GeoParquet dataset: validate + parse the ``geo`` footer
+    metadata (one driver-side footer read), return the LAZY distributed
+    scan plus the metadata.  Geometry stays as WKB binary — decode with
+    the wkb_source kernels AFTER pushing down non-geometry predicates,
+    the order geo08 pins."""
+    meta = read_geoparquet_meta(path)
+    return spark.read.parquet(path), meta
+
+
+def file_bbox_filter(
+    path: str, column: str, x1: float, y1: float, x2: float, y2: float
+) -> list[str]:
+    """Spatial FILE PRUNING from the per-file bbox stamps: the files of
+    a GeoParquet dataset whose ``column`` bbox intersects the query
+    window (files without a bbox are conservatively kept) — the reader-
+    side analog of manifest min/max pruning, O(files) footer reads with
+    zero data IO."""
+    import pyarrow.parquet as pq
+
+    keep: list[str] = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, f)
+        meta = pq.read_schema(fp).metadata or {}
+        if GEO_KEY not in meta:
+            keep.append(fp)
+            continue
+        doc = json.loads(meta[GEO_KEY].decode())
+        bbox = doc.get("columns", {}).get(column, {}).get("bbox")
+        if not bbox:
+            keep.append(fp)
+            continue
+        bx1, by1, bx2, by2 = bbox
+        if bx1 <= x2 and x1 <= bx2 and by1 <= y2 and y1 <= by2:
+            keep.append(fp)
+    return keep
+
+
+__all__ = [
+    "GeoParquetMeta",
+    "write_geoparquet",
+    "read_geoparquet",
+    "read_geoparquet_meta",
+    "file_bbox_filter",
+]

@@ -491,3 +491,82 @@ def should_decode_full_wkb_surface_and_enforce_error_contract(spark):
             ),
             "wkb",
         ).collect()
+
+
+def should_write_and_read_geoparquet_with_footer_bboxes(spark, sf_dir, tmp_path):
+    """GeoParquet file contract: the writer stamps each file's footer
+    with the spec 'geo' document (WKB encoding, geometry types, and a
+    PER-FILE bbox); the reader validates and parses it; footer-bbox
+    file pruning keeps exactly the intersecting files; plain parquet
+    is rejected as not-GeoParquet."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.sources.geoparquet import (
+        GEO_KEY,
+        file_bbox_filter,
+        read_geoparquet,
+        read_geoparquet_meta,
+        write_geoparquet,
+    )
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        points_to_wkb,
+        wkb_to_points,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, float(i), float(i % 7)) for i in range(100)],
+        "id long, px double, py double",
+    )
+    wkb = points_to_wkb(pts, "px", "py").drop("px", "py")
+    path = str(tmp_path / "gp")
+    n = write_geoparquet(
+        wkb.repartitionByRange(4, "id"), path, {"wkb": ["Point"]}
+    )
+    assert n == 4
+
+    meta = read_geoparquet_meta(path)
+    assert meta.version == "1.0.0"
+    assert meta.primary_column == "wkb"
+    assert meta.columns["wkb"]["encoding"] == "WKB"
+    assert meta.columns["wkb"]["geometry_types"] == ["Point"]
+
+    # per-file bboxes are this file's true extent
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, f)
+        doc = json.loads(pq.read_schema(fp).metadata[GEO_KEY].decode())
+        bbox = doc["columns"]["wkb"]["bbox"]
+        ids = pq.read_table(fp).column("id").to_pylist()
+        assert bbox[0] == float(min(ids)) and bbox[2] == float(max(ids))
+
+    # footer pruning: a window over ids 10..30 keeps a strict subset
+    pruned = file_bbox_filter(path, "wkb", 10.0, -1.0, 30.0, 10.0)
+    assert 0 < len(pruned) < 4
+    got = {
+        r.id
+        for r in wkb_to_points(spark.read.parquet(*pruned), "wkb")
+        .filter(F.col("x").between(10.0, 30.0))
+        .collect()
+    }
+    assert got == set(range(10, 31))
+
+    # full read: values round trip through the dataset
+    df, meta2 = read_geoparquet(spark, path)
+    back = wkb_to_points(df, "wkb")
+    assert back.count() == 100
+    assert meta2 == meta
+
+    # plain parquet is not GeoParquet
+    plain = str(tmp_path / "plain")
+    pts.write.parquet(plain)
+    with pytest.raises(ValueError, match="not GeoParquet"):
+        read_geoparquet_meta(plain)
+    # unknown geometry column on write
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        write_geoparquet(wkb, str(tmp_path / "x"), {"nope": ["Point"]})
