@@ -98,7 +98,19 @@ _ROT_SRC = "etaoinsrhl"
 
 
 def _rot(i: int) -> str:
-    return _ROT_SRC[i % len(_ROT_SRC):] + _ROT_SRC[: i % len(_ROT_SRC)]
+    """Distinct substitution alphabet per copy.  A bare rotation cycles
+    at factor len(_ROT_SRC)=10 — copies 0/10/20 would share texts and
+    alias into cross-copy near-dup cliques, silently changing the
+    workload at factor > 10.  Case tiers extend distinctness to 30."""
+    base = _ROT_SRC[i % 10:] + _ROT_SRC[: i % 10]
+    tier = (i // 10) % 3
+    if tier == 1:
+        return base.upper()
+    if tier == 2:
+        return "".join(
+            c.upper() if j % 2 else c for j, c in enumerate(base)
+        )
+    return base
 
 
 def _copy_expr(spark, src_dir: str, name: str, i: int):
