@@ -417,12 +417,24 @@ class ManifestTable:
     def _spec_registry(self, manifest: dict | None) -> dict[str, dict]:
         """{spec_id: transforms} for every partition spec this table has
         ever written under.  A table that never evolved has the single
-        implicit spec "0" (the constructor's transforms)."""
+        implicit spec "0" (the constructor's transforms).
+
+        A manifest WITHOUT a registry predates every evolution, so all
+        its files carry the original spec — but on an evolved table the
+        handle's active transforms are the NEW spec, so a time-travel
+        read at such a version must NOT map predicates under them (it
+        would prune old-spec files wrongly).  The head's registry
+        records what spec "0" was; consult it first."""
         if manifest and manifest.get("specs"):
             return {
                 sid: {k: tuple(v) for k, v in tr.items()}
                 for sid, tr in manifest["specs"].items()
             }
+        head = self._current()[1]
+        if head and head.get("specs"):
+            tr0 = head["specs"].get("0")
+            if tr0 is not None:
+                return {"0": {k: tuple(v) for k, v in tr0.items()}}
         return {"0": dict(self.partition_transforms)}
 
     def _map_transform_predicates(
@@ -1598,9 +1610,20 @@ class ManifestTable:
                 "txns": dict(head.get("txns", {})) if head else {},
                 "props": dict(target.get("props", {})),
             }
-            if target.get("specs"):
-                new_manifest["specs"] = dict(target["specs"])
-                new_manifest["current_spec"] = target.get(
+            # The spec registry is TABLE metadata, not snapshot data
+            # (Iceberg: restore re-points file sets; partition specs and
+            # the current-spec setting survive).  Carrying only the
+            # TARGET's registry would be a correctness bug: restoring to
+            # a pre-evolution snapshot would drop the registry, and a
+            # handle whose active spec is the evolved one would then map
+            # predicates under the NEW transforms against files written
+            # under the OLD — wrongly pruning them.  Keep the HEAD's
+            # registry (a superset of the target's: evolution only
+            # appends), falling back to the target's.
+            spec_src = head if head and head.get("specs") else target
+            if spec_src.get("specs"):
+                new_manifest["specs"] = dict(spec_src["specs"])
+                new_manifest["current_spec"] = spec_src.get(
                     "current_spec", "0"
                 )
             try:

@@ -1852,3 +1852,73 @@ def should_rewrite_old_spec_partitions_to_current_spec(spark, tmp_path):
     )
     mt2.upsert(_mk(spark, [(1, "a", "x")]))
     assert mt2.rewrite_to_current_spec() is None
+
+
+def should_keep_spec_registry_through_restore_to_pre_evolution_snapshot(
+    spark, tmp_path
+):
+    """Restore x spec evolution: the spec registry is TABLE metadata,
+    not snapshot data — restoring to a PRE-evolution snapshot must keep
+    the registry and the current-spec setting, or the old-spec files it
+    re-points would be pruned under the evolved transforms (missing
+    rows)."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "v", 4)},
+    )
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(32)]))
+    v_pre = mt.current_version()
+    mt.evolve_partition_spec({"wb": ("bucket", "v", 16)})
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(100, 132)]))
+
+    v_restored = mt.restore(v_pre)
+    # registry + current spec survive the rollback
+    _gen, manifest = mt._current()
+    assert set(manifest["specs"]) == {"0", "1"}
+    assert manifest["current_spec"] == "1"
+    assert mt.partition_spec()[0] == "1"
+    # the restored (pre-evolution, spec-0-stamped) files still prune
+    # and read EXACTLY under a source-column point read
+    assert {r.id for r in mt.read().collect()} == set(range(32))
+    got = {r.id for r in mt.read(where={"v": "w7"}).collect()}
+    assert got == {7}
+    assert 0 < len(mt.planned_files(where={"v": "w7"})) < len(
+        mt.planned_files()
+    )
+    # and new writes keep deriving under the evolved spec
+    mt.append(_mk(spark, [(200, "x", "w200")]))
+    assert {r.id for r in mt.read(where={"v": "w200"}).collect()} == {200}
+    assert v_restored == v_pre + 3
+
+
+def should_prune_time_travel_reads_at_pre_evolution_versions(spark, tmp_path):
+    """Time travel x spec evolution: a pruned read AT a pre-evolution
+    version must map the predicate under the ORIGINAL spec (the head
+    registry's spec "0"), not the handle's evolved transforms — an
+    evolved-spec mapping would wrongly prune the old bucket files and
+    lose rows."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "v", 4)},
+    )
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(32)]))
+    v_pre = mt.current_version()
+    mt.evolve_partition_spec({"wb": ("bucket", "v", 16)})
+    mt.append(_mk(spark, [(i, "x", f"w{i}") for i in range(100, 132)]))
+
+    # exact + pruned at the historical version, for several probe values
+    for probe, want in (("w7", {7}), ("w0", {0}), ("w31", {31})):
+        got = {
+            r.id
+            for r in mt.read(version=v_pre, where={"v": probe}).collect()
+        }
+        assert got == want, (probe, got)
+    files_at_pre = mt.planned_files(version=v_pre)
+    pruned = mt.planned_files(version=v_pre, where={"v": "w7"})
+    assert 0 < len(pruned) < len(files_at_pre)
