@@ -38,6 +38,18 @@ GEO_KEY = b"geo"
 _VERSION = "1.0.0"
 
 
+def _parquet_files(path: str) -> list[str]:
+    """Every data file under ``path``, recursively — partitioned writes
+    put files in subdirectories, so a flat listdir would silently skip
+    them (stamping nothing, pruning nothing)."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
 @dataclass(frozen=True)
 class GeoParquetMeta:
     version: str
@@ -68,6 +80,7 @@ def write_geoparquet(
     path: str,
     geometry_columns: dict[str, list[str]],
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as GeoParquet: a normal distributed parquet write,
     then a distributed per-file footer stamp adding the spec ``geo``
@@ -81,13 +94,12 @@ def write_geoparquet(
     for col in geometry_columns:
         if col not in df.columns:
             raise ValueError(f"geometry column {col!r} not in DataFrame")
-    df.write.mode(mode).parquet(path)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     spark = df.sparkSession
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    ]
+    files = _parquet_files(path)
     geom_cols = dict(geometry_columns)
 
     def stamp(file_path: str) -> int:
@@ -144,12 +156,10 @@ def read_geoparquet_meta(path: str) -> GeoParquetMeta:
     spec surface this engine supports."""
     import pyarrow.parquet as pq
 
-    files = sorted(
-        f for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    files = _parquet_files(path)
     if not files:
         raise ValueError(f"no parquet files under {path}")
-    schema = pq.read_schema(os.path.join(path, files[0]))
+    schema = pq.read_schema(files[0])
     meta = schema.metadata or {}
     if GEO_KEY not in meta:
         raise ValueError(
@@ -195,10 +205,7 @@ def file_bbox_filter(
     import pyarrow.parquet as pq
 
     keep: list[str] = []
-    for f in sorted(os.listdir(path)):
-        if not f.endswith(".parquet"):
-            continue
-        fp = os.path.join(path, f)
+    for fp in _parquet_files(path):
         meta = pq.read_schema(fp).metadata or {}
         if GEO_KEY not in meta:
             keep.append(fp)

@@ -570,3 +570,48 @@ def should_write_and_read_geoparquet_with_footer_bboxes(spark, sf_dir, tmp_path)
     # unknown geometry column on write
     with pytest.raises(ValueError, match="not in DataFrame"):
         write_geoparquet(wkb, str(tmp_path / "x"), {"nope": ["Point"]})
+
+
+def should_stamp_partitioned_geoparquet_writes_recursively(spark, tmp_path):
+    """partitionBy writes put files in subdirectories; the stamping
+    pass, the metadata reader, and the bbox pruner must all walk
+    recursively (a flat listing would stamp nothing and prune
+    nothing)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.sources.geoparquet import (
+        file_bbox_filter,
+        read_geoparquet_meta,
+        write_geoparquet,
+    )
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        points_to_wkb,
+        wkb_to_points,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (i, "east" if i >= 20 else "west", float(i), float(i % 5))
+            for i in range(40)
+        ],
+        "id long, region string, px double, py double",
+    )
+    wkb = points_to_wkb(pts, "px", "py").drop("px", "py")
+    path = str(tmp_path / "gp_part")
+    n = write_geoparquet(
+        wkb, path, {"wkb": ["Point"]}, partition_by=["region"]
+    )
+    assert n >= 2  # at least one file per partition directory, stamped
+    meta = read_geoparquet_meta(path)  # reads a nested footer
+    assert meta.columns["wkb"]["encoding"] == "WKB"
+    # bbox pruning across subdirectories: the east window keeps only
+    # east files
+    pruned = file_bbox_filter(path, "wkb", 25.0, -1.0, 100.0, 10.0)
+    assert pruned and all("region=east" in f for f in pruned)
+    got = {
+        r.id
+        for r in wkb_to_points(spark.read.parquet(*pruned), "wkb")
+        .filter(F.col("x") >= 25.0)
+        .collect()
+    }
+    assert got == set(range(25, 40))
