@@ -551,3 +551,54 @@ def should_manifest_table_match_multiset_model(spark, layout, ops):
         key=canon,
     )
     assert got_w == want, ops
+    # IN-list spec: same exactness contract under any history
+    probe = [0, 17, 42, 99]
+    want_in = sorted(
+        (r for r in snapshots[max(snapshots)] if r[2] in probe), key=canon
+    )
+    got_in = sorted(
+        (
+            tuple(r)
+            for r in mt.read(where={"v": probe}).select(*cols).collect()
+        ),
+        key=canon,
+    )
+    assert got_in == want_in, ops
+
+
+# -- WKB codec property check -------------------------------------------------
+
+_coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+_ring = st.lists(st.tuples(_coord, _coord), min_size=3, max_size=8).map(
+    lambda pts: pts + [pts[0]]  # close the ring
+)
+_polygon = st.lists(_ring, min_size=1, max_size=3)  # shell + holes
+_multipolygon = st.lists(_polygon, min_size=1, max_size=3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(parts=_multipolygon, data=st.data())
+def should_roundtrip_any_wkb_multipolygon_and_reject_truncations(parts, data):
+    """WKB codec property: encode->decode is the identity on ANY
+    multipolygon (parts flatten to rings, shells before holes), and
+    EVERY strict prefix of a valid encoding raises ValueError — the
+    hardened error contract holds on all truncation points, never
+    struct.error, never a hang."""
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        decode_wkb_rings,
+        encode_wkb_multipolygon,
+    )
+
+    buf = encode_wkb_multipolygon(parts)
+    gtype, rings = decode_wkb_rings(buf)
+    assert gtype == 6
+    assert rings == [ring for rings_ in parts for ring in rings_]
+
+    # any strict prefix is malformed
+    cut = data.draw(st.integers(min_value=0, max_value=len(buf) - 1))
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wkb_rings(buf[:cut])
