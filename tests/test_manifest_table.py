@@ -1922,3 +1922,68 @@ def should_prune_time_travel_reads_at_pre_evolution_versions(spark, tmp_path):
     files_at_pre = mt.planned_files(version=v_pre)
     pruned = mt.planned_files(version=v_pre, where={"v": "w7"})
     assert 0 < len(pruned) < len(files_at_pre)
+
+
+def should_serialize_racing_appends_against_spec_evolution(spark, tmp_path):
+    """Racing appenders while the spec evolves mid-flight: every batch
+    survives exactly once, the history is gap-free, and every row is
+    exactly readable through source-column pruned reads afterwards —
+    each file prunes under the spec its rows were DERIVED with, no
+    matter which side of the evolution commit its append landed on."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "race_spec")
+    seed = ManifestTable(
+        spark,
+        root,
+        key_cols=["id"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "v", 4)},
+    )
+    seed.append(_mk(spark, [(999, "x", "w999")]))
+
+    def append(i):
+        mt = ManifestTable(
+            spark,
+            root,
+            key_cols=["id"],
+            partition_by=["wb"],
+            partition_transforms={"wb": ("bucket", "v", 4)},
+        )
+        return mt.upsert(
+            _mk(spark, [(i * 10 + k, "x", f"w{i * 10 + k}") for k in range(4)])
+        )
+
+    def evolve(_):
+        mt = ManifestTable(
+            spark,
+            root,
+            key_cols=["id"],
+            partition_by=["wb"],
+            partition_transforms={"wb": ("bucket", "v", 4)},
+        )
+        return mt.evolve_partition_spec({"wb": ("bucket", "v", 16)})
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(append, i) for i in range(4)]
+        futs.append(pool.submit(evolve, 0))
+        versions = [f.result() for f in futs]
+
+    assert sorted(versions) == list(range(2, 7))  # gap-free after seed
+    final = ManifestTable(
+        spark,
+        root,
+        key_cols=["id"],
+        partition_by=["wb"],
+        partition_transforms={"wb": ("bucket", "v", 4)},
+    )
+    assert final.partition_spec()[0] == "1"
+    want = {999} | {i * 10 + k for i in range(4) for k in range(4)}
+    assert {r.id for r in final.read().collect()} == want
+    # pruned point reads stay exact for rows written on EITHER side of
+    # the evolution commit
+    for probe in sorted(want):
+        got = {
+            r.id for r in final.read(where={"v": f"w{probe}"}).collect()
+        }
+        assert got == {probe}, probe
