@@ -183,15 +183,36 @@ def read_geoparquet_meta(path: str) -> GeoParquetMeta:
 
 
 def read_geoparquet(
-    spark: SparkSession, path: str
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    column: str | None = None,
 ) -> tuple[DataFrame, GeoParquetMeta]:
     """Open a GeoParquet dataset: validate + parse the ``geo`` footer
     metadata (one driver-side footer read), return the LAZY distributed
     scan plus the metadata.  Geometry stays as WKB binary — decode with
     the wkb_source kernels AFTER pushing down non-geometry predicates,
-    the order geo08 pins."""
+    the order geo08 pins.
+
+    ``bbox=(x1, y1, x2, y2)`` plans a SPATIALLY FILE-PRUNED scan over
+    ``column`` (default: the primary geometry column) using the
+    per-file footer bboxes — zero data IO to prune; ``basePath`` is
+    preserved so hive partition columns survive the file-list read.
+    The bbox prunes FILES only; re-apply the exact window on the
+    decoded coordinates for row-exact results."""
     meta = read_geoparquet_meta(path)
-    return spark.read.parquet(path), meta
+    if bbox is None:
+        return spark.read.parquet(path), meta
+    col = column or meta.primary_column
+    files = file_bbox_filter(path, col, *bbox)
+    if not files:
+        # schema-stable empty scan: plan over the dataset, keep no rows
+        df = spark.read.parquet(path).limit(0)
+        return df, meta
+    return (
+        spark.read.option("basePath", path).parquet(*files),
+        meta,
+    )
 
 
 def file_bbox_filter(

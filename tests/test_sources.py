@@ -615,3 +615,41 @@ def should_stamp_partitioned_geoparquet_writes_recursively(spark, tmp_path):
         .collect()
     }
     assert got == set(range(25, 40))
+
+
+def should_prune_files_inside_read_geoparquet_with_bbox(spark, tmp_path):
+    """read_geoparquet(bbox=...) plans the spatially pruned scan itself:
+    partition columns survive (basePath), an all-outside window returns
+    a schema-stable empty scan, and the pruned read composes with the
+    exact window filter."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.sources.geoparquet import (
+        read_geoparquet,
+        write_geoparquet,
+    )
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        points_to_wkb,
+        wkb_to_points,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (i, "east" if i >= 20 else "west", float(i), float(i % 5))
+            for i in range(40)
+        ],
+        "id long, region string, px double, py double",
+    )
+    wkb = points_to_wkb(pts, "px", "py").drop("px", "py")
+    path = str(tmp_path / "gp")
+    write_geoparquet(wkb, path, {"wkb": ["Point"]}, partition_by=["region"])
+
+    df, meta = read_geoparquet(spark, path, bbox=(25.0, -1.0, 100.0, 10.0))
+    assert "region" in df.columns  # basePath keeps partition columns
+    rows = wkb_to_points(df, "wkb").filter(F.col("x") >= 25.0).collect()
+    assert {r.id for r in rows} == set(range(25, 40))
+    assert all(r.region == "east" for r in rows)
+
+    empty, _ = read_geoparquet(spark, path, bbox=(500.0, 500.0, 600.0, 600.0))
+    assert empty.count() == 0
+    assert set(empty.columns) == set(df.columns)
