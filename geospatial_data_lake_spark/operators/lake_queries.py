@@ -1347,3 +1347,123 @@ def vs16_spec_rewrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# -- st04: streaming geospatial ingest — WKB stream -> cell rollup lake -------
+
+_GEO_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_geo_streamed_cells(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """Streaming GEOSPATIAL ingest, the reference's dataset-arrival
+    workflow with geometry: events arrive as a 4-file stream of
+    WKB-ENCODED points (one micro-batch per file, hash-split —
+    deliberately NOT time-ordered), each micro-batch decodes the WKB
+    through the Arrow-batched kernel ON THE STREAM, assigns grid cells,
+    a stateful update-mode count per (cell, day) accumulates, and each
+    micro-batch's changed cells MERGE exactly-once into a
+    cell-partitioned lake table.  Update-mode emission + keyed upsert
+    makes the final table equal the batch per-cell counts for ANY
+    arrival order — the property that lets a declarative SQL oracle
+    check a streaming spatial pipeline end-to-end."""
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        points_to_wkb,
+        wkb_to_points,
+    )
+    from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
+
+    cache = _GEO_STREAMED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gdl_lake_st4_")
+    src = os.path.join(root, "src")
+    pts = t.events.select(
+        "event_id",
+        "ts",
+        (((F.col("event_id") * 7919) % 900) / 10.0 - 45.0).alias("px"),
+        (((F.col("event_id") * 104729) % 425) / 10.0 - 21.25).alias("py"),
+    )
+    ev = points_to_wkb(pts, "px", "py").drop("px", "py")
+    for b in range(4):
+        ev.filter(F.pmod(F.xxhash64("event_id"), 4) == b).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    mt = ManifestTable(
+        spark,
+        os.path.join(root, "table"),
+        key_cols=["cx", "cy", "day"],
+        partition_by=["cx"],
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, wkb binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    decoded = wkb_to_points(stream, "wkb")  # Arrow kernel on the stream
+    cells = (
+        decoded.withColumns(
+            {
+                "cx": F.floor(F.col("x") / 10).cast("long"),
+                "cy": F.floor(F.col("y") / 10).cast("long"),
+                "day": F.date_format("ts", "yyyy-MM-dd"),
+            }
+        )
+        .groupBy("cx", "cy", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    q = stream_upsert(
+        cells,
+        mt,
+        os.path.join(root, "ckpt"),
+        app_id="st04",
+        output_mode="update",
+    )
+    q.awaitTermination()
+    cache[sf_dir] = mt
+    return mt
+
+
+@register(
+    "st04_stream_geo_ingest",
+    oracle="""
+        WITH p AS (
+            SELECT ((event_id * 7919) % 900) / CAST(10 AS DOUBLE) - 45.0 AS px,
+                   ((event_id * 104729) % 425) / CAST(10 AS DOUBLE) - 21.25 AS py,
+                   ts
+            FROM events
+        )
+        SELECT CAST(floor(px / 10) AS BIGINT) AS cx,
+               CAST(floor(py / 10) AS BIGINT) AS cy,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM p
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    tags=("lake", "streaming", "geo", "wkb", "ingest"),
+)
+def st04_stream_geo_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING GEOSPATIAL INGEST end-to-end: WKB-encoded points
+    arrive as an unordered file stream, decode through the Arrow
+    kernel INSIDE the streaming query, roll up into per-(grid cell,
+    day) counts in update mode, and MERGE exactly-once into a
+    cell-partitioned lake table (txn-stamped micro-batches — replays
+    are no-ops).  The oracle computes the same cells from the raw
+    batch log, so the hash certifies the whole chain: stream decode ->
+    cell assignment -> stateful accumulation -> keyed merge, under an
+    arrival order the batch never sees.
+
+    Scale shape: decode is a narrow per-batch map stage; the stateful
+    aggregate keeps one row per touched (cell, day) — geography x
+    retention bounded, not corpus bounded (st03's watermark-eviction
+    replay proves the eviction mechanics for windowed state); each
+    micro-batch merges O(changed cells) into O(touched partitions)."""
+    mt = _build_geo_streamed_cells(spark, sf_dir)
+    return (
+        mt.read()
+        .select("cx", "cy", "day", "cnt")
+        .orderBy("cx", "cy", "day")
+    )

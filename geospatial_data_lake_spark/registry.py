@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "vs16_spec_rewrite_read",
     "ss09_ivfpq_refined_search",
     "geo11_geoparquet_roundtrip",
+    "st04_stream_geo_ingest",
     # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
     "dd04_minhash_lsh_pairs",
     "dd03_jaccard_pairs",
@@ -135,7 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "tx10_bigram_prob_score",
     "dq01_ks_drift",
     "pk01_sequence_packing",
-    "ct02_decontaminate",
     "sm04_weighted_sample",
     "tpch_q9_product_profit",
     "j07_star_join_broadcast",
@@ -202,6 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo06_zorder_cells",
+    "ct02_decontaminate",
     "dq06_constraint_suite",
     "dq02_column_profile",
     "mx02_temperature_mixture",
