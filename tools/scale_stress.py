@@ -76,6 +76,7 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "geo10_wkb_polyline_length": (None, "geo"),
     "ss09_ivfpq_refined_search": (None, "ann"),
     "vs16_spec_rewrite_read": (None, "lake"),
+    "st04_stream_geo_ingest": (None, "stream"),
     "ss08_persisted_ivfpq_search": (
         "should_search_persisted_ivfpq_without_training_or_smj", "ann"),
     "vs01_manifest_merge_roundtrip": (None, "lake"),
