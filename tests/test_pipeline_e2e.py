@@ -345,3 +345,22 @@ def should_time_travel_catalog_state(spark, tmp_path):
     }
     with pytest.raises(NotFoundError):
         catalog.datasets_at(99)
+
+
+def should_run_quickstart_example_end_to_end(spark, sf_dir):
+    """examples/quickstart.py is executable documentation: every
+    section (lake, registry, GeoParquet) runs and returns nonzero
+    headline numbers against the fixtures."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "quickstart.py"
+    spec = importlib.util.spec_from_file_location("quickstart", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(spark, sf_dir)
+    assert out["lake_rows"] > 0
+    assert out["registry_queries"] >= 209
+    assert out["dedup_pairs"] > 0
+    assert out["ann_topk_rows"] == 15
+    assert out["geo_window_rows"] > 0
