@@ -1223,3 +1223,96 @@ def geo11_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cx")
     )
+
+
+@register(
+    "geo12_st_functions",
+    oracle="""
+        WITH d AS (""" + _DIAMOND_SQL + """),
+        r AS (
+            SELECT doc_id,
+                   [{'x': CAST(ccx + w AS DOUBLE), 'y': CAST(ccy AS DOUBLE)},
+                    {'x': CAST(ccx AS DOUBLE), 'y': CAST(ccy + h AS DOUBLE)},
+                    {'x': CAST(ccx - w AS DOUBLE), 'y': CAST(ccy AS DOUBLE)},
+                    {'x': CAST(ccx AS DOUBLE), 'y': CAST(ccy - h AS DOUBLE)},
+                    {'x': CAST(ccx + w AS DOUBLE), 'y': CAST(ccy AS DOUBLE)}]
+                       AS ring
+            FROM d WHERE doc_id % 4 = 0
+        ),
+        m AS (
+            SELECT doc_id, ring,
+                   list_sum(list_transform(range(1, 5), i ->
+                       ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y))
+                       / 2 AS a2
+            FROM r
+        )
+        SELECT doc_id,
+               round(abs(a2), 4) AS area,
+               round(list_sum(list_transform(range(1, 5), i ->
+                   sqrt((ring[i+1].x - ring[i].x) * (ring[i+1].x - ring[i].x)
+                      + (ring[i+1].y - ring[i].y) * (ring[i+1].y - ring[i].y)))),
+                   4) AS perimeter,
+               round(list_sum(list_transform(range(1, 5), i ->
+                   (ring[i].x + ring[i+1].x)
+                   * (ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y)))
+                   / (3 * 2 * a2), 4) AS cx,
+               round(list_sum(list_transform(range(1, 5), i ->
+                   (ring[i].y + ring[i+1].y)
+                   * (ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y)))
+                   / (3 * 2 * a2), 4) AS cy
+        FROM m
+        ORDER BY doc_id
+    """,
+    tags=("geo", "functions", "sedona", "st"),
+)
+def geo12_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ST_* scalar catalog (functions/geometry.py — the Sedona-
+    parity surface) over the document diamonds: shoelace area, edge
+    perimeter, and the area-weighted polygon centroid, every fold a
+    fixed left-to-right codegen expression the oracle replays with the
+    identical DuckDB list fold — bit-for-bit doubles before one final
+    4-dp round.
+
+    Scale shape: pure per-row expressions — no shuffle at all before
+    the presentation sort; at 100 TB this is a narrow projection over
+    the geometry column, the shape every ST_* pipeline stage should
+    compile to."""
+    from geospatial_data_lake_spark.functions.geometry import (
+        st_area,
+        st_centroid,
+        st_perimeter,
+    )
+
+    t = tables(spark, sf_dir)
+    d = _doc_diamonds(t.documents).filter(F.col("doc_id") % 4 == 0)
+    ring = F.array(
+        F.struct(
+            (F.col("ccx") + F.col("w")).cast("double").alias("x"),
+            F.col("ccy").cast("double").alias("y"),
+        ),
+        F.struct(
+            F.col("ccx").cast("double").alias("x"),
+            (F.col("ccy") + F.col("h")).cast("double").alias("y"),
+        ),
+        F.struct(
+            (F.col("ccx") - F.col("w")).cast("double").alias("x"),
+            F.col("ccy").cast("double").alias("y"),
+        ),
+        F.struct(
+            F.col("ccx").cast("double").alias("x"),
+            (F.col("ccy") - F.col("h")).cast("double").alias("y"),
+        ),
+        F.struct(
+            (F.col("ccx") + F.col("w")).cast("double").alias("x"),
+            F.col("ccy").cast("double").alias("y"),
+        ),
+    )
+    src = d.select("doc_id", ring.alias("ring"))
+    cx, cy = st_centroid(F.col("ring"))
+    return src.select(
+        "doc_id",
+        F.round(st_area(F.col("ring")), 4).alias("area"),
+        F.round(st_perimeter(F.col("ring")), 4).alias("perimeter"),
+        F.round(cx, 4).alias("cx"),
+        F.round(cy, 4).alias("cy"),
+    ).orderBy("doc_id")

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "ss09_ivfpq_refined_search",
     "geo11_geoparquet_roundtrip",
     "st04_stream_geo_ingest",
+    "geo12_st_functions",
     # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
     "dd04_minhash_lsh_pairs",
     "dd03_jaccard_pairs",
@@ -136,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "tx10_bigram_prob_score",
     "dq01_ks_drift",
     "pk01_sequence_packing",
-    "sm04_weighted_sample",
     "tpch_q9_product_profit",
     "j07_star_join_broadcast",
     "w03_rank_per_group",
@@ -202,6 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo06_zorder_cells",
+    "sm04_weighted_sample",
     "ct02_decontaminate",
     "dq06_constraint_suite",
     "dq02_column_profile",

@@ -1047,3 +1047,56 @@ def should_delete_from_ivfpq_index_and_validate_build_stamps(
     model.set_property("ivfpq.build_id", "somethingelse123")
     with pytest.raises(ValueError, match="build stamps disagree"):
         load_ivfpq_model(model, codes=codes)
+
+
+def should_compute_st_functions_against_closed_forms(spark):
+    """ST_* scalars vs closed-form geometry: a rhombus with half-extents
+    (w, h) has area 2wh, perimeter 4*sqrt(w^2+h^2), centroid at its
+    center; st_within holds for the center and fails outside; st_bbox
+    is the envelope; st_signed_area keeps CCW orientation positive."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.functions.geometry import (
+        st_area,
+        st_bbox,
+        st_centroid,
+        st_distance,
+        st_length,
+        st_signed_area,
+        st_within,
+    )
+
+    rows = [(10.0, -4.0, 3.0, 2.0), (0.0, 0.0, 5.0, 1.0)]
+    df = spark.createDataFrame(rows, "ccx double, ccy double, w double, h double")
+    # CCW diamond ring (east, north, west, south, close)
+    ring = F.array(
+        F.struct((F.col("ccx") + F.col("w")).alias("x"), F.col("ccy").alias("y")),
+        F.struct(F.col("ccx").alias("x"), (F.col("ccy") + F.col("h")).alias("y")),
+        F.struct((F.col("ccx") - F.col("w")).alias("x"), F.col("ccy").alias("y")),
+        F.struct(F.col("ccx").alias("x"), (F.col("ccy") - F.col("h")).alias("y")),
+        F.struct((F.col("ccx") + F.col("w")).alias("x"), F.col("ccy").alias("y")),
+    )
+    cx, cy = st_centroid(ring)
+    out = df.select(
+        "ccx", "ccy", "w", "h",
+        st_area(ring).alias("area"),
+        st_signed_area(ring).alias("sarea"),
+        st_length(ring).alias("perim"),
+        cx.alias("cx"), cy.alias("cy"),
+        st_within(ring, F.col("ccx"), F.col("ccy")).alias("center_in"),
+        st_within(ring, F.col("ccx") + 2 * F.col("w"), F.col("ccy")).alias("far_in"),
+        st_bbox(ring).alias("bb"),
+        st_distance(F.col("ccx"), F.col("ccy"), F.lit(0.0), F.lit(0.0)).alias("d0"),
+    ).collect()
+    for r in out:
+        assert abs(r.area - 2 * r.w * r.h) < 1e-9
+        assert abs(r.sarea - 2 * r.w * r.h) < 1e-9  # CCW: positive
+        assert abs(r.perim - 4 * math.hypot(r.w, r.h)) < 1e-9
+        assert abs(r.cx - r.ccx) < 1e-9 and abs(r.cy - r.ccy) < 1e-9
+        assert r.center_in and not r.far_in
+        assert (r.bb.x1, r.bb.y1, r.bb.x2, r.bb.y2) == (
+            r.ccx - r.w, r.ccy - r.h, r.ccx + r.w, r.ccy + r.h,
+        )
+        assert abs(r.d0 - math.hypot(r.ccx, r.ccy)) < 1e-9
