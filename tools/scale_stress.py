@@ -102,8 +102,11 @@ def _rot(i: int) -> str:
     """Distinct substitution alphabet per copy.  A bare rotation cycles
     at factor len(_ROT_SRC)=10 — copies 0/10/20 would share texts and
     alias into cross-copy near-dup cliques, silently changing the
-    workload at factor > 10.  Case tiers extend distinctness to 30."""
-    base = _ROT_SRC[i % 10:] + _ROT_SRC[: i % 10]
+    workload at factor > 10.  Rotation x case tier x coprime stride
+    gives 10 x 3 x 4 = 120 distinct bijections (enough for x100)."""
+    rot = i % 10
+    stride = (1, 3, 7, 9)[(i // 30) % 4]
+    base = "".join(_ROT_SRC[(j * stride + rot) % 10] for j in range(10))
     tier = (i // 10) % 3
     if tier == 1:
         return base.upper()
