@@ -681,3 +681,65 @@ def mx02_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pk02_shard_manifest",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761 % 1000003) % 8 AS shard,
+                   len(string_split(text, ' ')) AS n_toks,
+                   n_chars
+            FROM documents
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc,
+               CAST(sum(doc_id * 31 + n_chars) AS BIGINT) AS checksum
+        FROM s
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    tags=("pipeline", "packing", "sharding", "writer"),
+)
+def pk02_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC TRAINING-SHARD ASSIGNMENT + the shard manifest a
+    dataloader consumes: every document maps to a shard by a
+    replayable multiplicative hash (engine-independent integer
+    arithmetic — the same doc lands in the same shard on every run and
+    every engine, the property that makes training jobs resumable and
+    data ablations comparable), and the manifest reports per-shard doc
+    and token counts plus an order-insensitive content checksum — what
+    a training launcher validates before touching a single shard file.
+
+    Scale shape: one scan, one partial-aggregated shuffle of exactly
+    n_shards groups; the physical shard WRITE is
+    ``df.repartition(n, shard_col).write`` — routing and manifest
+    share this derivation, so the manifest provably describes the
+    files.  Appending a new crawl re-runs the same assignment: shard
+    membership of existing docs cannot change (hash-stable, like
+    sm01's hash-membership sampling)."""
+    t = tables(spark, sf_dir)
+    shard = (F.col("doc_id") * 2654435761 % 1000003) % 8
+    s = t.documents.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+        "n_chars",
+    )
+    return (
+        s.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.sum(F.col("doc_id") * 31 + F.col("n_chars"))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("shard")
+    )

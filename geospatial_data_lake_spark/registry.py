@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo11_geoparquet_roundtrip",
     "st04_stream_geo_ingest",
     "geo12_st_functions",
+    "pk02_shard_manifest",
     # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
     "dd04_minhash_lsh_pairs",
     "dd03_jaccard_pairs",
@@ -139,7 +140,6 @@ _PRIORITY: tuple[str, ...] = (
     "pk01_sequence_packing",
     "tpch_q9_product_profit",
     "j07_star_join_broadcast",
-    "w03_rank_per_group",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
     "a08_rollup",
     "dq03_referential_integrity",
@@ -202,6 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo06_zorder_cells",
+    "w03_rank_per_group",
     "sm04_weighted_sample",
     "ct02_decontaminate",
     "dq06_constraint_suite",
