@@ -652,3 +652,32 @@ def should_refine_adc_shortlist_with_broadcast_exact_rerank(
     assert "BroadcastHashJoin" in plan, plan
     assert "MapInPandas" not in plan, plan
     assert "Union" not in plan, plan
+
+
+def should_fold_st_functions_without_joins_or_python(spark, registry, sf_dir):
+    # geo12: the ST_* catalog compiles to pure per-row codegen
+    # expressions — no join, no Python stage; the only exchange is the
+    # presentation sort.
+    plan = _plan(spark, registry, "geo12_st_functions", sf_dir)
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan
+
+
+def should_partial_aggregate_shard_manifest(spark, registry, sf_dir):
+    # pk02: manifest = one scan + an n_shards-group aggregate with a
+    # map-side partial phase; no join, no Python.
+    plan = _plan(spark, registry, "pk02_shard_manifest", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def should_decode_pruned_geoparquet_files_without_joins(
+    spark, registry, sf_dir
+):
+    # geo11: footer-pruned file scan -> Arrow WKB decode -> per-cell
+    # partial agg; no join anywhere in the plan.
+    plan = _plan(spark, registry, "geo11_geoparquet_roundtrip", sf_dir)
+    assert "Join" not in plan, plan
+    assert plan.count("MapInPandas") == 2, plan  # one decode kernel
+    assert plan.count("HashAggregate") >= 2, plan
