@@ -77,6 +77,12 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "ss09_ivfpq_refined_search": (None, "ann"),
     "vs16_spec_rewrite_read": (None, "lake"),
     "st04_stream_geo_ingest": (None, "stream"),
+    "geo12_st_functions": (
+        "should_fold_st_functions_without_joins_or_python", "geo"),
+    "pk02_shard_manifest": (
+        "should_partial_aggregate_shard_manifest", "pipeline"),
+    "geo11_geoparquet_roundtrip": (
+        "should_decode_pruned_geoparquet_files_without_joins", "geo"),
     "ss08_persisted_ivfpq_search": (
         "should_search_persisted_ivfpq_without_training_or_smj", "ann"),
     "vs01_manifest_merge_roundtrip": (None, "lake"),
