@@ -420,3 +420,127 @@ def em01_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(F.transform("qv", lambda x: x * x)).cast("bigint").alias("q_norm2"),
         F.round("abs_err_raw", 6).alias("abs_err"),
     ).orderBy("vec_id")
+
+
+# -- em03: Matryoshka prefix search ------------------------------------------
+
+_MRL_PREFIX = 16  # leading dims of the coarse pass (MRL truncation)
+_MRL_SHORTLIST = 8
+_MRL_TOPK = 3
+
+
+@register(
+    "em03_matryoshka_prefix_search",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        pre AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   round(list_sum(list_transform(range(1, {_MRL_PREFIX + 1}),
+                       i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 9) AS pd
+            FROM q JOIN e c ON c.vec_id != q.vec_id
+        ),
+        short AS (
+            SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY pd, c_id) AS rn
+                FROM pre)
+            WHERE rn <= {_MRL_SHORTLIST}
+        ),
+        ex AS (
+            SELECT s.q_id, s.c_id,
+                   round(list_sum(list_transform(range(1, 65),
+                       i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 9) AS fd
+            FROM short s
+            JOIN q ON q.vec_id = s.q_id
+            JOIN e c ON c.vec_id = s.c_id
+        )
+        SELECT q_id, c_id, round(fd, 4) AS full_dist,
+               CAST(rn AS BIGINT) AS rnk
+        FROM (
+            SELECT q_id, c_id, fd,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY fd, c_id) AS rn
+            FROM ex)
+        WHERE rn <= {_MRL_TOPK}
+        ORDER BY q_id, rnk
+    """,
+    tags=("similarity", "ann", "matryoshka", "embedding"),
+)
+def em03_matryoshka_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL) prefix search — the truncated-dimension serving
+    pattern for MRL-trained embeddings: the coarse pass ranks by L2 on
+    only the LEADING {_MRL_PREFIX} of 64 dimensions (MRL training
+    front-loads information, so the prefix preserves neighborhood
+    structure at a quarter of the arithmetic and memory traffic), a
+    per-query shortlist of {_MRL_SHORTLIST} survives, and the full-
+    dimension exact distance re-ranks the final top-{_MRL_TOPK} — true
+    distances out, full-width arithmetic only on shortlist-sized data
+    (the dimension-axis analog of ss09's PQ refine).
+
+    Scale shape: the coarse pass is the only corpus-wide work and it
+    touches {_MRL_PREFIX}/64 of each vector (a column-pruned scan when
+    prefixes are stored as their own column); the rerank is a
+    broadcast-sized join.  Every fold is fixed left-to-right and
+    9-dp-rounded before ranking, so the DuckDB oracle replays the
+    whole two-stage search bit-for-bit."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    def sq_fold(a, b) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            9,
+        )
+
+    pre = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            sq_fold(
+                F.slice("qv", 1, _MRL_PREFIX), F.slice("v", 1, _MRL_PREFIX)
+            ).alias("pd"),
+        )
+    )
+    w_pre = Window.partitionBy("q_id").orderBy(
+        F.col("pd").asc(), F.col("c_id").asc()
+    )
+    short = (
+        pre.withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= _MRL_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    ex = (
+        e.join(F.broadcast(short), e.vec_id == short.c_id)
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "c_id", sq_fold(F.col("qv"), F.col("v")).alias("fd"))
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.col("fd").asc(), F.col("c_id").asc()
+    )
+    return (
+        ex.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= _MRL_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("fd", 4).alias("full_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
