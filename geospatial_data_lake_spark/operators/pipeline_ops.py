@@ -698,7 +698,7 @@ def mx02_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
                CAST(min(doc_id) AS BIGINT) AS min_doc,
                CAST(max(doc_id) AS BIGINT) AS max_doc,
-               CAST(sum(doc_id * 31 + n_chars) AS BIGINT) AS checksum
+               CAST(bit_xor(doc_id * 31 + n_chars) AS BIGINT) AS checksum
         FROM s
         GROUP BY shard
         ORDER BY shard
@@ -712,8 +712,10 @@ def pk02_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — the same doc lands in the same shard on every run and
     every engine, the property that makes training jobs resumable and
     data ablations comparable), and the manifest reports per-shard doc
-    and token counts plus an order-insensitive content checksum — what
-    a training launcher validates before touching a single shard file.
+    and token counts plus an order-insensitive XOR content checksum
+    (overflow-free at any corpus size, unlike an additive sum, and
+    identical across engines) — what a training launcher validates
+    before touching a single shard file.
 
     Scale shape: one scan, one partial-aggregated shuffle of exactly
     n_shards groups; the physical shard WRITE is
@@ -737,7 +739,7 @@ def pk02_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
             F.min("doc_id").cast("bigint").alias("min_doc"),
             F.max("doc_id").cast("bigint").alias("max_doc"),
-            F.sum(F.col("doc_id") * 31 + F.col("n_chars"))
+            F.bit_xor(F.col("doc_id") * 31 + F.col("n_chars"))
             .cast("bigint")
             .alias("checksum"),
         )
