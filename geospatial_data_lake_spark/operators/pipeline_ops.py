@@ -745,3 +745,95 @@ def pk02_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "mx03_token_budget_plan",
+    oracle="""
+        WITH d AS (
+            SELECT lang,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            -- budget in INTEGER arithmetic: double->bigint casts
+            -- TRUNCATE in Spark but ROUND in DuckDB, so sum*1.5 with
+            -- an odd total diverges by one (caught at sf0.01); z folds
+            -- SORTED values sequentially: a parallel-order sum differs
+            -- in the last ulp and can flip the 0-dp rounding
+            SELECT CAST(sum(n_tokens) + sum(n_tokens) // 2 AS BIGINT)
+                       AS budget,
+                   CAST(list_reduce(list_sort(list(sqrt(n_tokens))),
+                        (a, b) -> a + b) AS DOUBLE) AS z
+            FROM d
+        )
+        SELECT d.lang,
+               d.n_tokens,
+               CAST(least(4 * d.n_tokens,
+                    CAST(round(tot.budget * sqrt(d.n_tokens) / tot.z, 0)
+                         AS BIGINT)) AS BIGINT) AS alloc_tokens,
+               round(least(4 * d.n_tokens,
+                    CAST(round(tot.budget * sqrt(d.n_tokens) / tot.z, 0)
+                         AS BIGINT)) * 1.0 / d.n_tokens, 2) AS epochs,
+               (4 * d.n_tokens <
+                    CAST(round(tot.budget * sqrt(d.n_tokens) / tot.z, 0)
+                         AS BIGINT)) AS capped
+        FROM d CROSS JOIN tot
+        ORDER BY d.lang
+    """,
+    tags=("pipeline", "mixture", "planning"),
+)
+def mx03_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET EPOCH PLANNING — the allocation step a training
+    recipe runs before any data moves: given per-domain token counts,
+    a total budget of 1.5x the corpus, temperature-0.5 mixing shares
+    (proportional to sqrt(tokens), mx02's alpha), and a 4-epoch
+    repetition cap, emit each domain's allocated tokens, its epoch
+    count, and whether the cap bound it (capped domains surface the
+    budget a recipe must redistribute or forfeit).  Deterministic
+    arithmetic end-to-end; the oracle replays the identical plan.
+
+    Scale shape: one corpus scan folds to |domains| rows; the budget
+    scalar broadcasts back (crossJoin of one row — the tpch_q8 scalar
+    pattern); everything after the first partial-aggregated shuffle is
+    domain-cardinality work."""
+    t = tables(spark, sf_dir)
+    d = (
+        t.documents.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    # z: left-to-right fold of the SORTED per-domain values — a
+    # partial-agg-order float sum differs in the last ulp between
+    # engines/runs and can flip the 0-dp allocation rounding
+    # integer budget: double->bigint casting truncates in Spark but
+    # rounds in DuckDB — 1.5x via integer halving is engine-exact
+    tot = d.agg(
+        (F.sum("n_tokens") + (F.sum("n_tokens") / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("budget"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt("n_tokens"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z"),
+    )
+    raw = F.round(F.col("budget") * F.sqrt("n_tokens") / F.col("z"), 0).cast(
+        "bigint"
+    )
+    alloc = F.least(4 * F.col("n_tokens"), raw)
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            alloc.cast("bigint").alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens"), 2).alias("epochs"),
+            (4 * F.col("n_tokens") < raw).alias("capped"),
+        )
+        .orderBy("lang")
+    )

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo12_st_functions",
     "pk02_shard_manifest",
     "em03_matryoshka_prefix_search",
+    "mx03_token_budget_plan",
     # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
     "dd04_minhash_lsh_pairs",
     "dd03_jaccard_pairs",
@@ -135,7 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "ss05_pq_adc_search",
     "em02_product_quantization",
     "vb01_vocab_coverage",
-    "vb02_bpe_merges",
     "dq01_ks_drift",
     "pk01_sequence_packing",
     "tpch_q9_product_profit",
@@ -202,6 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo01_bbox_intersect_pairs",
     "geo02_point_in_bbox",
     "geo06_zorder_cells",
+    "vb02_bpe_merges",
     "tx10_bigram_prob_score",
     "w03_rank_per_group",
     "sm04_weighted_sample",
