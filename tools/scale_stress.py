@@ -77,6 +77,8 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "ss09_ivfpq_refined_search": (None, "ann"),
     "vs16_spec_rewrite_read": (None, "lake"),
     "st04_stream_geo_ingest": (None, "stream"),
+    "em03_matryoshka_prefix_search": (None, "ann"),
+    "mx03_token_budget_plan": (None, "pipeline"),
     "geo12_st_functions": (
         "should_fold_st_functions_without_joins_or_python", "geo"),
     "pk02_shard_manifest": (
