@@ -23,12 +23,24 @@ from pyspark.sql import functions as F
 
 def _fold_edges(ring: Column, term) -> Column:
     """Left-to-right fold of ``term(a, b)`` over consecutive ring
-    vertices (1-based element_at; requires a closed ring)."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.size(ring) - 1),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + term(F.element_at(ring, i), F.element_at(ring, i + 1)),
+    vertices (1-based element_at; requires a closed ring).
+
+    Degenerate 0/1-vertex input folds to 0.0 (NULL stays NULL) —
+    without the guard, ``sequence(1, size-1)`` would generate a
+    DESCENDING sequence (e.g. [1, 0]) and ``element_at(ring, 0)``
+    raises at runtime."""
+    return (
+        F.when(
+            F.size(ring) >= 2,
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(ring) - 1),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + term(F.element_at(ring, i), F.element_at(ring, i + 1)),
+            ),
+        )
+        .when(ring.isNotNull(), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
     )
 
 

@@ -1329,7 +1329,11 @@ FROM (
   FROM ex)
 WHERE rn <= {_ADC_TOPK}
 ORDER BY q_id, rnk"""
-    assert base.endswith(old_tail)
+    if not base.endswith(old_tail):  # not assert: must survive python -O
+        raise RuntimeError(
+            "_ivfpq_residual_oracle tail drifted; refusing to splice "
+            "ss09 oracle SQL onto an unexpected base"
+        )
     return base[: -len(old_tail)] + new_tail
 
 

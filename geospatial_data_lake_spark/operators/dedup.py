@@ -248,6 +248,12 @@ def _sampled_jaccard_stats(
     near-quadratic OUTPUT, where banding is pure overhead; dispatching
     on the mean alone routed the island shape to LSH, measured 2.6x
     slower than the inverted join at x10 scale (tools/scale_stress)."""
+    if n_sample > 512:  # the driver pair loop below is O(n_sample^2)
+        raise ValueError(
+            f"n_sample={n_sample} would make the driver-side pair loop "
+            f"quadratic past its design point; keep n_sample <= 512 "
+            f"(~131k set intersections)"
+        )
     hashed = documents.select(
         F.col("doc_id"),
         F.array_distinct(

@@ -810,10 +810,11 @@ def mx03_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # z: left-to-right fold of the SORTED per-domain values — a
     # partial-agg-order float sum differs in the last ulp between
     # engines/runs and can flip the 0-dp allocation rounding
-    # integer budget: double->bigint casting truncates in Spark but
-    # rounds in DuckDB — 1.5x via integer halving is engine-exact
+    # integer budget: 1.5x via `div` (Spark's INTEGER division) so the
+    # halving never routes through a double — `/` then cast("bigint")
+    # would lose exactness past 2^53, diverging from DuckDB's `// 2`
     tot = d.agg(
-        (F.sum("n_tokens") + (F.sum("n_tokens") / 2).cast("bigint"))
+        (F.sum("n_tokens") + F.expr("sum(n_tokens) div 2"))
         .cast("bigint")
         .alias("budget"),
         F.aggregate(

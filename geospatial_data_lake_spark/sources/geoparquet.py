@@ -90,7 +90,16 @@ def write_geoparquet(
     ``geometry_columns`` maps column name -> declared geometry types
     (e.g. ``{"geometry": ["Point"]}``); the columns must hold WKB
     binary (see wkb_source encoders).  Returns the number of stamped
-    files."""
+    files.
+
+    DEPLOYMENT CONTRACT: the stamp stage rewrites files IN PLACE by
+    path, so ``path`` must be a filesystem every executor AND the
+    driver see identically (local fs in tests, NFS/Lustre/EFS on a
+    cluster).  On object stores, route through the FS connector's
+    local staging instead.  The post-stamp verification below makes a
+    violated contract LOUD: every listed file is re-checked for the
+    ``geo`` footer key and a missing stamp raises rather than leaving
+    a silently unprunable (but readable) dataset."""
     for col in geometry_columns:
         if col not in df.columns:
             raise ValueError(f"geometry column {col!r} not in DataFrame")
@@ -104,28 +113,21 @@ def write_geoparquet(
 
     def stamp(file_path: str) -> int:
         # executor-side: compute this file's bbox per geometry column
-        # from its WKB values, then rewrite with the geo footer doc
+        # with the VECTORIZED batch kernel (zero-copy Arrow buffer
+        # slices + np.frombuffer vertex reads — never a Python tuple
+        # per vertex), then rewrite with the geo footer doc
         import pyarrow.parquet as pq
 
         from geospatial_data_lake_spark.sources.wkb_source import (
-            decode_wkb_rings,
+            arrow_column_bbox,
         )
 
         table = pq.read_table(file_path)
         bboxes: dict[str, list[float]] = {}
         for name in geom_cols:
-            xs: list[float] = []
-            ys: list[float] = []
-            for buf in table.column(name).to_pylist():
-                if buf is None:
-                    continue
-                _gt, rings = decode_wkb_rings(bytes(buf))
-                for ring in rings:
-                    for x, y in ring:
-                        xs.append(x)
-                        ys.append(y)
-            if xs:
-                bboxes[name] = [min(xs), min(ys), max(xs), max(ys)]
+            bbox = arrow_column_bbox(table.column(name))
+            if bbox is not None:
+                bboxes[name] = bbox
         doc = _geo_doc(geom_cols, bboxes)
         meta = dict(table.schema.metadata or {})
         meta[GEO_KEY] = json.dumps(doc).encode()
@@ -147,13 +149,51 @@ def write_geoparquet(
         .map(stamp)
         .sum()
     )
+    # verify the stamps actually landed where the DRIVER reads them —
+    # on a non-shared filesystem the executor-side rewrites hit other
+    # copies of the path and the dataset would stay valid parquet but
+    # silently unstamped (no spatial pruning, wrong file contract)
+    import pyarrow.parquet as pq
+
+    unstamped = [
+        fp
+        for fp in _parquet_files(path)
+        if GEO_KEY not in (pq.read_schema(fp).metadata or {})
+    ]
+    if unstamped:
+        raise RuntimeError(
+            f"GeoParquet stamp lost on {len(unstamped)} file(s) (e.g. "
+            f"{unstamped[0]!r}): executors and driver do not share the "
+            f"filesystem at {path!r} — write_geoparquet requires a "
+            f"shared POSIX filesystem (see docstring)"
+        )
     return int(n)
 
 
-def read_geoparquet_meta(path: str) -> GeoParquetMeta:
-    """Parse the ``geo`` footer document from one file of a GeoParquet
-    dataset (driver-side metadata read — no data IO) and validate the
-    spec surface this engine supports."""
+def _contract_view(doc: dict) -> dict:
+    """The per-file-INVARIANT part of a ``geo`` doc: everything except
+    the per-file bbox stats.  Files of one dataset must agree on this
+    view; bboxes legitimately differ per file (they are the pruning
+    stats)."""
+    return {
+        "version": doc.get("version"),
+        "primary_column": doc.get("primary_column"),
+        "columns": {
+            name: {k: v for k, v in col.items() if k != "bbox"}
+            for name, col in doc.get("columns", {}).items()
+        },
+    }
+
+
+def read_geoparquet_meta(path: str, validate_all: bool = True) -> GeoParquetMeta:
+    """Parse the ``geo`` footer documents of a GeoParquet dataset
+    (driver-side metadata reads — no data IO), validate the spec
+    surface this engine supports, and — unless ``validate_all=False``
+    — verify EVERY file's footer agrees on the dataset contract
+    (version, primary column, column set, encodings; per-file bboxes
+    are expected to differ).  A dataset assembled by mixed writers
+    with drifting geometry declarations raises instead of being read
+    under the first file's contract."""
     import pyarrow.parquet as pq
 
     files = _parquet_files(path)
@@ -175,6 +215,23 @@ def read_geoparquet_meta(path: str) -> GeoParquetMeta:
                 f"unsupported geometry encoding {col.get('encoding')!r} "
                 f"for column {name!r} (this engine reads WKB)"
             )
+    if validate_all and len(files) > 1:
+        contract = _contract_view(doc)
+        for fp in files[1:]:
+            fmeta = pq.read_schema(fp).metadata or {}
+            if GEO_KEY not in fmeta:
+                raise ValueError(
+                    f"heterogeneous GeoParquet dataset: {fp!r} carries "
+                    f"no 'geo' footer while {files[0]!r} does"
+                )
+            other = _contract_view(json.loads(fmeta[GEO_KEY].decode()))
+            if other != contract:
+                raise ValueError(
+                    f"heterogeneous GeoParquet dataset: {fp!r} declares "
+                    f"{other} but {files[0]!r} declares {contract} — "
+                    f"mixed writers; re-stamp the dataset under one "
+                    f"contract before reading"
+                )
     return GeoParquetMeta(
         version=doc["version"],
         primary_column=doc["primary_column"],

@@ -2491,7 +2491,9 @@ def _drop_ref_chain(self, chain: RefChain) -> None:
     shutil.rmtree(chain.chain_root, ignore_errors=True)
 
 
-def _fast_forward_chain(self, chain: RefChain, published_gen: int | None = None) -> int:
+def _fast_forward_chain(
+    self, chain: RefChain, published_gen: int | None = None
+) -> tuple[int, int | None]:
     """Fast-forward the parent to the chain head as ONE commit.
 
     Readers of the parent atomically jump from the base snapshot to
@@ -2508,7 +2510,15 @@ def _fast_forward_chain(self, chain: RefChain, published_gen: int | None = None)
     BASE); anything at or below it is a no-op, so a periodic
     fast-forward of an idle branch never mints duplicate parent
     commits.  ``None`` means never published: only the seed generation
-    (the base manifest re-seeded into the chain) is skipped."""
+    (the base manifest re-seeded into the chain) is skipped.
+
+    Returns ``(new_parent_head, published_chain_gen)`` where
+    ``published_chain_gen`` is the chain generation that actually
+    landed on the parent (``None`` on no-op).  Callers that persist an
+    idempotency marker MUST record this value rather than re-reading
+    the chain head after publish — a branch commit racing into the
+    window between publish and re-read would otherwise be stamped as
+    already-published without ever reaching the parent."""
     head_gen, _ = self._current()
     if head_gen != chain.base_version:
         raise CommitConflict(
@@ -2519,9 +2529,9 @@ def _fast_forward_chain(self, chain: RefChain, published_gen: int | None = None)
     if published_gen is None:
         published_gen = 1 if chain.base_version > 0 else 0
     if chain_manifest is None or chain_gen <= published_gen:
-        return head_gen  # no divergence since last publish: no-op
+        return head_gen, None  # no divergence since last publish: no-op
     self._publish(chain_manifest, expected_gen=head_gen)
-    return head_gen + 1
+    return head_gen + 1, chain_gen
 
 
 # -- write-audit-publish (anonymous one-shot branch) --
@@ -2548,7 +2558,7 @@ def publish_staged(self, staged: StagedCommit) -> int:
     """Strict-fast-forward the parent to the staged head as ONE
     metadata-only commit (see ``_fast_forward_chain``), then drop the
     staging area — the audit trail lives only until publish."""
-    new_head = self._fast_forward_chain(staged)
+    new_head, _ = self._fast_forward_chain(staged)
     shutil.rmtree(staged.chain_root, ignore_errors=True)
     return new_head
 
@@ -2658,13 +2668,18 @@ def fast_forward(self, name: str) -> int:
             published = int(fh.read().strip())
     except (OSError, ValueError):
         published = None  # never published (or pre-upgrade branch)
-    new_head = self._fast_forward_chain(b, published_gen=published)
-    if new_head != b.base_version:
-        chain_gen, _ = b.table._current()
+    new_head, published_chain_gen = self._fast_forward_chain(
+        b, published_gen=published
+    )
+    if published_chain_gen is not None:
+        # Record the chain generation _fast_forward_chain ACTUALLY
+        # published — never re-read the chain head here: a branch
+        # commit racing into the publish→stamp window would be marked
+        # published without ever landing on the parent (TOCTOU).
         with open(os.path.join(broot, "BASE"), "w") as fh:
             fh.write(str(new_head))
         with open(os.path.join(broot, "PUBLISHED"), "w") as fh:
-            fh.write(str(chain_gen))
+            fh.write(str(published_chain_gen))
     return new_head
 
 

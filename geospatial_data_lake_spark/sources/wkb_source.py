@@ -193,6 +193,134 @@ def decode_wkb(buf: bytes) -> tuple[int, list[tuple[float, float]]]:
     return gtype, rings[0]
 
 
+def _coord_spans(buf) -> list[tuple[str, int, int]]:
+    """Structure-only parse of one WKB blob -> ``[(endian, offset,
+    npts), ...]`` coordinate runs (contiguous ``npts * 16``-byte x/y
+    blocks).  Same validation contract as :func:`decode_wkb_rings`
+    (ValueError on malformed input, counts bounds-checked before use)
+    but touches only headers and counts — the vertex payload is left
+    for a vectorized ``np.frombuffer`` read per span."""
+    endian, gtype, off = _header(buf, 0)
+    spans: list[tuple[str, int, int]] = []
+    if gtype == _WKB_POINT:
+        _need(buf, off, 16)
+        return [(endian, off, 1)]
+    if gtype == _WKB_LINESTRING:
+        _need(buf, off, 4)
+        (npts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        _need(buf, off, 16 * npts)
+        return [(endian, off, npts)]
+
+    def ring_spans(off: int, endian: str) -> int:
+        _need(buf, off, 4)
+        (nrings,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        if nrings < 1:
+            raise ValueError("empty polygon")
+        for _ in range(nrings):
+            _need(buf, off, 4)
+            (npts,) = struct.unpack_from(endian + "I", buf, off)
+            off += 4
+            _need(buf, off, 16 * npts)
+            spans.append((endian, off, npts))
+            off += 16 * npts
+        return off
+
+    if gtype == _WKB_POLYGON:
+        ring_spans(off, endian)
+        return spans
+    if gtype == _WKB_MULTIPOLYGON:
+        _need(buf, off, 4)
+        (nparts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        if nparts < 1:
+            raise ValueError("empty multipolygon")
+        for _ in range(nparts):
+            p_endian, p_gtype, off = _header(buf, off)
+            if p_gtype != _WKB_POLYGON:
+                raise ValueError(
+                    f"multipolygon part has geometry type {p_gtype}, expected 3"
+                )
+            off = ring_spans(off, p_endian)
+        return spans
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def wkb_bbox(buf) -> tuple[float, float, float, float]:
+    """Bounding box of one WKB blob -> ``(x1, y1, x2, y2)`` with the
+    vertex payload read VECTORIZED: one ``np.frombuffer`` + ``min``/
+    ``max`` reduction per coordinate run, never a Python tuple per
+    vertex.  Accepts ``bytes`` or ``memoryview`` (zero-copy from an
+    Arrow data buffer)."""
+    import numpy as np
+
+    x1 = y1 = np.inf
+    x2 = y2 = -np.inf
+    for endian, off, npts in _coord_spans(buf):
+        if npts == 0:
+            continue
+        coords = np.frombuffer(
+            buf, dtype=endian + "f8", count=2 * npts, offset=off
+        ).reshape(-1, 2)
+        cmin = coords.min(axis=0)
+        cmax = coords.max(axis=0)
+        x1 = min(x1, cmin[0])
+        y1 = min(y1, cmin[1])
+        x2 = max(x2, cmax[0])
+        y2 = max(y2, cmax[1])
+    if x1 > x2:  # no vertices at all
+        raise ValueError("WKB blob has no coordinates")
+    return float(x1), float(y1), float(x2), float(y2)
+
+
+def arrow_column_bbox(column) -> list[float] | None:
+    """Bounding box ``[x1, y1, x2, y2]`` of a pyarrow (Chunked)Array of
+    WKB blobs, or ``None`` if every value is null.  This is the batch
+    kernel the GeoParquet footer stamp runs per file: blobs are sliced
+    ZERO-COPY out of each chunk's flat Arrow data buffer (offsets
+    vector + one memoryview — no ``to_pylist`` bytes copies) and each
+    blob's vertices reduce through :func:`wkb_bbox`'s vectorized
+    ``np.frombuffer`` path, so stamping a million-geometry file never
+    builds a Python tuple per vertex."""
+    import numpy as np
+    import pyarrow as pa
+
+    chunks = column.chunks if isinstance(column, pa.ChunkedArray) else [column]
+    x1 = y1 = np.inf
+    x2 = y2 = -np.inf
+    seen = False
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        if chunk.null_count:
+            chunk = chunk.drop_null()
+            if len(chunk) == 0:
+                continue
+        off_dtype = (
+            np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+        )
+        # a sliced array shares the parent's offsets buffer; chunk.offset
+        # is the logical start within it
+        offs = np.frombuffer(chunk.buffers()[1], dtype=off_dtype)[
+            chunk.offset : chunk.offset + len(chunk) + 1
+        ]
+        data = memoryview(chunk.buffers()[2])
+        for i in range(len(chunk)):
+            blob = data[offs[i] : offs[i + 1]]
+            if len(blob) == 0:
+                continue
+            bx1, by1, bx2, by2 = wkb_bbox(blob)
+            x1 = min(x1, bx1)
+            y1 = min(y1, by1)
+            x2 = max(x2, bx2)
+            y2 = max(y2, by2)
+            seen = True
+    if not seen:
+        return None
+    return [float(x1), float(y1), float(x2), float(y2)]
+
+
 def _with_fields(base: T.StructType, extra: list[T.StructField]) -> T.StructType:
     return T.StructType(list(base.fields) + extra)
 

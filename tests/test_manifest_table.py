@@ -1659,6 +1659,47 @@ def should_make_idle_fast_forward_a_no_op(spark, tmp_path):
     assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
 
 
+def should_not_drop_branch_commit_racing_into_publish_window(
+    spark, tmp_path, monkeypatch
+):
+    """TOCTOU regression: a branch commit landing BETWEEN the parent
+    publish inside _fast_forward_chain and fast_forward's PUBLISHED
+    stamp must NOT be marked as already-published — the next
+    fast_forward has to land it on the parent.  (The bug: fast_forward
+    re-read the chain head after publish and stamped THAT generation,
+    so the racing commit silently never reached the parent.)"""
+    from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
+
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    mt.create_branch("race")
+    mt.branch("race").table.upsert(_mk(spark, [(2, "b", "y")]))
+
+    orig = ManifestTable._fast_forward_chain
+    fired = {"done": False}
+
+    def racing(self, chain, published_gen=None):
+        out = orig(self, chain, published_gen=published_gen)
+        if not fired["done"]:
+            fired["done"] = True
+            # the racing writer: lands on the branch AFTER the parent
+            # publish but BEFORE fast_forward stamps PUBLISHED
+            chain.table.upsert(_mk(spark, [(3, "c", "z")]))
+        return out
+
+    monkeypatch.setattr(ManifestTable, "_fast_forward_chain", racing)
+    v2 = mt.fast_forward("race")
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y")}
+    monkeypatch.setattr(ManifestTable, "_fast_forward_chain", orig)
+
+    # the racing commit is still unpublished — the next call must land it
+    v3 = mt.fast_forward("race")
+    assert v3 == v2 + 1
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+    # and idempotency still holds afterwards
+    assert mt.fast_forward("race") == v3
+
+
 def should_prune_with_in_list_data_skipping_spec(spark, tmp_path):
     """``where={col: [v1, v2, ...]}`` is an IN-list data-skipping spec:
     ONE pruned scan planning only the files that might hold ANY member

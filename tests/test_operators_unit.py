@@ -1100,3 +1100,38 @@ def should_compute_st_functions_against_closed_forms(spark):
             r.ccx - r.w, r.ccy - r.h, r.ccx + r.w, r.ccy + r.h,
         )
         assert abs(r.d0 - math.hypot(r.ccx, r.ccy)) < 1e-9
+
+
+def should_fold_degenerate_rings_to_zero_not_raise(spark):
+    """0/1-vertex rings must fold to 0.0 and NULL rings to NULL —
+    without the _fold_edges guard, sequence(1, size-1) descends
+    (e.g. [1, 0]) and element_at(ring, 0) raises at runtime."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_lake_spark.functions.geometry import (
+        st_area,
+        st_length,
+        st_signed_area,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("empty", []),
+            ("single", [(1.0, 2.0)]),
+            ("null", None),
+        ],
+        "name string, ring array<struct<x: double, y: double>>",
+    )
+    rows = {
+        r.name: r
+        for r in df.select(
+            "name",
+            st_area(F.col("ring")).alias("area"),
+            st_signed_area(F.col("ring")).alias("sarea"),
+            st_length(F.col("ring")).alias("length"),
+        ).collect()
+    }
+    assert rows["empty"].area == 0.0 and rows["empty"].length == 0.0
+    assert rows["single"].area == 0.0 and rows["single"].sarea == 0.0
+    assert rows["single"].length == 0.0
+    assert rows["null"].area is None and rows["null"].length is None

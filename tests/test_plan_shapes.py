@@ -142,6 +142,23 @@ def should_dispatch_dd04_to_exact_join_on_saturated_corpus(spark, registry, sf_d
     assert bg >= 0.2, f"fixture background jaccard unexpectedly sparse: {bg}"
 
 
+def should_cap_saturation_sample_size_against_quadratic_driver_loop(
+    spark, sf_dir
+):
+    # _sampled_jaccard_stats runs an O(n^2) pair loop on the driver —
+    # bounded by design at <= 512 sampled docs; a caller pushing
+    # n_sample past that must get a loud error, not a quadratic stall.
+    import pytest
+
+    from geospatial_data_lake_spark.operators.dedup import (
+        _sampled_jaccard_stats,
+    )
+    from geospatial_data_lake_spark.tables import tables
+
+    with pytest.raises(ValueError, match="n_sample=1024"):
+        _sampled_jaccard_stats(tables(spark, sf_dir).documents, n_sample=1024)
+
+
 def should_run_grid_spatial_join_without_cartesian(spark, registry, sf_dir):
     # geo01 must pair boxes through the cell equi-join; a cartesian /
     # broadcast-nested-loop plan is the quadratic shape the grid exists

@@ -653,3 +653,150 @@ def should_prune_files_inside_read_geoparquet_with_bbox(spark, tmp_path):
     empty, _ = read_geoparquet(spark, path, bbox=(500.0, 500.0, 600.0, 600.0))
     assert empty.count() == 0
     assert set(empty.columns) == set(df.columns)
+
+
+def should_stamp_footer_bboxes_via_vectorized_batch_kernel(spark, tmp_path):
+    """The footer-stamp bbox pass must run the VECTORIZED Arrow batch
+    kernel (zero-copy buffer slices + np.frombuffer), not a per-vertex
+    Python loop: (a) arrow_column_bbox agrees with a decode_wkb_rings
+    reference across every geometry type, nulls, holes, and both byte
+    orders; (b) write_geoparquet's stamp closure references the batch
+    kernel and no longer the per-row decoder; (c) the stamped footer
+    bboxes are unchanged."""
+    import inspect
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospatial_data_lake_spark.sources import geoparquet as gp
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        arrow_column_bbox,
+        decode_wkb_rings,
+        encode_wkb_linestring,
+        encode_wkb_multipolygon,
+        encode_wkb_point,
+        encode_wkb_polygon_rings,
+        wkb_bbox,
+    )
+
+    blobs = [
+        encode_wkb_point(3.5, -2.0),
+        encode_wkb_linestring([(0.0, 0.0), (9.0, 4.0), (-1.5, 2.0)]),
+        # polygon WITH an interior hole: the hole's vertices count
+        encode_wkb_polygon_rings(
+            [
+                [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)],
+                [(2.0, 2.0), (3.0, 2.0), (3.0, 9.5), (2.0, 2.0)],
+            ]
+        ),
+        encode_wkb_multipolygon(
+            [
+                [[(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 10.0)]],
+                [[(-6.0, -6.0), (-5.0, -6.0), (-5.0, -5.0), (-6.0, -6.0)]],
+            ]
+        ),
+        None,
+    ]
+
+    def ref_bbox(bufs):
+        xs, ys = [], []
+        for b in bufs:
+            if b is None:
+                continue
+            _gt, rings = decode_wkb_rings(b)
+            for ring in rings:
+                for x, y in ring:
+                    xs.append(x)
+                    ys.append(y)
+        return [min(xs), min(ys), max(xs), max(ys)]
+
+    arr = pa.chunked_array(
+        [pa.array(blobs[:3], type=pa.binary()), pa.array(blobs[3:])]
+    )
+    assert arrow_column_bbox(arr) == ref_bbox(blobs)
+    for b in blobs[:4]:
+        assert list(wkb_bbox(b)) == ref_bbox([b])
+    # big-endian blob, sliced array, all-null column
+    import struct
+
+    be = struct.pack(">BIdd", 0, 1, 7.0, 8.0)
+    assert wkb_bbox(be) == (7.0, 8.0, 7.0, 8.0)
+    flat = pa.array([b for b in blobs if b is not None])
+    assert arrow_column_bbox(flat.slice(2, 2)) == ref_bbox(blobs[2:4])
+    assert arrow_column_bbox(pa.array([None], type=pa.binary())) is None
+
+    # the stamp path itself: uses the batch kernel, not the row decoder
+    src = inspect.getsource(gp.write_geoparquet)
+    assert "arrow_column_bbox" in src
+    assert "decode_wkb_rings" not in src
+    assert "to_pylist" not in src
+
+    # e2e: footers carry exactly the reference bboxes
+    from geospatial_data_lake_spark.sources.wkb_source import points_to_wkb
+
+    pts = spark.createDataFrame(
+        [(i, float(i), float(i % 7)) for i in range(50)],
+        "id long, px double, py double",
+    )
+    wkb = points_to_wkb(pts, "px", "py").drop("px", "py")
+    path = str(tmp_path / "gp_vec")
+    gp.write_geoparquet(wkb.coalesce(1), path, {"wkb": ["Point"]})
+    (fp,) = gp._parquet_files(path)
+    doc = json.loads(pq.read_schema(fp).metadata[gp.GEO_KEY].decode())
+    assert doc["columns"]["wkb"]["bbox"] == [0.0, 0.0, 49.0, 6.0]
+
+
+def should_reject_heterogeneous_geoparquet_footers(spark, tmp_path):
+    """Cross-file footer consistency: a dataset whose files disagree on
+    the geo contract (drifted geometry declaration from a different
+    writer, or a file missing the stamp entirely) raises on read
+    instead of being silently read under the first footer's contract;
+    per-file bbox differences are NOT drift; validate_all=False opts
+    out."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from geospatial_data_lake_spark.sources.geoparquet import (
+        GEO_KEY,
+        _parquet_files,
+        read_geoparquet_meta,
+        write_geoparquet,
+    )
+    from geospatial_data_lake_spark.sources.wkb_source import points_to_wkb
+
+    pts = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(40)],
+        "id long, px double, py double",
+    )
+    wkb = points_to_wkb(pts, "px", "py").drop("px", "py")
+    path = str(tmp_path / "gp_mixed")
+    write_geoparquet(wkb.repartitionByRange(3, "id"), path, {"wkb": ["Point"]})
+    files = _parquet_files(path)
+    assert len(files) == 3
+    read_geoparquet_meta(path)  # consistent: fine (bboxes differ per file)
+
+    # drift one file's contract (a different writer's declaration)
+    victim = files[-1]
+    table = pq.read_table(victim)
+    meta = dict(table.schema.metadata)
+    doc = json.loads(meta[GEO_KEY].decode())
+    doc["columns"]["wkb"]["geometry_types"] = ["LineString"]
+    meta[GEO_KEY] = json.dumps(doc).encode()
+    backup = victim + ".bak"
+    shutil.copy(victim, backup)
+    pq.write_table(table.replace_schema_metadata(meta), victim)
+    with pytest.raises(ValueError, match="heterogeneous"):
+        read_geoparquet_meta(path)
+    assert read_geoparquet_meta(path, validate_all=False) is not None
+
+    # a file missing the stamp entirely is also heterogeneous
+    meta.pop(GEO_KEY)
+    pq.write_table(table.replace_schema_metadata(meta), victim)
+    with pytest.raises(ValueError, match="no 'geo' footer"):
+        read_geoparquet_meta(path)
+    shutil.move(backup, victim)
+    read_geoparquet_meta(path)
