@@ -1349,6 +1349,123 @@ def vs16_spec_rewrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- vs17: partition-COLUMN evolution (add-partition-field) --------------------
+
+_COL_EVOLVED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_column_evolved_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """events -> a lake table whose partition-COLUMN LIST grows
+    mid-history (Iceberg add-partition-field): the first half of the
+    log lands under (event_type,), the key space evolves to
+    (event_type, day) with day = day(ts) — a metadata-only commit —
+    and the second half lands under the two-column spec.  A cross-era
+    MERGE then flips the sign of every OLD-era click row inside the
+    query window: the same key routes to DIFFERENT partition keys
+    across column eras, so the upsert must locate old rows by their
+    FILE's era key (the short-circuit that assumes keys pin partitions
+    is unsound across eras) — any old row it misses survives as a
+    duplicate and breaks the hash gate."""
+    cache = _COL_EVOLVED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    mt = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_coladd_"),
+        key_cols=["event_id"],
+        partition_by=["event_type"],
+    )
+    ev = t.events.select("event_id", "user_id", "event_type", "ts", "value")
+    mt.append(ev.filter(F.col("event_id") % 2 == 0))
+    mt.evolve_partition_spec(
+        {"day": ("day", "ts")}, partition_by=["event_type", "day"]
+    )
+    mt.append(ev.filter(F.col("event_id") % 2 == 1))
+    win = (
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= "2024-01-03 00:00:00")
+        & (F.col("ts") <= "2024-01-05 00:00:00")
+    )
+    mt.upsert(
+        ev.filter((F.col("event_id") % 2 == 0) & win).withColumn(
+            "value", -F.col("value")
+        )
+    )
+    cache[sf_dir] = mt
+    return mt
+
+
+@register(
+    "vs17_partition_column_evolution_read",
+    oracle="""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CASE WHEN event_id % 2 = 0 THEN -value ELSE value END
+                   AS value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+                     AND TIMESTAMP '2024-01-05 00:00:00'
+        ORDER BY event_id
+    """,
+    tags=("lake", "manifest", "spec-evolution", "column-evolution"),
+)
+def vs17_partition_column_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-COLUMN EVOLUTION driven end-to-end (Iceberg
+    add-partition-field — a decade-lived table grows its key space
+    from (event_type,) to (event_type, day) without rewriting a byte):
+    half the log is written under the one-column spec, the key space
+    evolves, the other half lands under (event_type, day(ts)), and a
+    cross-era MERGE flips old-era click values inside the window.  The
+    read must (a) return every matching row from BOTH column eras, (b)
+    apply the merge exactly once — the same key routes to different
+    partition keys across eras, so a rewrite that re-derives keys
+    under the current columns would strand or clobber rows (guarded by
+    the hash gate), and (c) still PRUNE: old files on event_type
+    stats, new files additionally on the hidden day transform (at most
+    one old-era partition plus the window's day partitions plan —
+    guarded in-query).  The oracle computes from the raw parquet and
+    never sees the lake layout.
+
+    Scale shape: the evolution is one spec-registry entry; reads stay
+    single-scan manifest-pruned; the era tax (conservative keeps on
+    files that predate the new column) is bounded by old-era file
+    counts and retired entirely by rewrite_to_current_spec.
+
+    Ref analog: the reference's own pk/sk composite keys grew fields
+    across its git history (backend/processing_assets_model.py:17-21)."""
+    mt = _build_column_evolved_lake(spark, sf_dir)
+    where = {
+        "event_type": "click",
+        "ts": ("2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+    }
+    planned = mt.planned_files(where=where)
+    total = len(mt.planned_files())
+    pkeys = {f.rsplit("__mt_pk=", 1)[-1] for f in planned}
+    # <= 1 old-era click partition + 3 window day-partitions (+1 slack
+    # for an upsert-produced split); must survive python -O (no assert)
+    if not (0 < len(planned) < total and len(pkeys) <= 5):
+        raise RuntimeError(
+            f"column-evolution pruning disengaged: planned "
+            f"{len(planned)}/{total} files across {len(pkeys)} partitions"
+        )
+    return (
+        mt.read(where=where)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
 # -- st04: streaming geospatial ingest — WKB stream -> cell rollup lake -------
 
 _GEO_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (

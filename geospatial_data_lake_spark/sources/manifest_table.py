@@ -67,6 +67,7 @@ _MAX_RETRIES = 64
 # Hex keeps directory names safe (no hive escaping, no NULL sentinel) and
 # decodes bijectively back to the partition tuple on the driver.
 _PK_COL = "__mt_pk"
+_SRC_COL = "__mt_src_file"
 
 # Column types whose min/max stats are recorded (atomic, orderable, and
 # JSON-round-trippable without precision or timezone ambiguity).
@@ -163,6 +164,15 @@ class ManifestTable:
                 self.partition_transforms = {
                     k: tuple(v) for k, v in tr.items()
                 }
+            # column evolution: the ACTIVE partition-column list also
+            # lives in the manifest (a handle constructed with the
+            # original columns must route new writes under the evolved
+            # key space)
+            cols = (manifest.get("spec_columns") or {}).get(
+                str(manifest.get("current_spec", "0"))
+            )
+            if cols is not None:
+                self.partition_by = list(cols)
         return gen, manifest
 
     def _load_manifest(self, gen: int) -> dict:
@@ -367,8 +377,38 @@ class ManifestTable:
         )
 
     def _pk_from_hex(self, hexv: str) -> str:
+        """Manifest partition key from a routing-directory hex — ERA-
+        EXACT: the hex encodes the JSON doc {col: strval} in the
+        partition-column order THE FILE WAS WRITTEN UNDER, so decoding
+        its values directly (not re-projecting through the handle's
+        current ``partition_by``) keeps old-era directories addressable
+        after a partition-COLUMN evolution."""
         doc = json.loads(bytes.fromhex(hexv).decode("utf-8"))
-        return self._pkey(tuple(doc.get(c) for c in self.partition_by))
+        return self._pkey(tuple(doc.values()))
+
+    @staticmethod
+    def _src_hex_expr():
+        """The routing-directory hex of each row's source file (from
+        the ``_SRC_COL`` column ``_effective_df(with_file=True)``
+        materializes at scan time) — the era-exact partition identity
+        of EXISTING rows.  Rewrite paths must locate existing rows by
+        this, never by re-deriving the current partition tuple: after
+        a partition-COLUMN evolution the current ``_pk_expr`` maps
+        old-era rows to keys the manifest has never held."""
+        return F.regexp_extract(
+            F.col(_SRC_COL), _PK_COL + "=([0-9A-Fa-f]+)/", 1
+        )
+
+    def _holding_pkeys(self, df: DataFrame) -> set[str]:
+        """Manifest partition keys of ``df``'s rows, decoded from each
+        row's source-file path (see ``_src_hex_expr``)."""
+        return {
+            self._pk_from_hex(r.h)
+            for r in df.select(self._src_hex_expr().alias("h"))
+            .distinct()
+            .collect()
+            if r.h
+        }
 
     # -- hidden partitioning -------------------------------------------------
     def _transform_expr(self, tcol: str):
@@ -539,15 +579,24 @@ class ManifestTable:
         return out
 
     # -- single-job batch write + stats --------------------------------------
-    def _write_partitioned(self, df: DataFrame, batch_dir: str) -> dict[str, str]:
+    def _write_partitioned(
+        self, df: DataFrame, batch_dir: str, pk_expr=None
+    ) -> dict[str, str]:
         """ONE Spark write job: route ``df`` by the canonical partition
         key into ``data/<batch_dir>/`` and return {pkey: rel_dir} for
         every produced partition directory.  ``partitionBy`` strips only
         the derived routing column; the real partition columns stay in
-        the data files, so readers never parse paths."""
+        the data files, so readers never parse paths.
+
+        ``pk_expr`` overrides the routing key (default: the current
+        spec's partition tuple) — equality-delete key files route by
+        the HOLDING file's era-exact hex so old-era partitions stay
+        addressable after a partition-column evolution."""
         out = os.path.join(self._data, batch_dir)
         (
-            df.withColumn(_PK_COL, self._pk_expr())
+            df.withColumn(
+                _PK_COL, self._pk_expr() if pk_expr is None else pk_expr
+            )
             .write.partitionBy(_PK_COL)
             .mode("overwrite")
             .parquet(out)
@@ -934,6 +983,7 @@ class ManifestTable:
         manifest: dict,
         pkeys: set[str] | None = None,
         sel_files: set[str] | None = None,
+        with_file: bool = False,
     ) -> DataFrame:
         """Effective content of ``pkeys`` (default: all partitions)
         under ``manifest``, with pending EQUALITY-DELETE files applied —
@@ -963,12 +1013,20 @@ class ManifestTable:
                 )
                 groups.setdefault(applicable, []).append(f)
         if not groups:
-            return self._spark.createDataFrame([], manifest["schema_ddl"])
+            empty = self._spark.createDataFrame([], manifest["schema_ddl"])
+            return (
+                empty.withColumn(_SRC_COL, F.lit("")) if with_file else empty
+            )
         out = None
         for dels in sorted(groups):
             df = self._spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self._data, f) for f in groups[dels]]
             )
+            if with_file:
+                # materialized AT SCAN TIME (input_file_name is empty
+                # after a shuffle), so era-exact partition attribution
+                # survives the delete anti-joins below
+                df = df.withColumn(_SRC_COL, F.input_file_name())
             if dels:
                 keys = (
                     self._spark.read.option("mergeSchema", "true")
@@ -1307,6 +1365,8 @@ class ManifestTable:
         if manifest and manifest.get("specs"):
             new_manifest["specs"] = dict(manifest["specs"])
             new_manifest["current_spec"] = cur_sid
+            if manifest.get("spec_columns"):
+                new_manifest["spec_columns"] = dict(manifest["spec_columns"])
         try:
             self._publish(new_manifest, gen)
             return True
@@ -1389,33 +1449,47 @@ class ManifestTable:
                 continue
         raise CommitConflict("manifest-table contention: retries exhausted")
 
-    def evolve_partition_spec(self, partition_transforms: dict) -> int:
-        """Change the table's HIDDEN-PARTITION TRANSFORMS without
-        rewriting a byte — Iceberg partition-spec evolution: a 100 TB
-        table can move from bucket[8] to bucket[16] (or day to a wider
-        truncate) and (a) files already written keep their old spec,
-        (b) new commits route and stamp under the new spec, (c) pruning
-        consults THE SPEC EACH FILE WAS WRITTEN UNDER (per-file
+    def evolve_partition_spec(
+        self,
+        partition_transforms: dict,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Change the table's HIDDEN-PARTITION TRANSFORMS — and, when
+        ``partition_by`` is given, the PARTITION-COLUMN LIST itself —
+        without rewriting a byte — Iceberg partition-spec evolution: a
+        100 TB table can move from bucket[8] to bucket[16], or grow its
+        key space from (region,) to (region, day), and (a) files
+        already written keep their old spec AND their old partition
+        keys, (b) new commits route and stamp under the new spec, (c)
+        pruning consults THE SPEC EACH FILE WAS WRITTEN UNDER (per-file
         ``__spec`` stamp), so a source-column predicate maps to
         bucket[8] bounds for old files and bucket[16] bounds for new —
         never cross-era, never wrong.
 
-        The partition COLUMN NAMES are fixed for the table's lifetime
-        (``partition_by`` — the manifest's key space); only how derived
-        values are computed evolves.  Upserts keep working across eras
-        because routing reads the STORED partition values of existing
-        rows: old rows stay in old-spec partitions, updated rows land
-        under the new spec (an ordinary partition move).
+        COLUMN evolution (Iceberg add/remove partition field): the
+        registry records each spec's column list (``spec_columns``);
+        old partitions stay addressable under their era's keys (the
+        routing-directory hex encodes the era's columns), rewrites
+        locate existing rows by their FILE's partition key rather than
+        re-deriving under the current columns, and old files simply
+        carry no stats/constraints for a newly added partition column —
+        pruning on it skips them conservatively.
+        ``rewrite_to_current_spec`` migrates old eras when wanted.
 
         Metadata-only commit; returns the committed version."""
         new = {
             k: tuple(v) for k, v in dict(partition_transforms).items()
         }
+        new_cols = (
+            list(partition_by) if partition_by is not None else None
+        )
+        if new_cols is not None and not new_cols:
+            raise ValueError("partition_by cannot evolve to empty")
+        target_cols = new_cols if new_cols is not None else self.partition_by
         for tcol in new:
-            if tcol not in self.partition_by:
+            if tcol not in target_cols:
                 raise ValueError(
-                    f"transform column {tcol!r} must be in partition_by "
-                    f"(partition columns are fixed; only transforms evolve)"
+                    f"transform column {tcol!r} must be in partition_by"
                 )
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
@@ -1430,14 +1504,27 @@ class ManifestTable:
             }
             new_sid = str(max(int(s) for s in specs) + 1)
             specs[new_sid] = {k: list(v) for k, v in new.items()}
+            # column registry: backfill every pre-existing spec with the
+            # PRE-evolution column list (columns never changed before
+            # spec_columns existed), then record the new spec's list
+            spec_columns = {
+                sid: list(cols)
+                for sid, cols in (manifest.get("spec_columns") or {}).items()
+            }
+            for sid in specs:
+                if sid != new_sid and sid not in spec_columns:
+                    spec_columns[sid] = list(self.partition_by)
+            spec_columns[new_sid] = list(target_cols)
             new_manifest = {
                 **manifest,
                 "specs": specs,
                 "current_spec": new_sid,
+                "spec_columns": spec_columns,
             }
             try:
                 self._publish(new_manifest, gen)
                 self.partition_transforms = dict(new)
+                self.partition_by = list(target_cols)
                 return gen + 1
             except CommitConflict:
                 continue
@@ -1484,9 +1571,28 @@ class ManifestTable:
             }
             if not stale:
                 return None
-            batch = self._with_partition_transforms(
-                self._effective_df(manifest, pkeys=stale)
-            )
+            batch = self._effective_df(manifest, pkeys=stale)
+            # a partition DATA column added by column evolution may
+            # predate every stale file (schema evolution added it
+            # later): surface it as typed NULLs so routing works; a
+            # TRANSFORM column re-derives below, but its SOURCE must
+            # exist in the data
+            schema = T.StructType.fromDDL(manifest["schema_ddl"])
+            types = {f.name: f.dataType for f in schema.fields}
+            for c in self.partition_by:
+                if c in batch.columns or c in self.partition_transforms:
+                    continue
+                batch = batch.withColumn(
+                    c, F.lit(None).cast(types.get(c, T.StringType()))
+                )
+            for tcol, spec in self.partition_transforms.items():
+                if spec[1] not in batch.columns:
+                    raise ValueError(
+                        f"cannot rewrite to current spec: transform "
+                        f"source column {spec[1]!r} is absent from the "
+                        f"stale files' data"
+                    )
+            batch = self._with_partition_transforms(batch)
             batch_dir = uuid.uuid4().hex
             produced = self._write_partitioned(batch, batch_dir)
             batch_stats = self._collect_stats_for_batch(batch_dir, produced)
@@ -1626,6 +1732,10 @@ class ManifestTable:
                 new_manifest["current_spec"] = spec_src.get(
                     "current_spec", "0"
                 )
+                if spec_src.get("spec_columns"):
+                    new_manifest["spec_columns"] = dict(
+                        spec_src["spec_columns"]
+                    )
             try:
                 self._publish(new_manifest, gen)
                 return gen + 1
@@ -1729,24 +1839,31 @@ class ManifestTable:
             if manifest is None:
                 raise NotFoundError(f"table never committed: {self.root}")
             partitions = dict(manifest["partitions"])
-            current = self._effective_df(manifest)
-            touched = {
-                r.pk
-                for r in current.filter(condition)
-                .select(self._pk_expr().alias("pk"))
-                .distinct()
-                .collect()
-            }
-            touched = {self._pk_from_hex(h) for h in touched}
+            current = self._effective_df(manifest, with_file=True)
+            # era-exact: matched rows attribute to the manifest key of
+            # the FILE holding them (re-deriving via _pk_expr would
+            # miss old-era partitions after a column evolution)
+            touched = self._holding_pkeys(current.filter(condition))
             new_partitions = dict(partitions)
             batch_dir = uuid.uuid4().hex
             produced: dict[str, str] = {}
             batch_stats: dict[str, dict[str, list]] = {}
             if touched:
                 kept = keep_unmatched(  # DELETE drops TRUE rows only
-                    self._effective_df(manifest, pkeys=touched), condition
+                    self._effective_df(
+                        manifest, pkeys=touched, with_file=True
+                    ),
+                    condition,
                 )
-                produced = self._write_partitioned(kept, batch_dir)
+                # pure rewrite: survivors keep their era-exact key —
+                # re-routing under the current spec would land old-era
+                # rows on NEW-era keys and clobber untouched partitions
+                kept = kept.withColumn(
+                    _PK_COL, self._src_hex_expr()
+                ).drop(_SRC_COL)
+                produced = self._write_partitioned(
+                    kept, batch_dir, pk_expr=F.col(_PK_COL)
+                )
                 batch_stats = self._collect_stats_for_batch(batch_dir, produced)
                 for pkey in touched:
                     new_partitions.pop(pkey, None)  # emptied unless re-produced
@@ -1787,7 +1904,7 @@ class ManifestTable:
             if manifest is None:
                 raise NotFoundError(f"table never committed: {self.root}")
             partitions = dict(manifest["partitions"])
-            effective = self._effective_df(manifest)
+            effective = self._effective_df(manifest, with_file=True)
             matched_rows = effective.filter(
                 F.coalesce(condition, F.lit(False))
             )
@@ -1795,10 +1912,12 @@ class ManifestTable:
             # may live in OTHER partitions (raw appends with moved
             # partition values) — locate every row sharing a matched
             # key, so each holding partition gets a delete entry.  When
-            # keys subsume the partition spec, keys cannot span
-            # partitions and the second pass is skipped (upsert's
-            # short-circuit).
-            if set(self.partition_by) <= set(self.key_cols):
+            # keys subsume the partition spec AND only one column era
+            # exists, keys cannot span partitions and the second pass
+            # is skipped (upsert's short-circuit).
+            if set(self.partition_by) <= set(
+                self.key_cols
+            ) and not self._column_eras_mixed(manifest):
                 holders = matched_rows
             else:
                 holders = self._null_safe_key_join(
@@ -1806,11 +1925,18 @@ class ManifestTable:
                     matched_rows.select(*self.key_cols).dropDuplicates(),
                     "left_semi",
                 )
+            # delete key files route by the HOLDING file's era-exact
+            # hex (already the canonical _PK_COL encoding), so an
+            # old-era partition's delete entry lands under ITS key;
+            # _write_partitioned strips the routing column as usual
             matched = holders.select(
-                *dict.fromkeys([*self.key_cols, *self.partition_by])
+                *dict.fromkeys([*self.key_cols]),
+                self._src_hex_expr().alias(_PK_COL),
             ).dropDuplicates()
             batch_dir = uuid.uuid4().hex
-            produced = self._write_partitioned(matched, batch_dir)
+            produced = self._write_partitioned(
+                matched, batch_dir, pk_expr=F.col(_PK_COL)
+            )
             if not produced:  # nothing matched: no commit
                 shutil.rmtree(
                     os.path.join(self._data, batch_dir), ignore_errors=True
@@ -1886,15 +2012,10 @@ class ManifestTable:
                 enforced = cons_now
             partitions = dict(manifest["partitions"])
             schema_ddl = self._merged_schema_ddl(batch.schema, manifest)
-            current = self._effective_df(manifest)
-            # partitions losing rows to the predicate ...
-            touched = {
-                self._pk_from_hex(r.pk)
-                for r in current.filter(condition)
-                .select(self._pk_expr().alias("pk"))
-                .distinct()
-                .collect()
-            }
+            current = self._effective_df(manifest, with_file=True)
+            # partitions losing rows to the predicate — era-exact, by
+            # the holding file's key (see _src_hex_expr) ...
+            touched = self._holding_pkeys(current.filter(condition))
             # ... plus partitions the replacement batch lands in
             touched |= {
                 self._pk_from_hex(r.pk)
@@ -1906,12 +2027,32 @@ class ManifestTable:
             batch_dir = uuid.uuid4().hex
             if any(partitions.get(pkey) for pkey in touched):
                 kept = keep_unmatched(
-                    self._effective_df(manifest, pkeys=touched), condition
+                    self._effective_df(
+                        manifest, pkeys=touched, with_file=True
+                    ),
+                    condition,
                 )
-                merged = kept.unionByName(batch, allowMissingColumns=True)
+                # kept rows keep their era-exact key; batch rows (null
+                # _SRC_COL after the union) route under the current
+                # spec — see upsert
+                src = self._src_hex_expr()
+                merged = (
+                    kept.unionByName(batch, allowMissingColumns=True)
+                    .withColumn(
+                        _PK_COL,
+                        F.when(
+                            F.col(_SRC_COL).isNotNull()
+                            & (src != F.lit("")),
+                            src,
+                        ).otherwise(self._pk_expr()),
+                    )
+                    .drop(_SRC_COL)
+                )
             else:
-                merged = batch
-            produced = self._write_partitioned(merged, batch_dir)
+                merged = batch.withColumn(_PK_COL, self._pk_expr())
+            produced = self._write_partitioned(
+                merged, batch_dir, pk_expr=F.col(_PK_COL)
+            )
             batch_stats = self._collect_stats_for_batch(batch_dir, produced)
             for pkey in touched:
                 new_partitions.pop(pkey, None)  # emptied unless re-produced
@@ -1954,9 +2095,18 @@ class ManifestTable:
             }
             if not to_fold:
                 return None
-            merged = self._effective_df(manifest, pkeys=set(to_fold))
+            # pure rewrite: rows keep their era-exact key (see
+            # delete_where) — folding never migrates partition eras
+            merged = self._effective_df(
+                manifest, pkeys=set(to_fold), with_file=True
+            )
+            merged = merged.withColumn(
+                _PK_COL, self._src_hex_expr()
+            ).drop(_SRC_COL)
             batch_dir = uuid.uuid4().hex
-            produced = self._write_partitioned(merged, batch_dir)
+            produced = self._write_partitioned(
+                merged, batch_dir, pk_expr=F.col(_PK_COL)
+            )
             batch_stats = self._collect_stats_for_batch(batch_dir, produced)
             new_partitions = dict(partitions)
             for pkey in to_fold:
@@ -2117,13 +2267,46 @@ class ManifestTable:
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
+    def _column_eras_mixed(self, manifest: dict | None) -> bool:
+        """True when the manifest may hold partitions keyed under a
+        DIFFERENT column list than the active one (after a partition-
+        COLUMN evolution, until ``rewrite_to_current_spec`` retires the
+        old era): the keys-subsume-partitioning short-circuit is then
+        unsound — a key's partition IS a function of the key within one
+        era, but the same key routes to different keys across eras —
+        so rewrites must run the era-exact key-location probe.  A file
+        without a ``__spec`` stamp post-evolution is conservatively
+        treated as possibly-old-era."""
+        if not manifest:
+            return False
+        sc = manifest.get("spec_columns")
+        if not sc:
+            return False  # columns never evolved
+        cur_cols = sc.get(str(manifest.get("current_spec", "0")))
+        if cur_cols is None:
+            return True  # registry drift: stay conservative
+        if all(list(c) == list(cur_cols) for c in sc.values()):
+            return False  # transform-only evolution
+        stats = manifest.get("stats", {})
+        for files in manifest["partitions"].values():
+            for f in files:
+                sid = stats.get(f, {}).get("__spec")
+                if sid is None or list(sc.get(str(sid), [])) != list(
+                    cur_cols
+                ):
+                    return True
+        return False
+
     def _partitions_holding_keys(
         self, partitions: dict[str, list[str]], updates: DataFrame
     ) -> set[str]:
         """Partitions where the update batch's keys CURRENTLY live — the
         price of keys that can move between partitions.  Skipped
         entirely (see ``upsert``) when ``key_cols`` subsume
-        ``partition_by``, because such keys provably cannot move."""
+        ``partition_by`` within a single column era, because such keys
+        provably cannot move.  Era-exact: rows attribute to the
+        manifest key of the FILE holding them (see ``_src_hex_expr``),
+        so old-era partitions are found after a column evolution."""
         current_files = [
             os.path.join(self._data, f)
             for files in partitions.values()
@@ -2131,17 +2314,14 @@ class ManifestTable:
         ]
         if not current_files:
             return set()
-        existing = self._spark.read.option("mergeSchema", "true").parquet(
-            *current_files
+        existing = (
+            self._spark.read.option("mergeSchema", "true")
+            .parquet(*current_files)
+            .withColumn(_SRC_COL, F.input_file_name())
         )
-        hexes = {
-            r.pk
-            for r in self._null_safe_key_join(existing, updates, "left_semi")
-            .select(self._pk_expr().alias("pk"))
-            .distinct()
-            .collect()
-        }
-        return {self._pk_from_hex(h) for h in hexes}
+        return self._holding_pkeys(
+            self._null_safe_key_join(existing, updates, "left_semi")
+        )
 
     def upsert(
         self, updates: DataFrame, txn: tuple[str, int] | None = None
@@ -2194,15 +2374,22 @@ class ManifestTable:
             }
             # ... plus partitions where updated keys currently live —
             # unnecessary when keys subsume the partition spec (a key's
-            # partition is a function of the key: it cannot move)
-            if partitions and not keys_pin_partitions:
+            # partition is a function of the key: it cannot move) AND
+            # only one column era exists (across eras the same key
+            # routes to different partition keys, so it CAN "move")
+            if partitions and (
+                not keys_pin_partitions
+                or self._column_eras_mixed(manifest)
+            ):
                 touched |= self._partitions_holding_keys(partitions, updates)
 
             has_old = any(partitions.get(pkey) for pkey in touched)
             if has_old:
                 # effective content: pending equality deletes in the
                 # touched partitions are MATERIALIZED by this rewrite
-                old = self._effective_df(manifest, pkeys=touched)
+                old = self._effective_df(
+                    manifest, pkeys=touched, with_file=True
+                )
                 # anti-join against ALL update keys (null-safe), not
                 # just each partition's updates: a key that MOVED
                 # partitions has its new row land elsewhere, but its old
@@ -2212,12 +2399,28 @@ class ManifestTable:
                 )
                 # allowMissingColumns: a schema-evolving commit widens
                 # updates relative to carried-forward files; survivors
-                # take NULL for columns they predate
-                merged = survivors.unionByName(
-                    updates, allowMissingColumns=True
+                # take NULL for columns they predate.  Routing: SURVIVORS
+                # keep their era-exact key (their source file's hex —
+                # re-deriving would land old-era rows on new-era keys
+                # and clobber untouched partitions); UPDATE rows (null
+                # _SRC_COL after the union) route under the current spec.
+                src = self._src_hex_expr()
+                merged = (
+                    survivors.unionByName(
+                        updates, allowMissingColumns=True
+                    )
+                    .withColumn(
+                        _PK_COL,
+                        F.when(
+                            F.col(_SRC_COL).isNotNull()
+                            & (src != F.lit("")),
+                            src,
+                        ).otherwise(self._pk_expr()),
+                    )
+                    .drop(_SRC_COL)
                 )
             else:
-                merged = updates
+                merged = updates.withColumn(_PK_COL, self._pk_expr())
 
             # re-validate against THIS loop's head before writing: a
             # concurrent schema-evolving commit may have made the batch
@@ -2226,7 +2429,9 @@ class ManifestTable:
             schema_ddl = self._merged_schema_ddl(updates.schema, manifest)
 
             batch_dir = uuid.uuid4().hex
-            produced = self._write_partitioned(merged, batch_dir)
+            produced = self._write_partitioned(
+                merged, batch_dir, pk_expr=F.col(_PK_COL)
+            )
             batch_stats = self._collect_stats_for_batch(batch_dir, produced)
             new_partitions = dict(partitions)
             for pkey in touched:

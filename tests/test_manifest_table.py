@@ -2028,3 +2028,313 @@ def should_serialize_racing_appends_against_spec_evolution(spark, tmp_path):
             r.id for r in final.read(where={"v": f"w{probe}"}).collect()
         }
         assert got == {probe}, probe
+
+
+# -- partition-COLUMN evolution (add/remove partition fields) -----------------
+
+
+def _mk4(spark, rows):
+    return spark.createDataFrame(rows, "id long, part string, cat string, v string")
+
+
+def should_evolve_partition_columns_add_field(spark, tmp_path):
+    """Iceberg add-partition-field: evolve (part,) -> (part, cat)
+    without rewriting a byte.  Old partitions stay addressable under
+    their era's keys; new appends route under the two-column key
+    space; reads and point predicates are exact across the boundary;
+    a fresh handle constructed with the ORIGINAL columns serves the
+    evolved key space."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(_mk4(spark, [(i, "a" if i % 2 else "b", f"c{i % 3}", f"w{i}")
+                           for i in range(12)]))
+    old_keys = set(mt.partition_files())
+    assert all(len(__import__("json").loads(k)) == 1 for k in old_keys)
+
+    v = mt.evolve_partition_spec({}, partition_by=["part", "cat"])
+    assert mt.partition_by == ["part", "cat"]
+    # metadata-only: old partitions untouched
+    assert set(mt.partition_files()) == old_keys
+
+    mt.append(_mk4(spark, [(i, "a", f"c{i % 3}", f"w{i}")
+                           for i in range(100, 112)]))
+    keys_now = set(mt.partition_files())
+    new_keys = keys_now - old_keys
+    assert new_keys and all(
+        len(__import__("json").loads(k)) == 2 for k in new_keys
+    )
+    assert old_keys <= keys_now  # old era carried by reference
+
+    # reads exact across the boundary
+    got = {r.id for r in mt.read().collect()}
+    assert got == set(range(12)) | set(range(100, 112))
+    assert {r.id for r in mt.read(where={"v": "w7"}).collect()} == {7}
+    assert {r.id for r in mt.read(where={"cat": "c1"}).collect()} == {
+        i for i in (set(range(12)) | set(range(100, 112))) if i % 3 == 1
+    }
+
+    # a fresh handle with the ORIGINAL columns serves the evolved space
+    mt2 = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    assert mt2.current_version() >= v
+    assert mt2.partition_by == ["part", "cat"]
+
+    # time travel to the pre-evolution snapshot still reads exactly
+    assert {r.id for r in mt.read(version=1).collect()} == set(range(12))
+
+    # guards
+    with pytest.raises(ValueError, match="cannot evolve to empty"):
+        mt.evolve_partition_spec({}, partition_by=[])
+
+
+def should_upsert_across_partition_column_eras_without_duplicates(
+    spark, tmp_path
+):
+    """The cross-era MERGE hazard: after a column evolution the same
+    key routes to a DIFFERENT partition key than where its old row
+    lives, so the keys-subsume-partitioning short-circuit is unsound —
+    upsert must locate the old row by its FILE's era key and remove
+    it.  key_cols=['id','part','cat'] subsumes both eras' partition
+    columns, making this exactly the case the short-circuit would
+    wrongly skip."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id", "part", "cat"],
+        partition_by=["part"],
+    )
+    mt.append(_mk4(spark, [(1, "a", "c0", "old1"), (2, "a", "c1", "old2"),
+                           (3, "b", "c0", "old3")]))
+    mt.evolve_partition_spec({}, partition_by=["part", "cat"])
+
+    # update an OLD-era key: its old row must not survive
+    mt.upsert(_mk4(spark, [(1, "a", "c0", "NEW1")]))
+    rows = {(r.id): r.v for r in mt.read().collect()}
+    assert rows == {1: "NEW1", 2: "old2", 3: "old3"}
+    one = mt.read().filter(F.col("id") == 1).collect()
+    assert len(one) == 1 and one[0].v == "NEW1"
+
+    # and again (the updated row now lives in a NEW-era partition)
+    mt.upsert(_mk4(spark, [(1, "a", "c0", "NEW2")]))
+    assert {r.v for r in mt.read().filter(F.col("id") == 1).collect()} == {
+        "NEW2"
+    }
+
+
+def should_delete_across_partition_column_eras(spark, tmp_path):
+    """delete_where and delete_where_eq must attribute matched rows to
+    the manifest key of the FILE holding them: a predicate matching
+    old-era rows rewrites (or marks) the OLD partition, post-evolution."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(_mk4(spark, [(i, "a" if i % 2 else "b", f"c{i % 3}", f"w{i}")
+                           for i in range(8)]))
+    mt.evolve_partition_spec({}, partition_by=["part", "cat"])
+    mt.append(_mk4(spark, [(i, "a", f"c{i % 3}", f"w{i}")
+                           for i in range(100, 108)]))
+
+    # rewrite delete hits both eras
+    v = mt.delete_where(F.col("v").isin("w3", "w103"))
+    got = {r.id for r in mt.read().collect()}
+    assert got == (set(range(8)) | set(range(100, 108))) - {3, 103}
+
+    # equality-delete (merge-on-read) hits both eras too
+    mt.delete_where_eq(F.col("v").isin("w5", "w105"))
+    got = {r.id for r in mt.read().collect()}
+    assert got == (set(range(8)) | set(range(100, 108))) - {3, 103, 5, 105}
+    # and the pre-delete snapshot still time-travels
+    assert {r.id for r in mt.read(version=v).collect()} == (
+        set(range(8)) | set(range(100, 108))
+    ) - {3, 103}
+
+
+def should_rewrite_column_evolved_table_to_current_spec(spark, tmp_path):
+    """rewrite_to_current_spec migrates the old column era: afterwards
+    every live partition is keyed under the NEW column list, content
+    is preserved, and the keys-subsume short-circuit becomes valid
+    again (single era)."""
+    import json as _json
+
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(_mk4(spark, [(i, "a" if i % 2 else "b", f"c{i % 3}", f"w{i}")
+                           for i in range(12)]))
+    mt.evolve_partition_spec({}, partition_by=["part", "cat"])
+    before = {r.id for r in mt.read().collect()}
+
+    assert mt.rewrite_to_current_spec() is not None
+    assert {r.id for r in mt.read().collect()} == before
+    # every live partition keyed under the 2-column space, stamped cur
+    _gen, manifest = mt._current()
+    cur = manifest["current_spec"]
+    for pk, files in manifest["partitions"].items():
+        assert len(_json.loads(pk)) == 2, pk
+        for f in files:
+            assert str(manifest["stats"][f].get("__spec")) == cur
+    assert not mt._column_eras_mixed(manifest)
+    # idempotent
+    assert mt.rewrite_to_current_spec() is None
+
+
+def should_evolve_partition_columns_with_new_transform_field(
+    spark, tmp_path
+):
+    """Column evolution composes with hidden partitioning: grow
+    (part,) -> (part, vb) where vb = bucket(v, 4).  Old files carry no
+    vb at all; pruning on v maps per era (no vb bound for old-spec
+    files — conservative keep), so point reads stay exact on both
+    sides while new-era files prune on the bucket."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(_mk4(spark, [(i, "a", "c0", f"w{i}") for i in range(8)]))
+    mt.evolve_partition_spec(
+        {"vb": ("bucket", "v", 4)}, partition_by=["part", "vb"]
+    )
+    mt.append(_mk4(spark, [(i, "a", "c0", f"w{i}") for i in range(100, 116)]))
+
+    total = len(mt.planned_files())
+    # exact across eras
+    assert {r.id for r in mt.read(where={"v": "w3"}).collect()} == {3}
+    assert {r.id for r in mt.read(where={"v": "w103"}).collect()} == {103}
+    # new era prunes on the bucket: a point read plans fewer files
+    planned = mt.planned_files(where={"v": "w103"})
+    assert 0 < len(planned) < total
+    # the old era's single partition is conservatively kept (no vb)
+    assert {r.id for r in mt.read(where={"v": ["w3", "w103"]}).collect()} == {
+        3, 103,
+    }
+
+
+def should_match_model_under_generated_ops_across_column_evolution(
+    spark, tmp_path
+):
+    """Column-evolution model check: ANY generated sequence of
+    append/upsert/delete batches with a partition-column evolution
+    (part,) -> (part, cat) inserted at ANY generated position must
+    land on exactly the state a plain key->rows model produces —
+    the era bookkeeping (per-file keys, era-exact rewrites, mixed-era
+    probes) must be invisible to semantics."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.tuples(
+        st.sampled_from(["append", "upsert", "delete"]),
+        st.lists(
+            st.tuples(
+                st.integers(0, 5),
+                st.sampled_from(["a", "b"]),
+                st.sampled_from(["c0", "c1"]),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=3), evo_at=st.integers(0, 3))
+    def check(ops, evo_at):
+        counter[0] += 1
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / f"ce_{counter[0]}"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+        mt.append(_mk4(spark, [(9, "a", "c0", "seed")]))
+        model = [(9, "a", "c0", "seed")]
+        evolved = False
+        for i, (kind, rows) in enumerate([*ops, ("append", [])]):
+            if i >= evo_at and not evolved:
+                mt.evolve_partition_spec(
+                    {}, partition_by=["part", "cat"]
+                )
+                evolved = True
+            if not rows:
+                continue
+            batch_rows = [
+                (rid, part, cat, f"v{counter[0]}_{i}")
+                for rid, part, cat in rows
+            ]
+            if kind == "append":
+                mt.append(_mk4(spark, batch_rows))
+                model.extend(batch_rows)
+            elif kind == "upsert":
+                dedup = list({r[0]: r for r in batch_rows}.values())
+                mt.upsert(_mk4(spark, dedup))
+                keys = {r[0] for r in dedup}
+                model = [r for r in model if r[0] not in keys] + dedup
+            else:
+                ids = sorted({r[0] for r in rows})
+                mt.delete_where(F.col("id").isin(ids))
+                model = [r for r in model if r[0] not in set(ids)]
+        got = sorted(
+            (r.id, r.part, r.cat, r.v) for r in mt.read().collect()
+        )
+        assert got == sorted(model), (ops, evo_at)
+
+    check()
+
+
+def should_keep_property_semantics_across_branches_restore_and_gc(
+    spark, tmp_path
+):
+    """Ref-integrity sweep for table properties: (a) a branch sees the
+    parent's properties at its base; (b) a property set ON the branch
+    is invisible to the parent until fast_forward lands it (one
+    commit); (c) deleting an un-published branch discards its property
+    changes; (d) restore brings back the TARGET's properties while
+    keeping head txn watermarks; (e) properties of GC-expired versions
+    are unreadable, tagged ones survive."""
+    mt = _table(spark, tmp_path, keep_versions=3)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    mt.set_property("owner", "alice")
+
+    # (a) branch sees base properties
+    mt.create_branch("exp")
+    b = mt.branch("exp")
+    assert b.table.properties() == {"owner": "alice"}
+
+    # (b) branch-side property change is isolated, then lands via ff
+    b.table.set_property("owner", "bob")
+    b.table.set_property("quality", "audited")
+    assert mt.properties() == {"owner": "alice"}
+    v_before = mt.current_version()
+    mt.fast_forward("exp")
+    assert mt.current_version() == v_before + 1  # ONE commit
+    assert mt.properties() == {"owner": "bob", "quality": "audited"}
+    mt.delete_branch("exp")
+
+    # (c) an un-published branch's property change dies with it
+    mt.create_branch("scrap")
+    mt.branch("scrap").table.set_property("owner", "eve")
+    mt.delete_branch("scrap")
+    assert mt.properties()["owner"] == "bob"
+
+    # (d) restore brings back the target's properties
+    v_bob = mt.current_version()
+    mt.set_property("owner", "carol")
+    assert mt.properties()["owner"] == "carol"
+    mt.restore(v_bob)
+    assert mt.properties()["owner"] == "bob"
+    # a branch cut AFTER the restore sees the restored properties
+    mt.create_branch("post")
+    assert mt.branch("post").table.properties()["owner"] == "bob"
+    mt.delete_branch("post")
+
+    # (e) GC: expired versions' properties are unreadable; tags protect
+    mt.tag("keep", version=v_bob)
+    for i in range(5):
+        mt.upsert(_mk(spark, [(1, "a", f"g{i}")]))
+    assert mt.properties_at("keep")["owner"] == "bob"
+    with pytest.raises(NotFoundError):
+        mt.properties_at(1)
