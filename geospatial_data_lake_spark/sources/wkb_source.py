@@ -274,22 +274,133 @@ def wkb_bbox(buf) -> tuple[float, float, float, float]:
     return float(x1), float(y1), float(x2), float(y2)
 
 
+def _ragged_arange(counts):
+    """[0..c0), [0..c1), ... concatenated — the per-span vertex index."""
+    import numpy as np
+
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _gather_u32(u8, byte_starts):
+    import numpy as np
+
+    idx = byte_starts[:, None] + np.arange(4, dtype=np.int64)
+    return (
+        u8[idx].copy().view(np.dtype("<u4")).reshape(-1).astype(np.int64)
+    )
+
+
+def _minmax_xy(u8, vert_starts, acc):
+    """Fold the 16-byte x/y blocks at ``vert_starts`` into ``acc``
+    (running [x1, y1, x2, y2]) with one vectorized gather."""
+    import numpy as np
+
+    if len(vert_starts) == 0:
+        return
+    idx = vert_starts[:, None] + np.arange(16, dtype=np.int64)
+    xy = u8[idx].copy().view(np.dtype("<f8")).reshape(-1, 2)
+    acc[0] = min(acc[0], float(xy[:, 0].min()))
+    acc[1] = min(acc[1], float(xy[:, 1].min()))
+    acc[2] = max(acc[2], float(xy[:, 0].max()))
+    acc[3] = max(acc[3], float(xy[:, 1].max()))
+
+
+def _chunk_bbox_vectorized(u8, offs, acc) -> bool:
+    """WHOLE-CHUNK bbox fold, no per-blob Python: one numpy pass for a
+    homogeneous little-endian chunk of Points, LineStrings, or Polygons
+    (ring structure handled by vectorized peeling rounds — iterations =
+    max ring count, not row count).  Returns False when the chunk needs
+    the general per-blob path (big-endian, MultiPolygon, or mixed
+    geometry types).  Raises ValueError on malformed input, matching
+    :func:`decode_wkb_rings`'s contract (declared counts are validated
+    against each blob's extent before any gather)."""
+    import numpy as np
+
+    starts = offs[:-1].astype(np.int64)
+    ends = offs[1:].astype(np.int64)
+    if len(starts) == 0:
+        return True
+    if np.any(ends - starts < 5):
+        raise ValueError("truncated WKB: blob shorter than its header")
+    order = u8[starts]
+    if not np.all(order == 1):
+        if np.any((order != 0) & (order != 1)):
+            raise ValueError(
+                f"invalid WKB byte-order byte {int(order.max())}"
+            )
+        return False  # big-endian present: general path
+    gtype = _gather_u32(u8, starts + 1)
+    g0 = int(gtype[0])
+    if not np.all(gtype == g0):
+        return False  # mixed types: general path
+
+    if g0 == _WKB_POINT:
+        if np.any(ends - starts < 21):
+            raise ValueError("truncated WKB: point payload")
+        _minmax_xy(u8, starts + 5, acc)
+        return True
+
+    if g0 == _WKB_LINESTRING:
+        if np.any(ends - starts < 9):
+            raise ValueError("truncated WKB: linestring count")
+        npts = _gather_u32(u8, starts + 5)
+        if np.any(9 + 16 * npts > ends - starts):
+            raise ValueError("truncated WKB: linestring payload")
+        vert_starts = (
+            np.repeat(starts + 9, npts) + 16 * _ragged_arange(npts)
+        )
+        _minmax_xy(u8, vert_starts, acc)
+        return True
+
+    if g0 == _WKB_POLYGON:
+        if np.any(ends - starts < 9):
+            raise ValueError("truncated WKB: polygon ring count")
+        remaining = _gather_u32(u8, starts + 5)
+        if np.any(remaining < 1):
+            raise ValueError("empty polygon")
+        cursor = starts + 9
+        # peel one ring per round across every still-active blob:
+        # rounds = max ring count (1-2 for real data), each a pure
+        # vectorized gather — never a per-row loop
+        while True:
+            active = remaining > 0
+            if not active.any():
+                break
+            cs = cursor[active]
+            if np.any(cs + 4 > ends[active]):
+                raise ValueError("truncated WKB: ring count")
+            npts = _gather_u32(u8, cs)
+            if np.any(cs + 4 + 16 * npts > ends[active]):
+                raise ValueError("truncated WKB: ring payload")
+            vert_starts = (
+                np.repeat(cs + 4, npts) + 16 * _ragged_arange(npts)
+            )
+            _minmax_xy(u8, vert_starts, acc)
+            cursor[active] = cs + 4 + 16 * npts
+            remaining[active] -= 1
+        return True
+
+    return False  # MultiPolygon / unknown: general path validates
+
+
 def arrow_column_bbox(column) -> list[float] | None:
     """Bounding box ``[x1, y1, x2, y2]`` of a pyarrow (Chunked)Array of
     WKB blobs, or ``None`` if every value is null.  This is the batch
-    kernel the GeoParquet footer stamp runs per file: blobs are sliced
-    ZERO-COPY out of each chunk's flat Arrow data buffer (offsets
-    vector + one memoryview — no ``to_pylist`` bytes copies) and each
-    blob's vertices reduce through :func:`wkb_bbox`'s vectorized
-    ``np.frombuffer`` path, so stamping a million-geometry file never
-    builds a Python tuple per vertex."""
+    kernel the GeoParquet footer stamp runs per file: homogeneous
+    little-endian chunks (the GeoParquet norm — one geometry type per
+    column) fold through :func:`_chunk_bbox_vectorized`, a whole-chunk
+    numpy gather with NO per-blob Python at all; big-endian, mixed, or
+    MultiPolygon chunks fall back to zero-copy per-blob slices through
+    :func:`wkb_bbox` (structure-only Python, vectorized vertex reads).
+    Either way, stamping a million-geometry file never builds a Python
+    tuple per vertex."""
     import numpy as np
     import pyarrow as pa
 
     chunks = column.chunks if isinstance(column, pa.ChunkedArray) else [column]
-    x1 = y1 = np.inf
-    x2 = y2 = -np.inf
-    seen = False
+    acc = [np.inf, np.inf, -np.inf, -np.inf]
     for chunk in chunks:
         if len(chunk) == 0:
             continue
@@ -305,20 +416,28 @@ def arrow_column_bbox(column) -> list[float] | None:
         offs = np.frombuffer(chunk.buffers()[1], dtype=off_dtype)[
             chunk.offset : chunk.offset + len(chunk) + 1
         ]
-        data = memoryview(chunk.buffers()[2])
+        buf = chunk.buffers()[2]
+        u8 = np.frombuffer(buf, dtype=np.uint8, count=buf.size)
+        nonempty = offs[:-1] != offs[1:]
+        if not nonempty.any():
+            continue
+        # fast path needs every blob non-empty (nulls already dropped;
+        # a zero-length blob is malformed and the general path raises)
+        if bool(nonempty.all()) and _chunk_bbox_vectorized(u8, offs, acc):
+            continue
+        # general path: zero-copy per-blob slices, vectorized vertices
+        data = memoryview(buf)
         for i in range(len(chunk)):
-            blob = data[offs[i] : offs[i + 1]]
-            if len(blob) == 0:
+            if offs[i] == offs[i + 1]:
                 continue
-            bx1, by1, bx2, by2 = wkb_bbox(blob)
-            x1 = min(x1, bx1)
-            y1 = min(y1, by1)
-            x2 = max(x2, bx2)
-            y2 = max(y2, by2)
-            seen = True
-    if not seen:
+            bx1, by1, bx2, by2 = wkb_bbox(data[offs[i] : offs[i + 1]])
+            acc[0] = min(acc[0], bx1)
+            acc[1] = min(acc[1], by1)
+            acc[2] = max(acc[2], bx2)
+            acc[3] = max(acc[3], by2)
+    if acc[0] > acc[2]:
         return None
-    return [float(x1), float(y1), float(x2), float(y2)]
+    return [float(a) for a in acc]
 
 
 def _with_fields(base: T.StructType, extra: list[T.StructField]) -> T.StructType:
