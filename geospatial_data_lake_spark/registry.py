@@ -82,35 +82,18 @@ _LOADED = False
 # not listed keeps its registration order after the prioritized prefix;
 # nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # first driver check: new in r8
-    "geo09_wkb_multipolygon_holes",
-    "vs15_spec_evolution_read",
-    "geo10_wkb_polyline_length",
-    "vs16_spec_rewrite_read",
-    "ss09_ivfpq_refined_search",
-    "geo11_geoparquet_roundtrip",
-    "st04_stream_geo_ingest",
-    "geo12_st_functions",
-    "pk02_shard_manifest",
-    "em03_matryoshka_prefix_search",
-    "mx03_token_budget_plan",
-    # re-proof: dedup dispatch rewrite (_is_saturated + allpairs cutoff)
-    "dd04_minhash_lsh_pairs",
-    "dd03_jaccard_pairs",
-    "dd09_incremental_dedup",
-    "dd11_indexed_incremental_dedup",
-    "dd12_dispatched_incremental",
-    # re-proof: IVFPQ chain (IN-list probe, build stamps, weak store)
-    "ss06_ivfpq_search",
-    "ss07_ivfpq_residual_search",
-    "ss08_persisted_ivfpq_search",
-    # re-proof: per-session vocab store / hardened WKB decode
-    "vb03_bpe_tokenize",
-    "geo08_wkb_point_in_polygon",
-    # re-proof: manifest-lake family over the changed commit path
-    # (spec registry + per-file stamps + props ride _try_commit; reads
-    # go through the spec-aware _resolve_files; fast_forward idempotent)
+    # ---- r9 prefix: first driver check = new in r9 ----
+    "vs17_partition_column_evolution_read",
+    # re-proof: the ENTIRE lake family — r9 rewrote the rewrite paths
+    # (era-exact routing by source-file key in upsert/delete_where/
+    # delete_where_eq/overwrite_where/compact, era-independent
+    # _pk_from_hex, spec_columns riding _try_commit/restore, the
+    # fast_forward TOCTOU fix) — every vs/st query drives that
+    # machinery end-to-end
     "vs01_manifest_merge_roundtrip",
+    "vs02_manifest_time_travel",
+    "vs03_manifest_change_feed",
+    "vs04_clustered_pruned_read",
     "vs05_bloom_point_read",
     "vs06_incremental_view_maintenance",
     "vs07_replace_where",
@@ -121,9 +104,25 @@ _PRIORITY: tuple[str, ...] = (
     "vs12_tagged_snapshot_read",
     "vs13_wap_publish",
     "vs14_branch_divergence",
+    "vs15_spec_evolution_read",
+    "vs16_spec_rewrite_read",
     "st01_stream_lake_merge",
     "st02_stream_dedup_ingest",
     "st03_stream_volume_monitor",
+    "st04_stream_geo_ingest",
+    # re-proof: geoparquet/wkb module (whole-chunk vectorized footer
+    # stamp, post-stamp verification, cross-file footer consistency)
+    "geo11_geoparquet_roundtrip",
+    "geo08_wkb_point_in_polygon",
+    "geo09_wkb_multipolygon_holes",
+    "geo10_wkb_polyline_length",
+    # re-proof: geometry fold degenerate-ring guard / mx03 integer-div
+    # budget / ss09 oracle-splice hardening / dedup sample cap
+    "geo12_st_functions",
+    "mx03_token_budget_plan",
+    "ss09_ivfpq_refined_search",
+    "dd04_minhash_lsh_pairs",
+    "dd12_dispatched_incremental",
     # family canaries
     "dd01_exact_dedup_summary",
     "dd10_substring_spans",
@@ -132,15 +131,25 @@ _PRIORITY: tuple[str, ...] = (
     "geo07_nearest_within_radius",
     "cl01_kmeans_train",
     "ss01_cosine_topk",
-    "ss04_ivf_trained_ann",
     "ss05_pq_adc_search",
+    "ss06_ivfpq_search",
+    "ss08_persisted_ivfpq_search",
     "em02_product_quantization",
+    "em03_matryoshka_prefix_search",
     "vb01_vocab_coverage",
+    "vb03_bpe_tokenize",
     "dq01_ks_drift",
     "pk01_sequence_packing",
+    "pk02_shard_manifest",
     "tpch_q9_product_profit",
     "j07_star_join_broadcast",
+    "o04_topk",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
+    "dd03_jaccard_pairs",
+    "dd09_incremental_dedup",
+    "dd11_indexed_incremental_dedup",
+    "ss04_ivf_trained_ann",
+    "ss07_ivfpq_residual_search",
     "a08_rollup",
     "dq03_referential_integrity",
     "dq04_chi2_drift",
@@ -157,7 +166,6 @@ _PRIORITY: tuple[str, ...] = (
     "mm02_decode_features",
     "mm03_frame_sample",
     "pr01_link_pagerank",
-    "o04_topk",
     "tx07_winnowing_fingerprints",
     "t03_session_window",
     "s01_point_lookup",

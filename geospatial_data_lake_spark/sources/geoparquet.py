@@ -34,20 +34,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from geospatial_data_lake_spark.sources.fsio import (
+    is_local,
+    list_parquet_files as _parquet_files,
+    read_parquet_schema,
+)
+
 GEO_KEY = b"geo"
 _VERSION = "1.0.0"
-
-
-def _parquet_files(path: str) -> list[str]:
-    """Every data file under ``path``, recursively — partitioned writes
-    put files in subdirectories, so a flat listdir would silently skip
-    them (stamping nothing, pruning nothing)."""
-    out: list[str] = []
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                out.append(os.path.join(root, f))
-    return sorted(out)
 
 
 @dataclass(frozen=True)
@@ -100,6 +94,12 @@ def write_geoparquet(
     violated contract LOUD: every listed file is re-checked for the
     ``geo`` footer key and a missing stamp raises rather than leaving
     a silently unprunable (but readable) dataset."""
+    if not is_local(path):
+        raise ValueError(
+            f"write_geoparquet requires a shared POSIX filesystem path, "
+            f"got {path!r}: the footer stamp rewrites files in place "
+            f"(reads are object-store capable — see sources/fsio.py)"
+        )
     for col in geometry_columns:
         if col not in df.columns:
             raise ValueError(f"geometry column {col!r} not in DataFrame")
@@ -153,12 +153,10 @@ def write_geoparquet(
     # on a non-shared filesystem the executor-side rewrites hit other
     # copies of the path and the dataset would stay valid parquet but
     # silently unstamped (no spatial pruning, wrong file contract)
-    import pyarrow.parquet as pq
-
     unstamped = [
         fp
         for fp in _parquet_files(path)
-        if GEO_KEY not in (pq.read_schema(fp).metadata or {})
+        if GEO_KEY not in (read_parquet_schema(fp).metadata or {})
     ]
     if unstamped:
         raise RuntimeError(
@@ -194,12 +192,10 @@ def read_geoparquet_meta(path: str, validate_all: bool = True) -> GeoParquetMeta
     are expected to differ).  A dataset assembled by mixed writers
     with drifting geometry declarations raises instead of being read
     under the first file's contract."""
-    import pyarrow.parquet as pq
-
     files = _parquet_files(path)
     if not files:
         raise ValueError(f"no parquet files under {path}")
-    schema = pq.read_schema(files[0])
+    schema = read_parquet_schema(files[0])
     meta = schema.metadata or {}
     if GEO_KEY not in meta:
         raise ValueError(
@@ -218,7 +214,7 @@ def read_geoparquet_meta(path: str, validate_all: bool = True) -> GeoParquetMeta
     if validate_all and len(files) > 1:
         contract = _contract_view(doc)
         for fp in files[1:]:
-            fmeta = pq.read_schema(fp).metadata or {}
+            fmeta = read_parquet_schema(fp).metadata or {}
             if GEO_KEY not in fmeta:
                 raise ValueError(
                     f"heterogeneous GeoParquet dataset: {fp!r} carries "
@@ -280,11 +276,9 @@ def file_bbox_filter(
     window (files without a bbox are conservatively kept) — the reader-
     side analog of manifest min/max pruning, O(files) footer reads with
     zero data IO."""
-    import pyarrow.parquet as pq
-
     keep: list[str] = []
     for fp in _parquet_files(path):
-        meta = pq.read_schema(fp).metadata or {}
+        meta = read_parquet_schema(fp).metadata or {}
         if GEO_KEY not in meta:
             keep.append(fp)
             continue

@@ -2338,3 +2338,37 @@ def should_keep_property_semantics_across_branches_restore_and_gc(
     assert mt.properties_at("keep")["owner"] == "bob"
     with pytest.raises(NotFoundError):
         mt.properties_at(1)
+
+
+def should_evolve_partition_columns_remove_field(spark, tmp_path):
+    """Iceberg remove-partition-field: evolve (part, cat) -> (part,).
+    Old two-column partitions stay addressable; new appends route
+    one-column keys; reads, cross-era upsert, and delete stay exact."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["part", "cat"],
+    )
+    mt.append(_mk4(spark, [(i, "a" if i % 2 else "b", f"c{i % 2}", f"w{i}")
+                           for i in range(8)]))
+    mt.evolve_partition_spec({}, partition_by=["part"])
+    assert mt.partition_by == ["part"]
+    mt.append(_mk4(spark, [(i, "a", "c0", f"w{i}") for i in range(100, 104)]))
+
+    import json as _json
+
+    arities = {len(_json.loads(k)) for k in mt.partition_files()}
+    assert arities == {1, 2}  # both eras coexist
+    assert {r.id for r in mt.read().collect()} == (
+        set(range(8)) | set(range(100, 104))
+    )
+    # cross-era upsert: old-era key must not duplicate
+    mt.upsert(_mk4(spark, [(3, "a", "c1", "NEW")]))
+    rows = mt.read().filter(F.col("id") == 3).collect()
+    assert len(rows) == 1 and rows[0].v == "NEW"
+    # cross-era delete
+    mt.delete_where(F.col("id").isin(2, 101))
+    assert {r.id for r in mt.read().collect()} == (
+        set(range(8)) | set(range(100, 104))
+    ) - {2, 101}

@@ -800,3 +800,57 @@ def should_reject_heterogeneous_geoparquet_footers(spark, tmp_path):
         read_geoparquet_meta(path)
     shutil.move(backup, victim)
     read_geoparquet_meta(path)
+
+
+def should_read_geoparquet_datasets_through_filesystem_uris(spark, tmp_path):
+    """Object-store seam: listing and footer reads route through
+    pyarrow.fs, so a GeoParquet dataset addressed by URI (file:// here;
+    s3://, gs://, hdfs:// by the same interface) lists, validates, and
+    bbox-prunes without local-FS assumptions — and the returned file
+    refs keep the scheme so Spark's own connectors resolve them.  The
+    write path stays a POSIX contract and rejects URIs loudly."""
+    import pytest
+
+    from geospatial_data_lake_spark.sources.fsio import (
+        is_local,
+        list_parquet_files,
+        scheme_of,
+    )
+    from geospatial_data_lake_spark.sources.geoparquet import (
+        file_bbox_filter,
+        read_geoparquet_meta,
+        write_geoparquet,
+    )
+    from geospatial_data_lake_spark.sources.wkb_source import (
+        points_to_wkb,
+        wkb_to_points,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, float(i), float(i % 5)) for i in range(40)],
+        "id long, px double, py double",
+    )
+    wkb = points_to_wkb(pts, "px", "py").drop("px", "py")
+    path = str(tmp_path / "gp_uri")
+    write_geoparquet(wkb.repartitionByRange(4, "id"), path, {"wkb": ["Point"]})
+
+    uri = "file://" + path
+    assert scheme_of(uri) == "file://" and is_local(uri)
+    files = list_parquet_files(uri)
+    assert len(files) == 4 and all(f.startswith("file:///") for f in files)
+
+    meta = read_geoparquet_meta(uri)  # footer reads through pyarrow.fs
+    assert meta.primary_column == "wkb"
+    pruned = file_bbox_filter(uri, "wkb", 10.0, -1.0, 30.0, 10.0)
+    assert 0 < len(pruned) < 4 and all(f.startswith("file://") for f in pruned)
+    got = {
+        r.id
+        for r in wkb_to_points(spark.read.parquet(*pruned), "wkb")
+        .filter(F.col("x").between(10.0, 30.0))
+        .collect()
+    }
+    assert got == set(range(10, 31))
+
+    # the in-place stamp write rejects non-POSIX addressing loudly
+    with pytest.raises(ValueError, match="POSIX"):
+        write_geoparquet(wkb, "s3://bucket/ds", {"wkb": ["Point"]})
