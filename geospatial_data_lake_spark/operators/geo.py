@@ -322,8 +322,12 @@ def point_in_ring(ring: Column, px: Column, py: Column) -> Column:
     (array<struct<x,y>>) via `aggregate` — handles any simple polygon.
     NOTE: Spark interprets higher-order lambdas row-at-a-time (~6 us per
     evaluation); inside a high-fanout join prefer ``unrolled_ray_cast``
-    with a fixed vertex budget."""
-    return F.aggregate(
+    with a fixed vertex budget.
+
+    Degenerate 0/1-vertex rings contain nothing (guarded: an unguarded
+    ``sequence(1, size-1)`` DESCENDS for size < 2 and
+    ``element_at(ring, 0)`` raises at runtime)."""
+    return F.when(F.size(ring) < 2, F.lit(False)).otherwise(F.aggregate(
         F.sequence(F.lit(1), F.size(ring) - 1),
         F.lit(0),
         lambda acc, i: acc
@@ -352,7 +356,7 @@ def point_in_ring(ring: Column, px: Column, py: Column) -> Column:
             ),
             F.lit(1),
         ).otherwise(F.lit(0)),
-    ) % 2 == 1
+    ) % 2 == 1)
 
 
 def unrolled_ray_cast(ring: Column, px: Column, py: Column, n_edges: int) -> Column:
@@ -1115,12 +1119,17 @@ def geo10_wkb_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.element_at(path, i + 1)["y"] - F.element_at(path, i)["y"])
         * (F.element_at(path, i + 1)["y"] - F.element_at(path, i)["y"])
     )
+    # guard: a single-vertex LineString is legal WKB; an unguarded
+    # sequence(1, 0) descends and element_at(path, 0) raises
     length = F.round(
-        F.aggregate(
-            F.sequence(F.lit(1), F.size(path) - 1),
-            F.lit(0.0),
-            lambda acc, i: acc + seg(i),
-        ),
+        F.when(
+            F.size(path) >= 2,
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(path) - 1),
+                F.lit(0.0),
+                lambda acc, i: acc + seg(i),
+            ),
+        ).otherwise(F.lit(0.0)),
         4,
     )
     return decoded.select(

@@ -1135,3 +1135,18 @@ def should_fold_degenerate_rings_to_zero_not_raise(spark):
     assert rows["single"].area == 0.0 and rows["single"].sarea == 0.0
     assert rows["single"].length == 0.0
     assert rows["null"].area is None and rows["null"].length is None
+
+    # the ray cast shares the hazard: degenerate rings contain nothing
+    from geospatial_data_lake_spark.operators.geo import point_in_ring
+
+    pin = {
+        r.name: r.inside
+        for r in df.select(
+            "name",
+            point_in_ring(F.col("ring"), F.lit(0.5), F.lit(0.5)).alias(
+                "inside"
+            ),
+        ).collect()
+    }
+    assert pin["empty"] is False and pin["single"] is False
+    assert pin["null"] is None
