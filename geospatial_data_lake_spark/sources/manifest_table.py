@@ -2173,6 +2173,24 @@ class ManifestTable:
             if not any(partitions.values()):
                 return None
             df = self._effective_df(manifest)
+            # a partition column added by COLUMN evolution may predate
+            # every file: surface data columns as typed NULLs and
+            # derive MISSING transform columns (existing stored values
+            # stay untouched — optimize is a pure rewrite) so the
+            # routing expression resolves
+            dftypes = {
+                f.name: f.dataType
+                for f in T.StructType.fromDDL(manifest["schema_ddl"]).fields
+            }
+            for c in self.partition_by:
+                if c in df.columns:
+                    continue
+                if c in self.partition_transforms:
+                    df = df.withColumn(c, self._transform_expr(c))
+                else:
+                    df = df.withColumn(
+                        c, F.lit(None).cast(dftypes.get(c, T.StringType()))
+                    )
             keyed = df.withColumn(_PK_COL, self._pk_expr())
             if probs:
                 cuts = keyed.groupBy(_PK_COL).agg(

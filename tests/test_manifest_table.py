@@ -2372,3 +2372,30 @@ def should_evolve_partition_columns_remove_field(spark, tmp_path):
     assert {r.id for r in mt.read().collect()} == (
         set(range(8)) | set(range(100, 104))
     ) - {2, 101}
+
+
+def should_optimize_column_evolved_table(spark, tmp_path):
+    """optimize after a column evolution: the clustering rewrite must
+    resolve its routing expression even when the added partition
+    column predates every file (typed NULLs / derived transform), keep
+    content intact, and implicitly migrate the key space."""
+    import json as _json
+
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(_mk4(spark, [(i, "a" if i % 2 else "b", f"c{i % 2}", f"w{i}")
+                           for i in range(12)]))
+    # add a DATA column and a TRANSFORM column to the key space with no
+    # new-era appends at all — the crash case the guard covers
+    mt.evolve_partition_spec(
+        {"ib": ("bucket", "id", 2)}, partition_by=["part", "cat", "ib"]
+    )
+    before = {(r.id, r.part, r.cat, r.v) for r in mt.read().collect()}
+    assert mt.optimize(sort_by=["id"], target_files=2) is not None
+    got = {(r.id, r.part, r.cat, r.v) for r in mt.read().collect()}
+    assert got == before
+    # fully migrated: every live partition keyed under the 3-column space
+    assert {len(_json.loads(k)) for k in mt.partition_files()} == {3}
+    # point read prunes on the derived bucket
+    assert {r.id for r in mt.read(where={"id": 7}).collect()} == {7}
