@@ -2315,6 +2315,33 @@ class ManifestTable:
                     return True
         return False
 
+    def _non_current_era_files(self, manifest: dict) -> dict[str, list[str]]:
+        """The sub-view of ``partitions`` holding only files NOT
+        provably keyed under the current column list: files stamped
+        with a spec whose column list differs, plus unstamped files
+        (rewrite output — era unknown).  When keys subsume the current
+        partition columns, ONLY these files can host a key's cross-era
+        "move", so the key-location probe scans the old-era remnant
+        instead of the whole table — the difference between O(table)
+        and O(unmigrated debt) per MERGE on a 100 TB table mid-
+        evolution."""
+        sc = manifest.get("spec_columns") or {}
+        cur_cols = list(
+            sc.get(str(manifest.get("current_spec", "0")), self.partition_by)
+        )
+        stats = manifest.get("stats", {})
+        out: dict[str, list[str]] = {}
+        for pk, files in manifest["partitions"].items():
+            keep = [
+                f
+                for f in files
+                if stats.get(f, {}).get("__spec") is None
+                or list(sc.get(str(stats[f]["__spec"]), [])) != cur_cols
+            ]
+            if keep:
+                out[pk] = keep
+        return out
+
     def _partitions_holding_keys(
         self, partitions: dict[str, list[str]], updates: DataFrame
     ) -> set[str]:
@@ -2394,12 +2421,17 @@ class ManifestTable:
             # unnecessary when keys subsume the partition spec (a key's
             # partition is a function of the key: it cannot move) AND
             # only one column era exists (across eras the same key
-            # routes to different partition keys, so it CAN "move")
-            if partitions and (
-                not keys_pin_partitions
-                or self._column_eras_mixed(manifest)
-            ):
+            # routes to different partition keys, so it CAN "move").
+            # When ONLY the era mixing forces the probe, scan just the
+            # non-current-era remnant: current-era files provably hold
+            # each key at its derived partition, which `touched`
+            # already covers.
+            if partitions and not keys_pin_partitions:
                 touched |= self._partitions_holding_keys(partitions, updates)
+            elif partitions and self._column_eras_mixed(manifest):
+                touched |= self._partitions_holding_keys(
+                    self._non_current_era_files(manifest), updates
+                )
 
             has_old = any(partitions.get(pkey) for pkey in touched)
             if has_old:

@@ -2399,3 +2399,45 @@ def should_optimize_column_evolved_table(spark, tmp_path):
     assert {len(_json.loads(k)) for k in mt.partition_files()} == {3}
     # point read prunes on the derived bucket
     assert {r.id for r in mt.read(where={"id": 7}).collect()} == {7}
+
+
+def should_probe_only_old_era_remnant_on_mixed_era_upsert(spark, tmp_path):
+    """With keys subsuming the partition columns, the mixed-era MERGE
+    probe scans only the NON-current-era remnant (old-stamp +
+    unstamped files) — current-era files provably hold each key at its
+    derived partition, which the update batch's own routing already
+    touches.  Correctness pin: a key duplicated across BOTH eras (old
+    partition + current derived partition, via blind appends) is fully
+    replaced by one upsert."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id", "part", "cat"],
+        partition_by=["part"],
+    )
+    mt.append(_mk4(spark, [(1, "a", "c0", "old-era"), (2, "b", "c1", "keep")]))
+    mt.evolve_partition_spec({}, partition_by=["part", "cat"])
+    # current-era DUPLICATE of key 1 (blind append never dedups)
+    mt.append(_mk4(spark, [(1, "a", "c0", "new-era-dup"), (3, "a", "c2", "x")]))
+    assert mt.read().filter(F.col("id") == 1).count() == 2  # both eras
+
+    # the probe view: era-1 files only (stamped "0"), not the new append
+    _gen, manifest = mt._current()
+    remnant = mt._non_current_era_files(manifest)
+    all_files = {f for fs in manifest["partitions"].values() for f in fs}
+    rem_files = {f for fs in remnant.values() for f in fs}
+    assert rem_files and rem_files < all_files
+    cur = manifest["current_spec"]
+    for f in rem_files:
+        assert str(manifest["stats"][f].get("__spec")) != str(cur)
+
+    v = mt.upsert(_mk4(spark, [(1, "a", "c0", "FINAL")]))
+    rows = mt.read().filter(F.col("id") == 1).collect()
+    assert len(rows) == 1 and rows[0].v == "FINAL", rows
+    assert {r.v for r in mt.read().collect()} == {"FINAL", "keep", "x"}
+    # idempotent second upsert still resolves to one row
+    mt.upsert(_mk4(spark, [(1, "a", "c0", "FINAL2")]))
+    assert [r.v for r in mt.read().filter(F.col("id") == 1).collect()] == [
+        "FINAL2"
+    ]
+    assert mt.current_version() == v + 1
