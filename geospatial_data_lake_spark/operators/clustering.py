@@ -1052,7 +1052,9 @@ def encode_with_ivfpq_model(
     return enc.select("vec_id", "cid", *[f"code{j}" for j in range(_PQ_M)])
 
 
-def append_to_ivfpq_index(codes, model, batch: DataFrame) -> int:
+def append_to_ivfpq_index(
+    codes, model, batch: DataFrame, txn: tuple[str, int] | None = None
+) -> int:
     """INCREMENTAL index maintenance — the ingest path of a production
     ANN deployment: new vectors are encoded against the STORED model
     (no retraining; coarse assignment + residual PQ codes in one
@@ -1061,10 +1063,15 @@ def append_to_ivfpq_index(codes, model, batch: DataFrame) -> int:
     isolated, re-sending a batch is a no-op state-wise).  Periodic
     retraining remains a rebuild — exactly FAISS's add/train split.
     The shared build stamp is validated first: appending to a codes
-    table with a mismatched model would corrupt the index."""
+    table with a mismatched model would corrupt the index.
+
+    ``txn=(app_id, batch_version)`` passes through to the MERGE for
+    per-writer idempotency — the contract a streaming index-maintenance
+    sink needs when Structured Streaming replays a micro-batch after a
+    crash (st05)."""
     coarse, cents_per_sub = load_ivfpq_model(model, codes=codes)
     return codes.upsert(
-        encode_with_ivfpq_model(batch, coarse, cents_per_sub)
+        encode_with_ivfpq_model(batch, coarse, cents_per_sub), txn=txn
     )
 
 
@@ -1237,12 +1244,16 @@ def ss08_persisted_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted-index probe shared by ss08/ss09: stamp-validated
-    model load, IN-list pruned codes read, broadcast residual query
-    block, per-candidate residual ADC sum.  Returns (q_id, c_id, adc)
-    for every candidate in the probed cells."""
-    codes, model = _ivfpq_store(spark, sf_dir)
+def _ivfpq_adc_candidates(
+    spark: SparkSession, sf_dir: str, store: tuple | None = None
+) -> DataFrame:
+    """The persisted-index probe shared by ss08/ss09/st05:
+    stamp-validated model load, IN-list pruned codes read, broadcast
+    residual query block, per-candidate residual ADC sum.  Returns
+    (q_id, c_id, adc) for every candidate in the probed cells.
+    ``store`` overrides the session index (st05 probes its own
+    stream-maintained codes table)."""
+    codes, model = store if store is not None else _ivfpq_store(spark, sf_dir)
     coarse, cents_per_sub = load_ivfpq_model(model, codes=codes)
     e = tables(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1405,6 +1416,130 @@ def ss09_ivfpq_refined_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "c_id",
             F.round("ex_dist", 4).alias("exact_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+# -- st05: streaming ANN index maintenance — delete + exactly-once re-ingest --
+
+_IVFPQ_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_streamed_ivfpq(spark: SparkSession, sf_dir: str) -> tuple:
+    """The full ANN index MAINTENANCE CYCLE as a streaming pipeline:
+    build the persisted residual-IVFPQ index, EVICT a quarter of the
+    corpus in index terms (one equality-delete commit — FAISS
+    remove_ids with lake merge-on-read semantics), then stream the
+    evicted vectors back as an UNORDERED 4-micro-batch file stream:
+    each micro-batch encodes against the STORED model inside
+    ``append_to_ivfpq_index`` and MERGEs into its inverted-list
+    partitions txn-stamped.  A second pass over the whole stream with a
+    FRESH checkpoint (the crash-replay worst case: every batch
+    redelivered) must mint ZERO new commits — guarded here, raising if
+    idempotency ever breaks.
+
+    Because encode-against-stored-model is deterministic, the
+    maintained index must be BIT-IDENTICAL to the never-touched build —
+    which is what lets st05 reuse ss08's oracle verbatim: any drift in
+    delete application, the Iceberg sequence rule (re-appended rows
+    must survive the older delete files), txn replay, or the encode
+    path breaks the hash."""
+    import tempfile
+
+    cache = _IVFPQ_STREAMED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    root = tempfile.mkdtemp(prefix="gdl_ivfpq_stream_")
+    codes, model = build_ivfpq_index(spark, sf_dir, os.path.join(root, "idx"))
+    codes.delete_where_eq(F.pmod(F.col("vec_id"), 4) == 3)
+
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    arrivals = e.filter(F.pmod(F.col("vec_id"), 4) == 3)
+    src = os.path.join(root, "src")
+    for b in range(4):  # hash-split: deliberately NOT id-ordered
+        arrivals.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), 4) == b
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        append_to_ivfpq_index(codes, model, batch, txn=("st05", batch_id))
+
+    (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    v_after = codes.current_version()
+    # crash-replay worst case: a fresh checkpoint redelivers EVERY
+    # micro-batch with the same monotone ids — all must no-op
+    (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(root, "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if codes.current_version() != v_after:  # survives python -O
+        raise RuntimeError(
+            "replayed micro-batches minted new index commits: txn "
+            "idempotency broken in the streaming maintenance sink"
+        )
+    cache[sf_dir] = (codes, model)
+    return cache[sf_dir]
+
+
+@register(
+    "st05_stream_ann_index_maintenance",
+    oracle=_ivfpq_residual_oracle(),
+    tags=("similarity", "ann", "lake", "streaming", "ingest"),
+)
+def st05_stream_ann_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ANN INDEX MAINTENANCE end-to-end: ss08's persisted
+    index loses a quarter of its vectors to an equality-delete evict,
+    gets them back through an unordered exactly-once micro-batch
+    stream (encode-against-stored-model per batch, txn-stamped MERGE
+    into the inverted-list partitions, full crash-replay pass guarded
+    to zero commits), and then serves the SAME search as the untouched
+    batch build — the oracle is ss07/ss08's verbatim, so the hash gate
+    certifies the whole maintenance cycle is invisible to readers:
+    delete application, the sequence rule keeping re-appended rows
+    alive against older delete files, deterministic re-encode, and
+    replay idempotency all in one gate.
+
+    Scale shape: each micro-batch pays O(batch x m codeword argmins) to
+    encode + the table's O(touched inverted lists) MERGE — never
+    corpus-sized; the serve path is ss08's IN-list partition-pruned
+    single scan, unchanged."""
+    from pyspark.sql import Window
+
+    store = _build_streamed_ivfpq(spark, sf_dir)
+    cand = _ivfpq_adc_candidates(spark, sf_dir, store=store)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc(), F.col("c_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 4).alias("adc_dist"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
         .orderBy("q_id", "rnk")
