@@ -1466,6 +1466,161 @@ def vs17_partition_column_evolution_read(
     )
 
 
+# -- vs18: CDC replication — change-feed apply into a replica table -----------
+
+_CDC_REPLICATED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cdc_pull(src: ManifestTable, replica: ManifestTable, cursor: int) -> int:
+    """One replication pull: consume ``src.changes_since(cursor)`` and
+    apply it to ``replica`` — upserts for insert/update_postimage rows
+    (txn-stamped with the new cursor, so a crash-replayed pull is a
+    no-op), equality-deletes for delete rows (naturally idempotent:
+    re-deleting absent keys commits nothing).  The change feed is a NET
+    per-key classification over the span, so upserts and deletes touch
+    disjoint keys and apply in either order.  Returns the new cursor.
+
+    Scale shape: the feed is O(changed partitions) to derive; the apply
+    is one keyed MERGE + one O(deleted keys) metadata commit.  Deleted
+    keys pass through the driver (bounded by the delta's deletions —
+    the CDC-batch contract), never table-sized."""
+    delta, new_cursor = src.changes_since(cursor)
+    if new_cursor == cursor:
+        return cursor
+    ups = delta.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    del_keys = [
+        r.o_orderkey
+        for r in delta.filter(F.col("_change_type") == "delete")
+        .select("o_orderkey")
+        .collect()
+    ]
+    replica.upsert(ups, txn=("vs18-replica", new_cursor))
+    if del_keys:
+        replica.delete_where_eq(F.col("o_orderkey").isin(del_keys))
+    return new_cursor
+
+
+def _build_cdc_replica(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """Source table commit sequence interleaved with replication pulls,
+    ending with an at-head no-op pull and a crash-replay re-apply of an
+    already-consumed span (both guarded to zero replica commits)."""
+    cache = _CDC_REPLICATED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    base = t.orders.select(*_COLS)
+    src = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_cdcsrc_"),
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    # the replica lives under a DIFFERENT physical layout — replication
+    # is logical (keys + rows), not a file copy
+    replica = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="gdl_lake_cdcdst_"),
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    cursor = 0
+    src.append(base.filter(F.col("o_orderkey") % 7 < 5))
+    cursor = _cdc_pull(src, replica, cursor)
+    src.upsert(
+        base.filter(
+            (F.col("o_orderkey") % 7 < 5) & (F.col("o_orderkey") % 100 == 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    src.delete_where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 3)
+    )
+    cursor = _cdc_pull(src, replica, cursor)
+    mid_cursor = cursor
+    src.upsert(base.filter(F.col("o_orderkey") % 7 == 5))
+    cursor = _cdc_pull(src, replica, cursor)
+
+    v_final = replica.current_version()
+    # at head: the pull is a no-op and reads no files
+    if _cdc_pull(src, replica, cursor) != cursor:
+        raise RuntimeError("at-head CDC pull advanced the cursor")
+    # crash-replay: re-applying an ALREADY-CONSUMED span must commit
+    # nothing (the txn stamp makes the upsert a no-op; re-deleting
+    # absent keys commits nothing)
+    replayed = src.changes(0, mid_cursor)
+    replica.upsert(
+        replayed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type"),
+        txn=("vs18-replica", mid_cursor),
+    )
+    if replica.current_version() != v_final:
+        raise RuntimeError(
+            "replayed CDC span minted replica commits: txn idempotency "
+            "broken in the replication apply"
+        )
+    cache[sf_dir] = replica
+    return replica
+
+
+@register(
+    "vs18_cdc_replication_read",
+    oracle="""
+        WITH doubled AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 0
+                        THEN o_totalprice * 2 ELSE o_totalprice
+                   END AS o_totalprice,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 7 < 5
+        ),
+        kept AS (
+            SELECT * FROM doubled
+            WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        ),
+        latecomers AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 7 = 5
+        )
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM latecomers)
+        ORDER BY o_orderkey
+    """,
+    tags=("lake", "manifest", "cdc", "replication"),
+)
+def vs18_cdc_replication_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION end-to-end — the Delta-CDF -> downstream-table
+    pattern every lakehouse runs: a source table goes through
+    append -> price-doubling MERGE -> partition-pruned DELETE -> late
+    MERGE while a replica (under a DIFFERENT partition layout) applies
+    ``changes_since`` pulls — upserts txn-stamped per cursor,
+    equality-deletes for removed keys — with an at-head no-op pull and
+    a crash-replayed span both guarded to zero replica commits.  The
+    oracle replays the source's logical history over the raw parquet,
+    so the hash certifies the replica converged to exactly the source
+    state through the incremental feed alone (no full-table copy, no
+    drift from the delete or replay paths).
+
+    Ref analog: the import-status view consumed Step Function state
+    transitions incrementally (backend/import_status/get.py:39-94);
+    this is the same consume-once cursor contract over table commits."""
+    replica = _build_cdc_replica(spark, sf_dir)
+    return (
+        replica.read()
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # -- st04: streaming geospatial ingest — WKB stream -> cell rollup lake -------
 
 _GEO_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (

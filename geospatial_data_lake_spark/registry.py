@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     # ---- r9 prefix: first driver check = new in r9 ----
     "vs17_partition_column_evolution_read",
     "st05_stream_ann_index_maintenance",
+    "vs18_cdc_replication_read",
     # re-proof: the ENTIRE lake family — r9 rewrote the rewrite paths
     # (era-exact routing by source-file key in upsert/delete_where/
     # delete_where_eq/overwrite_where/compact, era-independent
@@ -143,8 +144,8 @@ _PRIORITY: tuple[str, ...] = (
     "pk01_sequence_packing",
     "pk02_shard_manifest",
     "tpch_q9_product_profit",
-    "j07_star_join_broadcast",
     # --- 50-entry mark; proven rows retired from the checked prefix ---
+    "j07_star_join_broadcast",
     "o04_topk",
     "dd03_jaccard_pairs",
     "dd09_incremental_dedup",

@@ -77,6 +77,7 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "ss09_ivfpq_refined_search": (None, "ann"),
     "vs16_spec_rewrite_read": (None, "lake"),
     "st04_stream_geo_ingest": (None, "stream"),
+    "st05_stream_ann_index_maintenance": (None, "stream"),
     "em03_matryoshka_prefix_search": (None, "ann"),
     "mx03_token_budget_plan": (None, "pipeline"),
     "geo12_st_functions": (
