@@ -579,6 +579,24 @@ class ManifestTable:
         return out
 
     # -- single-job batch write + stats --------------------------------------
+    def _require_partition_columns(self, batch: DataFrame) -> None:
+        """Fail fast when a write batch omits a partition DATA column
+        (e.g. one added by partition-column evolution) — the routing
+        expression would otherwise fail analysis deep inside the write.
+        Transform columns derive automatically and are exempt."""
+        missing = [
+            c
+            for c in self.partition_by
+            if c not in batch.columns and c not in self.partition_transforms
+        ]
+        if missing:
+            raise ValueError(
+                f"write batch lacks partition column(s) {missing}: "
+                f"after a partition-column evolution every batch must "
+                f"carry the new data column(s) (transforms derive "
+                f"automatically)"
+            )
+
     def _write_partitioned(
         self, df: DataFrame, batch_dir: str, pk_expr=None
     ) -> dict[str, str]:
@@ -592,6 +610,19 @@ class ManifestTable:
         spec's partition tuple) — equality-delete key files route by
         the HOLDING file's era-exact hex so old-era partitions stay
         addressable after a partition-column evolution."""
+        if pk_expr is None:
+            missing = [
+                c
+                for c in self.partition_by
+                if c not in df.columns and c not in self.partition_transforms
+            ]
+            if missing:
+                raise ValueError(
+                    f"write batch lacks partition column(s) {missing}: "
+                    f"after a partition-column evolution every batch "
+                    f"must carry the new data column(s) (transforms "
+                    f"derive automatically)"
+                )
         out = os.path.join(self._data, batch_dir)
         (
             df.withColumn(
@@ -1761,6 +1792,7 @@ class ManifestTable:
             return gen0
         # era-pure batch: every derived value computed under THIS spec
         batch_sid = str(head.get("current_spec", "0")) if head else "0"
+        self._require_partition_columns(batch)
         batch = self._with_partition_transforms(batch)
         enforced = dict(head.get("constraints", {})) if head else {}
         self._enforce(batch, enforced)
@@ -1987,6 +2019,7 @@ class ManifestTable:
             return gen0
         if head is None:
             raise NotFoundError(f"table never committed: {self.root}")
+        self._require_partition_columns(batch)
         batch = self._with_partition_transforms(batch)
         enforced = dict(head.get("constraints", {})) if head else {}
         self._enforce(batch, enforced)
@@ -2388,6 +2421,7 @@ class ManifestTable:
         gen0, head = self._current()
         if self._txn_applied(head, txn):
             return gen0
+        self._require_partition_columns(updates)
         updates = self._with_partition_transforms(updates)
         enforced = dict(head.get("constraints", {})) if head else {}
         self._enforce(updates, enforced)

@@ -2441,3 +2441,35 @@ def should_probe_only_old_era_remnant_on_mixed_era_upsert(spark, tmp_path):
         "FINAL2"
     ]
     assert mt.current_version() == v + 1
+
+
+def should_reject_write_batch_lacking_evolved_partition_column(
+    spark, tmp_path
+):
+    """After a column evolution, a write batch that omits the new
+    partition DATA column must fail with a clear error before anything
+    is written — not an AnalysisException from deep inside the routing
+    expression.  Transform columns derive automatically and need no
+    batch column."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(_mk4(spark, [(1, "a", "c0", "x")]))
+    mt.evolve_partition_spec({}, partition_by=["part", "cat"])
+    narrow = spark.createDataFrame(
+        [(2, "a", "y")], "id long, part string, v string"
+    )
+    with pytest.raises(ValueError, match="lacks partition column"):
+        mt.append(narrow)
+    with pytest.raises(ValueError, match="lacks partition column"):
+        mt.upsert(narrow)
+    # a transform-only addition needs no batch column
+    mt2 = ManifestTable(
+        spark, str(tmp_path / "mt2"), key_cols=["id"], partition_by=["part"]
+    )
+    mt2.append(_mk4(spark, [(1, "a", "c0", "x")]))
+    mt2.evolve_partition_spec(
+        {"ib": ("bucket", "id", 2)}, partition_by=["part", "ib"]
+    )
+    mt2.append(_mk4(spark, [(2, "b", "c1", "y")]))  # derives ib itself
+    assert {r.id for r in mt2.read().collect()} == {1, 2}
