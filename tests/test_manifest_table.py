@@ -2473,3 +2473,63 @@ def should_reject_write_batch_lacking_evolved_partition_column(
     )
     mt2.append(_mk4(spark, [(2, "b", "c1", "y")]))  # derives ib itself
     assert {r.id for r in mt2.read().collect()} == {1, 2}
+
+
+def should_serialize_racing_upserts_against_column_evolution(
+    spark, tmp_path
+):
+    """Racing MERGE writers while the partition-COLUMN list evolves
+    mid-flight: every batch survives exactly once (no duplicate keys,
+    none lost), history is gap-free, and the final table reads exactly
+    whichever column era each upsert landed in."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "race_cols")
+    seed = ManifestTable(
+        spark, root, key_cols=["id"], partition_by=["part"]
+    )
+    seed.append(_mk4(spark, [(999, "x", "c9", "w999")]))
+
+    def write(i):
+        mt = ManifestTable(
+            spark, root, key_cols=["id"], partition_by=["part"]
+        )
+        return mt.upsert(
+            _mk4(
+                spark,
+                [
+                    (i * 10 + k, "a" if k % 2 else "b", f"c{k % 2}",
+                     f"w{i * 10 + k}")
+                    for k in range(4)
+                ],
+            )
+        )
+
+    def evolve(_):
+        mt = ManifestTable(
+            spark, root, key_cols=["id"], partition_by=["part"]
+        )
+        return mt.evolve_partition_spec({}, partition_by=["part", "cat"])
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(write, i) for i in range(4)]
+        futs.append(pool.submit(evolve, 0))
+        versions = [f.result() for f in futs]
+
+    assert sorted(versions) == list(range(2, 7))  # gap-free after seed
+    final = ManifestTable(
+        spark, root, key_cols=["id"], partition_by=["part"]
+    )
+    final.current_version()  # first head read syncs the active columns
+    assert final.partition_by == ["part", "cat"]
+    want = {999} | {i * 10 + k for i in range(4) for k in range(4)}
+    rows = final.read().collect()
+    assert {r.id for r in rows} == want
+    assert len(rows) == len(want)  # exactly once — no era duplication
+    # and a follow-up cross-era upsert of every key still converges
+    final.upsert(
+        _mk4(spark, [(i, "a", "c0", "FIN") for i in sorted(want)])
+    )
+    rows = final.read().collect()
+    assert len(rows) == len(want)
+    assert {r.v for r in rows} == {"FIN"}
