@@ -93,6 +93,7 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_compare_branch_heads_without_cartesian", "lake"),
     "vs15_spec_evolution_read": (None, "lake"),
     "vs17_partition_column_evolution_read": (None, "lake"),
+    "vs18_cdc_replication_read": (None, "lake"),
     "st03_stream_volume_monitor": (
         "should_score_volume_cells_not_raw_events", "stream"),
     "tpch_q9_product_profit": (None, "relational"),
