@@ -1021,7 +1021,8 @@ def _build_wap_lake(spark, sf_dir: str) -> ManifestTable:
         )
     )
     n_bad = bad.table.read().filter(F.col("o_totalprice") < 0).count()
-    assert n_bad > 0  # the audit sees the staged poison...
+    if n_bad == 0:  # the audit must SEE the staged poison (python -O safe)
+        raise RuntimeError("WAP audit failed to observe staged poison rows")
     mt.abort_staged(bad)  # ...and the parent never does
 
     # cycle 2: clean MERGE + append, audit passes, publish
@@ -1036,7 +1037,8 @@ def _build_wap_lake(spark, sf_dir: str) -> ManifestTable:
             (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 7 == 0)
         ).select(*_COLS)
     )
-    assert staged.table.read().filter(F.col("o_totalprice") < 0).count() == 0
+    if staged.table.read().filter(F.col("o_totalprice") < 0).count() != 0:
+        raise RuntimeError("WAP audit found poison in the clean cycle")
     mt.publish_staged(staged)
     cache[sf_dir] = mt
     return mt
