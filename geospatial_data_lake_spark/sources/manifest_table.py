@@ -342,11 +342,6 @@ class ManifestTable:
         return removed
 
     # -- partition-key codec -----------------------------------------------
-    @staticmethod
-    def _pkey(values: tuple) -> str:
-        """Canonical partition key: JSON list of cast-to-string values
-        (None survives as JSON null — null-safe, unlike str())."""
-        return json.dumps(list(values))
 
     def _pk_expr(self):
         """The derived routing column: every row's partition tuple as
@@ -376,15 +371,24 @@ class ManifestTable:
             )
         )
 
-    def _pk_from_hex(self, hexv: str) -> str:
+    @staticmethod
+    def _pk_from_hex(hexv: str) -> str:
         """Manifest partition key from a routing-directory hex — ERA-
         EXACT: the hex encodes the JSON doc {col: strval} in the
         partition-column order THE FILE WAS WRITTEN UNDER, so decoding
-        its values directly (not re-projecting through the handle's
-        current ``partition_by``) keeps old-era directories addressable
-        after a partition-COLUMN evolution."""
+        it directly (not re-projecting through the handle's current
+        ``partition_by``) keeps old-era directories addressable after a
+        partition-COLUMN evolution.  The key keeps the column NAMES,
+        not just the values: after a same-arity column evolution (e.g.
+        ``['region']→['city']``) two era directories can hold the same
+        VALUES under different columns, and a values-only key would
+        collapse them to one manifest entry — ``_write_partitioned``'s
+        one-dir-per-key ``produced`` map would then silently drop one
+        era's rewritten file from the commit (data loss).  Same-era
+        directories with equal tuples still coincide: ``to_json`` is
+        deterministic, so equal docs have equal hexes."""
         doc = json.loads(bytes.fromhex(hexv).decode("utf-8"))
-        return self._pkey(tuple(doc.values()))
+        return json.dumps(doc)
 
     @staticmethod
     def _src_hex_expr():
@@ -611,18 +615,7 @@ class ManifestTable:
         the HOLDING file's era-exact hex so old-era partitions stay
         addressable after a partition-column evolution."""
         if pk_expr is None:
-            missing = [
-                c
-                for c in self.partition_by
-                if c not in df.columns and c not in self.partition_transforms
-            ]
-            if missing:
-                raise ValueError(
-                    f"write batch lacks partition column(s) {missing}: "
-                    f"after a partition-column evolution every batch "
-                    f"must carry the new data column(s) (transforms "
-                    f"derive automatically)"
-                )
+            self._require_partition_columns(df)
         out = os.path.join(self._data, batch_dir)
         (
             df.withColumn(
@@ -659,10 +652,24 @@ class ManifestTable:
             return {}
         out = os.path.join(self._data, batch_dir)
         df = self._spark.read.option("mergeSchema", "true").parquet(out)
-        # path-based partition discovery may surface the routing column;
-        # the real partition columns are in the files — recompute from them
-        df = df.drop(_PK_COL)
-        return self._collect_stats(df)
+        # Group by the DISCOVERED routing directory (path-based partition
+        # discovery surfaces _PK_COL), never by re-deriving the current
+        # spec's _pk_expr: a rewrite batch routed era-exact (delete key
+        # files, cross-era upserts) holds old-era directories the current
+        # expression maps to DIFFERENT keys — re-deriving would leave
+        # those produced files without a stats entry and fold their rows
+        # into current-era entries.  Keying by directory matches
+        # ``produced``'s keys by construction (same hex, same decoder).
+        data = df.drop(_PK_COL)
+        proj, aggs, parse = self._meta_aggs(data.schema)
+        rows = (
+            df.withColumn(_PK_COL, F.col(_PK_COL).cast("string"))
+            .select(_PK_COL, *data.columns, *proj)
+            .groupBy(_PK_COL)
+            .agg(*aggs)
+            .collect()
+        )
+        return {self._pk_from_hex(r[_PK_COL]): parse(r) for r in rows}
 
     def _meta_aggs(
         self, schema: T.StructType
@@ -719,24 +726,6 @@ class ManifestTable:
             return entry
 
         return proj, aggs, parse
-
-    def _collect_stats(self, df: DataFrame) -> dict[str, dict[str, list]]:
-        """{pkey: {col: [min, max, n_null], __rows: [n], __bloom:c:
-        [...]}} for the key/partition columns with orderable atomic
-        types — one aggregation job over the batch.  These become the
-        manifest's per-file stats (each commit produces exactly one
-        file per touched partition); the null count lets an IS-NULL
-        point read prune null-free files (min/max alone cannot — they
-        ignore nulls)."""
-        proj, aggs, parse = self._meta_aggs(df.schema)
-        keyed = df.withColumn(_PK_COL, self._pk_expr())
-        rows = (
-            keyed.select(_PK_COL, *df.columns, *proj)
-            .groupBy(_PK_COL)
-            .agg(*aggs)
-            .collect()
-        )
-        return {self._pk_from_hex(r[_PK_COL]): parse(r) for r in rows}
 
     def _carry_stats(
         self,
@@ -2207,20 +2196,32 @@ class ManifestTable:
                 return None
             df = self._effective_df(manifest)
             # a partition column added by COLUMN evolution may predate
-            # every file: surface data columns as typed NULLs and
-            # derive MISSING transform columns (existing stored values
-            # stay untouched — optimize is a pure rewrite) so the
-            # routing expression resolves
+            # some or all files.  TRANSFORM columns are derivable, so
+            # fill their NULLs (rows from files that predate the column)
+            # with the current spec's derivation — otherwise those rows
+            # would route into a null-keyed partition and pruning on the
+            # source column would degrade forever after an optimize.
+            # Stored non-null values stay untouched (optimize is a pure
+            # rewrite; a prior era's stored bucket values are that
+            # era's truth).  Plain DATA columns cannot be invented:
+            # absent ones surface as typed NULLs so routing resolves.
             dftypes = {
                 f.name: f.dataType
                 for f in T.StructType.fromDDL(manifest["schema_ddl"]).fields
             }
             for c in self.partition_by:
-                if c in df.columns:
-                    continue
-                if c in self.partition_transforms:
-                    df = df.withColumn(c, self._transform_expr(c))
-                else:
+                if (
+                    c in self.partition_transforms
+                    and self.partition_transforms[c][1] in df.columns
+                ):
+                    texpr = self._transform_expr(c)
+                    df = df.withColumn(
+                        c,
+                        F.coalesce(F.col(c), texpr)
+                        if c in df.columns
+                        else texpr,
+                    )
+                elif c not in df.columns:
                     df = df.withColumn(
                         c, F.lit(None).cast(dftypes.get(c, T.StringType()))
                     )

@@ -948,7 +948,9 @@ def should_materialize_equality_deletes_on_compact_and_rewrites(
     mt.delete_where_eq(F.col("id") == 1)
     v = mt.compact(min_files=99)  # folds ONLY because deletes pend
     assert v is not None
-    assert mt.partition_files().keys() == {'["a"]', '["b"]'}
+    assert mt.partition_files().keys() == {
+        '{"part": "a"}', '{"part": "b"}'
+    }
     assert _state(mt.read()) == {2: ("a", "y"), 3: ("b", "z")}
     assert mt.row_count() == 2  # counts exact again
     # second round: pend a delete, then upsert the same partition
@@ -1057,7 +1059,9 @@ def should_hide_partitioning_behind_transforms(spark, tmp_path):
     )
     mt.append(df)
     assert set(mt.partition_files()) == {
-        '["2024-01-01"]', '["2024-01-02"]', '["2024-01-05"]'
+        '{"ts_day": "2024-01-01"}',
+        '{"ts_day": "2024-01-02"}',
+        '{"ts_day": "2024-01-05"}',
     }
     # range predicate on the SOURCE column prunes derived partitions
     got = {
@@ -2533,3 +2537,69 @@ def should_serialize_racing_upserts_against_column_evolution(
     rows = final.read().collect()
     assert len(rows) == len(want)
     assert {r.v for r in rows} == {"FIN"}
+
+
+def should_not_collide_manifest_keys_after_same_arity_column_swap(
+    spark, tmp_path
+):
+    """The same-arity column-evolution collision (r9 data-loss hazard):
+    after ``['part']→['cat']`` an old-era directory {"part": "x"} and a
+    new-era directory {"cat": "x"} hold the same VALUES under different
+    columns.  A values-only manifest key would collapse them to one
+    entry, so a cross-era rewrite (delete_where routes survivors by
+    their era-exact file key) would keep one produced directory per key
+    and silently drop the other era's survivors from the commit.  The
+    manifest key must carry the column NAMES."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    # old era: one partition part="x" holding two rows
+    mt.append(_mk4(spark, [(1, "x", "m", "del"), (2, "x", "n", "keep-old")]))
+    mt.evolve_partition_spec({}, partition_by=["cat"])
+    # new era: one partition cat="x" — same VALUES tuple as the old dir
+    mt.append(_mk4(spark, [(3, "p", "x", "del"), (4, "q", "x", "keep-new")]))
+    keys = set(mt.partition_files())
+    assert len(keys) == 2  # distinct manifest entries, names included
+
+    # cross-era rewrite touching BOTH colliding-value partitions
+    mt.delete_where(F.col("v") == "del")
+
+    rows = {r.id: r.v for r in mt.read().collect()}
+    assert rows == {2: "keep-old", 4: "keep-new"}  # no era's survivors lost
+    pf = mt.partition_files()
+    assert len(pf) == 2 and all(len(fs) == 1 for fs in pf.values())
+    # stats stay era-exact: every produced file carries a stats entry
+    m = mt._current()[1]
+    live = {f for fs in m["partitions"].values() for f in fs}
+    assert all(f in m["stats"] for f in live)
+    assert sum(m["stats"][f]["__rows"][0] for f in live) == 2
+
+    # point reads across the boundary stay exact
+    assert {r.id for r in mt.read(where={"part": "x"}).collect()} == {2}
+    assert {r.id for r in mt.read(where={"cat": "x"}).collect()} == {4}
+
+
+def should_rederive_evolved_transform_nulls_on_optimize(spark, tmp_path):
+    """optimize() must fill NULL evolved TRANSFORM partition columns by
+    re-deriving from the source column (rows from files that predate
+    the column would otherwise land in a null-keyed partition and
+    pruning on the source column would degrade forever), while stored
+    non-null values stay untouched."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(_mk(spark, [(i, "a", f"w{i}") for i in range(8)]))
+    # add a hidden bucket(v, 4) partition column post-hoc
+    mt.evolve_partition_spec(
+        {"vb": ("bucket", "v", 4)}, partition_by=["part", "vb"]
+    )
+    mt.optimize(sort_by=["id"], target_files=1)
+    # every old row re-derived: no null-keyed partition remains
+    assert not any('"vb": null' in k for k in mt.partition_files())
+    rows = {r.id: r.v for r in mt.read().collect()}
+    assert rows == {i: f"w{i}" for i in range(8)}
+    # the derived column is now populated for pre-evolution rows
+    got = mt.read().select("vb").collect()
+    assert all(r.vb is not None for r in got)
+    # and a source-column point read keeps pruning exact post-optimize
+    assert {r.id for r in mt.read(where={"v": "w5"}).collect()} == {5}
