@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geospatial_data_lake_spark.registry import register
-from geospatial_data_lake_spark.tables import tables
+from geospatial_data_lake_spark.tables import session_tmpdir, tables
 
 _K = 8  # clusters
 _ITERS = 3  # Lloyd update rounds (fixed schedule => replayable oracle)
@@ -1197,7 +1197,7 @@ def _ivfpq_store(spark: SparkSession, sf_dir: str):
 
     per_session = _IVFPQ_STORE.setdefault(spark, {})
     if sf_dir not in per_session:
-        root = tempfile.mkdtemp(prefix="gdl_ivfpq_idx_")
+        root = session_tmpdir(spark, "gdl_ivfpq_idx_")
         per_session[sf_dir] = build_ivfpq_index(spark, sf_dir, root)
     return per_session[sf_dir]
 
@@ -1453,7 +1453,7 @@ def _build_streamed_ivfpq(spark: SparkSession, sf_dir: str) -> tuple:
     cache = _IVFPQ_STREAMED.setdefault(spark, {})
     if sf_dir in cache:
         return cache[sf_dir]
-    root = tempfile.mkdtemp(prefix="gdl_ivfpq_stream_")
+    root = session_tmpdir(spark, "gdl_ivfpq_stream_")
     codes, model = build_ivfpq_index(spark, sf_dir, os.path.join(root, "idx"))
     codes.delete_where_eq(F.pmod(F.col("vec_id"), 4) == 3)
 

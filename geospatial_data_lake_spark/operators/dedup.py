@@ -61,7 +61,7 @@ from geospatial_data_lake_spark.operators.textops import (
     gram_starts as _gram_starts,
 )
 from geospatial_data_lake_spark.registry import register
-from geospatial_data_lake_spark.tables import tables
+from geospatial_data_lake_spark.tables import session_tmpdir, tables
 
 N_PERM = 32  # minhash permutations
 N_BANDS = 16  # bands of r=2 rows -> s-curve threshold ~0.55, steep at 0.8
@@ -826,6 +826,19 @@ def dd09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = hashed.filter(F.col("doc_id") % 13 == 0).select(
         F.col("doc_id").alias("new_id"), F.col("h").alias("h1")
     )
+    # Admissibility guard: this plan broadcasts the batch to every
+    # executor — an oversized batch must take dd11's band-index probe
+    # (dd12 dispatches there automatically), not OOM the cluster here.
+    est = _estimated_broadcast_bytes(batch, "h1")
+    budget = _broadcast_budget(spark)
+    if est > budget:
+        raise ValueError(
+            f"incremental admission batch estimated at {est} bytes "
+            f"exceeds the broadcast budget ({budget}; conf "
+            f"{_BROADCAST_BUDGET_CONF}): use dd11's band-index probe "
+            f"or the dd12 dispatcher, which routes oversized batches "
+            f"there automatically"
+        )
     corpus = hashed.filter(F.col("doc_id") % 13 != 0).select(
         F.col("doc_id").alias("old_id"), F.col("h").alias("h2")
     )
@@ -1079,7 +1092,7 @@ def _build_band_index(spark: SparkSession, sf_dir: str):
         return cache[sf_dir]
     t = tables(spark, sf_dir)
     corpus = spread(spark, t.documents.filter(F.col("doc_id") % 13 != 0))
-    root = tempfile.mkdtemp(prefix="gdl_dd11_")
+    root = session_tmpdir(spark, "gdl_dd11_")
     mt = ManifestTable(
         spark,
         os.path.join(root, "bands"),
@@ -1193,6 +1206,35 @@ def dd11_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
 # -- dd12: regime-dispatched incremental admission ----------------------------
 
 
+# Broadcast budget for the admission batch (estimated serialized bytes).
+# dd09's plan is only admissible while the batch fits the executors'
+# broadcast memory; past this the dispatcher routes to dd11's band-index
+# probe and dd09 itself refuses loudly instead of OOM-ing the cluster.
+# Default is ~the JVM comfort zone for a replicated hashed relation;
+# production tunes it per cluster via the Spark conf key below.
+_BROADCAST_BUDGET_BYTES = 64 << 20
+_BROADCAST_BUDGET_CONF = "spark.gdl.incrementalBroadcastBudgetBytes"
+
+
+def _broadcast_budget(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get(_BROADCAST_BUDGET_CONF))
+    except Exception:
+        return _BROADCAST_BUDGET_BYTES
+
+
+def _estimated_broadcast_bytes(hashed_batch: DataFrame, h_col: str) -> int:
+    """Estimated broadcast size of a hashed-token batch: 8 bytes per
+    xxhash64 element + ~48 bytes/row of row/array overhead, from ONE
+    O(batch) aggregate (cheap by the same asymmetry that makes the
+    batch broadcastable at all)."""
+    r = hashed_batch.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.size(h_col)), F.lit(0)).alias("hashes"),
+    ).first()
+    return int(r.hashes) * 8 + int(r.rows) * 48
+
+
 def choose_incremental_path(corpus: DataFrame) -> str:
     """Pick the scale-correct incremental-admission plan from a
     measurement, not a guess: ``'scan'`` (dd09's broadcast corpus-scan
@@ -1217,8 +1259,21 @@ def dd12_dispatched_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator family, not the caller, picks between dd09's corpus
     scan and dd11's index probe (see ``choose_incremental_path``).
     Both paths emit the identical exact-verified pair set, so the
-    oracle — and every downstream consumer — is path-independent."""
+    oracle — and every downstream consumer — is path-independent.
+
+    Dispatch order: the broadcast BUDGET is checked first — an
+    admission batch too big to replicate takes the index probe no
+    matter what the saturation measurement says (the scan plan is
+    inadmissible on the cluster, not merely slower) — then the
+    sampled-background-Jaccard regime picks between scan and index."""
+    from geospatial_data_lake_spark.tables import spread
+
     t = tables(spark, sf_dir)
+    batch = spread(
+        spark, t.documents.filter(F.col("doc_id") % 13 == 0)
+    ).select(F.col("doc_id").alias("new_id"), _hashed_tokens())
+    if _estimated_broadcast_bytes(batch, "h") > _broadcast_budget(spark):
+        return dd11_indexed_incremental_dedup(spark, sf_dir)
     corpus = t.documents.filter(F.col("doc_id") % 13 != 0)
     if choose_incremental_path(corpus) == "scan":
         return dd09_incremental_dedup(spark, sf_dir)

@@ -22,7 +22,6 @@ from __future__ import annotations
 import weakref
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,7 +29,7 @@ from pyspark.sql import functions as F
 from geospatial_data_lake_spark.operators.quality import CHI2_TAIL_SQL as _CHI2_TAIL
 from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.sources.manifest_table import ManifestTable
-from geospatial_data_lake_spark.tables import tables
+from geospatial_data_lake_spark.tables import session_tmpdir, tables
 
 _COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 
@@ -56,7 +55,7 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     base = t.orders.select(*_COLS)
     mt = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_q_"),
+        session_tmpdir(spark, "gdl_lake_q_"),
         key_cols=["o_orderkey"],
         partition_by=["o_orderpriority"],
     )
@@ -311,7 +310,7 @@ def vs07_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = t.orders.select(*_COLS)
         mt = ManifestTable(
             spark,
-            tempfile.mkdtemp(prefix="gdl_lake_rw_"),
+            session_tmpdir(spark, "gdl_lake_rw_"),
             key_cols=["o_orderkey"],
             partition_by=["o_orderpriority"],
         )
@@ -346,7 +345,7 @@ def _build_bloomed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     )
     mt = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_bf_"),
+        session_tmpdir(spark, "gdl_lake_bf_"),
         key_cols=["c_custkey"],
         partition_by=["c_mktsegment"],
         bloom_cols=["c_custkey"],
@@ -402,7 +401,7 @@ def _build_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     if sf_dir in cache:
         return cache[sf_dir]
     t = tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="gdl_lake_st_")
+    root = session_tmpdir(spark, "gdl_lake_st_")
     src = os.path.join(root, "src")
     t.events.select(
         "event_id", "user_id", "event_type", "ts", "value"
@@ -543,7 +542,7 @@ def _build_dedup_streamed_lake(spark: SparkSession, sf_dir: str) -> ManifestTabl
     if sf_dir in cache:
         return cache[sf_dir]
     t = tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="gdl_lake_st2_")
+    root = session_tmpdir(spark, "gdl_lake_st2_")
     src = os.path.join(root, "src")
     docs = t.documents.select("doc_id", "text", "lang", "source", "n_chars")
     fp = F.md5(
@@ -637,7 +636,7 @@ def _build_restored_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     extra = t.orders.select(*_COLS).filter(F.col("o_orderkey") % 3 == 1)
     mt = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_rs_"),
+        session_tmpdir(spark, "gdl_lake_rs_"),
         key_cols=["o_orderkey"],
         partition_by=["o_orderpriority"],
     )
@@ -707,7 +706,7 @@ def _build_eqdelete_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     base = t.orders.select(*_COLS)
     mt = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_ed_"),
+        session_tmpdir(spark, "gdl_lake_ed_"),
         key_cols=["o_orderkey"],
         partition_by=["o_orderpriority"],
     )
@@ -769,7 +768,7 @@ def _build_hidden_partitioned_lake(
     t = tables(spark, sf_dir)
     mt = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_hp_"),
+        session_tmpdir(spark, "gdl_lake_hp_"),
         key_cols=["event_id"],
         partition_by=["ts_day"],
         partition_transforms={"ts_day": ("day", "ts")},
@@ -849,7 +848,7 @@ def _build_volume_streamed_cells(spark, sf_dir: str) -> ManifestTable:
     from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
 
     t = tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="gdl_lake_st3_")
+    root = session_tmpdir(spark, "gdl_lake_st3_")
     src = os.path.join(root, "src")
     ev = t.events.select("event_id", "ts", "event_type")
     for b in range(4):
@@ -943,7 +942,7 @@ def _build_tagged_lake(spark, sf_dir: str) -> ManifestTable:
     if sf_dir in cache:
         return cache[sf_dir]
     t = tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="gdl_lake_vs12_")
+    root = session_tmpdir(spark, "gdl_lake_vs12_")
     mt = ManifestTable(
         spark,
         root,
@@ -1003,7 +1002,7 @@ def _build_wap_lake(spark, sf_dir: str) -> ManifestTable:
     if sf_dir in cache:
         return cache[sf_dir]
     t = tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="gdl_lake_vs13_")
+    root = session_tmpdir(spark, "gdl_lake_vs13_")
     mt = ManifestTable(
         spark,
         root,
@@ -1097,7 +1096,7 @@ def _build_branched_lake(spark, sf_dir: str) -> ManifestTable:
     if sf_dir in cache:
         return cache[sf_dir]
     t = tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="gdl_lake_vs14_")
+    root = session_tmpdir(spark, "gdl_lake_vs14_")
     mt = ManifestTable(
         spark,
         root,
@@ -1216,7 +1215,7 @@ def _build_spec_evolved_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
     t = tables(spark, sf_dir)
     mt = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_spec_"),
+        session_tmpdir(spark, "gdl_lake_spec_"),
         key_cols=["event_id"],
         partition_by=["ub"],
         partition_transforms={"ub": ("bucket", "user_id", 4)},
@@ -1315,7 +1314,7 @@ def vs16_spec_rewrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = tables(spark, sf_dir)
         mt = ManifestTable(
             spark,
-            tempfile.mkdtemp(prefix="gdl_lake_specrw_"),
+            session_tmpdir(spark, "gdl_lake_specrw_"),
             key_cols=["event_id"],
             partition_by=["ub"],
             partition_transforms={"ub": ("bucket", "user_id", 4)},
@@ -1376,7 +1375,7 @@ def _build_column_evolved_lake(spark: SparkSession, sf_dir: str) -> ManifestTabl
     t = tables(spark, sf_dir)
     mt = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_coladd_"),
+        session_tmpdir(spark, "gdl_lake_coladd_"),
         key_cols=["event_id"],
         partition_by=["event_type"],
     )
@@ -1517,7 +1516,7 @@ def _build_cdc_replica(spark: SparkSession, sf_dir: str) -> ManifestTable:
     base = t.orders.select(*_COLS)
     src = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_cdcsrc_"),
+        session_tmpdir(spark, "gdl_lake_cdcsrc_"),
         key_cols=["o_orderkey"],
         partition_by=["o_orderpriority"],
     )
@@ -1525,7 +1524,7 @@ def _build_cdc_replica(spark: SparkSession, sf_dir: str) -> ManifestTable:
     # is logical (keys + rows), not a file copy
     replica = ManifestTable(
         spark,
-        tempfile.mkdtemp(prefix="gdl_lake_cdcdst_"),
+        session_tmpdir(spark, "gdl_lake_cdcdst_"),
         key_cols=["o_orderkey"],
         partition_by=["o_orderstatus"],
     )
@@ -1652,7 +1651,7 @@ def _build_geo_streamed_cells(spark: SparkSession, sf_dir: str) -> ManifestTable
     if sf_dir in cache:
         return cache[sf_dir]
     t = tables(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="gdl_lake_st4_")
+    root = session_tmpdir(spark, "gdl_lake_st4_")
     src = os.path.join(root, "src")
     pts = t.events.select(
         "event_id",

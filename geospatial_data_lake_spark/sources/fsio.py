@@ -11,15 +11,29 @@ assumption.  Returned file references preserve the caller's scheme, so
 they feed straight into ``spark.read.parquet(*files)`` (Spark resolves
 the same URIs through its own connectors).
 
-WRITE paths are deliberately not routed here: the GeoParquet footer
-stamp rewrites files in place and stays a shared-POSIX-filesystem
-contract (see ``write_geoparquet``), enforced by an early scheme guard
-plus post-stamp verification.
+It also hosts the MANIFEST/COMMIT-LOG seam for ``ManifestTable``: every
+metadata operation the commit protocol needs (atomic-create CAS via
+``put_if_absent``, listing, blob read/write, recursive delete, the GC
+walks) behind functions that accept plain paths, ``file://`` URIs, and
+object-store URIs.  Local paths and ``file://`` keep today's exact
+``os.*`` semantics — in particular ``put_if_absent`` is
+``O_CREAT|O_EXCL``, a true atomic compare-and-set, which is what makes
+the commit protocol serializable on a shared filesystem (the DynamoDB
+conditional-put analog: reference ``backend/datasets/create.py:37-39``
+uses ``attribute_not_exists`` the same way).  Non-local URIs route
+through ``pyarrow.fs``; there ``put_if_absent`` is an existence-check +
+write EMULATION — production S3 must back it with a conditional PUT
+(``If-None-Match: *``, atomic on S3 since 2024-08), GCS with
+``ifGenerationMatch=0``, ADLS with ``If-None-Match: *`` — pyarrow
+exposes none of those yet, so the emulation is the documented seam
+where a real conditional-put client slots in.
 """
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
 
@@ -70,10 +84,223 @@ def read_parquet_schema(path: str):
     return pq.read_schema(p, filesystem=fs)
 
 
+# -- manifest/commit-log seam ------------------------------------------------
+#
+# Path convention: callers keep building paths with os.path.join — URI
+# schemes survive string joins ("file:///t" + "commits" ->
+# "file:///t/commits"), so one code path serves both.  Every function
+# below dispatches on the scheme: local/''/file:// -> os.*, else
+# pyarrow.fs.
+
+
+def local_path(path: str) -> str | None:
+    """The local-filesystem path for '' / ``file://`` URIs, else None."""
+    sch = scheme_of(path)
+    if sch == "":
+        return path
+    if sch == "file://":
+        return path[len("file://"):] or "/"
+    return None
+
+
+def _pafs(path: str):
+    from pyarrow import fs as pafs
+
+    fs, p = resolve_fs(path)
+    return pafs, fs, p
+
+
+def listdir(path: str) -> list[str]:
+    """Immediate child names of ``path`` (files and directories) —
+    ``os.listdir`` semantics: raises FileNotFoundError when missing."""
+    lp = local_path(path)
+    if lp is not None:
+        return os.listdir(lp)
+    pafs, fs, p = _pafs(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise FileNotFoundError(path)
+    return [
+        i.base_name
+        for i in fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    ]
+
+
+def mkdirs(path: str) -> None:
+    lp = local_path(path)
+    if lp is not None:
+        os.makedirs(lp, exist_ok=True)
+        return
+    _, fs, p = _pafs(path)
+    fs.create_dir(p, recursive=True)
+
+
+def mkdir_exclusive(path: str) -> None:
+    """Create ``path`` as a CAS: exactly one racer wins, losers get
+    FileExistsError.  Local: ``os.makedirs(exist_ok=False)``.  Object
+    stores have no exclusive directory create, so the race rides an
+    exclusive ``.created`` marker object inside the prefix."""
+    lp = local_path(path)
+    if lp is not None:
+        os.makedirs(lp, exist_ok=False)
+        return
+    _, fs, p = _pafs(path)
+    fs.create_dir(p, recursive=True)
+    put_if_absent(path.rstrip("/") + "/.created", b"")
+
+
+def read_text(path: str) -> str:
+    """Blob contents as text; FileNotFoundError when missing."""
+    lp = local_path(path)
+    if lp is not None:
+        with open(lp) as fh:
+            return fh.read()
+    pafs, fs, p = _pafs(path)
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        raise FileNotFoundError(path)
+    with fs.open_input_stream(p) as fh:
+        return fh.read().decode("utf-8")
+
+
+def write_text(path: str, data: str) -> None:
+    """Unconditional blob write (no CAS — use for content-addressed
+    names that cannot race, e.g. uuid-suffixed manifest documents)."""
+    lp = local_path(path)
+    if lp is not None:
+        with open(lp, "w") as fh:
+            fh.write(data)
+        return
+    _, fs, p = _pafs(path)
+    with fs.open_output_stream(p) as fh:
+        fh.write(data.encode("utf-8"))
+
+
+def put_if_absent(path: str, data: bytes | str) -> None:
+    """Create-exclusive CAS: write ``data`` to ``path`` iff nothing is
+    there; raise FileExistsError when something is.  THE commit-protocol
+    primitive — a commit pointer published through this is serializable
+    because exactly one racer's create succeeds.  Local/file:// is a
+    true ``O_CREAT|O_EXCL``; non-local is the documented existence-check
+    emulation (see module docstring for the production S3/GCS/ADLS
+    conditional-put mapping)."""
+    payload = data.encode("utf-8") if isinstance(data, str) else data
+    lp = local_path(path)
+    if lp is not None:
+        fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return
+    pafs, fs, p = _pafs(path)
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        raise FileExistsError(path)
+    with fs.open_output_stream(p) as fh:
+        fh.write(payload)
+
+
+def unlink(path: str, missing_ok: bool = False) -> None:
+    lp = local_path(path)
+    if lp is not None:
+        try:
+            os.unlink(lp)
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+        return
+    pafs, fs, p = _pafs(path)
+    try:
+        fs.delete_file(p)
+    except (FileNotFoundError, OSError):
+        if not missing_ok:
+            raise
+
+
+def rmtree(path: str, ignore_errors: bool = False) -> None:
+    lp = local_path(path)
+    if lp is not None:
+        shutil.rmtree(lp, ignore_errors=ignore_errors)
+        return
+    _, fs, p = _pafs(path)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        if not ignore_errors:
+            raise
+
+
+def mtime(path: str) -> float:
+    """Modification time as a POSIX timestamp; OSError when missing
+    (``os.stat`` contract)."""
+    lp = local_path(path)
+    if lp is not None:
+        return os.stat(lp).st_mtime
+    pafs, fs, p = _pafs(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise FileNotFoundError(path)
+    return info.mtime.timestamp() if info.mtime is not None else 0.0
+
+
+def walk_files(root: str) -> list[tuple[str, float]]:
+    """Every FILE under ``root`` recursively as (full path in the
+    caller's scheme, mtime) — the vacuum/GC walk.  Missing root -> []."""
+    lp = local_path(root)
+    if lp is not None:
+        sch = scheme_of(root)
+        out = []
+        for dirpath, _dirs, files in os.walk(lp):
+            for fname in files:
+                full = os.path.join(dirpath, fname)
+                try:
+                    out.append((sch + full if sch else full, os.stat(full).st_mtime))
+                except OSError:
+                    continue
+        return out
+    pafs, fs, p = _pafs(root)
+    sch = scheme_of(root)
+    infos = fs.get_file_info(
+        pafs.FileSelector(p, recursive=True, allow_not_found=True)
+    )
+    return [
+        (
+            sch + i.path,
+            i.mtime.timestamp() if i.mtime is not None else 0.0,
+        )
+        for i in infos
+        if i.type == pafs.FileType.File
+    ]
+
+
+def sweep_empty_dirs(root: str) -> None:
+    """Bottom-up removal of empty directories under ``root`` (root
+    itself stays).  Object stores have no empty directories, so the
+    non-local branch is a no-op."""
+    lp = local_path(root)
+    if lp is None:
+        return
+    for dirpath, dirnames, filenames in os.walk(lp, topdown=False):
+        if dirpath != lp and not dirnames and not filenames:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
+
+
 __all__ = [
     "scheme_of",
     "is_local",
     "resolve_fs",
     "list_parquet_files",
     "read_parquet_schema",
+    "local_path",
+    "listdir",
+    "mkdirs",
+    "mkdir_exclusive",
+    "read_text",
+    "write_text",
+    "put_if_absent",
+    "unlink",
+    "rmtree",
+    "mtime",
+    "walk_files",
+    "sweep_empty_dirs",
 ]

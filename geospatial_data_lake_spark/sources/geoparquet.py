@@ -15,8 +15,9 @@ distributed pass stamps each file's footer with its own ``geo``
 document (per-file bbox computed from that file's rows — the
 per-file bbox is what lets a GeoParquet reader prune files spatially,
 the manifest-stats analog).  The stamping job is a parallelized
-per-file pyarrow rewrite: O(data) once, executed on the cluster, never
-through the driver.
+per-file pyarrow STAGE-WRITE + SWAP through the fsio seam (atomic
+rename on local/file:// paths, server-side move on object-store URIs):
+O(data) once, executed on the cluster, never through the driver.
 
 Reader shape (``read_geoparquet``): the driver parses ONE footer
 (cheap metadata read) to learn the geometry columns, validates the
@@ -35,7 +36,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from geospatial_data_lake_spark.sources.fsio import (
-    is_local,
     list_parquet_files as _parquet_files,
     read_parquet_schema,
 )
@@ -86,20 +86,18 @@ def write_geoparquet(
     binary (see wkb_source encoders).  Returns the number of stamped
     files.
 
-    DEPLOYMENT CONTRACT: the stamp stage rewrites files IN PLACE by
-    path, so ``path`` must be a filesystem every executor AND the
-    driver see identically (local fs in tests, NFS/Lustre/EFS on a
-    cluster).  On object stores, route through the FS connector's
-    local staging instead.  The post-stamp verification below makes a
-    violated contract LOUD: every listed file is re-checked for the
-    ``geo`` footer key and a missing stamp raises rather than leaving
-    a silently unprunable (but readable) dataset."""
-    if not is_local(path):
-        raise ValueError(
-            f"write_geoparquet requires a shared POSIX filesystem path, "
-            f"got {path!r}: the footer stamp rewrites files in place "
-            f"(reads are object-store capable — see sources/fsio.py)"
-        )
+    DEPLOYMENT CONTRACT: the stamp stage is a per-file STAGE-WRITE +
+    SWAP through the fsio seam — each stamped file is written to a
+    sibling ``.stamp.tmp`` name and swapped in (``os.replace`` on
+    local/file:// paths: atomic, readers never see a torn file; a
+    server-side move on object-store URIs, where the final object
+    appears all-or-nothing).  ``path`` must resolve to the SAME store
+    for every executor and the driver (local/NFS path, file:// URI, or
+    an object-store URI with the cluster's pyarrow.fs credentials).
+    The post-stamp verification below makes a violated contract LOUD:
+    every listed file is re-checked for the ``geo`` footer key and a
+    missing stamp raises rather than leaving a silently unprunable
+    (but readable) dataset."""
     for col in geometry_columns:
         if col not in df.columns:
             raise ValueError(f"geometry column {col!r} not in DataFrame")
@@ -115,14 +113,16 @@ def write_geoparquet(
         # executor-side: compute this file's bbox per geometry column
         # with the VECTORIZED batch kernel (zero-copy Arrow buffer
         # slices + np.frombuffer vertex reads — never a Python tuple
-        # per vertex), then rewrite with the geo footer doc
+        # per vertex), then stage-write the stamped copy and swap it in
         import pyarrow.parquet as pq
 
+        from geospatial_data_lake_spark.sources import fsio
         from geospatial_data_lake_spark.sources.wkb_source import (
             arrow_column_bbox,
         )
 
-        table = pq.read_table(file_path)
+        fs, p = fsio.resolve_fs(file_path)
+        table = pq.read_table(p, filesystem=fs)
         bboxes: dict[str, list[float]] = {}
         for name in geom_cols:
             bbox = arrow_column_bbox(table.column(name))
@@ -131,15 +131,28 @@ def write_geoparquet(
         doc = _geo_doc(geom_cols, bboxes)
         meta = dict(table.schema.metadata or {})
         meta[GEO_KEY] = json.dumps(doc).encode()
-        pq.write_table(
-            table.replace_schema_metadata(meta), file_path
-        )
-        # the rewrite invalidates the Spark write's Hadoop checksum
-        # sidecar; drop it so local-fs readers don't fail the read
-        d, base = os.path.split(file_path)
-        crc = os.path.join(d, f".{base}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
+        stamped = table.replace_schema_metadata(meta)
+        lp = fsio.local_path(file_path)
+        if lp is not None:
+            # stage + atomic rename: a crash mid-stamp leaves the
+            # original file intact, never a torn parquet
+            tmp = lp + ".stamp.tmp"
+            pq.write_table(stamped, tmp)
+            os.replace(tmp, lp)
+            # the swap invalidates the Spark write's Hadoop checksum
+            # sidecar; drop it so local-fs readers don't fail the read
+            d, base = os.path.split(lp)
+            crc = os.path.join(d, f".{base}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        else:
+            # object store: stage under a sibling key, server-side
+            # move to the final key (single-object operations are
+            # all-or-nothing; the driver-side verification pass below
+            # backstops a lost move)
+            tmp = p + ".stamp.tmp"
+            pq.write_table(stamped, tmp, filesystem=fs)
+            fs.move(tmp, p)
         return 1
 
     # one task per file: the stamp runs where the data is, not on the
@@ -161,9 +174,9 @@ def write_geoparquet(
     if unstamped:
         raise RuntimeError(
             f"GeoParquet stamp lost on {len(unstamped)} file(s) (e.g. "
-            f"{unstamped[0]!r}): executors and driver do not share the "
-            f"filesystem at {path!r} — write_geoparquet requires a "
-            f"shared POSIX filesystem (see docstring)"
+            f"{unstamped[0]!r}): executors and driver do not resolve "
+            f"{path!r} to the same store — write_geoparquet requires "
+            f"one store visible to all (see docstring)"
         )
     return int(n)
 

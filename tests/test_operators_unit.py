@@ -1150,3 +1150,76 @@ def should_fold_degenerate_rings_to_zero_not_raise(spark):
     }
     assert pin["empty"] is False and pin["single"] is False
     assert pin["null"] is None
+
+
+def should_route_oversized_admission_batch_to_band_index(spark, tmp_path):
+    """The broadcast-budget guard: with the budget conf squeezed below
+    any real batch, dd09 must REFUSE (its plan broadcasts the batch —
+    inadmissible past the budget, raising beats an executor OOM) and
+    the dd12 dispatcher must auto-route to dd11's band-index probe,
+    emitting the identical verified pair set."""
+    import os
+
+    from geospatial_data_lake_spark.operators.dedup import (
+        _BROADCAST_BUDGET_CONF,
+    )
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    planted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(12)), "en", "s", 10)
+        for i in range(1, 40)
+        if i != 13
+    ] + [(13, planted, "en", "s", 10), (7, planted, "en", "s", 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    import pytest
+
+    q = load_all_queries()
+    spark.conf.set(_BROADCAST_BUDGET_CONF, "1")  # below any real batch
+    try:
+        with pytest.raises(ValueError, match="broadcast budget"):
+            q["dd09_incremental_dedup"].fn(spark, sf).collect()
+        got = {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in q["dd12_dispatched_incremental"].fn(spark, sf).collect()
+        }
+        assert got == {(13, 7, 1.0)}  # index path, same verified pairs
+    finally:
+        spark.conf.unset(_BROADCAST_BUDGET_CONF)
+    # budget restored: dd09's scan path is admissible again
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in q["dd09_incremental_dedup"].fn(spark, sf).collect()
+    }
+    assert got == {(13, 7, 1.0)}
+
+
+def should_reclaim_session_scoped_fixture_dirs():
+    """session_tmpdir ties a fixture mkdtemp root's lifetime to its
+    SparkSession OBJECT: when the session is garbage-collected the
+    weakref finalizer removes the directory (and the atexit sweep
+    covers interpreter exit).  Uses a plain stand-in object — the
+    contract is object-lifetime, not Spark-specific."""
+    import gc
+    import os
+
+    from geospatial_data_lake_spark import tables as tb
+
+    class FakeSession:  # weakref-able stand-in
+        pass
+
+    s = FakeSession()
+    d1 = tb.session_tmpdir(s, "gdl_test_reclaim_")
+    d2 = tb.session_tmpdir(s, "gdl_test_reclaim_")
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+    assert {d1, d2} <= tb._TMP_ROOTS
+    del s
+    gc.collect()
+    assert not os.path.exists(d1) and not os.path.exists(d2)
+    assert not ({d1, d2} & tb._TMP_ROOTS)

@@ -851,6 +851,28 @@ def should_read_geoparquet_datasets_through_filesystem_uris(spark, tmp_path):
     }
     assert got == set(range(10, 31))
 
-    # the in-place stamp write rejects non-POSIX addressing loudly
-    with pytest.raises(ValueError, match="POSIX"):
-        write_geoparquet(wkb, "s3://bucket/ds", {"wkb": ["Point"]})
+    # URI-rooted WRITE: the stamp is a stage-write + swap through the
+    # fsio seam, so a file:// destination stamps identically (and no
+    # .stamp.tmp staging residue survives the swap)
+    wuri = "file://" + str(tmp_path / "gp_uri_w")
+    n = write_geoparquet(wkb.repartitionByRange(3, "id"), wuri, {"wkb": ["Point"]})
+    assert n == 3
+    meta_w = read_geoparquet_meta(wuri)
+    assert meta_w.primary_column == "wkb"
+    assert all(
+        "bbox" in c for c in meta_w.columns.values()
+    )
+    import os as _os
+
+    residue = [
+        f
+        for _d, _s, fs in _os.walk(str(tmp_path / "gp_uri_w"))
+        for f in fs
+        if f.endswith(".stamp.tmp")
+    ]
+    assert residue == []
+    got_all = {
+        r.id
+        for r in wkb_to_points(spark.read.parquet(wuri), "wkb").collect()
+    }
+    assert got_all == set(range(40))
