@@ -505,27 +505,144 @@ def _minhash_lsh_pairs(spark: SparkSession, raw: DataFrame) -> DataFrame:
     )
 
 
+# dd07's oracle: connected components via UNROLLED min-label propagation
+# (12 fixed rounds + a convergence guard) instead of a recursive-CTE
+# transitive closure.  The closure (`reach` = all reachable pairs) is
+# quadratic per component — on a near-dup-saturated corpus components
+# are near-cliques and the oracle blew past 40 CPU-min at sf0.1, which
+# forced a documented waiver.  Min-label is linear per round (one join
+# against the edge list), mirrors the engine's own fixpoint, and the
+# guard makes an unconverged unroll return ZERO rows — a LOUD hash
+# mismatch, never a silent false pass.  12 rounds cover eccentricity
+# <= 12 from each component's min node; near-dup clusters settle in
+# 2-3.
+_DD07_ROUNDS = 12
+_DD07_LEVELS = """
+        l1 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l0 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l0 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l2 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l1 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l1 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l3 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l2 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l2 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l4 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l3 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l3 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l5 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l4 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l4 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l6 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l5 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l5 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l7 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l6 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l6 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l8 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l7 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l7 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l9 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l8 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l8 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l10 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l9 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l9 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l11 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l10 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l10 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        ),
+        l12 AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM l11 l
+            LEFT JOIN edges e ON l.doc_id = e.u
+            LEFT JOIN l11 n ON e.v = n.doc_id
+            GROUP BY l.doc_id, l.label
+        )
+"""
+
+
 @register(
     "dd07_duplicate_groups",
     oracle="""
-        WITH RECURSIVE p AS (""" + _JACCARD_ORACLE.format(threshold=0.8) + """
+        WITH p AS MATERIALIZED (""" + _JACCARD_ORACLE.format(threshold=0.8) + """
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT d1 AS u, d2 AS v FROM p
             UNION ALL
             SELECT d2, d1 FROM p
         ),
-        reach(src, dst) AS (
-            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        l0 AS MATERIALIZED (
+            SELECT u AS doc_id, u AS label
+            FROM (SELECT DISTINCT u FROM edges)
         ),
-        comp AS (
-            SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+""" + _DD07_LEVELS + f""",
+        unconverged AS (
+            SELECT count(*) AS c
+            FROM l{_DD07_ROUNDS} a
+            JOIN l{_DD07_ROUNDS - 1} b USING (doc_id)
+            WHERE a.label <> b.label
         )
-        SELECT doc_id, group_id,
-               CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
-        FROM comp
+        SELECT doc_id, label AS group_id,
+               CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+                   AS group_size
+        FROM l{_DD07_ROUNDS}
+        WHERE (SELECT c FROM unconverged) = 0
     """,
     tags=("dedup", "graph", "connected-components"),
 )
