@@ -67,31 +67,26 @@ _LOADED = False
 # driver-green at sf0.01 in a prior round step aside (keeping canaries
 # per family so a regression is still externally visible) and
 # never-driver-checked queries move up.  Cumulative driver-green entering
-# r8: ALL 200 oracled queries of the r7 registry (the r7 prefix closed
-# the evidence matrix) + ss02/ss03 rows-only by design with hash-gated
-# audit companions.  Round-8 prefix: the 2 queries NEW in r8 (geo09
-# holed-multipolygon WKB round trip, vs15 partition-spec evolution),
-# then re-proofs of everything whose machinery changed in r8 — the
-# dedup family (island-robust saturation dispatch + all-pairs cutoff),
-# the IVFPQ chain (IN-list single-scan probe, build stamps, weak-keyed
-# store), vb03 (per-session vocab store), geo08 (hardened WKB decode),
-# and the FULL manifest-lake family (the _try_commit path gained spec
-# registries, per-file spec stamps, and table properties; fast_forward
-# gained idempotency — every vs/st query proves that machinery
-# end-to-end) — then family canaries for everything else.  Everything
-# not listed keeps its registration order after the prioritized prefix;
-# nothing is dropped.
+# r11: ALL 214 oracled queries (every registry entry has been driver-
+# green at sf0.01 in some round r2-r10) + ss02/ss03 rows-only by design
+# with hash-gated audit companions.  The r11 prefix is documented
+# inline below.  Everything not listed keeps its registration order
+# after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # ---- r9 prefix: first driver check = new in r9 ----
-    "vs17_partition_column_evolution_read",
-    "st05_stream_ann_index_maintenance",
-    "vs18_cdc_replication_read",
-    # re-proof: the ENTIRE lake family — r9 rewrote the rewrite paths
-    # (era-exact routing by source-file key in upsert/delete_where/
-    # delete_where_eq/overwrite_where/compact, era-independent
-    # _pk_from_hex, spec_columns riding _try_commit/restore, the
-    # fast_forward TOCTOU fix) — every vs/st query drives that
-    # machinery end-to-end
+    # ---- r11 prefix: re-proofs of everything whose machinery changed
+    # in r11, then rotation toward families last driver-proven r3-r7.
+    # Changed in r11: the ENTIRE manifest-lake + lake-sink family (the
+    # manifest partition key now carries column NAMES — the same-arity
+    # column-evolution collision fix — batch stats group by the
+    # produced routing directory, optimize re-derives NULL evolved
+    # transform columns, and ALL commit-log I/O rides the fsio
+    # put_if_absent CAS seam; fixture roots moved to session_tmpdir),
+    # geo11 (footer stamp is now stage-write + swap through fsio),
+    # dd07 (new unrolled min-label oracle — waiver retired), dd09/dd12
+    # (broadcast-budget guard + dispatch), dd11 (index fixture tmpdir),
+    # ss08 (ivfpq store tmpdir).  dd04 rides as the dd07 upstream
+    # canary.  Slots 31-50 rotate in tpch/tx/ev/sm/u/w/o/p rows whose
+    # last driver proof was r3-r7 (cumulatively green since).
     "vs01_manifest_merge_roundtrip",
     "vs02_manifest_time_travel",
     "vs03_manifest_change_feed",
@@ -108,24 +103,47 @@ _PRIORITY: tuple[str, ...] = (
     "vs14_branch_divergence",
     "vs15_spec_evolution_read",
     "vs16_spec_rewrite_read",
+    "vs17_partition_column_evolution_read",
+    "vs18_cdc_replication_read",
     "st01_stream_lake_merge",
     "st02_stream_dedup_ingest",
     "st03_stream_volume_monitor",
     "st04_stream_geo_ingest",
-    # re-proof: geoparquet/wkb module (whole-chunk vectorized footer
-    # stamp, post-stamp verification, cross-file footer consistency)
+    "st05_stream_ann_index_maintenance",
     "geo11_geoparquet_roundtrip",
+    "dd07_duplicate_groups",
+    "dd09_incremental_dedup",
+    "dd11_indexed_incremental_dedup",
+    "dd12_dispatched_incremental",
+    "ss08_persisted_ivfpq_search",
+    "dd04_minhash_lsh_pairs",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tx01_token_stats",
+    "tx03_language_id",
+    "tx08_tfidf_topterms",
+    "ev01_funnel_conversion",
+    "ev02_cohort_retention",
+    "sm02_stratified_sample_counts",
+    "sm04_weighted_sample",
+    "u02_union_discriminated",
+    "u06_except_all",
+    "w05_range_frame",
+    "w08_distribution_ranks",
+    "o06_keyset_pagination",
+    "p07_conjunctive_predicate",
+    # --- 50-entry mark; proven rows retired from the checked prefix ---
     "geo08_wkb_point_in_polygon",
     "geo09_wkb_multipolygon_holes",
     "geo10_wkb_polyline_length",
-    # re-proof: geometry fold degenerate-ring guard / mx03 integer-div
-    # budget / ss09 oracle-splice hardening / dedup sample cap
     "geo12_st_functions",
     "mx03_token_budget_plan",
     "ss09_ivfpq_refined_search",
-    "dd04_minhash_lsh_pairs",
-    "dd12_dispatched_incremental",
-    # family canaries
     "dd01_exact_dedup_summary",
     "dd10_substring_spans",
     "dd13_substring_removal",
@@ -135,7 +153,6 @@ _PRIORITY: tuple[str, ...] = (
     "ss01_cosine_topk",
     "ss05_pq_adc_search",
     "ss06_ivfpq_search",
-    "ss08_persisted_ivfpq_search",
     "em02_product_quantization",
     "em03_matryoshka_prefix_search",
     "vb01_vocab_coverage",
@@ -144,12 +161,9 @@ _PRIORITY: tuple[str, ...] = (
     "pk01_sequence_packing",
     "pk02_shard_manifest",
     "tpch_q9_product_profit",
-    # --- 50-entry mark; proven rows retired from the checked prefix ---
     "j07_star_join_broadcast",
     "o04_topk",
     "dd03_jaccard_pairs",
-    "dd09_incremental_dedup",
-    "dd11_indexed_incremental_dedup",
     "ss04_ivf_trained_ann",
     "ss07_ivfpq_residual_search",
     "a08_rollup",
@@ -202,7 +216,6 @@ _PRIORITY: tuple[str, ...] = (
     "o02_exists_shortcircuit",
     "o03_top1_latest",
     "u01_distinct",
-    "u02_union_discriminated",
     "u05_duplicate_consistency",
     "x04_centroid_udaf",
     "t01_tumbling_window",
@@ -215,7 +228,6 @@ _PRIORITY: tuple[str, ...] = (
     "vb02_bpe_merges",
     "tx10_bigram_prob_score",
     "w03_rank_per_group",
-    "sm04_weighted_sample",
     "ct02_decontaminate",
     "dq06_constraint_suite",
     "dq02_column_profile",
@@ -223,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",
     "tpch_q8_market_share",
     "dq07_volume_anomalies",
-    "dd07_duplicate_groups",
 )
 
 
