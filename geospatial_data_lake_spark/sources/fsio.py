@@ -49,10 +49,32 @@ def is_local(path: str) -> bool:
     return sch in ("", "file://")
 
 
+# Custom filesystem registration: {scheme (no '://') -> factory(uri) ->
+# (pyarrow FileSystem, fs-internal path)}.  Production uses this to slot
+# in a store pyarrow.from_uri cannot mint (a conditional-put-capable S3
+# wrapper, an on-prem object store); tests use it to drive the entire
+# non-local branch of this module against an in-memory object store
+# with real flat-keyspace semantics.
+_FS_FACTORIES: dict = {}
+
+
+def register_fs(scheme: str, factory) -> None:
+    """Route ``scheme://`` URIs through ``factory(uri) -> (fs, path)``
+    instead of ``pyarrow.fs.FileSystem.from_uri``.  Pass ``None`` to
+    unregister."""
+    if factory is None:
+        _FS_FACTORIES.pop(scheme, None)
+    else:
+        _FS_FACTORIES[scheme] = factory
+
+
 def resolve_fs(path: str):
     """(pyarrow FileSystem, fs-internal path) for a URI or local path."""
     from pyarrow import fs as pafs
 
+    sch = scheme_of(path)
+    if sch and sch[:-3] in _FS_FACTORIES:
+        return _FS_FACTORIES[sch[:-3]](path)
     return pafs.FileSystem.from_uri(path)
 
 
@@ -288,6 +310,7 @@ def sweep_empty_dirs(root: str) -> None:
 __all__ = [
     "scheme_of",
     "is_local",
+    "register_fs",
     "resolve_fs",
     "list_parquet_files",
     "read_parquet_schema",

@@ -67,3 +67,212 @@ def should_strip_file_scheme():
     assert fsio.local_path("/a/b") == "/a/b"
     assert fsio.local_path("file:///a/b") == "/a/b"
     assert fsio.local_path("s3://bucket/k") is None
+
+
+# -- the NON-LOCAL branch, driven end-to-end against an in-memory object
+# store with real flat-keyspace semantics (registered via register_fs —
+# the same hook a production conditional-put S3 wrapper would use) -----
+
+
+def _mem_store():
+    """A pyarrow FileSystemHandler over a flat key space: no real
+    directories (prefix-inferred, like S3), per-object mtimes,
+    all-or-nothing single-object writes."""
+    import io
+    import threading
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    from pyarrow.fs import FileInfo, FileSystemHandler, FileType
+
+    class MemStore(FileSystemHandler):
+        def __init__(self):
+            self.objects: dict[str, tuple[bytes, object]] = {}
+            self.dirs: set[str] = set()
+            self.lock = threading.Lock()
+
+        def get_type_name(self):
+            return "mem"
+
+        def normalize_path(self, p):
+            return p
+
+        def _info(self, p):
+            p = p.rstrip("/")
+            if p in self.objects:
+                data, mt = self.objects[p]
+                return FileInfo(p, FileType.File, mtime=mt, size=len(data))
+            pref = p + "/"
+            if p in self.dirs or any(
+                k.startswith(pref) for k in list(self.objects) + list(self.dirs)
+            ):
+                return FileInfo(p, FileType.Directory)
+            return FileInfo(p, FileType.NotFound)
+
+        def get_file_info(self, paths):
+            return [self._info(p) for p in paths]
+
+        def get_file_info_selector(self, selector):
+            base = selector.base_dir.rstrip("/")
+            info = self._info(base)
+            if info.type == FileType.NotFound:
+                if selector.allow_not_found:
+                    return []
+                raise FileNotFoundError(base)
+            pref = base + "/"
+            out, seen = [], set()
+            for k in sorted(set(self.objects) | self.dirs):
+                if not k.startswith(pref):
+                    continue
+                rest = k[len(pref):]
+                if selector.recursive:
+                    if k in self.objects:
+                        out.append(self._info(k))
+                    elif k in self.dirs:
+                        out.append(FileInfo(k, FileType.Directory))
+                else:
+                    child = pref + rest.split("/", 1)[0]
+                    if child not in seen:
+                        seen.add(child)
+                        out.append(self._info(child))
+            return out
+
+        def create_dir(self, path, recursive):
+            self.dirs.add(path.rstrip("/"))
+
+        def delete_dir(self, path):
+            p = path.rstrip("/")
+            if self._info(p).type != FileType.Directory:
+                raise FileNotFoundError(path)
+            pref = p + "/"
+            with self.lock:
+                for k in [k for k in self.objects if k.startswith(pref)]:
+                    del self.objects[k]
+                self.dirs = {d for d in self.dirs if d != p and not d.startswith(pref)}
+
+        def delete_dir_contents(self, path, missing_dir_ok=False):
+            try:
+                self.delete_dir(path)
+            except FileNotFoundError:
+                if not missing_dir_ok:
+                    raise
+            self.dirs.add(path.rstrip("/"))
+
+        def delete_root_dir_contents(self):
+            self.objects.clear()
+            self.dirs.clear()
+
+        def delete_file(self, path):
+            with self.lock:
+                if path not in self.objects:
+                    raise FileNotFoundError(path)
+                del self.objects[path]
+
+        def move(self, src, dest):
+            with self.lock:
+                self.objects[dest] = self.objects.pop(src)
+
+        def copy_file(self, src, dest):
+            self.objects[dest] = self.objects[src]
+
+        def open_input_stream(self, path):
+            if path not in self.objects:
+                raise FileNotFoundError(path)
+            return pa.BufferReader(self.objects[path][0])
+
+        def open_input_file(self, path):
+            return self.open_input_stream(path)
+
+        def open_output_stream(self, path, metadata):
+            store = self
+
+            class _Buf(io.BytesIO):
+                def close(self):
+                    with store.lock:
+                        store.objects[path] = (
+                            self.getvalue(),
+                            datetime.now(timezone.utc),
+                        )
+                    super().close()
+
+            return pa.PythonFile(_Buf(), mode="w")
+
+        def open_append_stream(self, path, metadata):
+            raise NotImplementedError("object stores do not append")
+
+    return MemStore()
+
+
+@pytest.fixture()
+def mem_root():
+    from pyarrow.fs import PyFileSystem
+
+    store = _mem_store()
+    fs = PyFileSystem(store)
+    fsio.register_fs("mem", lambda uri: (fs, uri[len("mem://"):]))
+    yield "mem://bucket"
+    fsio.register_fs("mem", None)
+
+
+def should_put_if_absent_on_object_store(mem_root):
+    target = mem_root + "/commits/00000001"
+    fsio.mkdirs(mem_root + "/commits")
+    fsio.put_if_absent(target, "m1.json")
+    with pytest.raises(FileExistsError):
+        fsio.put_if_absent(target, "m2.json")
+    assert fsio.read_text(target) == "m1.json"
+
+
+def should_round_trip_blobs_on_object_store(mem_root):
+    fsio.mkdirs(mem_root + "/d/e")
+    fsio.write_text(mem_root + "/d/e/a.txt", "A")
+    fsio.write_text(mem_root + "/d/b.txt", "B")
+    assert sorted(fsio.listdir(mem_root + "/d")) == ["b.txt", "e"]
+    assert fsio.read_text(mem_root + "/d/e/a.txt") == "A"
+    with pytest.raises(FileNotFoundError):
+        fsio.listdir(mem_root + "/missing")
+    with pytest.raises(FileNotFoundError):
+        fsio.read_text(mem_root + "/d/missing.txt")
+    assert fsio.mtime(mem_root + "/d/b.txt") > 0
+    walked = dict(fsio.walk_files(mem_root + "/d"))
+    assert set(walked) == {mem_root + "/d/e/a.txt", mem_root + "/d/b.txt"}
+    fsio.unlink(mem_root + "/d/e/a.txt")
+    fsio.unlink(mem_root + "/d/e/a.txt", missing_ok=True)
+    fsio.sweep_empty_dirs(mem_root + "/d")  # no-op on object stores
+    fsio.rmtree(mem_root + "/d")
+    with pytest.raises(FileNotFoundError):
+        fsio.listdir(mem_root + "/d")
+
+
+def should_mkdir_exclusive_on_object_store(mem_root):
+    fsio.mkdir_exclusive(mem_root + "/branches/exp")
+    with pytest.raises(FileExistsError):
+        fsio.mkdir_exclusive(mem_root + "/branches/exp")
+
+
+def should_run_commit_pointer_protocol_on_object_store(mem_root):
+    """The exact manifest-publish sequence ManifestTable._publish runs,
+    replayed over the object store: content-addressed manifest write,
+    CAS commit pointer, loser cleanup — two racers, one winner."""
+    import json
+
+    commits = mem_root + "/commits"
+    manifests = mem_root + "/manifests"
+    fsio.mkdirs(commits)
+    fsio.mkdirs(manifests)
+
+    def publish(gen, tag):
+        name = f"{gen:020d}-{tag}.json"
+        fsio.write_text(manifests + "/" + name, json.dumps({"w": tag}))
+        try:
+            fsio.put_if_absent(f"{commits}/{gen:020d}", name)
+            return True
+        except FileExistsError:
+            fsio.unlink(manifests + "/" + name, missing_ok=True)
+            return False
+
+    assert publish(1, "a") is True
+    assert publish(1, "b") is False  # lost race: pointer CAS refused
+    assert fsio.listdir(manifests) == [f"{1:020d}-a.json"]  # loser cleaned
+    winner = fsio.read_text(f"{commits}/{1:020d}")
+    assert json.loads(fsio.read_text(manifests + "/" + winner)) == {"w": "a"}
