@@ -358,7 +358,13 @@ def should_mint_unique_ids_across_threads():
 
 _mt_row = st.tuples(
     st.integers(0, 9),  # id
-    st.sampled_from(["p0", "p1", None]),  # partition (NULL included)
+    # partition value domain deliberately OVERLAPS v's cast-to-string
+    # domain ("0"/"1" vs long 0..99): after a same-arity column swap
+    # (['part'] -> ['v']) an old-era directory {"part": "0"} and a
+    # new-era directory {"v": "0"} hold the SAME value string under
+    # different columns — the r11 collision class the manifest key's
+    # column names must keep distinct through any rewrite sequence
+    st.sampled_from(["0", "1", None]),  # partition (NULL included)
     st.integers(0, 99),  # v
 )
 
@@ -382,6 +388,13 @@ _mt_op = st.one_of(
     # content-invariant by definition, and every later op must keep
     # behaving identically across the spec boundary
     st.tuples(st.just("evolve"), st.sampled_from([8, 16, 64])),
+    # partition-COLUMN evolution (explicit layout only): add/remove/
+    # same-arity-swap the column list; content-invariant metadata-only
+    # commit, and every later rewrite must stay era-exact
+    st.tuples(
+        st.just("evolve_cols"),
+        st.sampled_from([("part",), ("v",), ("part", "v"), ("v", "part")]),
+    ),
 )
 
 
@@ -505,6 +518,21 @@ def should_manifest_table_match_multiset_model(spark, layout, ops):
                 if layout == "hidden"
                 else {}
             )
+            # metadata-only: the model's multiset is untouched
+        elif op[0] == "evolve_cols":
+            if layout != "explicit":
+                continue  # hidden layout keeps its transform column
+            if mt.current_version() == 0:
+                import pytest
+
+                from geospatial_data_lake_spark.plans.catalog import (
+                    NotFoundError,
+                )
+
+                with pytest.raises(NotFoundError):
+                    mt.evolve_partition_spec({}, partition_by=list(op[1]))
+                continue
+            v = mt.evolve_partition_spec({}, partition_by=list(op[1]))
             # metadata-only: the model's multiset is untouched
         elif op[0] == "txn_upsert":
             _, rows, k = op
