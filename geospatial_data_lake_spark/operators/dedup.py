@@ -1531,3 +1531,92 @@ def dd13_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dd14_decontamination",
+    # Mirrors dd10/dd13's engine-portable window hashing (md5 of the
+    # space-joined token window) so Spark and DuckDB derive identical
+    # n-gram keys; the benchmark side is doc_id % 17 == 0, disjoint
+    # from dd09's % 13 admission split.
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        w AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(tk) - {_SPAN_W - 1})) AS p,
+                   tk
+            FROM d WHERE len(tk) >= {_SPAN_W}
+        ),
+        h AS (
+            SELECT doc_id,
+                   md5(array_to_string(tk[p:p + {_SPAN_W - 1}], ' ')) AS h
+            FROM w
+        ),
+        bh AS MATERIALIZED (
+            SELECT DISTINCT h FROM h WHERE doc_id % 17 = 0
+        ),
+        hits AS MATERIALIZED (
+            SELECT doc_id, count(DISTINCT h) AS n
+            FROM h
+            WHERE doc_id % 17 <> 0 AND h IN (SELECT h FROM bh)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.tk) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_shared_ngrams,
+               COALESCE(hits.n, 0) > 0 AS contaminated
+        FROM d LEFT JOIN hits USING (doc_id)
+        WHERE d.doc_id % 17 <> 0
+        ORDER BY d.doc_id
+    """,
+    tags=("dedup", "decontamination", "pipeline"),
+)
+def dd14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the train/eval overlap scrub every
+    serious training-data pipeline runs (GPT-3 appendix C removed
+    training docs sharing any 13-gram with an eval example; this uses
+    the module's shared {_SPAN_W}-token window machinery): every corpus
+    document (doc_id % 17 != 0) is scored against the BENCHMARK set
+    (doc_id % 17 == 0) and flagged when it shares any verbatim
+    {_SPAN_W}-token n-gram, with the count of distinct shared n-grams —
+    the evidence a removal decision audits.
+
+    Physical shape — the defining asymmetry of decontamination is that
+    the benchmark set is TINY next to the corpus: the benchmark's
+    distinct window hashes BROADCAST, the corpus pays exactly one scan
+    with in-row window hashing (no positional explode before the join
+    key exists, same as dd10), and the only shuffle is the doc-keyed
+    count over the HIT rows — bounded by contamination volume, not
+    corpus size.  At 100 TB with an oversized benchmark the escalation
+    is the same hash-keyed semi join (AQE-skew-splittable), the exact
+    dd10 discipline."""
+    t = tables(spark, sf_dir)
+    docs = t.documents
+    bench_h = (
+        _dd10_windows(docs.filter(F.col("doc_id") % 17 == 0))
+        .select("h")
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    hits = (
+        _dd10_windows(corpus)
+        .join(F.broadcast(bench_h), "h", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n"))
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -73,6 +73,8 @@ _LOADED = False
 # inline below.  Everything not listed keeps its registration order
 # after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in r11 — first driver check
+    "dd14_decontamination",
     # ---- r11 prefix: re-proofs of everything whose machinery changed
     # in r11, then rotation toward families last driver-proven r3-r7.
     # Changed in r11: the ENTIRE manifest-lake + lake-sink family (the

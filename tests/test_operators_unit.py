@@ -1223,3 +1223,33 @@ def should_reclaim_session_scoped_fixture_dirs():
     gc.collect()
     assert not os.path.exists(d1) and not os.path.exists(d2)
     assert not ({d1, d2} & tb._TMP_ROOTS)
+
+
+def should_flag_planted_benchmark_contamination_in_dd14(spark, tmp_path):
+    """A corpus doc embedding a benchmark doc's 12-token window
+    verbatim must flag contaminated with the exact shared-window count;
+    an unrelated doc must not."""
+    import os
+
+    bench = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    rows = [
+        (17, bench, "en", "s", 10),                        # benchmark (%17==0)
+        (1, "lead in " + bench + " trailing words", "en", "s", 10),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    got = {
+        r.doc_id: (r.contaminated, r.n_shared_ngrams)
+        for r in load_all_queries()["dd14_decontamination"].fn(spark, sf).collect()
+    }
+    # doc 1 contains exactly ONE shared 12-token window (the benchmark
+    # text itself); doc 2 shares none; doc 17 is benchmark-side (absent)
+    assert got == {1: (True, 1), 2: (False, 0)}

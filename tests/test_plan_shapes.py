@@ -698,3 +698,14 @@ def should_decode_pruned_geoparquet_files_without_joins(
     assert "Join" not in plan, plan
     assert plan.count("MapInPandas") == 2, plan  # one decode kernel
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def should_broadcast_benchmark_ngrams_in_dd14(spark, registry, sf_dir):
+    # decontamination: the benchmark's distinct window hashes BROADCAST
+    # (the tiny side by the operator's defining asymmetry); the corpus
+    # is never cartesian-joined and the only hash exchange is the
+    # doc-keyed hit count, bounded by contamination volume.
+    plan = _plan(spark, registry, "dd14_decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
