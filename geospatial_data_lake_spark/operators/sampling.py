@@ -176,3 +176,96 @@ def sm04_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sm05_mixture_quota_sample",
+    # Same portable md5 ordering hash as dd05 (Spark conv() == DuckDB
+    # '0x' cast, verified there); integer token quotas (w * toks //
+    # 100) keep the boundary engine-exact — no float in the cut.
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents
+        ),
+        q AS (
+            SELECT source,
+                   CASE WHEN CAST(substring(source, 4) AS INT) % 3 = 0
+                        THEN 60 ELSE 30 END * sum(n_tokens) // 100
+                       AS quota_tokens
+            FROM d GROUP BY source
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM d
+        )
+        SELECT c.doc_id, c.source, c.n_tokens
+        FROM c JOIN q USING (source)
+        WHERE c.cum <= q.quota_tokens
+        ORDER BY c.doc_id
+    """,
+    tags=("sampling", "mixture", "pipeline"),
+)
+def sm05_mixture_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXTURE quota sampling — the per-source token-budget step of
+    a training-mix recipe (the Pile/Llama-style reweighting: curated
+    domains upsampled, bulk web capped): every source gets an integer
+    token quota (60% for the upweighted sources — numeric suffix
+    divisible by 3 stands in for the curation flag — 30% otherwise) and
+    contributes the deterministic hash-ordered document prefix whose
+    cumulative tokens fit the quota.
+
+    The selection inherits the module's reproducibility contract: the
+    order is a portable content hash (never rand()), so re-running on
+    any engine/partitioning picks the identical mix, and a document's
+    inclusion can only change if ITS SOURCE's corpus grows — never from
+    repartitioning.  Greedy-prefix semantics (cum <= quota): a document
+    straddling the boundary is excluded, smaller later documents do not
+    back-fill — the cut is a pure per-row predicate over (hash rank,
+    cumsum), auditable and stable.
+
+    Scale shape: one scan + ONE shuffle (the per-source window cumsum;
+    sources are the partition key, so parallelism = source count — at
+    100 TB with few giant sources, the documented escalation is
+    range-partitioning each source's hash domain and computing the
+    cumsum as partial-sums + a broadcast per-range offset table, the
+    classic distributed prefix-sum); the quota table is a tiny
+    broadcast join."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 60)
+        .otherwise(30)
+        .cast("bigint")
+    )
+    # integer DIV end-to-end: a double quotient's floor could disagree
+    # with the oracle's integer // once token sums leave double's exact
+    # range (the 100 TB case)
+    quotas = d.withColumn("__w", w).groupBy("source").agg(
+        F.expr("(first(__w) * sum(n_tokens)) DIV 100").alias("quota_tokens")
+    )
+    cum = Window.partitionBy("source").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tokens").over(cum))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("cum") <= F.col("quota_tokens"))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )

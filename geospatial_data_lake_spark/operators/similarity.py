@@ -544,3 +544,161 @@ def em03_matryoshka_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("q_id", "rnk")
     )
+
+
+@register(
+    "ss10_binary_quant_search",
+    # Integer-exact sketch stage: both engines pack the identical
+    # 64-bit sign pattern (two 32-bit words — bit 63 of a single word
+    # would flip BIGINT's sign, inviting cross-engine two's-complement
+    # edge cases) and hamming is bit_count(xor) on both sides; the
+    # float rerank reuses ss01's verified cosine convention (same
+    # summation order, round 4).
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        w AS (
+            SELECT vec_id, v,
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                       i -> CASE WHEN v[i + 1] > 0
+                            THEN 1::BIGINT << i ELSE 0::BIGINT END))
+                       AS BIGINT) AS w0,
+                   CAST(list_sum(list_transform(generate_series(32, 63),
+                       i -> CASE WHEN v[i + 1] > 0
+                            THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END))
+                       AS BIGINT) AS w1
+            FROM e
+        ),
+        q AS (SELECT * FROM w WHERE vec_id < 5),
+        ham AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   CAST(bit_count(xor(q.w0, c.w0))
+                        + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+            FROM q JOIN w c ON c.vec_id != q.vec_id
+        ),
+        cand AS (
+            SELECT q_id, c_id, hamming,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY hamming, c_id
+                   ) AS hr,
+                   count(*) OVER (PARTITION BY q_id) AS n_cand
+            FROM ham
+        ),
+        rerank AS (
+            SELECT cand.q_id, cand.c_id, cand.hamming,
+                   list_cosine_similarity(qe.v, ce.v) AS cos_raw
+            FROM cand
+            JOIN e qe ON qe.vec_id = cand.q_id
+            JOIN e ce ON ce.vec_id = cand.c_id
+            WHERE cand.hr <= greatest(16, (cand.n_cand * 5) // 100)
+        ),
+        ranked AS (
+            SELECT q_id, c_id, hamming, cos_raw,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos_raw DESC, c_id
+                   ) AS rnk
+            FROM rerank
+        )
+        SELECT q_id, c_id, round(cos_raw, 4) AS cosine, hamming,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def ss10_binary_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED ANN — the 1-bit-per-dimension sketch that is the
+    current production answer to embedding search at extreme scale
+    (64 dims -> 8 BYTES per vector, a 32x shrink over float32): each
+    vector's sign pattern packs into two 32-bit words, candidates rank
+    by hamming distance (bit_count of xor — 2 integer ops per pair, no
+    floats), and only the hamming top-16 pay the exact float cosine
+    rerank (ss01's convention) for the final top-3.
+
+    Scale shape: the sketch table is 16 bytes + id per vector — a 1 B-
+    vector corpus fits in ~24 GB, broadcastable per executor or
+    scannable at memory bandwidth; the hamming stage is pure codegen
+    integer work (no shuffle — the query sketches broadcast), the
+    candidate cut shuffles only (q_id, c_id, hamming) slim rows, and
+    the float arrays are joined back ONLY for the 16 survivors per
+    query.  The sketch is also the natural lake layout key (bucket by
+    a word prefix) — same discipline as ss08's partition-pruned
+    inverted lists.
+
+    Exactness contract: the sketch stage is INTEGER-exact (hash-free,
+    engine-portable sign packing), so the oracle replays the whole
+    pipeline bit-for-bit; the recall-vs-ss01 relationship is audited in
+    the unit suite, mirroring ss02b/ss03b."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pack = (
+        "aggregate(sequence({a}, {b}), 0L, (acc, i) -> acc + "
+        "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i - {a}), 0L))"
+    )
+    w = e.select(
+        "vec_id",
+        F.expr(pack.format(a=0, b=31)).alias("w0"),
+        F.expr(pack.format(a=32, b=63)).alias("w1"),
+    )
+    q = w.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        w.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (
+                F.bit_count(F.expr("qw0 ^ w0"))
+                + F.bit_count(F.expr("qw1 ^ w1"))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    from pyspark.sql import Window
+
+    by_q = Window.partitionBy("q_id")
+    # rerank pool scales with the corpus (5% of candidates, floor 16):
+    # a FIXED pool starves recall as the corpus grows — the pool is the
+    # binary-quant recall knob and must track corpus size, integer DIV
+    # so the oracle replays the exact cut
+    cand = (
+        ham.withColumn(
+            "hr", F.row_number().over(by_q.orderBy("hamming", "c_id"))
+        )
+        .withColumn("n_cand", F.count(F.lit(1)).over(by_q))
+        .filter(F.col("hr") <= F.expr("greatest(16L, (n_cand * 5) DIV 100)"))
+        .drop("hr", "n_cand")
+    )
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    ce = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .withColumn(
+            "cos_raw",
+            _dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(by_q.orderBy(F.desc("cos_raw"), "c_id")),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            "hamming",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )

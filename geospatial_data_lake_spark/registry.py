@@ -75,6 +75,8 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # NEW in r11 — first driver check
     "dd14_decontamination",
+    "sm05_mixture_quota_sample",
+    "ss10_binary_quant_search",
     # ---- r11 prefix: re-proofs of everything whose machinery changed
     # in r11, then rotation toward families last driver-proven r3-r7.
     # Changed in r11: the ENTIRE manifest-lake + lake-sink family (the

@@ -1253,3 +1253,56 @@ def should_flag_planted_benchmark_contamination_in_dd14(spark, tmp_path):
     # doc 1 contains exactly ONE shared 12-token window (the benchmark
     # text itself); doc 2 shares none; doc 17 is benchmark-side (absent)
     assert got == {1: (True, 1), 2: (False, 0)}
+
+
+def should_pick_deterministic_hash_prefix_quotas_in_sm05(spark, tmp_path):
+    """sm05's mixture cut: per-source integer token quota, documents
+    admitted in portable-hash order until the next doc would overflow —
+    greedy prefix, no back-fill — and the selection is partitioning-
+    invariant (re-running over a repartitioned corpus picks the same
+    mix)."""
+    import os
+
+    rows = [
+        # src3 (suffix % 3 == 0 -> 60% quota), 4 docs x 10 tokens
+        *[(i, " ".join(f"a{i}_{j}" for j in range(10)), "en", "src3", 10)
+          for i in range(1, 5)],
+        # src1 (30% quota), 4 docs x 10 tokens
+        *[(i, " ".join(f"b{i}_{j}" for j in range(10)), "en", "src1", 10)
+          for i in range(11, 15)],
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    fn = load_all_queries()["sm05_mixture_quota_sample"].fn
+    got = {(r.doc_id, r.source) for r in fn(spark, sf).collect()}
+    by_src = {}
+    for d, s in got:
+        by_src.setdefault(s, set()).add(d)
+    # src3: quota = 60% of 40 = 24 tokens -> first 2 docs by hash order
+    # src1: quota = 30% of 40 = 12 tokens -> first 1 doc
+    assert len(by_src.get("src3", ())) == 2
+    assert len(by_src.get("src1", ())) == 1
+    # determinism: identical pick from a repartitioned re-run
+    df.repartition(7).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    from geospatial_data_lake_spark import tables as tb
+    tb._MEMO.pop(spark, None)  # drop the cached table handles for sf
+    got2 = {(r.doc_id, r.source) for r in fn(spark, sf).collect()}
+    assert got2 == got
+
+
+def should_recall_most_exact_neighbors_in_ss10_binary_quant(spark, sf_dir):
+    """ss10 (binary-quantized ANN) must recover most of ss01's exact
+    top-3 — the same bar the LSH and IVF paths meet — with its
+    corpus-proportional rerank pool."""
+    registry = load_all_queries()
+    exact = {(r.q_id, r.c_id) for r in registry["ss01_cosine_topk"].fn(spark, sf_dir).collect()}
+    bq = {(r.q_id, r.c_id) for r in registry["ss10_binary_quant_search"].fn(spark, sf_dir).collect()}
+    recall = len(exact & bq) / len(exact)
+    assert recall >= 0.5, f"binary-quant recall too low: {recall}"

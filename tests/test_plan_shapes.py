@@ -709,3 +709,19 @@ def should_broadcast_benchmark_ngrams_in_dd14(spark, registry, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def should_broadcast_query_sketches_in_ss10(spark, registry, sf_dir):
+    # binary-quant ANN: the query sketch table broadcasts (hamming
+    # stage is scan-side integer codegen); nothing goes cartesian.
+    plan = _plan(spark, registry, "ss10_binary_quant_search", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def should_broadcast_quota_table_in_sm05(spark, registry, sf_dir):
+    # mixture sampling: the per-source quota table broadcasts; the only
+    # hash exchange is the per-source cumsum window.
+    plan = _plan(spark, registry, "sm05_mixture_quota_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
