@@ -78,6 +78,10 @@ HEADLINE = [
     "geo04_point_in_polygon",
     "geo05_polygon_intersect_pairs",
     "x04_centroid_udaf",
+    # r11 additions: the new pipeline stages
+    "dd14_decontamination",
+    "sm05_mixture_quota_sample",
+    "ss10_binary_quant_search",
 ]
 
 
