@@ -1574,14 +1574,19 @@ def dd13_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "decontamination", "pipeline"),
 )
 def dd14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark DECONTAMINATION — the train/eval overlap scrub every
-    serious training-data pipeline runs (GPT-3 appendix C removed
-    training docs sharing any 13-gram with an eval example; this uses
-    the module's shared {_SPAN_W}-token window machinery): every corpus
-    document (doc_id % 17 != 0) is scored against the BENCHMARK set
-    (doc_id % 17 == 0) and flagged when it shares any verbatim
-    {_SPAN_W}-token n-gram, with the count of distinct shared n-grams —
-    the evidence a removal decision audits.
+    """Benchmark DECONTAMINATION, digest-keyed — the train/eval overlap
+    scrub (GPT-3 appendix C removed training docs sharing any 13-gram
+    with an eval example).  COMPANION to ct01/ct02 in pipeline_ops,
+    deliberately not a replacement: ct01 joins RAW gram strings (the
+    human-auditable view — you can read exactly which gram matched)
+    and emits only contaminated docs; this operator keys on the
+    module's shared {_SPAN_W}-token md5 WINDOW DIGESTS (dd10/dd13's
+    machinery — at 100 TB the broadcast set and any shuffle carry
+    16-byte digests instead of full 12-token strings, an order of
+    magnitude less traffic) and emits EVERY corpus document with its
+    contaminated flag and distinct-shared-window count — the
+    full-corpus audit table a removal decision signs off on.  Corpus
+    split doc_id % 17, disjoint from ct01's % 97 and dd09's % 13.
 
     Physical shape — the defining asymmetry of decontamination is that
     the benchmark set is TINY next to the corpus: the benchmark's

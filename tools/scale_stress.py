@@ -97,6 +97,12 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "st03_stream_volume_monitor": (
         "should_score_volume_cells_not_raw_events", "stream"),
     "tpch_q9_product_profit": (None, "relational"),
+    "dd14_decontamination": (
+        "should_broadcast_benchmark_ngrams_in_dd14", "dedup"),
+    "sm05_mixture_quota_sample": (
+        "should_broadcast_quota_table_in_sm05", "pipeline"),
+    "ss10_binary_quant_search": (
+        "should_broadcast_query_sketches_in_ss10", "ann"),
 }
 
 TABLES = (
