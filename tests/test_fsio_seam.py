@@ -276,3 +276,45 @@ def should_run_commit_pointer_protocol_on_object_store(mem_root):
     assert fsio.listdir(manifests) == [f"{1:020d}-a.json"]  # loser cleaned
     winner = fsio.read_text(f"{commits}/{1:020d}")
     assert json.loads(fsio.read_text(manifests + "/" + winner)) == {"w": "a"}
+
+
+@pytest.mark.parametrize("op_seed", [0, 1, 2])
+def should_agree_between_plain_and_file_uri_roots(tmp_path, op_seed):
+    """Behavioral agreement: the same operation sequence against a
+    plain-path root and a file:// root must produce identical listings,
+    contents, and errors — the property the ManifestTable relies on
+    when handed either form."""
+    import hashlib
+
+    def seq(root):
+        out = []
+        names = [
+            hashlib.md5(f"{op_seed}-{i}".encode()).hexdigest()[:6]
+            for i in range(6)
+        ]
+        fsio.mkdirs(root + "/a/b")
+        for i, n in enumerate(names):
+            tgt = root + ("/a/" if i % 2 else "/a/b/") + n
+            fsio.write_text(tgt, f"v{i}")
+        out.append(sorted(fsio.listdir(root + "/a")))
+        out.append(sorted(fsio.listdir(root + "/a/b")))
+        try:
+            fsio.put_if_absent(root + "/a/" + names[1], "x")
+            out.append("no-raise")
+        except FileExistsError:
+            out.append("exists")
+        fsio.unlink(root + "/a/b/" + names[0])
+        out.append(sorted(n for n, _ in (
+            (p.rsplit("/", 1)[1], m) for p, m in fsio.walk_files(root + "/a")
+        )))
+        fsio.rmtree(root + "/a")
+        try:
+            fsio.listdir(root + "/a")
+            out.append("listed")
+        except FileNotFoundError:
+            out.append("gone")
+        return out
+
+    plain = seq(str(tmp_path / "p"))
+    uri = seq("file://" + str(tmp_path / "u"))
+    assert plain == uri

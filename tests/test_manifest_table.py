@@ -690,13 +690,18 @@ def should_emit_update_preimages_when_asked(spark, tmp_path):
     assert "update_preimage" not in default
 
 
-def should_serialize_maintenance_racing_writers(spark, tmp_path):
+@pytest.mark.parametrize("rooting", ["plain", "file_uri"])
+def should_serialize_maintenance_racing_writers(spark, tmp_path, rooting):
     """optimize/compact racing concurrent upserts must serialize like
     any commit: no version gaps, no lost updates, and the final content
-    equals the sequential model regardless of interleaving."""
+    equals the sequential model regardless of interleaving — including
+    over a ``file://`` URI root (maintenance rewrites drive the fsio
+    CAS seam's heaviest path: data-dir listing + GC + publish races)."""
     from concurrent.futures import ThreadPoolExecutor
 
     root = str(tmp_path / "race_maint")
+    if rooting == "file_uri":
+        root = "file://" + root
     seed = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
     seed.upsert(
         _mk(spark, [(i, "a" if i % 2 == 0 else "b", f"v{i}") for i in range(40)])
