@@ -420,3 +420,70 @@ def ev04_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev05_top_event_paths",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   date_trunc('microsecond', ts) AS ts, event_id
+            FROM events
+        ),
+        tri AS (
+            SELECT user_id, event_type AS s1,
+                   lead(event_type, 1) OVER w AS s2,
+                   lead(event_type, 2) OVER w AS s3
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        agg AS (
+            SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM tri WHERE s3 IS NOT NULL
+            GROUP BY path
+        )
+        SELECT path, n_occurrences, n_users,
+               CAST(row_number() OVER (
+                   ORDER BY n_occurrences DESC, path) AS BIGINT) AS rnk
+        FROM agg
+        QUALIFY rnk <= 20
+    """,
+    tags=("analytics", "events", "paths"),
+)
+def ev05_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event paths (sequence mining): each user's
+    event stream, ordered by (ts, event_id) — the same micros+ingest-id
+    tiebreak convention as ev01 — emits its consecutive event-type
+    trigrams via two ``lead`` windows, trigrams reduce to global
+    (occurrence, distinct-user) counts, and a fully-tiebroken
+    ``row_number`` cuts the top 20.
+
+    Scale shape: the only raw-log shuffle keys on user_id (the lead
+    window), per-user streams never leave their executor, and the
+    trigram aggregation is partial-then-final on a key space bounded by
+    |event_type|^3 — the final global ranking therefore sorts a
+    vocabulary-sized table (125 rows here; thousands at worst), never
+    the log.  This is the path-analysis primitive funnels generalize
+    from; the rank cut is deterministic (count desc, path asc), so the
+    result is stable under any partitioning."""
+    t = tables(spark, sf_dir)
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        t.events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("s2", F.lead("event_type", 1).over(uw))
+        .withColumn("s3", F.lead("event_type", 2).over(uw))
+        .filter(F.col("s3").isNotNull())
+    )
+    agg = tri.groupBy(
+        F.concat_ws(" > ", "event_type", "s2", "s3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    rw = Window.orderBy(F.desc("n_occurrences"), "path")
+    return (
+        agg.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -702,3 +702,165 @@ def ss10_binary_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rnk")
     )
+
+
+@register(
+    "ss11_scalar_quant_search",
+    # Integer-exact code stage: the per-dimension affine quantizer is
+    # the SAME double expression on both engines ((x - mn) * 255.0 /
+    # (mx - mn), floor, clamp to [0, 255]) over the same exact
+    # float->double widenings and exact min/max stats, so the int8
+    # codes — and therefore the integer L2 distances and the candidate
+    # cut — replay bit-for-bit; the float rerank reuses ss01's verified
+    # cosine convention (same summation order, round 4).
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        mm AS (
+            SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+            FROM e, (SELECT unnest(generate_series(1, 64)) AS i) dims
+            GROUP BY i
+        ),
+        mml AS (
+            SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM mm
+        ),
+        qn AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, 64), i ->
+                       CAST(least(255, greatest(0,
+                           floor((v[i] - mns[i]) * 255.0 /
+                               CASE WHEN mxs[i] = mns[i] THEN 1.0
+                                    ELSE mxs[i] - mns[i] END)))
+                           AS BIGINT)) AS qv
+            FROM e, mml
+        ),
+        q AS (SELECT vec_id AS q_id, qv AS qq FROM qn WHERE vec_id < 5),
+        d AS (
+            SELECT q.q_id, c.vec_id AS c_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> (c.qv[i] - q.qq[i]) * (c.qv[i] - q.qq[i])))
+                       AS BIGINT) AS l2q
+            FROM q JOIN qn c ON c.vec_id != q.q_id
+        ),
+        cand AS (
+            SELECT q_id, c_id, l2q,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY l2q, c_id) AS hr,
+                   count(*) OVER (PARTITION BY q_id) AS n_cand
+            FROM d
+        ),
+        rerank AS (
+            SELECT cand.q_id, cand.c_id, cand.l2q,
+                   list_cosine_similarity(qe.v, ce.v) AS cos_raw
+            FROM cand
+            JOIN e qe ON qe.vec_id = cand.q_id
+            JOIN e ce ON ce.vec_id = cand.c_id
+            WHERE cand.hr <= greatest(16, (cand.n_cand * 5) // 100)
+        ),
+        ranked AS (
+            SELECT q_id, c_id, l2q, cos_raw,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos_raw DESC, c_id
+                   ) AS rnk
+            FROM rerank
+        )
+        SELECT q_id, c_id, round(cos_raw, 4) AS cosine, l2q,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def ss11_scalar_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-QUANTIZED (int8) ANN — the middle rung of the quantization
+    ladder this engine now covers end-to-end (ss10 binary 1 bit/dim,
+    ss11 SQ8 8 bits/dim, em02/ss05-ss09 PQ sub-vector codebooks): each
+    dimension is affinely mapped to [0, 255] by corpus min/max trained
+    in-plan (one partial-then-final aggregation producing a single
+    64-min/64-max stats row that broadcasts — never a driver collect),
+    candidates rank by integer L2 over the codes, and only the L2
+    shortlist (5% of candidates, floor 16 — ss10's corpus-proportional
+    pool) pays the exact float cosine rerank for the final top-3.
+
+    Scale shape: codes are 64 bytes + id per vector (4x over float32);
+    the code stage is pure codegen integer arithmetic with the 5 query
+    codes broadcast — the corpus is scanned once, no shuffle before the
+    slim (q_id, c_id, l2q) candidate cut; the stats row is 128 doubles
+    regardless of corpus size.  SQ8 is what production vector stores
+    run when binary's recall floor is too low and PQ's codebook train
+    is too heavy — completing the spectrum matters because the choice
+    is a per-corpus recall/latency trade.
+
+    Exactness contract: stats, codes, distances, and the cut are
+    integer- or IEEE-identical on both engines (see oracle comment), so
+    the oracle replays the full pipeline; recall vs the exact ss01
+    baseline is audited in the unit suite (ss02b/ss03b discipline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = range(1, _DIM + 1)
+    stats = e.agg(
+        *[F.min(F.element_at("v", i)).alias(f"mn{i}") for i in dims],
+        *[F.max(F.element_at("v", i)).alias(f"mx{i}") for i in dims],
+    ).select(
+        F.array(*[F.col(f"mn{i}") for i in dims]).alias("mns"),
+        F.array(*[F.col(f"mx{i}") for i in dims]).alias("mxs"),
+    )
+    quantize = (
+        "transform(sequence(1, 64), i -> CAST(least(255L, greatest(0L, "
+        "floor((element_at(v, i) - element_at(mns, i)) * 255.0D / "
+        "IF(element_at(mxs, i) = element_at(mns, i), 1.0D, "
+        "element_at(mxs, i) - element_at(mns, i))))) AS BIGINT))"
+    )
+    qn = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.expr(quantize).alias("qv")
+    )
+    q = qn.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    d = qn.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.expr(
+            "aggregate(zip_with(qv, qq, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("l2q"),
+    )
+    by_q = Window.partitionBy("q_id")
+    cand = (
+        d.withColumn("hr", F.row_number().over(by_q.orderBy("l2q", "c_id")))
+        .withColumn("n_cand", F.count(F.lit(1)).over(by_q))
+        .filter(F.col("hr") <= F.expr("greatest(16L, (n_cand * 5) DIV 100)"))
+        .drop("hr", "n_cand")
+    )
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv_f"))
+    ce = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv_f"))
+    scored = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .withColumn(
+            "cos_raw",
+            _dot(F.col("qv_f"), F.col("cv_f"))
+            / (
+                F.sqrt(_dot(F.col("qv_f"), F.col("qv_f")))
+                * F.sqrt(_dot(F.col("cv_f"), F.col("cv_f")))
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(by_q.orderBy(F.desc("cos_raw"), "c_id")),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            "l2q",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )

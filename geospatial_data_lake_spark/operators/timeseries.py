@@ -1,0 +1,155 @@
+"""Time-series rollups over the ``events`` table: gap-filled resampling
+with last-observation-carried-forward, and OHLC bar downsampling — the
+"hypertable rollup" operators a continuous-aggregate surface serves (the
+reference recomputes a status view on every read,
+``backend/import_status/get.py:39-94``; a gap-filled per-entity series is
+the same derive-a-dense-view-from-a-sparse-log pattern at time-series
+complexity).
+
+Scale notes (1000 executors, ~100 TB of events):
+
+- Both queries shuffle ONLY on their natural keys (``user_id`` /
+  ``event_type``): the bucket aggregation is partial-then-final, the
+  spine explode happens AFTER the per-user reduction (span rows are one
+  per user, so the explode amplifies a tiny table, never the raw log),
+  and the LOCF window re-uses the spine join's hash partitioning on
+  user_id — one exchange end-to-end after the bucket agg.
+- The spine is bounded by ``users x buckets``, independent of raw event
+  volume: at 100 TB of events and hourly buckets the dense series is
+  ~9k rows per user-year — the rollup SHRINKS the data, which is why
+  continuous aggregates are materialized this way at scale.
+- No driver-side state: the per-user min/max span stays distributed;
+  ``F.sequence`` generates the dense bucket range executor-side.
+
+Cross-engine determinism: bucket boundaries are ``date_trunc`` results
+(micros on both sides — tables.py floor-truncates the parquet NANOS);
+the per-bucket reading is selected by ``max_by(value, event_id)`` —
+event_id is the unique ingest sequence, so the arg-max is tie-free and
+engine-portable; carried readings are verbatim copies of parquet
+doubles (no float arithmetic anywhere in either query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.tables import tables
+
+
+@register(
+    "ts01_gap_fill_locf",
+    oracle="""
+        WITH b AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   max_by(value, event_id) AS obs
+            FROM events GROUP BY user_id, bucket
+        ),
+        span AS (
+            SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+            FROM b GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+            FROM span
+        ),
+        f AS (
+            SELECT s.user_id, s.bucket, b.obs, b.obs IS NULL AS is_gap
+            FROM spine s
+            LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+        )
+        SELECT user_id,
+               strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               last_value(obs IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS reading,
+               is_gap
+        FROM f
+    """,
+    tags=("timeseries", "events", "gapfill"),
+)
+def ts01_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled per-user series with last-observation-carried-
+    forward: the sparse event log rolls up to one reading per (user,
+    hour) — the bucket's last observation by ingest sequence — then a
+    dense hourly spine (``F.sequence`` over each user's observed span,
+    exploded executor-side) left-joins the readings and a running
+    ``last(ignorenulls)`` window carries the prior reading across gap
+    hours.  The spine's first bucket per user always holds that user's
+    first observation, so no row is ever NULL.
+
+    Plan shape: bucket agg (partial-then-final on user_id) -> per-user
+    span (reuses the user_id exchange) -> explode (amplifies the
+    one-row-per-user span, never the log) -> left join + LOCF window,
+    both partitioned by user_id.  Output is users x buckets — bounded
+    by the calendar, not by event volume."""
+    t = tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "value", "event_id")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max_by("value", "event_id").alias("obs"))
+    span = b.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    f = spine.join(b, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.last("obs", ignorenulls=True).over(w).alias("reading"),
+        F.col("obs").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "ts02_ohlc_downsample",
+    oracle="""
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+               min_by(value, event_id) AS open_value,
+               max(value) AS high_value,
+               min(value) AS low_value,
+               max_by(value, event_id) AS close_value,
+               CAST(count(*) AS BIGINT) AS volume
+        FROM events
+        GROUP BY event_type, bucket_day
+    """,
+    tags=("timeseries", "events", "downsample"),
+)
+def ts02_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event_type: open/close are the bucket's first/
+    last observation by ingest sequence (``min_by``/``max_by`` on the
+    unique event_id — tie-free, engine-portable), high/low are plain
+    min/max, volume the row count.  Every statistic is an exact verbatim
+    parquet double or an integer — no float summation, so the bar is
+    bit-identical on any engine and any partitioning.
+
+    Plan shape: one scan, one partial-then-final hash aggregation on
+    (event_type, day) — the canonical map-side-combine rollup; output is
+    types x days, calendar-bounded at any input scale."""
+    t = tables(spark, sf_dir)
+    ev = t.events.select("event_type", "ts", "value", "event_id")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "bucket_day"
+        ),
+    ).agg(
+        F.min_by("value", "event_id").alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max_by("value", "event_id").alias("close_value"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )

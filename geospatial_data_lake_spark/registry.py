@@ -74,6 +74,10 @@ _LOADED = False
 # after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
     # NEW in r11 — first driver check
+    "ts01_gap_fill_locf",
+    "ts02_ohlc_downsample",
+    "ev05_top_event_paths",
+    "ss11_scalar_quant_search",
     "dd14_decontamination",
     "sm05_mixture_quota_sample",
     "ss10_binary_quant_search",
@@ -134,6 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "ev01_funnel_conversion",
     "ev02_cohort_retention",
     "sm02_stratified_sample_counts",
+    # --- 50-entry mark; proven rows retired from the checked prefix.
+    # (The four ts/ev05/ss11 additions displaced sm04/u02/u06/w05/w08/
+    # o06/p07 from the checked window — all cumulatively driver-green.) ---
     "sm04_weighted_sample",
     "u02_union_discriminated",
     "u06_except_all",
@@ -141,7 +148,6 @@ _PRIORITY: tuple[str, ...] = (
     "w08_distribution_ranks",
     "o06_keyset_pagination",
     "p07_conjunctive_predicate",
-    # --- 50-entry mark; proven rows retired from the checked prefix ---
     "geo08_wkb_point_in_polygon",
     "geo09_wkb_multipolygon_holes",
     "geo10_wkb_polyline_length",
@@ -269,6 +275,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
             sorts,
             streaming_queries,
             textops,
+            timeseries,
             tpch_suite,
             tpch_suite2,
             udafs,

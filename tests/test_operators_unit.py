@@ -1306,3 +1306,86 @@ def should_recall_most_exact_neighbors_in_ss10_binary_quant(spark, sf_dir):
     bq = {(r.q_id, r.c_id) for r in registry["ss10_binary_quant_search"].fn(spark, sf_dir).collect()}
     recall = len(exact & bq) / len(exact)
     assert recall >= 0.5, f"binary-quant recall too low: {recall}"
+
+
+def should_carry_last_observation_across_gap_hours_in_ts01(spark, sf_dir):
+    """ts01's dense series: hourly spine with no holes per user, a real
+    observation in every user's first bucket (so LOCF never emits NULL),
+    and every gap row carrying exactly the previous row's reading."""
+    registry = load_all_queries()
+    rows = registry["ts01_gap_fill_locf"].fn(spark, sf_dir).collect()
+    assert rows and all(r.reading is not None for r in rows)
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    n_gaps = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r.bucket_ts)
+        assert series[0].is_gap is False  # first bucket is an observation
+        prev = None
+        for r in series:
+            t = datetime.strptime(r.bucket_ts, "%Y-%m-%d %H:%M:%S")
+            if prev is not None:
+                assert t - prev[0] == timedelta(hours=1)  # dense spine
+                if r.is_gap:
+                    n_gaps += 1
+                    assert r.reading == prev[1]  # LOCF carries verbatim
+            prev = (t, r.reading)
+    assert n_gaps > 0  # the fixture actually exercises gap filling
+
+
+def should_bound_ohlc_bars_by_their_extremes_in_ts02(spark, sf_dir):
+    """ts02 bar invariants: low <= {open, close} <= high, volume >= 1,
+    and single-observation bars have open == close == high == low."""
+    registry = load_all_queries()
+    rows = registry["ts02_ohlc_downsample"].fn(spark, sf_dir).collect()
+    assert rows
+    singletons = 0
+    for r in rows:
+        assert r.low_value <= min(r.open_value, r.close_value)
+        assert r.high_value >= max(r.open_value, r.close_value)
+        assert r.volume >= 1
+        if r.volume == 1:
+            singletons += 1
+            assert r.open_value == r.close_value == r.high_value == r.low_value
+    assert len({(r.event_type, r.bucket_day) for r in rows}) == len(rows)
+
+
+def should_rank_trigram_paths_with_full_tiebreak_in_ev05(spark, sf_dir):
+    """ev05's top-20 cut: ranks are 1..n with counts non-increasing and
+    ties broken by path ascending; n_users never exceeds occurrences."""
+    registry = load_all_queries()
+    rows = sorted(
+        registry["ev05_top_event_paths"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert rows and [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 20
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_occurrences, b.path) > (b.n_occurrences, a.path) or (
+            a.n_occurrences == b.n_occurrences and a.path < b.path
+        )
+        assert a.n_occurrences >= b.n_occurrences
+    for r in rows:
+        assert 1 <= r.n_users <= r.n_occurrences
+        assert len(r.path.split(" > ")) == 3
+
+
+def should_recall_most_exact_neighbors_in_ss11_scalar_quant(spark, sf_dir):
+    """ss11 (int8 scalar-quantized ANN) must recover most of ss01's
+    exact top-3 — the bar every approximate path meets (ss02/ss03/ss10
+    discipline) — with its corpus-proportional rerank pool."""
+    registry = load_all_queries()
+    exact = {
+        (r.q_id, r.c_id)
+        for r in registry["ss01_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    sq = {
+        (r.q_id, r.c_id)
+        for r in registry["ss11_scalar_quant_search"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & sq) / len(exact)
+    assert recall >= 0.5, f"scalar-quant recall too low: {recall}"

@@ -725,3 +725,42 @@ def should_broadcast_quota_table_in_sm05(spark, registry, sf_dir):
     plan = _plan(spark, registry, "sm05_mixture_quota_sample", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def should_explode_spine_after_reduction_in_ts01(spark, registry, sf_dir):
+    # gap-fill: the dense-spine explode generates from the one-row-per-
+    # user span (post-aggregation), never from the raw log, and nothing
+    # goes cartesian; the LOCF window and spine join share user_id
+    # partitioning.
+    plan = _plan(spark, registry, "ts01_gap_fill_locf", sf_dir)
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def should_fold_ohlc_bars_in_one_joinless_scan(spark, registry, sf_dir):
+    # OHLC downsample: one scan, partial-then-final hash aggregation,
+    # zero joins — the canonical map-side-combine rollup.
+    plan = _plan(spark, registry, "ts02_ohlc_downsample", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" in plan, plan
+
+
+def should_reduce_trigrams_before_global_rank_in_ev05(spark, registry, sf_dir):
+    # path mining: the raw log shuffles only for the per-user lead
+    # window; trigram counting is partial-then-final, so the global
+    # rank sorts a vocabulary-sized aggregate, never the log.
+    plan = _plan(spark, registry, "ev05_top_event_paths", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") >= 2, plan  # per-user leads + global rank
+
+
+def should_broadcast_codes_and_stats_in_ss11(spark, registry, sf_dir):
+    # scalar-quant ANN: the 1-row min/max stats table and the 5 query
+    # codes broadcast; the corpus scans once — nothing goes cartesian.
+    plan = _plan(spark, registry, "ss11_scalar_quant_search", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
