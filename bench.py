@@ -82,6 +82,9 @@ HEADLINE = [
     "dd14_decontamination",
     "sm05_mixture_quota_sample",
     "ss10_binary_quant_search",
+    # r11 additions: the time-series rollup family
+    "ts01_gap_fill_locf",
+    "ts02_ohlc_downsample",
 ]
 
 

@@ -10,10 +10,9 @@ Scale notes (1000 executors, ~100 TB of events):
 
 - Both queries shuffle ONLY on their natural keys (``user_id`` /
   ``event_type``): the bucket aggregation is partial-then-final, the
-  spine explode happens AFTER the per-user reduction (span rows are one
-  per user, so the explode amplifies a tiny table, never the raw log),
-  and the LOCF window re-uses the spine join's hash partitioning on
-  user_id — one exchange end-to-end after the bucket agg.
+  gap-fill explode happens AFTER the per-user reduction (it amplifies
+  the observation table, never the raw log), and ts01's only other
+  exchange is the per-user lead window — no join anywhere.
 - The spine is bounded by ``users x buckets``, independent of raw event
   volume: at 100 TB of events and hourly buckets the dense series is
   ~9k rows per user-year — the rollup SHRINKS the data, which is why
@@ -80,36 +79,46 @@ def ts01_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours.  The spine's first bucket per user always holds that user's
     first observation, so no row is ever NULL.
 
-    Plan shape: bucket agg (partial-then-final on user_id) -> per-user
-    span (reuses the user_id exchange) -> explode (amplifies the
-    one-row-per-user span, never the log) -> left join + LOCF window,
-    both partitioned by user_id.  Output is users x buckets — bounded
-    by the calendar, not by event volume."""
+    Plan shape — LOCF BY CONSTRUCTION, not by window-over-spine: each
+    observation looks one observation ahead (``lead`` over the per-user
+    bucket sequence) and explodes the half-open interval
+    [its bucket, next bucket) into hourly rows that carry its reading
+    verbatim.  Gap rows are born filled, so the dense-spine LEFT JOIN
+    and the running last(ignorenulls) window of the declarative
+    formulation (which the oracle keeps — the parity check proves the
+    two formulations equivalent) disappear: two exchanges end-to-end
+    (bucket agg, then the user_id lead window) instead of four plus a
+    join.  The explode amplifies the per-user OBSERVATION table, never
+    the raw log; output is users x buckets — calendar-bounded at any
+    input scale."""
     t = tables(spark, sf_dir)
     ev = t.events.select("user_id", "ts", "value", "event_id")
     b = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.max_by("value", "event_id").alias("obs"))
-    span = b.groupBy("user_id").agg(
-        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
-    )
-    spine = span.select(
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    nb = b.withColumn("nxt", F.lead("bucket").over(w))
+    filled = nb.select(
         "user_id",
+        "obs",
+        "bucket",
         F.explode(
-            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-        ).alias("bucket"),
+            F.sequence(
+                "bucket",
+                F.coalesce(
+                    F.expr("nxt - INTERVAL 1 HOUR"), F.col("bucket")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("fill_bucket"),
     )
-    f = spine.join(b, ["user_id", "bucket"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return f.select(
+    return filled.select(
         "user_id",
-        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
-        F.last("obs", ignorenulls=True).over(w).alias("reading"),
-        F.col("obs").isNull().alias("is_gap"),
+        F.date_format("fill_bucket", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_ts"
+        ),
+        F.col("obs").alias("reading"),
+        (F.col("fill_bucket") != F.col("bucket")).alias("is_gap"),
     )
 
 

@@ -727,16 +727,17 @@ def should_broadcast_quota_table_in_sm05(spark, registry, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def should_explode_spine_after_reduction_in_ts01(spark, registry, sf_dir):
-    # gap-fill: the dense-spine explode generates from the one-row-per-
-    # user span (post-aggregation), never from the raw log, and nothing
-    # goes cartesian; the LOCF window and spine join share user_id
-    # partitioning.
+def should_explode_filled_intervals_joinlessly_in_ts01(spark, registry, sf_dir):
+    # gap-fill: LOCF by construction — each observation explodes its
+    # half-open interval to the next observation WITH its reading, so
+    # the plan is agg -> lead window -> generate, with NO join of any
+    # kind (the declarative spine+LOCF formulation lives in the oracle;
+    # parity proves the equivalence).
     plan = _plan(spark, registry, "ts01_gap_fill_locf", sf_dir)
-    assert "Generate explode" in plan or "Generate" in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "Join" not in plan, plan
     assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
 
 
 def should_fold_ohlc_bars_in_one_joinless_scan(spark, registry, sf_dir):
