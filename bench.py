@@ -85,6 +85,7 @@ HEADLINE = [
     # r11 additions: the time-series rollup family
     "ts01_gap_fill_locf",
     "ts02_ohlc_downsample",
+    "ts03_time_weighted_avg",
 ]
 
 

@@ -36,6 +36,39 @@ from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.tables import tables
 
 
+def _hourly_locf(events: DataFrame) -> DataFrame:
+    """The shared gap-fill core: per (user, hour) last observation by
+    ingest sequence, then each observation explodes the half-open
+    interval to its successor bucket carrying its reading — LOCF by
+    construction, join-free (see ts01).  Returns (user_id, fill_bucket,
+    reading, is_gap)."""
+    ev = events.select("user_id", "ts", "value", "event_id")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max_by("value", "event_id").alias("obs"))
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    nb = b.withColumn("nxt", F.lead("bucket").over(w))
+    return nb.select(
+        "user_id",
+        F.col("obs").alias("reading"),
+        "bucket",
+        F.explode(
+            F.sequence(
+                "bucket",
+                F.coalesce(
+                    F.expr("nxt - INTERVAL 1 HOUR"), F.col("bucket")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("fill_bucket"),
+    ).select(
+        "user_id",
+        "fill_bucket",
+        "reading",
+        (F.col("fill_bucket") != F.col("bucket")).alias("is_gap"),
+    )
+
+
 @register(
     "ts01_gap_fill_locf",
     oracle="""
@@ -92,33 +125,14 @@ def ts01_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw log; output is users x buckets — calendar-bounded at any
     input scale."""
     t = tables(spark, sf_dir)
-    ev = t.events.select("user_id", "ts", "value", "event_id")
-    b = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.max_by("value", "event_id").alias("obs"))
-    w = Window.partitionBy("user_id").orderBy("bucket")
-    nb = b.withColumn("nxt", F.lead("bucket").over(w))
-    filled = nb.select(
-        "user_id",
-        "obs",
-        "bucket",
-        F.explode(
-            F.sequence(
-                "bucket",
-                F.coalesce(
-                    F.expr("nxt - INTERVAL 1 HOUR"), F.col("bucket")
-                ),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("fill_bucket"),
-    )
+    filled = _hourly_locf(t.events)
     return filled.select(
         "user_id",
         F.date_format("fill_bucket", "yyyy-MM-dd HH:mm:ss").alias(
             "bucket_ts"
         ),
-        F.col("obs").alias("reading"),
-        (F.col("fill_bucket") != F.col("bucket")).alias("is_gap"),
+        "reading",
+        "is_gap",
     )
 
 
@@ -161,4 +175,100 @@ def ts02_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low_value"),
         F.max_by("value", "event_id").alias("close_value"),
         F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )
+
+
+@register(
+    "ts03_time_weighted_avg",
+    # The oracle replays the DECLARATIVE gap-fill (ts01's spine+LOCF
+    # formulation) and aggregates it — so ts03's parity re-proves the
+    # interval-explode/LOCF equivalence under composition.  Exactness:
+    # the fixture's readings are cent-quantized doubles, so they sum as
+    # exact integer cents and the mean is integer floor-division into
+    # micro-units (the mx03 integer-DIV discipline) — engine-identical
+    # at any corpus size, immune to the decimal->double rounding-
+    # boundary drift a float division would reintroduce.
+    oracle="""
+        WITH b AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   max_by(value, event_id) AS obs
+            FROM events GROUP BY user_id, bucket
+        ),
+        span AS (
+            SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+            FROM b GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+            FROM span
+        ),
+        f AS (
+            SELECT s.user_id, s.bucket, b.obs, b.obs IS NULL AS is_gap
+            FROM spine s
+            LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+        ),
+        filled AS (
+            SELECT user_id, bucket, is_gap,
+                   last_value(obs IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS reading
+            FROM f
+        )
+        SELECT user_id,
+               strftime(CAST(bucket AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_filled,
+               (CAST(sum(CAST(round(reading * 100, 0) AS BIGINT))
+                     AS BIGINT) * 10000 // count(*)) / 1000000.0 AS twa
+        FROM filled
+        GROUP BY user_id, day
+    """,
+    tags=("timeseries", "events", "twap"),
+)
+def ts03_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TIME-WEIGHTED average per user (the TimescaleDB
+    ``time_weight``/TWAP primitive): the hourly LOCF series weights
+    each reading by how long it was current (one row per hour it
+    covered), so the daily mean over filled rows IS the
+    time-weighted average — immune to irregular sampling, where a
+    naive event-mean over-weights bursty periods.  Also reports how
+    many of the day's hours were gap-filled (the staleness signal a
+    monitoring surface alerts on).
+
+    Plan shape: ts01's join-free LOCF core (bucket agg + lead window,
+    two exchanges) followed by one partial-then-final aggregation on
+    (user_id, day) — the rollup re-shrinks the dense series to
+    users x days immediately, and the integer-cent sum keeps the mean
+    exact under any partitioning (readings are cent-quantized; the
+    mean is floor-divided into micro-units — the mx03 discipline)."""
+    t = tables(spark, sf_dir)
+    filled = _hourly_locf(t.events)
+    return (
+        filled.groupBy(
+            "user_id",
+            F.date_format(F.to_date("fill_bucket"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum(F.col("is_gap").cast("int")).cast("bigint").alias(
+                "n_filled"
+            ),
+            F.sum(
+                F.round(F.col("reading") * 100, 0).cast("bigint")
+            ).alias("cents"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_hours",
+            "n_filled",
+            (
+                F.expr("(cents * 10000L) DIV n_hours") / F.lit(1000000.0)
+            ).alias("twa"),
+        )
     )

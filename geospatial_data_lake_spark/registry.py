@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW in r11 — first driver check
     "ts01_gap_fill_locf",
     "ts02_ohlc_downsample",
+    "ts03_time_weighted_avg",
     "ev05_top_event_paths",
     "ss11_scalar_quant_search",
     "dd14_decontamination",
@@ -137,10 +138,11 @@ _PRIORITY: tuple[str, ...] = (
     "tx08_tfidf_topterms",
     "ev01_funnel_conversion",
     "ev02_cohort_retention",
-    "sm02_stratified_sample_counts",
     # --- 50-entry mark; proven rows retired from the checked prefix.
-    # (The four ts/ev05/ss11 additions displaced sm04/u02/u06/w05/w08/
-    # o06/p07 from the checked window — all cumulatively driver-green.) ---
+    # (The five ts/ev05/ss11 additions displaced sm02/sm04/u02/u06/w05/
+    # w08/o06/p07 from the checked window — all cumulatively driver-
+    # green.) ---
+    "sm02_stratified_sample_counts",
     "sm04_weighted_sample",
     "u02_union_discriminated",
     "u06_except_all",

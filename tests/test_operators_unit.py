@@ -1389,3 +1389,34 @@ def should_recall_most_exact_neighbors_in_ss11_scalar_quant(spark, sf_dir):
     }
     recall = len(exact & sq) / len(exact)
     assert recall >= 0.5, f"scalar-quant recall too low: {recall}"
+
+
+def should_time_weight_daily_means_by_coverage_in_ts03(spark, sf_dir):
+    """ts03 invariants: full interior days have 24 hours, n_filled <
+    n_hours (every day inherits at least one real or carried reading
+    and gaps never cover a whole user's day unless carried — carried
+    rows still count as coverage), and each user-day's twa lies within
+    [min, max] of that user's ts01 readings for the day."""
+    registry = load_all_queries()
+    twa_rows = registry["ts03_time_weighted_avg"].fn(spark, sf_dir).collect()
+    assert twa_rows
+    series = registry["ts01_gap_fill_locf"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    day_readings = defaultdict(list)
+    for r in series:
+        day_readings[(r.user_id, r.bucket_ts[:10])].append(r.reading)
+    for r in twa_rows:
+        assert 1 <= r.n_hours <= 24
+        assert 0 <= r.n_filled < r.n_hours or (
+            r.n_filled == r.n_hours  # all-carried day (long gap)
+        )
+        rs = day_readings[(r.user_id, r.day)]
+        assert len(rs) == r.n_hours
+        # integer-floor mean sits within the day's reading envelope
+        assert min(rs) - 1e-6 <= r.twa <= max(rs) + 1e-6
+    # cross-check one exact mean against the series itself
+    r = twa_rows[0]
+    rs = day_readings[(r.user_id, r.day)]
+    cents = sum(round(v * 100) for v in rs)
+    assert r.twa == (cents * 10000 // len(rs)) / 1_000_000.0

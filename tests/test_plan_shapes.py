@@ -765,3 +765,12 @@ def should_broadcast_codes_and_stats_in_ss11(spark, registry, sf_dir):
     plan = _plan(spark, registry, "ss11_scalar_quant_search", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def should_reaggregate_locf_core_joinlessly_in_ts03(spark, registry, sf_dir):
+    # TWAP: ts01's join-free LOCF core + one partial-then-final rollup
+    # on (user_id, day) — still no join anywhere.
+    plan = _plan(spark, registry, "ts03_time_weighted_avg", sf_dir)
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # bucket agg + day agg

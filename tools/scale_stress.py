@@ -103,6 +103,16 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_broadcast_quota_table_in_sm05", "pipeline"),
     "ss10_binary_quant_search": (
         "should_broadcast_query_sketches_in_ss10", "ann"),
+    "ts01_gap_fill_locf": (
+        "should_explode_filled_intervals_joinlessly_in_ts01", "timeseries"),
+    "ts02_ohlc_downsample": (
+        "should_fold_ohlc_bars_in_one_joinless_scan", "timeseries"),
+    "ts03_time_weighted_avg": (
+        "should_reaggregate_locf_core_joinlessly_in_ts03", "timeseries"),
+    "ev05_top_event_paths": (
+        "should_reduce_trigrams_before_global_rank_in_ev05", "analytics"),
+    "ss11_scalar_quant_search": (
+        "should_broadcast_codes_and_stats_in_ss11", "ann"),
 }
 
 TABLES = (
