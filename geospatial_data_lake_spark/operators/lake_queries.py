@@ -1740,3 +1740,109 @@ def st04_stream_geo_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cx", "cy", "day", "cnt")
         .orderBy("cx", "cy", "day")
     )
+
+
+# -- st06: streaming continuous aggregate behind the time-series rollup -------
+
+_TS_STREAMED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_ts_streamed_cells(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """events -> streaming (user, hour) OBSERVATION-cell materialization:
+    the log arrives as a 4-file stream split by event_id hash
+    (deliberately NOT time-ordered), a stateful tumbling 1-hour
+    ``max_by(value, event_id)`` runs in update mode — the
+    last-observation-by-ingest-sequence statistic is a commutative
+    arg-max monoid, so any arrival order accumulates to the same cell —
+    and each micro-batch's changed cells MERGE exactly-once into a lake
+    table keyed (user_id, hour), partitioned by a user hash bucket."""
+    cache = _TS_STREAMED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    from geospatial_data_lake_spark.streaming.lake_sink import stream_upsert
+
+    t = tables(spark, sf_dir)
+    root = session_tmpdir(spark, "gdl_lake_st6_")
+    src = os.path.join(root, "src")
+    ev = t.events.select("event_id", "ts", "user_id", "value")
+    for b in range(4):
+        ev.filter(F.pmod(F.xxhash64("event_id"), 4) == b).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    mt = ManifestTable(
+        spark,
+        os.path.join(root, "table"),
+        key_cols=["user_id", "hour"],
+        partition_by=["u_bucket"],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.max_by("value", "event_id").alias("obs"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "obs",
+            F.pmod("user_id", F.lit(8)).cast("int").alias("u_bucket"),
+        )
+    )
+    q = stream_upsert(
+        cells,
+        mt,
+        os.path.join(root, "ckpt"),
+        app_id="st06",
+        output_mode="update",
+    )
+    q.awaitTermination()
+    cache[sf_dir] = mt
+    return mt
+
+
+from geospatial_data_lake_spark.operators.timeseries import (  # noqa: E402
+    TS03_ORACLE as _TS03_ORACLE,
+    _locf_fill,
+    _twa_daily,
+)
+
+
+@register(
+    "st06_stream_timeseries_rollup",
+    # Same oracle as ts03, shared verbatim — the streaming cell
+    # maintenance must land on exactly the batch hourly observations,
+    # and the LOCF gap-fill + integer-exact TWAP on top is the
+    # identical deterministic arithmetic.
+    oracle=_TS03_ORACLE,
+    tags=("lake", "streaming", "timeseries", "twap"),
+)
+def st06_stream_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts03's time-weighted daily average fed by STREAMING state — the
+    continuous-aggregate deployment of the time-series family: hourly
+    last-observation cells are maintained by a stateful update-mode
+    arg-max merged into a lake table per micro-batch (exactly-once via
+    txn-stamped upserts), and the LOCF gap-fill + TWAP read runs over
+    the streamed cells instead of rescanning the raw log.  The external
+    check is end-to-end: stream -> arg-max state -> keyed merge ->
+    gap-fill -> integer-DIV mean must reproduce ts03's batch answer
+    bit-for-bit, under an arrival order the batch never sees.
+
+    Scale shape: streaming state is one (user, hour) cell per group —
+    watermark-evictable in a continuous deployment (st03's replay
+    proves the eviction mechanics for windowed state); each micro-batch
+    merges only the cells it changed into O(touched partitions); the
+    serve path reads the cell table (users x hours, calendar-bounded)
+    and never the log."""
+    mt = _build_ts_streamed_cells(spark, sf_dir)
+    cells = mt.read().select(
+        "user_id",
+        F.to_timestamp("hour", "yyyy-MM-dd HH").alias("bucket"),
+        "obs",
+    )
+    return _twa_daily(_locf_fill(cells))

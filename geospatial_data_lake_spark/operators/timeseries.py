@@ -36,16 +36,21 @@ from geospatial_data_lake_spark.registry import register
 from geospatial_data_lake_spark.tables import tables
 
 
-def _hourly_locf(events: DataFrame) -> DataFrame:
-    """The shared gap-fill core: per (user, hour) last observation by
-    ingest sequence, then each observation explodes the half-open
-    interval to its successor bucket carrying its reading — LOCF by
-    construction, join-free (see ts01).  Returns (user_id, fill_bucket,
-    reading, is_gap)."""
+def _hourly_buckets(events: DataFrame) -> DataFrame:
+    """Per (user, hour) last observation by ingest sequence — the cell
+    table a streaming maintainer would keep incrementally (st06 does,
+    via update-mode max_by merged into a lake table)."""
     ev = events.select("user_id", "ts", "value", "event_id")
-    b = ev.groupBy(
+    return ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.max_by("value", "event_id").alias("obs"))
+
+
+def _locf_fill(b: DataFrame) -> DataFrame:
+    """The gap-fill core over a (user_id, bucket, obs) cell table: each
+    observation explodes the half-open interval to its successor bucket
+    carrying its reading — LOCF by construction, join-free (see ts01).
+    Returns (user_id, fill_bucket, reading, is_gap)."""
     w = Window.partitionBy("user_id").orderBy("bucket")
     nb = b.withColumn("nxt", F.lead("bucket").over(w))
     return nb.select(
@@ -125,7 +130,7 @@ def ts01_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw log; output is users x buckets — calendar-bounded at any
     input scale."""
     t = tables(spark, sf_dir)
-    filled = _hourly_locf(t.events)
+    filled = _locf_fill(_hourly_buckets(t.events))
     return filled.select(
         "user_id",
         F.date_format("fill_bucket", "yyyy-MM-dd HH:mm:ss").alias(
@@ -178,17 +183,7 @@ def ts02_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts03_time_weighted_avg",
-    # The oracle replays the DECLARATIVE gap-fill (ts01's spine+LOCF
-    # formulation) and aggregates it — so ts03's parity re-proves the
-    # interval-explode/LOCF equivalence under composition.  Exactness:
-    # the fixture's readings are cent-quantized doubles, so they sum as
-    # exact integer cents and the mean is integer floor-division into
-    # micro-units (the mx03 integer-DIV discipline) — engine-identical
-    # at any corpus size, immune to the decimal->double rounding-
-    # boundary drift a float division would reintroduce.
-    oracle="""
+TS03_ORACLE = """
         WITH b AS (
             SELECT user_id, date_trunc('hour', ts) AS bucket,
                    max_by(value, event_id) AS obs
@@ -225,7 +220,20 @@ def ts02_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS BIGINT) * 10000 // count(*)) / 1000000.0 AS twa
         FROM filled
         GROUP BY user_id, day
-    """,
+    """
+
+
+@register(
+    "ts03_time_weighted_avg",
+    # The oracle replays the DECLARATIVE gap-fill (ts01's spine+LOCF
+    # formulation) and aggregates it — so ts03's parity re-proves the
+    # interval-explode/LOCF equivalence under composition.  Exactness:
+    # the fixture's readings are cent-quantized doubles, so they sum as
+    # exact integer cents and the mean is integer floor-division into
+    # micro-units (the mx03 integer-DIV discipline) — engine-identical
+    # at any corpus size, immune to the decimal->double rounding-
+    # boundary drift a float division would reintroduce.
+    oracle=TS03_ORACLE,
     tags=("timeseries", "events", "twap"),
 )
 def ts03_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,7 +253,12 @@ def ts03_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact under any partitioning (readings are cent-quantized; the
     mean is floor-divided into micro-units — the mx03 discipline)."""
     t = tables(spark, sf_dir)
-    filled = _hourly_locf(t.events)
+    return _twa_daily(_locf_fill(_hourly_buckets(t.events)))
+
+
+def _twa_daily(filled: DataFrame) -> DataFrame:
+    """ts03's daily rollup over a filled LOCF series — shared with the
+    streaming-maintained st06, which must reproduce it bit-for-bit."""
     return (
         filled.groupBy(
             "user_id",

@@ -109,6 +109,7 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_fold_ohlc_bars_in_one_joinless_scan", "timeseries"),
     "ts03_time_weighted_avg": (
         "should_reaggregate_locf_core_joinlessly_in_ts03", "timeseries"),
+    "st06_stream_timeseries_rollup": (None, "stream"),
     "ev05_top_event_paths": (
         "should_reduce_trigrams_before_global_rank_in_ev05", "analytics"),
     "ss11_scalar_quant_search": (
