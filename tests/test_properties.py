@@ -630,3 +630,88 @@ def should_roundtrip_any_wkb_multipolygon_and_reject_truncations(parts, data):
 
     with pytest.raises(ValueError):
         decode_wkb_rings(buf[:cut])
+
+
+@settings(**_SETTINGS)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # user
+            st.integers(0, 72),       # hour offset from epoch base
+            st.integers(0, 9999),     # reading in cents
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def should_locf_fill_match_naive_reference(spark, obs):
+    """The interval-explode LOCF core == the naive python gap-fill: per
+    user, a dense hourly series from first to last observed bucket where
+    every bucket carries the latest observation at-or-before it (ties on
+    the same (user, hour) resolved by max event_id), and ts03's daily
+    integer-DIV mean matches the python fold over that series."""
+    from datetime import datetime, timedelta
+
+    from geospatial_data_lake_spark.operators.timeseries import (
+        _hourly_buckets,
+        _locf_fill,
+        _twa_daily,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (eid, u, base + timedelta(hours=h), cents / 100.0)
+        for eid, (u, h, cents) in enumerate(obs)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    filled = _locf_fill(_hourly_buckets(ev)).collect()
+
+    # naive reference
+    last_per_bucket: dict[tuple[int, int], tuple[int, float]] = {}
+    for eid, u, ts, v in rows:
+        h = int((ts - base).total_seconds() // 3600)
+        cur = last_per_bucket.get((u, h))
+        if cur is None or eid > cur[0]:
+            last_per_bucket[(u, h)] = (eid, v)
+    want: dict[tuple[int, int], tuple[float, bool]] = {}
+    for u in {k[0] for k in last_per_bucket}:
+        hs = sorted(h for (uu, h) in last_per_bucket if uu == u)
+        carried = None
+        for h in range(hs[0], hs[-1] + 1):
+            if (u, h) in last_per_bucket:
+                carried = last_per_bucket[(u, h)][1]
+                want[(u, h)] = (carried, False)
+            else:
+                want[(u, h)] = (carried, True)
+
+    got = {
+        (r.user_id, int((r.fill_bucket - base).total_seconds() // 3600)): (
+            r.reading,
+            r.is_gap,
+        )
+        for r in filled
+    }
+    assert got == want, (obs, got, want)
+
+    # ts03's daily mean == python integer fold over the same series
+    twa = {
+        (r.user_id, r.day): (r.n_hours, r.n_filled, r.twa)
+        for r in _twa_daily(
+            _locf_fill(_hourly_buckets(ev))
+        ).collect()
+    }
+    from collections import defaultdict
+
+    days = defaultdict(list)
+    for (u, h), (v, gap) in want.items():
+        day = (base + timedelta(hours=h)).strftime("%Y-%m-%d")
+        days[(u, day)].append((v, gap))
+    for key, vals in days.items():
+        cents = sum(round(v * 100) for v, _ in vals)
+        n = len(vals)
+        expect = (cents * 10000 // n) / 1_000_000.0
+        nh, nf, tw = twa[key]
+        assert nh == n and nf == sum(1 for _, g in vals if g)
+        assert tw == expect, (key, tw, expect)
