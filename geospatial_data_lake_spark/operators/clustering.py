@@ -1544,3 +1544,109 @@ def st05_stream_ann_index_maintenance(
         )
         .orderBy("q_id", "rnk")
     )
+
+
+def _semdedup_oracle(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
+    """DuckDB replay of the full SemDeDup pass: the shared Lloyd prefix
+    (cl01/ss04's trained clusters), within-cluster ordered pairs above
+    the cosine bar (unrounded compare — the dd06 convention), distinct
+    higher-id members marked removed, per-cluster census."""
+    prefix, _ = _kmeans_cte_prefix(k, iters, dim)
+    return (
+        prefix
+        + """,
+m AS (SELECT vec_id, v, cid FROM afin),
+p AS (
+  SELECT a.cid, b.vec_id AS dup_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+  GROUP BY a.cid, b.vec_id
+),
+mem AS (SELECT cid, count(*) AS n_members FROM m GROUP BY cid),
+rem AS (SELECT cid, count(*) AS n_removed FROM p GROUP BY cid)
+SELECT CAST(mem.cid AS BIGINT) AS cluster,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(n_members - coalesce(n_removed, 0) AS BIGINT) AS n_kept
+FROM mem LEFT JOIN rem ON mem.cid = rem.cid
+ORDER BY cluster"""
+    )
+
+
+@register(
+    "sd01_semantic_dedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "clustering", "embedding", "pipeline"),
+)
+def sd01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    k-means the embedding corpus (cl01's trained clusters, identical
+    Lloyd schedule), then compare vectors ONLY within their cluster —
+    higher-id members of any within-cluster pair whose cosine clears
+    the 0.4 bar (dd06's threshold convention, keep-lowest-id policy)
+    are marked removed; reports the per-cluster census the curation
+    sign-off reads (members / removed / kept).
+
+    This is the scale story dd06's brute-force pair join lacks: the
+    quadratic compare is confined to cluster cells, so total work is
+    sum(|c|^2) instead of N^2 — with k grown proportionally to corpus
+    size (k ~ N/target_cell) the per-cell cost is constant and the
+    pair stage is an equi-join on the cluster id, shuffle-partitioned
+    by cell.  At fixture scale the build side broadcasts; at billions
+    of vectors the corpus is bucketed by cid at write time (ss08's
+    layout discipline) and the join co-locates without a shuffle.
+
+    Exactness contract: cluster assignment is the cl01/ss04 replayed
+    Lloyd trajectory (9-dp distances, 6-dp centroids, dist-then-cid
+    tie-break); the cosine bar compares UNROUNDED doubles with
+    identical left-to-right folds on both engines (dd06's proven
+    convention), so the whole cluster -> pair -> census pipeline is
+    hash-gated."""
+    from geospatial_data_lake_spark.operators.similarity import (
+        _dot as _cg_dot,
+    )
+    from geospatial_data_lake_spark.tables import spread
+
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fin, _ = kmeans_fit(e)
+    m = fin.select("vec_id", "v", "cid").withColumn(
+        "n", F.sqrt(_cg_dot(F.col("v"), F.col("v")))
+    )
+    a = spread(spark, m).alias("a")
+    b = m.alias("b")
+    removed = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _cg_dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.n") * F.col("b.n"))
+            >= 0.4
+        )
+        .select(F.col("a.cid").alias("cid"), F.col("b.vec_id").alias("dup"))
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    )
+    mem = fin.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        mem.join(F.broadcast(removed), "cid", "left")
+        .select(
+            F.col("cid").cast("bigint").alias("cluster"),
+            "n_members",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            (
+                F.col("n_members") - F.coalesce("n_removed", F.lit(0))
+            ).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

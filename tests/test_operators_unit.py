@@ -1420,3 +1420,25 @@ def should_time_weight_daily_means_by_coverage_in_ts03(spark, sf_dir):
     rs = day_readings[(r.user_id, r.day)]
     cents = sum(round(v * 100) for v in rs)
     assert r.twa == (cents * 10000 // len(rs)) / 1_000_000.0
+
+
+def should_confine_semantic_dedup_pairs_to_clusters_in_sd01(spark, sf_dir):
+    """sd01 census invariants: clusters partition the corpus (member
+    sum == corpus size), kept + removed == members per cluster, some
+    cluster actually removes, and — because every within-cluster pair
+    above the bar is also a global dd06 pair — the removed total is
+    bounded by dd06's distinct higher-id count (cluster-scoping can
+    only LOSE pairs, never invent them)."""
+    registry = load_all_queries()
+    census = registry["sd01_semantic_dedup"].fn(spark, sf_dir).collect()
+    from geospatial_data_lake_spark.tables import tables
+
+    n_vecs = tables(spark, sf_dir).embeddings.count()
+    assert sum(r.n_members for r in census) == n_vecs
+    assert all(r.n_kept + r.n_removed == r.n_members for r in census)
+    assert sum(r.n_removed for r in census) > 0
+    dd06_dups = {
+        r.v2
+        for r in registry["dd06_embedding_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert sum(r.n_removed for r in census) <= len(dd06_dups)

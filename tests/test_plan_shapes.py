@@ -774,3 +774,12 @@ def should_reaggregate_locf_core_joinlessly_in_ts03(spark, registry, sf_dir):
     assert "Join" not in plan, plan
     assert "Generate" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # bucket agg + day agg
+
+
+def should_confine_pair_join_to_cluster_cells_in_sd01(spark, registry, sf_dir):
+    # SemDeDup: the quadratic compare is an equi-join on the cluster id
+    # (broadcast at fixture scale) — never a cartesian over the corpus.
+    plan = _plan(spark, registry, "sd01_semantic_dedup", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

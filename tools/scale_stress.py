@@ -110,6 +110,8 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "ts03_time_weighted_avg": (
         "should_reaggregate_locf_core_joinlessly_in_ts03", "timeseries"),
     "st06_stream_timeseries_rollup": (None, "stream"),
+    "sd01_semantic_dedup": (
+        "should_confine_pair_join_to_cluster_cells_in_sd01", "dedup"),
     "ev05_top_event_paths": (
         "should_reduce_trigrams_before_global_rank_in_ev05", "analytics"),
     "ss11_scalar_quant_search": (
