@@ -59,6 +59,12 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     out["ann_topk_rows"] = (
         registry["ss09_ivfpq_refined_search"].fn(spark, sf_dir).count()
     )
+    out["gapfilled_hours"] = (
+        registry["ts01_gap_fill_locf"].fn(spark, sf_dir).count()
+    )
+    out["semdedup_clusters"] = (
+        registry["sd01_semantic_dedup"].fn(spark, sf_dir).count()
+    )
 
     # 3. GeoParquet interchange: WKB points -> spec footer metadata ->
     #    spatial file pruning -> decode
