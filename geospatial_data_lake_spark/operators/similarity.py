@@ -864,3 +864,161 @@ def ss11_scalar_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rnk")
     )
+
+
+@register(
+    "rk01_rrf_fusion",
+    # Exactness: both input rankings are integer-deterministic on both
+    # engines (the cosine list by the proven ss01 double convention
+    # with c_id tie-break; the hamming list is pure integer), and the
+    # RRF score is a fixed-order two-term sum of 1/(60+rank) doubles —
+    # identical IEEE arithmetic, so the fused ranking replays exactly.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        cosr AS (
+            SELECT q_id, c_id,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos_raw DESC, c_id
+                   ) AS rc
+            FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       list_cosine_similarity(q.v, c.v) AS cos_raw
+                FROM q JOIN e c ON c.vec_id != q.vec_id)
+        ),
+        w AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                       i -> CASE WHEN v[i + 1] > 0
+                            THEN 1::BIGINT << i ELSE 0::BIGINT END))
+                       AS BIGINT) AS w0,
+                   CAST(list_sum(list_transform(generate_series(32, 63),
+                       i -> CASE WHEN v[i + 1] > 0
+                            THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END))
+                       AS BIGINT) AS w1
+            FROM e
+        ),
+        qw AS (SELECT * FROM w WHERE vec_id < 5),
+        hamr AS (
+            SELECT q_id, c_id,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY hamming, c_id
+                   ) AS rh
+            FROM (
+                SELECT qw.vec_id AS q_id, c.vec_id AS c_id,
+                       CAST(bit_count(xor(qw.w0, c.w0))
+                            + bit_count(xor(qw.w1, c.w1)) AS BIGINT)
+                           AS hamming
+                FROM qw JOIN w c ON c.vec_id != qw.vec_id)
+        ),
+        fused AS (
+            SELECT coalesce(c.q_id, h.q_id) AS q_id,
+                   coalesce(c.c_id, h.c_id) AS c_id,
+                   coalesce(1.0 / (60 + c.rc), 0.0)
+                       + coalesce(1.0 / (60 + h.rh), 0.0) AS score
+            FROM (SELECT * FROM cosr WHERE rc <= 16) c
+            FULL OUTER JOIN (SELECT * FROM hamr WHERE rh <= 16) h
+              ON c.q_id = h.q_id AND c.c_id = h.c_id
+        )
+        SELECT q_id, c_id, round(score, 6) AS rrf,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT q_id, c_id, score,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, c_id
+                   ) AS rnk
+            FROM fused)
+        WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "fusion", "hybrid"),
+)
+def rk01_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION (Cormack et al. 2009) of two retrieval
+    systems — the hybrid-search composition production stacks run when
+    no single index wins: the exact-cosine ranking (ss01's convention)
+    and the binary-sketch hamming ranking (ss10's sketch stage) each
+    contribute their top-16 per query, and candidates fuse by
+    score = 1/(60+rank_cos) + 1/(60+rank_ham) (k=60, the canonical
+    constant; a list that missed a candidate contributes 0) — final
+    top-3 by fused score.
+
+    Scale shape: each input list is already scale-disciplined (ss01's
+    broadcast probe / ss10's integer sketch scan); fusion itself
+    touches only queries x 16 rows per list — a full-outer equi-join
+    on (q_id, c_id) over vanishing candidate sets, broadcastable
+    end-to-end.  This is the pattern that fuses dense ANN with a
+    lexical/BM25 list in a real retrieval stack; both lists here are
+    registry-internal so the whole fusion is oracle-replayable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    by_q = Window.partitionBy("q_id")
+    cosr = (
+        _cosine_pairs(e, queries)
+        .withColumn(
+            "rc",
+            F.row_number().over(by_q.orderBy(F.desc("cos_raw"), "c_id")),
+        )
+        .filter(F.col("rc") <= 16)
+        .select("q_id", "c_id", "rc")
+    )
+    pack = (
+        "aggregate(sequence({a}, {b}), 0L, (acc, i) -> acc + "
+        "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i - {a}), 0L))"
+    )
+    w = e.select(
+        "vec_id",
+        F.expr(pack.format(a=0, b=31)).alias("w0"),
+        F.expr(pack.format(a=32, b=63)).alias("w1"),
+    )
+    qw = w.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    hamr = (
+        w.join(F.broadcast(qw), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (
+                F.bit_count(F.expr("qw0 ^ w0"))
+                + F.bit_count(F.expr("qw1 ^ w1"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .withColumn(
+            "rh", F.row_number().over(by_q.orderBy("hamming", "c_id"))
+        )
+        .filter(F.col("rh") <= 16)
+        .select("q_id", "c_id", "rh")
+    )
+    fused = (
+        cosr.alias("c")
+        .join(hamr.alias("h"), ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("rc")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rh")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(by_q.orderBy(F.desc("score"), "c_id")),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("score", 6).alias("rrf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )

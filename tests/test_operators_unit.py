@@ -1442,3 +1442,29 @@ def should_confine_semantic_dedup_pairs_to_clusters_in_sd01(spark, sf_dir):
         for r in registry["dd06_embedding_neardup"].fn(spark, sf_dir).collect()
     }
     assert sum(r.n_removed for r in census) <= len(dd06_dups)
+
+
+def should_fuse_rankings_reciprocally_in_rk01(spark, sf_dir):
+    """rk01 invariants: every fused winner appears in at least one
+    input top-16; a candidate ranked #1 by BOTH lists always wins its
+    query; scores lie in (0, 2/61]; ranks are 1..3 per query."""
+    registry = load_all_queries()
+    rows = registry["rk01_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert 0 < r.rrf <= round(2 / 61, 6) + 1e-9
+    # the exact top-1 by cosine has score >= 1/61 — it can only be beaten
+    # by a candidate that BOTH lists rank (score > 1/61 needs two terms
+    # or a better cosine rank, impossible) or by itself
+    exact = registry["ss01_cosine_topk"].fn(spark, sf_dir).collect()
+    top1 = {r.q_id: r.c_id for r in exact if r.rnk == 1}
+    for q, rs in by_q.items():
+        winner = rs[0]
+        if winner.c_id != top1[q]:
+            assert winner.rrf > round(1 / 61, 6) - 1e-9

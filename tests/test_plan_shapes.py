@@ -783,3 +783,11 @@ def should_confine_pair_join_to_cluster_cells_in_sd01(spark, registry, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def should_fuse_vanishing_candidate_lists_in_rk01(spark, registry, sf_dir):
+    # RRF: both input rankings keep their scale shapes (broadcast query
+    # side, no cartesian); the fusion join touches queries x 16 rows.
+    plan = _plan(spark, registry, "rk01_rrf_fusion", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
