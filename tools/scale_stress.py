@@ -112,6 +112,8 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "st06_stream_timeseries_rollup": (None, "stream"),
     "sd01_semantic_dedup": (
         "should_confine_pair_join_to_cluster_cells_in_sd01", "dedup"),
+    "rk01_rrf_fusion": (
+        "should_fuse_vanishing_candidate_lists_in_rk01", "ann"),
     "ev05_top_event_paths": (
         "should_reduce_trigrams_before_global_rank_in_ev05", "analytics"),
     "ss11_scalar_quant_search": (
