@@ -1846,3 +1846,61 @@ def st06_stream_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         "obs",
     )
     return _twa_daily(_locf_fill(cells))
+
+
+@register(
+    "vs19_metadata_only_counts",
+    # The oracle replays vs01's logical mutation history and counts per
+    # partition; the engine side answers from MANIFEST STATS ALONE —
+    # the hash certifies that the lake's recorded per-file row counts
+    # stay exactly truthful through append + MERGE + delete rewrites.
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        )
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM merged
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        GROUP BY o_orderpriority
+    """,
+    tags=("lake", "manifest", "metadata-only"),
+)
+def vs19_metadata_only_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition COUNT(*) answered from the manifest ALONE — the
+    Delta/Iceberg metadata-only aggregate as an externally hash-gated
+    query: vs01's lake (append + MERGE + partition-pruned delete) is
+    censused from its recorded per-file row counts; not one data file
+    is opened (the plan pin asserts a parquet-scan-free plan).  The
+    oracle replays the same mutation history logically, so any drift in
+    the stats bookkeeping through any rewrite path breaks the hash.
+
+    Scale shape: the answer is manifest-sized — O(files) driver-side
+    metadata (the same class as planned_files/history), independent of
+    row volume; this is why production lakehouses serve COUNT(*) and
+    file censuses from the transaction log.  Truthfulness contract:
+    ``file_rows`` reports None for files whose effective counts are
+    unknowable from metadata (pre-counting commits, pending equality
+    deletes) — this query RAISES on None rather than guessing; the
+    production fallback is the ordinary scan."""
+    import json as _json
+
+    mt = _build_lake(spark, sf_dir)
+    fr = mt.file_rows()
+    rows = []
+    for pkey, files in mt.partition_files().items():
+        counts = [fr.get(f) for f in files]
+        if any(c is None for c in counts):
+            raise RuntimeError(
+                f"metadata-only count unknowable for partition {pkey}; "
+                "scan fallback required"
+            )
+        n = sum(counts)
+        if n > 0:
+            rows.append((_json.loads(pkey)["o_orderpriority"], n))
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_orders long"
+    )

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "st06_stream_timeseries_rollup",
     "sd01_semantic_dedup",
     "rk01_rrf_fusion",
+    "vs19_metadata_only_counts",
     "dd14_decontamination",
     "sm05_mixture_quota_sample",
     "ss10_binary_quant_search",
@@ -137,11 +138,11 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
     "tx01_token_stats",
-    "tx03_language_id",
     # --- 50-entry mark; proven rows retired from the checked prefix.
-    # (The eight ts/ev05/ss11/st06/sd01/rk01 additions displaced tx08/
-    # ev01/ev02/sm02/sm04/u02/u06/w05/w08/o06/p07 from the checked
-    # window — all cumulatively driver-green.) ---
+    # (The nine ts/ev05/ss11/st06/sd01/rk01/vs19 additions displaced
+    # tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/o06/p07 from the
+    # checked window — all cumulatively driver-green.) ---
+    "tx03_language_id",
     "tx08_tfidf_topterms",
     "ev01_funnel_conversion",
     "ev02_cohort_retention",

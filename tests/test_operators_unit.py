@@ -1468,3 +1468,26 @@ def should_fuse_rankings_reciprocally_in_rk01(spark, sf_dir):
         winner = rs[0]
         if winner.c_id != top1[q]:
             assert winner.rrf > round(1 / 61, 6) - 1e-9
+
+
+def should_census_exact_partition_counts_in_vs19(spark, sf_dir):
+    """vs19's metadata-only census == a real scan's per-partition
+    counts on the same lake, and the metadata-only total matches
+    row_count() (the manifest stays truthful through MERGE+delete)."""
+    from geospatial_data_lake_spark.operators.lake_queries import _build_lake
+
+    registry = load_all_queries()
+    meta = {
+        (r.o_orderpriority, r.n_orders)
+        for r in registry["vs19_metadata_only_counts"].fn(spark, sf_dir).collect()
+    }
+    mt = _build_lake(spark, sf_dir)
+    scanned = {
+        (r.o_orderpriority, r.n)
+        for r in mt.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert meta == scanned
+    assert mt.row_count() == sum(n for _, n in meta)

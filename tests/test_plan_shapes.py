@@ -791,3 +791,11 @@ def should_fuse_vanishing_candidate_lists_in_rk01(spark, registry, sf_dir):
     plan = _plan(spark, registry, "rk01_rrf_fusion", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def should_answer_vs19_counts_without_any_parquet_scan(spark, registry, sf_dir):
+    # THE metadata-only proof: the per-partition census plan contains
+    # no parquet scan at all — the answer comes from the manifest.
+    plan = _plan(spark, registry, "vs19_metadata_only_counts", sf_dir)
+    assert "Scan parquet" not in plan, plan
+    assert "Exchange" not in plan, plan  # local rows, nothing shuffles
