@@ -838,3 +838,161 @@ def mx03_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pl01_training_pipeline",
+    # Every stage is already individually oracled (qf/ct02/dd01/sm01/
+    # pk01 conventions); this oracle composes them in one CTE chain so
+    # the HASH gates the COMPOSITION — stage-ordering or survivor-set
+    # drift anywhere in the five-stage pipeline breaks it.
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, string_split(text, ' ') AS tk
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, text, tk, len(tk) AS n_tok FROM base
+            WHERE len(tk) >= 25 AND length(text) < 12 * len(tk)
+        ),
+        bpos AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - {_GRAM_N - 1})) AS pos
+            FROM base WHERE doc_id % 97 = 0
+        ),
+        bg AS (
+            SELECT DISTINCT array_to_string(tk[pos:pos+{_GRAM_N - 1}], ' ')
+                AS gram
+            FROM bpos
+        ),
+        qpos AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - {_GRAM_N - 1})) AS pos
+            FROM q WHERE doc_id % 97 <> 0
+        ),
+        cont AS (
+            SELECT DISTINCT qpos.doc_id
+            FROM qpos
+            JOIN bg ON array_to_string(tk[pos:pos+{_GRAM_N - 1}], ' ')
+                       = bg.gram
+        ),
+        clean AS (
+            SELECT doc_id, text, n_tok FROM q
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM cont)
+        ),
+        dedup AS (
+            SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+        ),
+        kept AS (
+            SELECT c.doc_id, c.n_tok
+            FROM clean c JOIN dedup d USING (doc_id)
+            WHERE substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        ),
+        packed AS (
+            SELECT doc_id, doc_id % {_SHARDS} AS shard, n_tok,
+                   sum(n_tok) OVER (
+                       PARTITION BY doc_id % {_SHARDS} ORDER BY doc_id
+                   ) AS cum
+            FROM kept
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST((max(cum) + {_BLOCK - 1}) // {_BLOCK} AS BIGINT)
+                   AS n_blocks
+        FROM packed GROUP BY shard ORDER BY shard
+    """,
+    tags=("pipeline", "composition", "flagship"),
+)
+def pl01_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END-TO-END as one query — the five
+    stages a curation run chains, composed and hash-gated as a whole:
+
+      1. QUALITY gate (integer Gopher-style rules: >= 25 tokens, mean
+         token length < 12 chars incl. separators — drops the short
+         tail, ~15% of the fixture),
+      2. DECONTAMINATION (drop the held-out benchmark split and any doc
+         sharing a word {_GRAM_N}-gram with it — ct02's policy),
+      3. EXACT DEDUP (md5(text) groups, keep-lowest-id — dd01's policy),
+      4. DETERMINISTIC 80% SAMPLE (md5-range membership on doc_id —
+         sm01's convention: no rand(), stable under re-runs and
+         repartitioning),
+      5. SEQUENCE PACKING into {_BLOCK}-token blocks per shard
+         (doc_id % {_SHARDS}, pk01's per-shard cumulative sum — no
+         global window),
+
+    emitting the per-shard sign-off manifest (docs, tokens, blocks).
+    Stage composition is where real pipelines break — a stage reorder
+    (sample before dedup, dedup before decontamination) changes the
+    survivor set, and this oracle's hash catches exactly that.
+
+    Scale shape: stages 1-4 are one scan + broadcast joins against
+    vanishing sets (benchmark grams, contaminated ids, dedup winners
+    bounded by duplicate volume) + one dedup shuffle on the text hash;
+    stage 5 shuffles once by shard.  No stage materializes the corpus
+    twice; every set that crosses stages is decision-sized."""
+    t = tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    base = t.documents.select(
+        "doc_id", "text", tk.alias("tk"), F.size(tk).alias("n_tok")
+    )
+    q = base.filter(
+        (F.col("n_tok") >= 25)
+        & (F.length("text") < 12 * F.col("n_tok"))
+    )
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(F.col("tk"), _GRAM_N),
+                lambda p: F.concat_ws(" ", F.slice(F.col("tk"), p, _GRAM_N)),
+            )
+        ).alias("gram"),
+    )
+    bg = grams(base.filter(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    cont = (
+        grams(q.filter(F.col("doc_id") % 97 != 0))
+        .join(F.broadcast(bg), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        q.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(cont), "doc_id", "left_anti")
+        .select("doc_id", "text", "n_tok")
+    )
+    winners = clean.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kept = (
+        clean.join(winners, "doc_id", "left_semi")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < "cccc"
+        )
+        .select("doc_id", "n_tok")
+    )
+    from pyspark.sql import Window
+
+    shard = (F.col("doc_id") % _SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.select("doc_id", shard, "n_tok").withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr(f"(max(cum) + {_BLOCK - 1}) div {_BLOCK}")
+            .cast("bigint")
+            .alias("n_blocks"),
+        )
+        .select(F.col("shard").cast("bigint").alias("shard"), "n_docs", "n_tokens", "n_blocks")
+        .orderBy("shard")
+    )

@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "sd01_semantic_dedup",
     "rk01_rrf_fusion",
     "vs19_metadata_only_counts",
+    "pl01_training_pipeline",
     "dd14_decontamination",
     "sm05_mixture_quota_sample",
     "ss10_binary_quant_search",
@@ -137,11 +138,12 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    "tx01_token_stats",
     # --- 50-entry mark; proven rows retired from the checked prefix.
-    # (The nine ts/ev05/ss11/st06/sd01/rk01/vs19 additions displaced
-    # tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/o06/p07 from the
-    # checked window — all cumulatively driver-green.) ---
+    # (The ten ts/ev05/ss11/st06/sd01/rk01/vs19/pl01 additions
+    # displaced tx01/tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/
+    # o06/p07 from the checked window — all cumulatively
+    # driver-green.) ---
+    "tx01_token_stats",
     "tx03_language_id",
     "tx08_tfidf_topterms",
     "ev01_funnel_conversion",

@@ -1491,3 +1491,21 @@ def should_census_exact_partition_counts_in_vs19(spark, sf_dir):
     }
     assert meta == scanned
     assert mt.row_count() == sum(n for _, n in meta)
+
+
+def should_compose_pipeline_stages_in_declared_order_in_pl01(spark, sf_dir):
+    """pl01 composition invariants: the survivor set nests inside
+    ct02's (quality/dedup/sample only remove), every shard's token
+    total respects the quality floor (>= 25 tokens/doc), and block
+    counts are the exact ceil of the packed cumulative sum."""
+    registry = load_all_queries()
+    rows = registry["pl01_training_pipeline"].fn(spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    ct02_rows = registry["ct02_decontaminate"].fn(spark, sf_dir).count()
+    assert 0 < total_docs <= ct02_rows
+    for r in rows:
+        assert 0 <= r.shard < 8
+        assert r.n_tokens >= 25 * r.n_docs  # quality floor survives
+        # blocks = ceil(stream length / 2048); stream >= tokens
+        assert r.n_blocks >= (r.n_tokens + 2047) // 2048

@@ -799,3 +799,15 @@ def should_answer_vs19_counts_without_any_parquet_scan(spark, registry, sf_dir):
     plan = _plan(spark, registry, "vs19_metadata_only_counts", sf_dir)
     assert "Scan parquet" not in plan, plan
     assert "Exchange" not in plan, plan  # local rows, nothing shuffles
+
+
+def should_broadcast_decision_sets_through_pl01_stages(spark, registry, sf_dir):
+    # the composed pipeline: benchmark grams / contaminated ids
+    # broadcast, the only shuffles are the dedup hash group and the
+    # per-shard packing window — nothing goes cartesian.
+    plan = _plan(spark, registry, "pl01_training_pipeline", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -114,6 +114,10 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_confine_pair_join_to_cluster_cells_in_sd01", "dedup"),
     "rk01_rrf_fusion": (
         "should_fuse_vanishing_candidate_lists_in_rk01", "ann"),
+    "pl01_training_pipeline": (
+        "should_broadcast_decision_sets_through_pl01_stages", "pipeline"),
+    "vs19_metadata_only_counts": (
+        "should_answer_vs19_counts_without_any_parquet_scan", "lake"),
     "ev05_top_event_paths": (
         "should_reduce_trigrams_before_global_rank_in_ev05", "analytics"),
     "ss11_scalar_quant_search": (
