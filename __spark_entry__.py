@@ -4,11 +4,12 @@
   sf0.001.
 - ``queries()``: every declared operator from SURVEY.md §2 plus the
   training-data extensions, from the package registry.
-- ``oracle_sql()``: the DuckDB oracle for each query that is
-  SQL-expressible. Only ss02/ss03 (seeded hyperplane/IVF LSH ANN) are
-  omitted by design — DuckDB cannot replay xxhash64-seeded projections;
-  each carries a hash-gated audit companion (ss02b/ss03b) plus recall
-  unit tests.
+- ``oracle_sql()``: the DuckDB oracle for EVERY registered query —
+  229/229.  (ss02/ss03 were rows-only through r11: their numpy-matmul
+  projections had SQL-unreplayable summation order; both now project
+  via literal-coefficient index-order folds, so the full LSH/IVF
+  pipelines replay.  Their ss02b/ss03b audit companions remain as
+  supporting evidence.)
 """
 
 from __future__ import annotations

@@ -67,9 +67,10 @@ _LOADED = False
 # driver-green at sf0.01 in a prior round step aside (keeping canaries
 # per family so a regression is still externally visible) and
 # never-driver-checked queries move up.  Cumulative driver-green entering
-# r11: ALL 214 oracled queries (every registry entry has been driver-
-# green at sf0.01 in some round r2-r10) + ss02/ss03 rows-only by design
-# with hash-gated audit companions.  The r11 prefix is documented
+# r11: ALL 214 then-oracled queries (every registry entry driver-green
+# at sf0.01 in some round r2-r10); ss02/ss03 were rows-only until the
+# r11 continuation converted their projections to oracle-replayable
+# folds — the registry is now 229/229 oracled.  The r11 prefix is documented
 # inline below.  Everything not listed keeps its registration order
 # after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
@@ -84,6 +85,8 @@ _PRIORITY: tuple[str, ...] = (
     "rk01_rrf_fusion",
     "vs19_metadata_only_counts",
     "pl01_training_pipeline",
+    "ss02_lsh_ann_topk",
+    "ss03_ivf_ann_topk",
     "dd14_decontamination",
     "sm05_mixture_quota_sample",
     "ss10_binary_quant_search",
@@ -136,13 +139,14 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q7_nation_volume",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
+    # --- 50-entry mark; proven rows retired from the checked prefix.
+    # (The twelve r11-continuation additions — ts01-03/ev05/ss11/st06/
+    # sd01/rk01/vs19/pl01 plus the newly-ORACLED ss02/ss03 — displaced
+    # q21/q22/tx01/tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/o06/p07
+    # from the checked window; all displaced rows are cumulatively
+    # driver-green.) ---
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # --- 50-entry mark; proven rows retired from the checked prefix.
-    # (The ten ts/ev05/ss11/st06/sd01/rk01/vs19/pl01 additions
-    # displaced tx01/tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/
-    # o06/p07 from the checked window — all cumulatively
-    # driver-green.) ---
     "tx01_token_stats",
     "tx03_language_id",
     "tx08_tfidf_topterms",
