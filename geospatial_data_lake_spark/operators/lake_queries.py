@@ -19,6 +19,7 @@ lifecycle create->update->read, backend/dataset_versions/create.py:58-75.
 
 from __future__ import annotations
 
+import json
 import weakref
 
 import os
@@ -58,6 +59,7 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
         session_tmpdir(spark, "gdl_lake_q_"),
         key_cols=["o_orderkey"],
         partition_by=["o_orderpriority"],
+        stats_cols=["o_totalprice"],  # vs20 answers MIN/MAX from these
     )
     mt.append(base)  # v1
     mt.upsert(  # v2: MERGE — update rows win on key collision
@@ -1903,4 +1905,67 @@ def vs19_metadata_only_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((_json.loads(pkey)["o_orderpriority"], n))
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_orders long"
+    )
+
+
+@register(
+    "vs20_metadata_column_range",
+    # vs19's sibling for VALUE stats: per-partition MIN/MAX answered
+    # from per-file manifest bounds alone, against the logical replay —
+    # the hash gates exactly the stats that read(where=...) data
+    # skipping prunes by, through every rewrite path (the doubled
+    # o_totalprice rows and the delete-rewritten survivors must both
+    # carry era-exact recorded bounds for this to match).
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM merged
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        GROUP BY o_orderpriority
+    """,
+    tags=("lake", "manifest", "metadata-only"),
+)
+def vs20_metadata_column_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition MIN/MAX of o_totalprice from MANIFEST STATS ALONE —
+    vs19's sibling for value bounds: the per-file min/max the lake's
+    ``read(where=...)`` data skipping prunes by, aggregated per
+    partition without opening a data file (parquet-scan-free by plan
+    pin) and hash-gated against the logical replay of vs01's mutation
+    history.  The MERGE doubled every 100th price and the delete
+    rewrote survivor files — so a stale or era-mixed bound anywhere in
+    the stats bookkeeping shifts an extreme and breaks the hash.
+
+    Truthfulness contract mirrors ``column_range``: files missing
+    recorded bounds or covered by pending equality deletes make the
+    answer metadata-unknowable — this query RAISES there (the fixture
+    always records bounds); production falls back to the scan."""
+    mt = _build_lake(spark, sf_dir)
+    stats = mt.file_stats()
+    rows = []
+    for pkey, files in mt.partition_files().items():
+        mns, mxs = [], []
+        for f in files:
+            bounds = stats.get(f, {}).get("o_totalprice")
+            if bounds is None:
+                raise RuntimeError(
+                    f"no recorded o_totalprice bounds for {f}; "
+                    "scan fallback required"
+                )
+            if bounds[0] is not None:
+                mns.append(bounds[0])
+                mxs.append(bounds[1])
+        if mns:
+            rows.append(
+                (json.loads(pkey)["o_orderpriority"], min(mns), max(mxs))
+            )
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, min_price double, max_price double"
     )

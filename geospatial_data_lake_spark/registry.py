@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "sd01_semantic_dedup",
     "rk01_rrf_fusion",
     "vs19_metadata_only_counts",
+    "vs20_metadata_column_range",
     "pl01_training_pipeline",
     "ss02_lsh_ann_topk",
     "ss03_ivf_ann_topk",
@@ -138,13 +139,13 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q7_nation_volume",
     "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
     # --- 50-entry mark; proven rows retired from the checked prefix.
-    # (The twelve r11-continuation additions — ts01-03/ev05/ss11/st06/
+    # (The thirteen r11-continuation additions — ts01-03/ev05/ss11/st06/
     # sd01/rk01/vs19/pl01 plus the newly-ORACLED ss02/ss03 — displaced
-    # q21/q22/tx01/tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/o06/p07
+    # q15/q21/q22/tx01/tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/o06/p07
     # from the checked window; all displaced rows are cumulatively
     # driver-green.) ---
+    "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
     "tx01_token_stats",

@@ -110,6 +110,7 @@ class ManifestTable:
         keep_versions: int = 16,
         bloom_cols: list[str] | None = None,
         partition_transforms: dict | None = None,
+        stats_cols: list[str] | None = None,
     ):
         self._spark = spark
         self.root = root
@@ -134,6 +135,12 @@ class ManifestTable:
         # high-cardinality key whose min/max spans every file (the
         # append-heavy unclustered case) prune on membership instead
         self.bloom_cols = list(bloom_cols or [])
+        # extra columns to record per-file min/max stats for (opt-in,
+        # the Delta dataSkippingNumIndexedCols analog): key and
+        # partition columns are always tracked; add value columns here
+        # when reads filter on them or metadata-only MIN/MAX (vs20)
+        # must answer for them
+        self.stats_cols = list(stats_cols or [])
         self._commits = os.path.join(root, "commits")
         self._manifests = os.path.join(root, "manifests")
         self._data = os.path.join(root, "data")
@@ -637,7 +644,9 @@ class ManifestTable:
         return produced
 
     def _stats_columns(self, schema: T.StructType) -> list[str]:
-        wanted = set(self.key_cols) | set(self.partition_by)
+        wanted = (
+            set(self.key_cols) | set(self.partition_by) | set(self.stats_cols)
+        )
         return [
             f.name
             for f in schema.fields

@@ -1509,3 +1509,24 @@ def should_compose_pipeline_stages_in_declared_order_in_pl01(spark, sf_dir):
         assert r.n_tokens >= 25 * r.n_docs  # quality floor survives
         # blocks = ceil(stream length / 2048); stream >= tokens
         assert r.n_blocks >= (r.n_tokens + 2047) // 2048
+
+
+def should_track_opt_in_stats_cols_and_answer_ranges_in_vs20(spark, sf_dir):
+    """stats_cols opt-in: the vs01 fixture records o_totalprice bounds
+    per file; column_range answers metadata-only and equals the real
+    scan's MIN/MAX; vs20's per-partition census nests inside it."""
+    from geospatial_data_lake_spark.operators.lake_queries import _build_lake
+
+    mt = _build_lake(spark, sf_dir)
+    assert any(
+        "o_totalprice" in st for st in mt.file_stats().values()
+    )
+    lo, hi = mt.column_range("o_totalprice")
+    row = mt.read().agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    assert (lo, hi) == (row.lo, row.hi)
+    registry = load_all_queries()
+    parts = registry["vs20_metadata_column_range"].fn(spark, sf_dir).collect()
+    assert min(p.min_price for p in parts) == lo
+    assert max(p.max_price for p in parts) == hi

@@ -811,3 +811,10 @@ def should_broadcast_decision_sets_through_pl01_stages(spark, registry, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def should_answer_vs20_ranges_without_any_parquet_scan(spark, registry, sf_dir):
+    # value-stats sibling of vs19: manifest-only, scan-free, shuffle-free.
+    plan = _plan(spark, registry, "vs20_metadata_column_range", sf_dir)
+    assert "Scan parquet" not in plan, plan
+    assert "Exchange" not in plan, plan

@@ -118,6 +118,8 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_broadcast_decision_sets_through_pl01_stages", "pipeline"),
     "vs19_metadata_only_counts": (
         "should_answer_vs19_counts_without_any_parquet_scan", "lake"),
+    "vs20_metadata_column_range": (
+        "should_answer_vs20_ranges_without_any_parquet_scan", "lake"),
     "ev05_top_event_paths": (
         "should_reduce_trigrams_before_global_rank_in_ev05", "analytics"),
     "ss11_scalar_quant_search": (
