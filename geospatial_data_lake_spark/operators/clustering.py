@@ -1602,16 +1602,29 @@ def sd01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical left-to-right folds on both engines (dd06's proven
     convention), so the whole cluster -> pair -> census pipeline is
     hash-gated."""
+    return semantic_dedup_census(
+        spark,
+        tables(spark, sf_dir).embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        k=_K,
+    )
+
+
+def semantic_dedup_census(
+    spark: SparkSession, e: DataFrame, k: int
+) -> DataFrame:
+    """sd01's core with the PRODUCTION knob exposed: ``k`` scales with
+    the corpus (k ~ N/target_cell) so per-cell population — and with it
+    the quadratic within-cell compare — stays constant as data grows.
+    The registered sd01 pins k=_K to stay oracle-replayable; the
+    k-scaling linearity is pinned by a candidate-pair-count test."""
     from geospatial_data_lake_spark.operators.similarity import (
         _dot as _cg_dot,
     )
     from geospatial_data_lake_spark.tables import spread
 
-    t = tables(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    fin, _ = kmeans_fit(e)
+    fin, _ = kmeans_fit(e, k=k)
     m = fin.select("vec_id", "v", "cid").withColumn(
         "n", F.sqrt(_cg_dot(F.col("v"), F.col("v")))
     )

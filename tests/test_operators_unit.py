@@ -1530,3 +1530,42 @@ def should_track_opt_in_stats_cols_and_answer_ranges_in_vs20(spark, sf_dir):
     parts = registry["vs20_metadata_column_range"].fn(spark, sf_dir).collect()
     assert min(p.min_price for p in parts) == lo
     assert max(p.max_price for p in parts) == hi
+
+
+def should_keep_semdedup_compare_work_linear_when_k_scales(spark, sf_dir):
+    """SemDeDup's production contract: grow k with the corpus and the
+    quadratic within-cell compare stays LINEAR in total data.  Pinned
+    by candidate-pair COUNTS (sum over cells of C(n,2)) — the work
+    metric itself, no flaky wall-clock: a x10 corpus clustered with
+    x10 k must stay within a small factor of 10x the base pair count
+    (cell populations preserved), while FIXED k blows up ~100x."""
+    from geospatial_data_lake_spark.operators.clustering import kmeans_fit
+
+    e1 = tables_embeddings(spark, sf_dir)
+    e10 = e1
+    for i in range(1, 10):
+        e10 = e10.unionByName(
+            e1.select(
+                (F.col("vec_id") + 10_000_000 * i).alias("vec_id"),
+                F.transform("v", lambda x: x + F.lit(i * 0.013)).alias("v"),
+            )
+        )
+
+    def pair_work(e, k):
+        fin, _ = kmeans_fit(e, k=k)
+        counts = [r.n for r in fin.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()]
+        return sum(n * (n - 1) // 2 for n in counts)
+
+    p1 = pair_work(e1, 8)
+    p10_scaled_k = pair_work(e10, 80)
+    p10_fixed_k = pair_work(e10, 8)
+    assert p10_fixed_k > 30 * p1  # fixed k: quadratic blow-up is real
+    assert p10_scaled_k < 30 * p1  # scaled k: ~10x work, far below it
+
+
+def tables_embeddings(spark, sf_dir):
+    from geospatial_data_lake_spark.tables import tables
+
+    return tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
