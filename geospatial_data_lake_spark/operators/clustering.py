@@ -1611,6 +1611,18 @@ def sd01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_broadcast_bytes(m: DataFrame) -> int:
+    """Estimated replicated size of the pair-join build side: 8 bytes
+    per double of ``v`` + ~64 bytes/row for (vec_id, cid, n) and array
+    overhead, from ONE O(N) aggregate — the same measurement-not-guess
+    seam as dd09's ``_estimated_broadcast_bytes`` (dedup.py)."""
+    r = m.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.size("v")), F.lit(0)).alias("cells"),
+    ).first()
+    return int(r.cells) * 8 + int(r.rows) * 64
+
+
 def semantic_dedup_census(
     spark: SparkSession, e: DataFrame, k: int
 ) -> DataFrame:
@@ -1618,7 +1630,19 @@ def semantic_dedup_census(
     the corpus (k ~ N/target_cell) so per-cell population — and with it
     the quadratic within-cell compare — stays constant as data grows.
     The registered sd01 pins k=_K to stay oracle-replayable; the
-    k-scaling linearity is pinned by a candidate-pair-count test."""
+    k-scaling linearity is pinned by a candidate-pair-count test.
+
+    Pair-join build side is BUDGETED (dd09's discipline, dedup.py's
+    ``_broadcast_budget``): under the budget the corpus replicates and
+    the cell-confined compare is a BroadcastHashJoin; over it the hint
+    is dropped and Spark shuffles BOTH sides on ``cid`` — the equi-key
+    already in the condition — so the plan degrades to a co-partitioned
+    sort-merge join, never an executor OOM.  At billions of vectors the
+    corpus is bucketed by cid at write time (ss08's layout discipline)
+    and that same shuffle join co-locates for free."""
+    from geospatial_data_lake_spark.operators.dedup import (
+        _broadcast_budget,
+    )
     from geospatial_data_lake_spark.operators.similarity import (
         _dot as _cg_dot,
     )
@@ -1630,9 +1654,14 @@ def semantic_dedup_census(
     )
     a = spread(spark, m).alias("a")
     b = m.alias("b")
+    build = (
+        F.broadcast(b)
+        if _embedding_broadcast_bytes(m) <= _broadcast_budget(spark)
+        else b
+    )
     removed = (
         a.join(
-            F.broadcast(b),
+            build,
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )

@@ -1444,6 +1444,54 @@ def should_confine_semantic_dedup_pairs_to_clusters_in_sd01(spark, sf_dir):
     assert sum(r.n_removed for r in census) <= len(dd06_dups)
 
 
+def should_shuffle_sd01_pair_join_when_corpus_exceeds_budget(spark, sf_dir):
+    """sd01's broadcast-budget guard (dd09's discipline): with the
+    budget conf squeezed below any real corpus, the pair join must DROP
+    the broadcast hint and degrade to a cid-shuffled sort-merge join —
+    never a cartesian, never an executor-OOM replication — and the
+    census must be byte-identical to the broadcast flavor's."""
+    from geospatial_data_lake_spark.operators.clustering import (
+        _K,
+        semantic_dedup_census,
+    )
+    from geospatial_data_lake_spark.operators.dedup import (
+        _BROADCAST_BUDGET_CONF,
+    )
+    from geospatial_data_lake_spark.tables import tables
+
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fast = semantic_dedup_census(spark, e, k=_K)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in fast_plan, fast_plan
+    expected = fast.collect()
+    # Simulate a 100TB corpus: auto-broadcast off (Catalyst would never
+    # volunteer to replicate an over-threshold relation) so the ONLY way
+    # the join could still broadcast is our hint — which the budget
+    # guard must now withhold.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(_BROADCAST_BUDGET_CONF, "1")  # below any real corpus
+    try:
+        slow = semantic_dedup_census(spark, e, k=_K)
+        plan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert slow.collect() == expected
+        # and conversely: under the default budget the hint fires even
+        # with auto-broadcast off — the fast flavor is a deliberate
+        # choice, not a Catalyst accident.
+        spark.conf.unset(_BROADCAST_BUDGET_CONF)
+        hinted = semantic_dedup_census(spark, e, k=_K)
+        hp = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hp, hp
+    finally:
+        spark.conf.unset(_BROADCAST_BUDGET_CONF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def should_fuse_rankings_reciprocally_in_rk01(spark, sf_dir):
     """rk01 invariants: every fused winner appears in at least one
     input top-16; a candidate ranked #1 by BOTH lists always wins its
