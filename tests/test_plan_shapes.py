@@ -239,6 +239,13 @@ def should_collapse_q21_exists_pair_into_profile_aggregate(spark, registry, sf_d
     lineitem_scans = [s for s in scans if "l_orderkey" in s]
     assert len(lineitem_scans) <= 2, plan
     assert "CartesianProduct" not in plan, plan
+    # the finished-order filter rides a BROADCAST semi-join into the
+    # lineitem scan (orders' key set is the small side), the final
+    # top-20 is a TakeOrderedAndProject, and nothing nested-loops.
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def should_run_funnel_without_full_log_window(spark, registry, sf_dir):
