@@ -21,12 +21,14 @@ object-store URIs.  Local paths and ``file://`` keep today's exact
 the commit protocol serializable on a shared filesystem (the DynamoDB
 conditional-put analog: reference ``backend/datasets/create.py:37-39``
 uses ``attribute_not_exists`` the same way).  Non-local URIs route
-through ``pyarrow.fs``; there ``put_if_absent`` is an existence-check +
-write EMULATION — production S3 must back it with a conditional PUT
-(``If-None-Match: *``, atomic on S3 since 2024-08), GCS with
-``ifGenerationMatch=0``, ADLS with ``If-None-Match: *`` — pyarrow
-exposes none of those yet, so the emulation is the documented seam
-where a real conditional-put client slots in.
+through ``pyarrow.fs``; there ``put_if_absent`` prefers a PLUGGABLE
+true conditional-put backend (``register_conditional_put`` — S3
+``If-None-Match: *`` / GCS ``ifGenerationMatch=0`` / ADLS ETag
+mappings documented on the registration hook) and only falls back to
+an existence-check + write + read-back-verify EMULATION when no
+backend is registered for the scheme: pyarrow exposes no conditional
+write, so the fallback DETECTS a lost race via the writer-unique
+payload nonce instead of preventing it.
 """
 
 from __future__ import annotations
@@ -66,6 +68,41 @@ def register_fs(scheme: str, factory) -> None:
         _FS_FACTORIES.pop(scheme, None)
     else:
         _FS_FACTORIES[scheme] = factory
+
+
+# Conditional-put backends: {scheme -> backend(uri, payload: bytes)}.
+# The seam where a TRUE server-side create-if-absent slots in, replacing
+# the check-then-write emulation for that scheme (see put_if_absent).
+_CONDITIONAL_PUTS: dict = {}
+
+
+def register_conditional_put(scheme: str, backend) -> None:
+    """Back ``put_if_absent`` on ``scheme://`` URIs with a TRUE
+    server-side conditional create.  ``backend(uri, payload: bytes)``
+    must create the object iff nothing is at ``uri`` and raise
+    ``FileExistsError`` when the store rejects the precondition — that
+    makes the commit protocol serializable on that store, which the
+    check-then-write emulation can NOT guarantee.  Production mappings
+    (each a ~5-line client wrapper; none installable in this
+    environment, so they are documented rather than shipped):
+
+    - **S3**: ``put_object(Bucket=..., Key=..., Body=payload,
+      IfNoneMatch="*")`` — atomic server-side since 2024-08; map the
+      412 ``PreconditionFailed`` ClientError to ``FileExistsError``.
+    - **GCS**: ``blob.upload_from_string(payload,
+      if_generation_match=0)``; map
+      ``google.api_core.exceptions.PreconditionFailed`` (412).
+    - **ADLS**: ``DataLakeFileClient.upload_data(payload,
+      overwrite=False)`` (an ``If-None-Match: *`` ETag condition); map
+      ``ResourceExistsError``.
+
+    Reference analog: DynamoDB ``attribute_not_exists`` conditional put
+    (``backend/datasets/create.py:37-39``).  Pass ``None`` to
+    unregister."""
+    if backend is None:
+        _CONDITIONAL_PUTS.pop(scheme, None)
+    else:
+        _CONDITIONAL_PUTS[scheme] = backend
 
 
 def resolve_fs(path: str):
@@ -201,10 +238,25 @@ def put_if_absent(path: str, data: bytes | str) -> None:
     """Create-exclusive CAS: write ``data`` to ``path`` iff nothing is
     there; raise FileExistsError when something is.  THE commit-protocol
     primitive — a commit pointer published through this is serializable
-    because exactly one racer's create succeeds.  Local/file:// is a
-    true ``O_CREAT|O_EXCL``; non-local is the documented existence-check
-    emulation (see module docstring for the production S3/GCS/ADLS
-    conditional-put mapping)."""
+    because exactly one racer's create succeeds.
+
+    Three backends, strongest available wins:
+
+    1. local/``file://`` — a true ``O_CREAT|O_EXCL``;
+    2. a scheme with a registered conditional-put backend
+       (``register_conditional_put``) — a true server-side CAS;
+    3. anything else — the check-then-write EMULATION, hardened with a
+       post-write read-back: if the bytes on the store are not ours,
+       another racer's write interleaved and we LOST — raise instead of
+       silently double-committing.  The commit protocol makes payloads
+       writer-unique (manifest names embed a uuid4 — the writer nonce
+       the read-back compares), so an interleaved pair is detected
+       whenever the loser's read-back runs after the winner's write.
+       Detection is not prevention: an adversarial schedule where both
+       read-backs land before the other's write still double-commits —
+       that residue is exactly what backend (2) exists to close, and
+       why production object stores MUST register one (mappings in
+       ``register_conditional_put``)."""
     payload = data.encode("utf-8") if isinstance(data, str) else data
     lp = local_path(path)
     if lp is not None:
@@ -212,11 +264,18 @@ def put_if_absent(path: str, data: bytes | str) -> None:
         with os.fdopen(fd, "wb") as fh:
             fh.write(payload)
         return
+    backend = _CONDITIONAL_PUTS.get(scheme_of(path).rstrip(":/"))
+    if backend is not None:
+        backend(path, payload)
+        return
     pafs, fs, p = _pafs(path)
     if fs.get_file_info(p).type != pafs.FileType.NotFound:
         raise FileExistsError(path)
     with fs.open_output_stream(p) as fh:
         fh.write(payload)
+    with fs.open_input_stream(p) as fh:
+        if fh.read() != payload:
+            raise FileExistsError(path)
 
 
 def unlink(path: str, missing_ok: bool = False) -> None:
@@ -311,6 +370,7 @@ __all__ = [
     "scheme_of",
     "is_local",
     "register_fs",
+    "register_conditional_put",
     "resolve_fs",
     "list_parquet_files",
     "read_parquet_schema",

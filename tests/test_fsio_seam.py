@@ -318,3 +318,179 @@ def should_agree_between_plain_and_file_uri_roots(tmp_path, op_seed):
     plain = seq(str(tmp_path / "p"))
     uri = seq("file://" + str(tmp_path / "u"))
     assert plain == uri
+
+
+# -- conditional-put protocol: detection through the emulation, true
+# serialization through a registered backend -------------------------------
+
+
+def should_detect_interleaved_double_commit_through_emulation():
+    """The emulation's worst case, DETECTED: two racers BOTH pass the
+    existence check (the non-atomic window), writes land A-then-B, and
+    A's post-write read-back finds B's writer nonce instead of its own
+    — so A raises FileExistsError instead of silently double-committing
+    while B (the last writer, whose bytes are the pointer) wins.  The
+    schedule is forced deterministically by an orchestrating store
+    handler that sequences the two named racer threads."""
+    import io
+    import threading
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    from pyarrow.fs import FileSystemHandler, PyFileSystem
+
+    inner = _mem_store()
+    key = "bucket/commits/00000001"
+    both_checked = threading.Barrier(2)
+    a_wrote = threading.Event()
+    b_wrote = threading.Event()
+
+    def _me():
+        return threading.current_thread().name
+
+    class Orchestrated(FileSystemHandler):
+        # delegation boilerplate: everything rides the real MemStore
+        def get_type_name(self):
+            return "mem"
+
+        def normalize_path(self, p):
+            return inner.normalize_path(p)
+
+        def get_file_info_selector(self, s):
+            return inner.get_file_info_selector(s)
+
+        def create_dir(self, p, recursive):
+            return inner.create_dir(p, recursive)
+
+        def delete_dir(self, p):
+            return inner.delete_dir(p)
+
+        def delete_dir_contents(self, p, missing_dir_ok=False):
+            return inner.delete_dir_contents(p, missing_dir_ok)
+
+        def delete_root_dir_contents(self):
+            return inner.delete_root_dir_contents()
+
+        def delete_file(self, p):
+            return inner.delete_file(p)
+
+        def move(self, s, d):
+            return inner.move(s, d)
+
+        def copy_file(self, s, d):
+            return inner.copy_file(s, d)
+
+        def open_input_file(self, p):
+            return self.open_input_stream(p)
+
+        def open_append_stream(self, p, metadata):
+            return inner.open_append_stream(p, metadata)
+
+        # the three orchestrated calls:
+        def get_file_info(self, paths):
+            infos = inner.get_file_info(paths)
+            if paths == [key] and not b_wrote.is_set():  # race window only
+                both_checked.wait(timeout=30)  # neither writes until
+            return infos  # BOTH have seen NotFound
+
+        def open_output_stream(self, p, metadata):
+            if p != key:
+                return inner.open_output_stream(p, metadata)
+            if _me() == "racer-B":
+                assert a_wrote.wait(timeout=30)  # B writes after A
+            me = _me()
+
+            class _Buf(io.BytesIO):
+                def close(self):
+                    with inner.lock:
+                        inner.objects[p] = (
+                            self.getvalue(),
+                            datetime.now(timezone.utc),
+                        )
+                    (a_wrote if me == "racer-A" else b_wrote).set()
+                    super().close()
+
+            return pa.PythonFile(_Buf(), mode="w")
+
+        def open_input_stream(self, p):
+            if p == key and _me() == "racer-A":
+                assert b_wrote.wait(timeout=30)  # A reads back LAST
+            return inner.open_input_stream(p)
+
+    fs = PyFileSystem(Orchestrated())
+    fsio.register_fs("mem", lambda uri: (fs, uri[len("mem://"):]))
+    try:
+        outcome: dict[str, object] = {}
+
+        def race(tag):
+            try:
+                fsio.put_if_absent("mem://" + key, f"nonce-{tag}")
+                outcome[tag] = "won"
+            except FileExistsError:
+                outcome[tag] = "detected"
+
+        ts = [
+            threading.Thread(target=race, args=(t,), name=f"racer-{t}")
+            for t in ("A", "B")
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        assert outcome == {"A": "detected", "B": "won"}
+        assert fsio.read_text("mem://" + key) == "nonce-B"
+    finally:
+        fsio.register_fs("mem", None)
+
+
+def should_serialize_racing_commits_through_registered_backend(mem_root):
+    """With a TRUE conditional-put backend registered for the scheme
+    (the documented S3 If-None-Match / GCS ifGenerationMatch slot),
+    put_if_absent bypasses the emulation entirely — no existence probe,
+    no read-back — and N unsynchronized racers get exactly one winner
+    under ANY schedule, because check+create is one atomic step."""
+    import threading
+    from datetime import datetime, timezone
+
+    from geospatial_data_lake_spark.sources.fsio import _FS_FACTORIES
+
+    fs, _ = _FS_FACTORIES["mem"](mem_root + "/x")
+    # reach the handler's MemStore to build the atomic backend on it
+    store = fs.handler
+    probes = []
+
+    def cas(uri, payload):
+        k = uri[len("mem://"):]
+        with store.lock:  # one atomic check+create — the server's job
+            if k in store.objects:
+                raise FileExistsError(uri)
+            store.objects[k] = (payload, datetime.now(timezone.utc))
+
+    fsio.register_conditional_put("mem", cas)
+    orig_info = store.get_file_info
+    store.get_file_info = lambda paths: (probes.append(paths), orig_info(paths))[1]
+    target = mem_root + "/commits/00000007"
+    wins, losses = [], []
+    try:
+        start = threading.Barrier(8)
+
+        def race(i):
+            start.wait(timeout=30)
+            try:
+                fsio.put_if_absent(target, f"nonce-{i}")
+                wins.append(i)
+            except FileExistsError:
+                losses.append(i)
+
+        ts = [threading.Thread(target=race, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+    finally:
+        fsio.register_conditional_put("mem", None)
+        store.get_file_info = orig_info
+    assert len(wins) == 1 and len(losses) == 7
+    assert fsio.read_text(target) == f"nonce-{wins[0]}"
+    # the emulation's existence probe never ran for the contested key
+    assert not any(target.endswith(p[0]) for p in probes if p)
