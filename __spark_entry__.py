@@ -5,7 +5,8 @@
 - ``queries()``: every declared operator from SURVEY.md §2 plus the
   training-data extensions, from the package registry.
 - ``oracle_sql()``: the DuckDB oracle for EVERY registered query —
-  229/229.  (ss02/ss03 were rows-only through r11: their numpy-matmul
+  no rows-only entries, no waivers.  (ss02/ss03 were rows-only through
+  r11: their numpy-matmul
   projections had SQL-unreplayable summation order; both now project
   via literal-coefficient index-order folds, so the full LSH/IVF
   pipelines replay.  Their ss02b/ss03b audit companions remain as

@@ -814,17 +814,12 @@ def ss06_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- ss07: residual-encoded IVFPQ ---------------------------------------------
 
 
-def _ivfpq_residual_oracle() -> str:
-    """Replay of CLASSIC residual IVFPQ: the Lloyd prefix trains the
-    coarse quantizer (shared with cl01/ss04/ss06), r0 subtracts each
-    vector's coarse centroid, the PQ chain (_pq_cte_blocks with
-    src="r0") trains codebooks ON THE RESIDUALS, and the query side
-    re-derives the per-probed-cell query residual before the ADC sums —
-    the FAISS IndexIVFPQ encoding, where codes capture the within-cell
-    displacement instead of absolute position (tighter codes at equal
-    bits).  Residual arithmetic is plain double subtraction of
-    6-dp-rounded centroids from parquet doubles, identical across
-    engines, so the whole composition stays hash-gated."""
+def _ivfpq_candidates_sql() -> str:
+    """The residual-IVFPQ replay's CTE chain, ending at
+    ``d(q_id, c_id, adc)`` — every probed-cell candidate with its ADC
+    distance.  Shared by ``_ivfpq_residual_oracle`` (ss07/ss08's final
+    top-k select) and rk02's fusion oracle (which ranks ``d`` as one
+    fusion arm)."""
     km_prefix, cfin = _kmeans_cte_prefix()
     pq = "".join(_pq_cte_blocks(src="r0", include_v0=False))
     sq_q = _sq_expr("q.qv", "c.c", _DIM)
@@ -880,14 +875,7 @@ cand AS (
 d AS (
   SELECT cand.q_id, cand.c_id, {adc} AS adc
   FROM cand JOIN enc e ON e.vec_id = cand.c_id {cw_joins}
-)
-SELECT q_id, c_id, round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rnk
-FROM (
-  SELECT q_id, c_id, adc,
-         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
-  FROM d)
-WHERE rn <= {_ADC_TOPK}
-ORDER BY q_id, rnk"""
+)"""
     )
     for name in (
         ["afin AS (", "r0 AS (", f"{cfin} AS ("]
@@ -897,6 +885,30 @@ ORDER BY q_id, rnk"""
         sql = sql.replace(name, name.replace("AS (", "AS MATERIALIZED ("), 1)
     sql = sql.replace("\nWITH v AS (", "\nWITH v AS MATERIALIZED (", 1)
     return sql
+
+
+def _ivfpq_residual_oracle() -> str:
+    """Replay of CLASSIC residual IVFPQ: the Lloyd prefix trains the
+    coarse quantizer (shared with cl01/ss04/ss06), r0 subtracts each
+    vector's coarse centroid, the PQ chain (_pq_cte_blocks with
+    src="r0") trains codebooks ON THE RESIDUALS, and the query side
+    re-derives the per-probed-cell query residual before the ADC sums —
+    the FAISS IndexIVFPQ encoding, where codes capture the within-cell
+    displacement instead of absolute position (tighter codes at equal
+    bits).  Residual arithmetic is plain double subtraction of
+    6-dp-rounded centroids from parquet doubles, identical across
+    engines, so the whole composition stays hash-gated."""
+    return (
+        _ivfpq_candidates_sql()
+        + f"""
+SELECT q_id, c_id, round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, c_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+  FROM d)
+WHERE rn <= {_ADC_TOPK}
+ORDER BY q_id, rnk"""
+    )
 
 
 def _cent_array_for(cid_col: Column, cents: dict[int, list[float]]) -> Column:
@@ -1416,6 +1428,164 @@ def ss09_ivfpq_refined_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "c_id",
             F.round("ex_dist", 4).alias("exact_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+# -- rk02: production hybrid fusion — persisted-index arm + sketch arm -------
+
+
+def _rk02_fusion_oracle() -> str:
+    """rk01's reciprocal-rank fusion replayed over the PRODUCTION arms:
+    the residual-IVFPQ candidate chain (``_ivfpq_candidates_sql`` —
+    identical CTEs to ss07/ss08's proven oracle) ranked by ADC distance
+    as arm one, the integer sign-sketch hamming ranking (rk01/ss10's
+    exact convention) as arm two, fused by 1/(60+rank) sums."""
+    return (
+        _ivfpq_candidates_sql()
+        + f""",
+adcr AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS ra
+  FROM d
+),
+bw AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(0, 31),
+             i -> CASE WHEN v[i + 1] > 0
+                  THEN 1::BIGINT << i ELSE 0::BIGINT END))
+             AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(generate_series(32, 63),
+             i -> CASE WHEN v[i + 1] > 0
+                  THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END))
+             AS BIGINT) AS w1
+  FROM v
+),
+bqw AS (SELECT * FROM bw WHERE vec_id < {_N_QUERIES}),
+hamr AS (
+  SELECT q_id, c_id,
+         row_number() OVER (
+             PARTITION BY q_id ORDER BY hamming, c_id) AS rh
+  FROM (
+      SELECT qw.vec_id AS q_id, c.vec_id AS c_id,
+             CAST(bit_count(xor(qw.w0, c.w0))
+                  + bit_count(xor(qw.w1, c.w1)) AS BIGINT) AS hamming
+      FROM bqw qw JOIN bw c ON c.vec_id != qw.vec_id)
+),
+fused AS (
+  SELECT coalesce(a.q_id, h.q_id) AS q_id,
+         coalesce(a.c_id, h.c_id) AS c_id,
+         coalesce(1.0 / (60 + a.ra), 0.0)
+             + coalesce(1.0 / (60 + h.rh), 0.0) AS score
+  FROM (SELECT * FROM adcr WHERE ra <= 16) a
+  FULL OUTER JOIN (SELECT * FROM hamr WHERE rh <= 16) h
+    ON a.q_id = h.q_id AND a.c_id = h.c_id
+)
+SELECT q_id, c_id, round(score, 6) AS rrf, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, c_id, score,
+         row_number() OVER (
+             PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+  FROM fused)
+WHERE rnk <= 3
+ORDER BY q_id, rnk"""
+    )
+
+
+@register(
+    "rk02_rrf_fusion_serve",
+    # Exactness: arm one is ss07/ss08's hash-proven ADC ranking (double
+    # folds identical across engines, c_id tie-break), arm two is the
+    # integer-exact hamming ranking, and the RRF score is rk01's
+    # fixed-order two-term 1/(60+rank) sum — the whole fusion replays.
+    oracle=_rk02_fusion_oracle(),
+    tags=("similarity", "ann", "fusion", "hybrid", "lake"),
+)
+def rk02_rrf_fusion_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rk01's reciprocal-rank fusion with PRODUCTION serving arms — the
+    answer to rk01's own scale note (its exact-cosine arm is a
+    brute-force corpus scan, x100 = 14.6 in BENCHNOTES): arm one is
+    ss08's persisted residual-IVFPQ probe (IN-list partition-pruned
+    codes read + broadcast residual block — touches nprobe/k of the
+    index regardless of corpus size), arm two is ss10's binary sign
+    sketch (16 bytes/vector, pure-codegen integer hamming — memory-
+    bandwidth scan of a 32x-compressed table).  Each arm contributes
+    its top-16 per query; candidates fuse by 1/(60+rank) + 1/(60+rank)
+    (k=60, Cormack et al. 2009) and the fused top-3 serves.
+
+    This is the hybrid-serving deployment shape: neither arm ever
+    touches raw float vectors beyond the model-sized codebooks, both
+    arms' costs are index-sized rather than corpus-sized, and the
+    fusion join itself is (queries x 16)-row full-outer — vanishing.
+    rk01 stays registered as the exhaustive-arm reference; the recall
+    audit pins this serve against rk01's exact fusion."""
+    from pyspark.sql import Window
+
+    by_q = Window.partitionBy("q_id")
+    cand = _ivfpq_adc_candidates(spark, sf_dir)
+    adcr = (
+        cand.withColumn(
+            "ra",
+            F.row_number().over(
+                by_q.orderBy(F.col("adc").asc(), F.col("c_id").asc())
+            ),
+        )
+        .filter(F.col("ra") <= 16)
+        .select("q_id", "c_id", "ra")
+    )
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pack = (
+        "aggregate(sequence({a}, {b}), 0L, (acc, i) -> acc + "
+        "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i - {a}), 0L))"
+    )
+    w = e.select(
+        "vec_id",
+        F.expr(pack.format(a=0, b=31)).alias("w0"),
+        F.expr(pack.format(a=32, b=63)).alias("w1"),
+    )
+    qw = w.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    hamr = (
+        w.join(F.broadcast(qw), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (
+                F.bit_count(F.expr("qw0 ^ w0"))
+                + F.bit_count(F.expr("qw1 ^ w1"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .withColumn(
+            "rh", F.row_number().over(by_q.orderBy("hamming", "c_id"))
+        )
+        .filter(F.col("rh") <= 16)
+        .select("q_id", "c_id", "rh")
+    )
+    fused = adcr.join(hamr, ["q_id", "c_id"], "full_outer").select(
+        "q_id",
+        "c_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rh")), F.lit(0.0))
+        ).alias("score"),
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(by_q.orderBy(F.desc("score"), "c_id")),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("score", 6).alias("rrf"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
         .orderBy("q_id", "rnk")

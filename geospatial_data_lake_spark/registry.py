@@ -70,81 +70,24 @@ _LOADED = False
 # r11: ALL 214 then-oracled queries (every registry entry driver-green
 # at sf0.01 in some round r2-r10); ss02/ss03 were rows-only until the
 # r11 continuation converted their projections to oracle-replayable
-# folds — the registry is now 229/229 oracled.  The r11 prefix is documented
+# folds — every registry entry is oracled (230 entering r12; zero
+# rows-only).  The prefix is documented
 # inline below.  Everything not listed keeps its registration order
 # after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # NEW in r11 — first driver check
-    "ts01_gap_fill_locf",
-    "ts02_ohlc_downsample",
-    "ts03_time_weighted_avg",
-    "ev05_top_event_paths",
-    "ss11_scalar_quant_search",
-    "st06_stream_timeseries_rollup",
+    # NEW in r12 — first driver check, then re-proofs of machinery
+    # changed this round: sd01 (pair-join broadcast-budget guard),
+    # ss08/ss09/st05 (oracle SQL refactored through
+    # _ivfpq_candidates_sql), rk01 (rk02's exact-arm reference).
+    "rk02_rrf_fusion_serve",
     "sd01_semantic_dedup",
-    "rk01_rrf_fusion",
-    "vs19_metadata_only_counts",
-    "vs20_metadata_column_range",
-    "pl01_training_pipeline",
-    "ss02_lsh_ann_topk",
-    "ss03_ivf_ann_topk",
-    "dd14_decontamination",
-    "sm05_mixture_quota_sample",
-    "ss10_binary_quant_search",
-    # ---- r11 prefix: re-proofs of everything whose machinery changed
-    # in r11, then rotation toward families last driver-proven r3-r7.
-    # Changed in r11: the ENTIRE manifest-lake + lake-sink family (the
-    # manifest partition key now carries column NAMES — the same-arity
-    # column-evolution collision fix — batch stats group by the
-    # produced routing directory, optimize re-derives NULL evolved
-    # transform columns, and ALL commit-log I/O rides the fsio
-    # put_if_absent CAS seam; fixture roots moved to session_tmpdir),
-    # geo11 (footer stamp is now stage-write + swap through fsio),
-    # dd07 (new unrolled min-label oracle — waiver retired), dd09/dd12
-    # (broadcast-budget guard + dispatch), dd11 (index fixture tmpdir),
-    # ss08 (ivfpq store tmpdir).  dd04 rides as the dd07 upstream
-    # canary.  Slots 31-50 rotate in tpch/tx/ev/sm/u/w/o/p rows whose
-    # last driver proof was r3-r7 (cumulatively green since).
-    "vs01_manifest_merge_roundtrip",
-    "vs02_manifest_time_travel",
-    "vs03_manifest_change_feed",
-    "vs04_clustered_pruned_read",
-    "vs05_bloom_point_read",
-    "vs06_incremental_view_maintenance",
-    "vs07_replace_where",
-    "vs08_version_drift",
-    "vs09_restore_constrained_lifecycle",
-    "vs10_equality_delete_feed",
-    "vs11_hidden_partition_pruned_read",
-    "vs12_tagged_snapshot_read",
-    "vs13_wap_publish",
-    "vs14_branch_divergence",
-    "vs15_spec_evolution_read",
-    "vs16_spec_rewrite_read",
-    "vs17_partition_column_evolution_read",
-    "vs18_cdc_replication_read",
-    "st01_stream_lake_merge",
-    "st02_stream_dedup_ingest",
-    "st03_stream_volume_monitor",
-    "st04_stream_geo_ingest",
-    "st05_stream_ann_index_maintenance",
-    "geo11_geoparquet_roundtrip",
-    "dd07_duplicate_groups",
-    "dd09_incremental_dedup",
-    "dd11_indexed_incremental_dedup",
-    "dd12_dispatched_incremental",
     "ss08_persisted_ivfpq_search",
-    "dd04_minhash_lsh_pairs",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_nation_volume",
-    "tpch_q13_customer_distribution",
-    # --- 50-entry mark; proven rows retired from the checked prefix.
-    # (The thirteen r11-continuation additions — ts01-03/ev05/ss11/st06/
-    # sd01/rk01/vs19/pl01 plus the newly-ORACLED ss02/ss03 — displaced
-    # q15/q21/q22/tx01/tx03/tx08/ev01/ev02/sm02/sm04/u02/u06/w05/w08/o06/p07
-    # from the checked window; all displaced rows are cumulatively
-    # driver-green.) ---
+    "ss09_ivfpq_refined_search",
+    "st05_stream_ann_index_maintenance",
+    "rk01_rrf_fusion",
+    # ---- slots 7-22: the sixteen rows the r11 additions displaced
+    # from the checked window (last driver proof r3-r7; cumulatively
+    # green, parity-swept r11).
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
@@ -161,12 +104,13 @@ _PRIORITY: tuple[str, ...] = (
     "w08_distribution_ranks",
     "o06_keyset_pagination",
     "p07_conjunctive_predicate",
+    # ---- slots 23-50: next-oldest driver proofs (r5-r8 families:
+    # wkb/geo, substring dedup, the ANN training ladder, vocab/dq/pk).
     "geo08_wkb_point_in_polygon",
     "geo09_wkb_multipolygon_holes",
     "geo10_wkb_polyline_length",
     "geo12_st_functions",
     "mx03_token_budget_plan",
-    "ss09_ivfpq_refined_search",
     "dd01_exact_dedup_summary",
     "dd10_substring_spans",
     "dd13_substring_removal",
@@ -190,6 +134,56 @@ _PRIORITY: tuple[str, ...] = (
     "ss04_ivf_trained_ann",
     "ss07_ivfpq_residual_search",
     "a08_rollup",
+    # ---- 50-entry mark.  Below: rows driver-proven in r11 (the r11
+    # additions, the manifest-lake/stream/dedup re-proof block, the
+    # r11 tpch rotation) step aside but keep deterministic positions;
+    # everything not listed keeps registration order after the prefix.
+    "ts01_gap_fill_locf",
+    "ts02_ohlc_downsample",
+    "ts03_time_weighted_avg",
+    "ev05_top_event_paths",
+    "ss11_scalar_quant_search",
+    "st06_stream_timeseries_rollup",
+    "vs19_metadata_only_counts",
+    "vs20_metadata_column_range",
+    "pl01_training_pipeline",
+    "ss02_lsh_ann_topk",
+    "ss03_ivf_ann_topk",
+    "dd14_decontamination",
+    "sm05_mixture_quota_sample",
+    "ss10_binary_quant_search",
+    "vs01_manifest_merge_roundtrip",
+    "vs02_manifest_time_travel",
+    "vs03_manifest_change_feed",
+    "vs04_clustered_pruned_read",
+    "vs05_bloom_point_read",
+    "vs06_incremental_view_maintenance",
+    "vs07_replace_where",
+    "vs08_version_drift",
+    "vs09_restore_constrained_lifecycle",
+    "vs10_equality_delete_feed",
+    "vs11_hidden_partition_pruned_read",
+    "vs12_tagged_snapshot_read",
+    "vs13_wap_publish",
+    "vs14_branch_divergence",
+    "vs15_spec_evolution_read",
+    "vs16_spec_rewrite_read",
+    "vs17_partition_column_evolution_read",
+    "vs18_cdc_replication_read",
+    "st01_stream_lake_merge",
+    "st02_stream_dedup_ingest",
+    "st03_stream_volume_monitor",
+    "st04_stream_geo_ingest",
+    "geo11_geoparquet_roundtrip",
+    "dd07_duplicate_groups",
+    "dd09_incremental_dedup",
+    "dd11_indexed_incremental_dedup",
+    "dd12_dispatched_incremental",
+    "dd04_minhash_lsh_pairs",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_distribution",
     "dq03_referential_integrity",
     "dq04_chi2_drift",
     "dq05_embedding_drift",

@@ -1492,6 +1492,29 @@ def should_shuffle_sd01_pair_join_when_corpus_exceeds_budget(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
+def should_recall_exact_fusion_winners_in_rk02(spark, sf_dir):
+    """rk02 (the production serve: persisted-IVFPQ arm + binary-sketch
+    arm) must recover most of rk01's exact-arm fused top-3 — the same
+    >= 0.5 bar every approximate rung meets (ss02/ss03/ss10/ss11) —
+    and keep rk01's structural invariants: ranks 1..n per query,
+    scores in (0, 2/61]."""
+    registry = load_all_queries()
+    exact = {
+        (r.q_id, r.c_id)
+        for r in registry["rk01_rrf_fusion"].fn(spark, sf_dir).collect()
+    }
+    rows = registry["rk02_rrf_fusion_serve"].fn(spark, sf_dir).collect()
+    served = {(r.q_id, r.c_id) for r in rows}
+    recall = len(exact & served) / len(exact)
+    assert recall >= 0.5, f"production-fusion recall too low: {recall}"
+    by_q = {}
+    for r in rows:
+        assert 0 < r.rrf <= round(2 / 61, 6) + 1e-9
+        by_q.setdefault(r.q_id, []).append(r.rnk)
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
 def should_fuse_rankings_reciprocally_in_rk01(spark, sf_dir):
     """rk01 invariants: every fused winner appears in at least one
     input top-16; a candidate ranked #1 by BOTH lists always wins its

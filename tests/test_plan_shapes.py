@@ -804,6 +804,21 @@ def should_fuse_vanishing_candidate_lists_in_rk01(spark, registry, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def should_serve_rk02_fusion_from_index_sized_arms(spark, registry, sf_dir):
+    # rk02: the IVFPQ arm probes the persisted codes table (pruned read
+    # + broadcast residual block, a BroadcastHashJoin), the sketch arm
+    # broadcasts the 5 query sketches over a codegen integer scan (the
+    # one nested-loop, query-count-sized build — rk01/ss10's accepted
+    # shape) — and nothing goes cartesian.
+    import re
+
+    plan = _plan(spark, registry, "rk02_rrf_fusion_serve", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    nl_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nl_nodes) <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def should_answer_vs19_counts_without_any_parquet_scan(spark, registry, sf_dir):
     # THE metadata-only proof: the per-partition census plan contains
     # no parquet scan at all — the answer comes from the manifest.
