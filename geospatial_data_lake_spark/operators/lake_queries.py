@@ -1949,10 +1949,19 @@ def vs20_metadata_column_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     always records bounds); production falls back to the scan."""
     mt = _build_lake(spark, sf_dir)
     stats = mt.file_stats()
+    covered = mt.pending_delete_files()
     rows = []
     for pkey, files in mt.partition_files().items():
         mns, mxs = [], []
         for f in files:
+            if f in covered:
+                # a pending equality delete may have removed this
+                # file's extreme rows — bounds are not truthful until
+                # the delete materializes (column_range's contract)
+                raise RuntimeError(
+                    f"file {f} is covered by a pending equality "
+                    "delete; scan fallback required"
+                )
             bounds = stats.get(f, {}).get("o_totalprice")
             if bounds is None:
                 raise RuntimeError(

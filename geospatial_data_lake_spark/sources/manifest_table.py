@@ -1254,6 +1254,29 @@ class ManifestTable:
             for f, entry in manifest.get("stats", {}).items()
         }
 
+    @staticmethod
+    def _covered_files(manifest: dict) -> set[str]:
+        """Files a pending (unmaterialized) equality delete applies to:
+        their recorded stats/row counts are not truthful until the
+        delete materializes, so every metadata-only answer must treat
+        them as unknowable (shared by file_rows/column_range and the
+        public ``pending_delete_files``)."""
+        return {
+            f
+            for entries in manifest.get("deletes", {}).values()
+            for d in entries
+            for f in d["applies_to"]
+        }
+
+    def pending_delete_files(self, version: int | None = None) -> set[str]:
+        """Public view of ``_covered_files`` at a version — the set a
+        metadata-only consumer (vs19/vs20-style aggregates) must check
+        before trusting per-file stats."""
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            return set()
+        return self._covered_files(manifest)
+
     def file_rows(self, version: int | None = None) -> dict[str, int | None]:
         """Per-file recorded row counts (None for files committed
         before row counting existed)."""
@@ -1263,12 +1286,7 @@ class ManifestTable:
         stats = manifest.get("stats", {})
         # files a pending equality delete applies to have unknown
         # effective counts until the delete is materialized
-        covered = {
-            f
-            for entries in manifest.get("deletes", {}).values()
-            for d in entries
-            for f in d["applies_to"]
-        }
+        covered = self._covered_files(manifest)
         return {
             f: (
                 int(stats[f]["__rows"][0])
@@ -1300,12 +1318,7 @@ class ManifestTable:
         if manifest is None:
             return None
         stats = manifest.get("stats", {})
-        covered = {
-            f
-            for entries in manifest.get("deletes", {}).values()
-            for d in entries
-            for f in d["applies_to"]
-        }
+        covered = self._covered_files(manifest)
         mns, mxs = [], []
         for files in manifest["partitions"].values():
             for f in files:

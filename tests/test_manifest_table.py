@@ -1041,10 +1041,18 @@ def should_mark_column_range_unknown_while_deletes_pend(spark, tmp_path):
     mt = _table(spark, tmp_path)
     mt.append(_mk(spark, [(1, "a", "x"), (2, "a", "y")]))
     assert mt.column_range("id") == (1, 2)
+    assert mt.pending_delete_files() == set()
     mt.delete_where_eq(F.col("id") == 2)
     assert mt.column_range("id") is None
+    # the public covered-set view names exactly the live files whose
+    # stats vs19/vs20-style consumers must refuse to trust
+    covered = mt.pending_delete_files()
+    assert covered
+    live = {f for fs in mt.partition_files().values() for f in fs}
+    assert covered <= live
     mt.compact(min_files=99)
     assert mt.column_range("id") == (1, 1)
+    assert mt.pending_delete_files() == set()
 
 
 def should_hide_partitioning_behind_transforms(spark, tmp_path):
