@@ -86,6 +86,8 @@ HEADLINE = [
     "ts01_gap_fill_locf",
     "ts02_ohlc_downsample",
     "ts03_time_weighted_avg",
+    # r12 addition: hybrid fusion served from production ANN arms
+    "rk02_rrf_fusion_serve",
 ]
 
 

@@ -124,6 +124,8 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_reduce_trigrams_before_global_rank_in_ev05", "analytics"),
     "ss11_scalar_quant_search": (
         "should_broadcast_codes_and_stats_in_ss11", "ann"),
+    "rk02_rrf_fusion_serve": (
+        "should_serve_rk02_fusion_from_index_sized_arms", "ann"),
 }
 
 TABLES = (
