@@ -32,29 +32,48 @@ def _rank_to_unit(c: Column, lo: Column, hi: Column) -> Column:
     )
 
 
-def zorder_key(df: DataFrame, cols: list[str]) -> Column:
-    """Morton code over up to 3 numeric columns, bounds taken from the
-    frame itself (one tiny agg job). Bit interleaving is unrolled into a
+def zorder_key_from_bounds(
+    cols: list[str], bounds: dict[str, tuple[float, float]]
+) -> Column:
+    """Morton code over up to 3 numeric columns with CALLER-SUPPLIED
+    (lo, hi) bounds per column — the deterministic core ``zorder_key``
+    and ``ManifestTable.optimize(strategy="zorder")`` both build on
+    (given literal bounds the expression is pure, so it can be
+    re-evaluated for bucket routing and in-file sorting without
+    materializing a key column).  Bit interleaving is unrolled into a
     flat codegen expression: bit i of each normalized column lands at
     position i*len(cols)+j of the key."""
     if not 1 <= len(cols) <= 3:
-        raise ValueError("zorder_key supports 1-3 columns")
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
-    ).collect()[0]
+        raise ValueError("zorder key supports 1-3 columns")
     key = F.lit(0).cast("long")
     n = len(cols)
     for j, c in enumerate(cols):
-        ranked = _rank_to_unit(
-            F.col(c), F.lit(float(bounds[f"lo_{c}"])), F.lit(float(bounds[f"hi_{c}"]))
-        )
+        lo, hi = bounds[c]
+        # an all-NULL (or empty-frame) column has no bounds: any finite
+        # span works — its NULL rows rank NULL and route to bucket 0
+        lo = 0.0 if lo is None else lo
+        hi = 1.0 if hi is None else hi
+        ranked = _rank_to_unit(F.col(c), F.lit(float(lo)), F.lit(float(hi)))
         for i in range(_BITS):
             bit = F.shiftright(ranked, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(
                 F.shiftleft(bit.cast("long"), i * n + j)
             )
     return key
+
+
+def zorder_key(df: DataFrame, cols: list[str]) -> Column:
+    """Morton code over up to 3 numeric columns, bounds taken from the
+    frame itself (one tiny agg job)."""
+    if not 1 <= len(cols) <= 3:
+        raise ValueError("zorder_key supports 1-3 columns")
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    return zorder_key_from_bounds(
+        cols, {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    )
 
 
 def write_zordered(

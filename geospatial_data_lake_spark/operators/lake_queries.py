@@ -1978,3 +1978,159 @@ def vs20_metadata_column_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderpriority string, min_price double, max_price double"
     )
+
+
+_ZORDERED: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_zordered_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """orders -> manifest table, then ``optimize(strategy="zorder")``
+    over (o_custkey, o_totalprice): every partition's rows are rewritten
+    into Morton-ordered range buckets whose per-file min/max form
+    balanced hyper-rectangles over BOTH columns — Delta's
+    ``OPTIMIZE ... ZORDER BY`` as one percentile-cut + one write job."""
+    cache = _ZORDERED.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    mt = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_zo_"),
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+    mt.append(base)
+    mt.optimize(
+        ["o_custkey", "o_totalprice"], target_files=8, strategy="zorder"
+    )
+    cache[sf_dir] = mt
+    return mt
+
+
+@register(
+    "vs21_zorder_clustered_read",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_custkey BETWEEN 1 AND 75
+          AND o_totalprice BETWEEN 50000.0 AND 150000.0
+    """,
+    tags=("lake", "manifest", "zorder", "layout"),
+)
+def vs21_zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column range read against a ZORDER-clustered lake table: the
+    table is rewritten by ``optimize(["o_custkey", "o_totalprice"],
+    strategy="zorder")`` (Morton-interleaved range buckets, pure
+    Catalyst bit arithmetic — layout.zorder_key_from_bounds), then read
+    with a conjunctive range spec on both clustered columns.  The
+    result must equal the plain filter over the fixture — clustering is
+    a pure rewrite — while the manifest's per-file min/max (now tight
+    hyper-rectangles on BOTH columns) let the read plan a strict subset
+    of each partition's files (pinned in tests/test_manifest_table.py::
+    should_zorder_prune_on_every_clustered_column and the fixture pin
+    below).
+
+    Scale shape: a lexicographic sort would serve only o_custkey
+    predicates; Morton interleave makes EITHER column (and especially
+    the conjunction) prune, so a 100 TB table answers 2-D slices from
+    the few files whose hyper-rectangle intersects the query box —
+    O(intersecting files), never O(partition).  Ref analog: the
+    reference's DynamoDB GSI gives one extra key dimension
+    (backend/datasets_model.py:46-50); z-order is the columnar-lake
+    generalization to multi-dimension range predicates."""
+    mt = _build_zordered_lake(spark, sf_dir)
+    return mt.read(
+        where={
+            "o_custkey": (1, 75),
+            "o_totalprice": (50000.0, 150000.0),
+        }
+    )
+
+
+_POSDEL: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_posdel_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """events -> DUPLICATE-KEY manifest table (keyed loosely by user_id:
+    many physical rows per key, the raw-log shape) driven through a
+    POSITIONAL-delete lifecycle: append two-thirds of the log, pos-delete
+    the cheap clicks, then append the final third — whose cheap clicks
+    must SURVIVE (the delete's applies_to pins it to the files that
+    existed at commit time, Iceberg's sequence-number rule)."""
+    cache = _POSDEL.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "event_type", "ts", "value")
+    mt = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_pd_"),
+        key_cols=["user_id"],
+        partition_by=["event_type"],
+    )
+    mt.append(ev.filter(F.col("event_id") % 3 < 2))
+    mt.delete_where_pos(
+        (F.col("event_type") == "click") & (F.col("value") < 50.0)
+    )
+    mt.append(ev.filter(F.col("event_id") % 3 == 2))
+    cache[sf_dir] = mt
+    return mt
+
+
+@register(
+    "vs22_positional_delete_read",
+    # the oracle replays the lifecycle as pure SQL: a row is gone iff it
+    # was a cheap click in the PRE-DELETE batches (event_id % 3 < 2) —
+    # rows sharing a user_id survive (row-granular, unlike vs10's
+    # key-granular equality deletes) and post-delete appends survive
+    # even when they match (sequence rule)
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE NOT coalesce(
+            event_type = 'click' AND value < 50.0 AND event_id % 3 < 2,
+            false
+        )
+        GROUP BY event_type
+    """,
+    tags=("lake", "manifest", "pos-delete", "merge-on-read"),
+)
+def vs22_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read over pending POSITIONAL deletes (Iceberg v2
+    pos-delete / Delta deletion-vector analog), externally hash-gated:
+    the fixture table is keyed by user_id with MANY rows per key, so
+    equality deletes could not express "delete exactly the matched
+    rows" — ``delete_where_pos`` records (file basename, row ordinal)
+    addresses from the scan's ``_metadata`` pseudo-column and commits
+    only that address file plus a manifest.  The read anti-joins the
+    address list (O(matched rows) state, zero data-file rewrites) and
+    must reproduce the SQL lifecycle replay exactly — including the
+    same-key survivors and the post-delete appends the sequence rule
+    protects.
+
+    Scale shape: deleting k rows from a 100 TB log costs O(k) written
+    bytes + one manifest commit; reads pay one broadcast-sized anti-join
+    per delete generation until compaction materializes it (vs10's
+    lifecycle, here at ROW granularity).  Ref analog: per-item DynamoDB
+    deletes (backend/datasets/delete.py) on an append-only log."""
+    mt = _build_posdel_lake(spark, sf_dir)
+    return (
+        mt.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

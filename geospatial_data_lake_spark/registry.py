@@ -76,18 +76,24 @@ _LOADED = False
 # after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
     # NEW in r12 — first driver check, then re-proofs of machinery
-    # changed this round: sd01 (pair-join broadcast-budget guard),
-    # ss08/ss09/st05 (oracle SQL refactored through
-    # _ivfpq_candidates_sql), rk01 (rk02's exact-arm reference).
+    # changed this round: vs21 (OPTIMIZE ZORDER clustering), vs22
+    # (positional merge-on-read deletes — _effective_df grew a pos-kind
+    # anti-join, so vs10's eq-delete row re-proves alongside), sd01
+    # (pair-join broadcast-budget guard), ss08/ss09/st05 (oracle SQL
+    # refactored through _ivfpq_candidates_sql), rk01 (rk02's
+    # exact-arm reference).
+    "vs21_zorder_clustered_read",
+    "vs22_positional_delete_read",
+    "vs10_equality_delete_feed",
     "rk02_rrf_fusion_serve",
     "sd01_semantic_dedup",
     "ss08_persisted_ivfpq_search",
     "ss09_ivfpq_refined_search",
     "st05_stream_ann_index_maintenance",
     "rk01_rrf_fusion",
-    # ---- slots 7-22: the sixteen rows the r11 additions displaced
-    # from the checked window (last driver proof r3-r7; cumulatively
-    # green, parity-swept r11).
+    # ---- next sixteen: the rows the r11 additions displaced from the
+    # checked window (last driver proof r3-r7; cumulatively green,
+    # parity-swept r11).
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
@@ -104,8 +110,11 @@ _PRIORITY: tuple[str, ...] = (
     "w08_distribution_ranks",
     "o06_keyset_pagination",
     "p07_conjunctive_predicate",
-    # ---- slots 23-50: next-oldest driver proofs (r5-r8 families:
-    # wkb/geo, substring dedup, the ANN training ladder, vocab/dq/pk).
+    # ---- remainder of the window: next-oldest driver proofs (r5-r8
+    # families: wkb/geo, substring dedup, the ANN training ladder,
+    # vocab/dq/pk).  The r12 insertions push the last three listed
+    # entries (ss04/ss07/a08 — all r11-parity-green) just past the
+    # 50-entry mark; they keep deterministic positions.
     "geo08_wkb_point_in_polygon",
     "geo09_wkb_multipolygon_holes",
     "geo10_wkb_polyline_length",
@@ -134,7 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     "ss04_ivf_trained_ann",
     "ss07_ivfpq_residual_search",
     "a08_rollup",
-    # ---- 50-entry mark.  Below: rows driver-proven in r11 (the r11
+    # ---- (the 50-entry mark falls three entries above this line after
+    # the r12 insertions.)  Below: rows driver-proven in r11 (the r11
     # additions, the manifest-lake/stream/dedup re-proof block, the
     # r11 tpch rotation) step aside but keep deterministic positions;
     # everything not listed keeps registration order after the prefix.
@@ -161,7 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "vs07_replace_where",
     "vs08_version_drift",
     "vs09_restore_constrained_lifecycle",
-    "vs10_equality_delete_feed",
+    # (vs10 moved into the r12 head block: _effective_df changed)
     "vs11_hidden_partition_pruned_read",
     "vs12_tagged_snapshot_read",
     "vs13_wap_publish",

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geospatial_data_lake_spark.layout import zorder_key_from_bounds
 from geospatial_data_lake_spark.sources import fsio
 
 from geospatial_data_lake_spark.plans.catalog import (
@@ -69,6 +70,16 @@ _MAX_RETRIES = 64
 # decodes bijectively back to the partition tuple on the driver.
 _PK_COL = "__mt_pk"
 _SRC_COL = "__mt_src_file"
+# Row-position identity for POSITIONAL deletes (Iceberg v2 pos-delete /
+# Delta deletion-vector analog): a physical row is addressed by its data
+# file's basename + its ordinal within that file.  Spark names every
+# written file `part-NNNNN-<job uuid>...parquet`, so the basename is
+# unique across a table's lifetime (each commit is one write job with a
+# fresh uuid; part numbers disambiguate within a job) — full paths would
+# also work but survive relocation worse (the data root is absent from
+# the manifest by design, so tables can be moved wholesale).
+_POSF_COL = "__mt_posf"  # _metadata.file_name, materialized at scan
+_POSI_COL = "__mt_posi"  # _metadata.row_index, materialized at scan
 
 # Column types whose min/max stats are recorded (atomic, orderable, and
 # JSON-round-trippable without precision or timezone ambiguity).
@@ -1006,20 +1017,35 @@ class ManifestTable:
         pkeys: set[str] | None = None,
         sel_files: set[str] | None = None,
         with_file: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Effective content of ``pkeys`` (default: all partitions)
-        under ``manifest``, with pending EQUALITY-DELETE files applied —
-        the single merge-on-read path every content read goes through.
+        under ``manifest``, with pending DELETE files applied — the
+        single merge-on-read path every content read goes through.
 
         Files are grouped by the set of delete files that apply to them
         (a delete applies only to files that existed when it was
         committed, so later-appended rows with a deleted key survive —
         Iceberg's sequence-number rule, realized as an explicit
-        ``applies_to`` list); each group anti-joins the union of its
-        delete keys null-safely.  Group count is bounded by distinct
-        delete generations per partition, not data size."""
+        ``applies_to`` list); each group subtracts its deletes by kind:
+        EQUALITY entries anti-join the union of their key tuples
+        null-safely, POSITIONAL entries (``kind: "pos"``) anti-join on
+        (file basename, row ordinal) — row-granular, key-free, the
+        Iceberg v2 pos-delete shape.  Group count is bounded by
+        distinct delete generations per partition, not data size.
+
+        ``with_pos=True`` keeps the two scan-time position columns
+        (``_POSF_COL``/``_POSI_COL``) on the result — the writer-side
+        hook ``delete_where_pos`` records matched rows through."""
         parts = manifest["partitions"]
         dmap = manifest.get("deletes", {})
+        # delete-file kind registry; entries written before positional
+        # deletes existed carry no "kind" and default to equality
+        kind_of: dict[str, str] = {
+            d["file"]: d.get("kind", "eq")
+            for entries in dmap.values()
+            for d in entries
+        }
         groups: dict[tuple, list[str]] = {}
         for pk, files in parts.items():
             if pkeys is not None and pk not in pkeys:
@@ -1036,11 +1062,16 @@ class ManifestTable:
                 groups.setdefault(applicable, []).append(f)
         if not groups:
             empty = self._spark.createDataFrame([], manifest["schema_ddl"])
-            return (
-                empty.withColumn(_SRC_COL, F.lit("")) if with_file else empty
-            )
+            if with_file:
+                empty = empty.withColumn(_SRC_COL, F.lit(""))
+            if with_pos:
+                empty = empty.withColumn(_POSF_COL, F.lit("")).withColumn(
+                    _POSI_COL, F.lit(0).cast("long")
+                )
+            return empty
         out = None
         for dels in sorted(groups):
+            pos_dels = [d for d in dels if kind_of.get(d) == "pos"]
             df = self._spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self._data, f) for f in groups[dels]]
             )
@@ -1049,14 +1080,36 @@ class ManifestTable:
                 # after a shuffle), so era-exact partition attribution
                 # survives the delete anti-joins below
                 df = df.withColumn(_SRC_COL, F.input_file_name())
-            if dels:
+            if with_pos or pos_dels:
+                # likewise scan-time: _metadata is a scan pseudo-column
+                df = df.withColumn(
+                    _POSF_COL, F.col("_metadata.file_name")
+                ).withColumn(_POSI_COL, F.col("_metadata.row_index"))
+            eq_dels = [d for d in dels if kind_of.get(d, "eq") == "eq"]
+            if eq_dels:
                 keys = (
                     self._spark.read.option("mergeSchema", "true")
-                    .parquet(*[os.path.join(self._data, d) for d in dels])
+                    .parquet(*[os.path.join(self._data, d) for d in eq_dels])
                     .select(*self.key_cols)
                     .dropDuplicates()
                 )
                 df = self._null_safe_key_join(df, keys, "left_anti")
+            if pos_dels:
+                posk = (
+                    self._spark.read.parquet(
+                        *[os.path.join(self._data, d) for d in pos_dels]
+                    )
+                    .select("__file", "__pos")
+                    .dropDuplicates()
+                )
+                df = df.join(
+                    posk,
+                    (F.col(_POSF_COL) == posk["__file"])
+                    & (F.col(_POSI_COL) == posk["__pos"]),
+                    "left_anti",
+                )
+            if pos_dels and not with_pos:
+                df = df.drop(_POSF_COL, _POSI_COL)
             out = (
                 df
                 if out is None
@@ -2002,6 +2055,83 @@ class ManifestTable:
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
+    def delete_where_pos(self, condition) -> int:
+        """Merge-on-read DELETE via POSITIONAL-DELETE files (the Iceberg
+        v2 position-delete / Delta deletion-vector analog): commit a
+        small per-partition file of the matched rows' PHYSICAL
+        addresses — (data-file basename, row ordinal) from the scan's
+        ``_metadata`` pseudo-column — and let reads anti-join it until
+        the next rewrite materializes.
+
+        Semantics: ROW-granularity, key-free — exactly the rows where
+        ``condition`` is TRUE disappear, and OTHER rows sharing their
+        key survive.  This is the delete shape for append-only /
+        duplicate-key tables (raw event logs, document shards) where
+        ``delete_where_eq``'s key-granular contract would over-delete;
+        it is also the only merge-on-read delete that needs no key
+        columns at all.  Rows appended AFTER this commit land in new
+        files and trivially survive (each entry records the files it
+        applies to — the same sequence-number rule as equality
+        deletes).  Cost is O(matched rows) write + one manifest —
+        independent of partition sizes.
+
+        Returns the committed version (unchanged when nothing matched).
+        Reference analog: per-item DynamoDB deletes
+        (backend/datasets/delete.py) re-expressed as a lake-format
+        metadata commit."""
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                raise NotFoundError(f"table never committed: {self.root}")
+            partitions = dict(manifest["partitions"])
+            effective = self._effective_df(
+                manifest, with_file=True, with_pos=True
+            )
+            # SQL DELETE matching: only TRUE matches; rows already
+            # removed by pending deletes never reach the filter (the
+            # effective view subtracts them), so addresses are never
+            # re-recorded.  Routing is era-exact by the HOLDING file's
+            # hex, same as equality-delete key files.
+            matched = effective.filter(
+                F.coalesce(condition, F.lit(False))
+            ).select(
+                F.col(_POSF_COL).alias("__file"),
+                F.col(_POSI_COL).alias("__pos"),
+                self._src_hex_expr().alias(_PK_COL),
+            )
+            batch_dir = uuid.uuid4().hex
+            produced = self._write_partitioned(
+                matched, batch_dir, pk_expr=F.col(_PK_COL)
+            )
+            if not produced:  # nothing matched: no commit
+                fsio.rmtree(
+                    os.path.join(self._data, batch_dir), ignore_errors=True
+                )
+                return gen
+            deletes = {
+                pk: list(v)
+                for pk, v in manifest.get("deletes", {}).items()
+            }
+            for pkey, rel in produced.items():
+                applies = list(partitions.get(pkey, []))
+                if not applies:  # matched rows of a since-gone partition
+                    continue
+                deletes.setdefault(pkey, []).append(
+                    {"file": rel, "applies_to": applies, "kind": "pos"}
+                )
+            if self._try_commit(
+                gen,
+                manifest,
+                partitions,  # file lists untouched — metadata-only
+                {},  # no data-file stats for position files
+                {},
+                manifest["schema_ddl"],
+                batch_dir,
+                deletes=deletes,
+            ):
+                return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def overwrite_where(
         self,
         batch: DataFrame,
@@ -2164,42 +2294,66 @@ class ManifestTable:
         raise CommitConflict("manifest-table contention: retries exhausted")
 
     def optimize(
-        self, sort_by: list[str], target_files: int = 8
+        self,
+        sort_by: list[str],
+        target_files: int = 8,
+        strategy: str = "linear",
     ) -> int | None:
-        """Cluster the table for data skipping — the OPTIMIZE ZORDER
-        analog: rewrite every partition's rows into up to
-        ``target_files`` RANGE-BUCKETED files sorted by ``sort_by``,
+        """Cluster the table for data skipping — the OPTIMIZE
+        (ZORDER BY) analog: rewrite every partition's rows into up to
+        ``target_files`` RANGE-BUCKETED files ordered by ``sort_by``,
         each carrying tight min/max stats on the sort columns, so a
         point or range read prunes WITHIN a partition instead of
         scanning all of it.
 
-        One pass: per-partition cut points come from one
-        ``percentile_approx`` aggregation (collected — bounded by
-        partitions × target_files scalars), broadcast back onto the
-        scan to assign each row its range bucket, then ONE write job
-        routes (partition, bucket) and sorts rows within each file.
-        Bucket boundaries use the first sort column, which must be
-        numeric or timestamp (percentile_approx's domain); remaining
-        sort columns refine the in-file order.  Pure rewrite — row
-        content is unchanged, so concurrent-writer races retry as
-        usual.  Like Delta's OPTIMIZE, clustering is maintenance:
-        later commits to a partition replace its clustered files (their
-        stats stay tight only until rewritten); re-run periodically.
-        Returns the new version, or None on an empty table."""
+        ``strategy`` picks the clustering order:
+
+        - ``"linear"`` (default): lexicographic on ``sort_by`` — buckets
+          cut on the FIRST column's value distribution, so only the
+          leading column gets tight per-file ranges; trailing columns
+          benefit only within equal leading runs.  Right when one
+          column dominates predicates.
+        - ``"zorder"``: Morton (bit-interleaved) order over 1-3 NUMERIC
+          ``sort_by`` columns — per-file min/max become balanced
+          hyper-rectangles, so predicates on ANY keyed column (alone or
+          combined) prune, Delta's ``OPTIMIZE ... ZORDER BY``.  Column
+          bounds for bit normalization come from one extra tiny
+          aggregation over the table.
+
+        One pass either way: per-partition cut points come from one
+        ``percentile_approx`` aggregation over the ordering expression
+        (collected — bounded by partitions × target_files scalars),
+        broadcast back onto the scan to assign each row its range
+        bucket, then ONE write job routes (partition, bucket) and sorts
+        rows within each file.  The linear strategy's boundary column
+        (and every zorder column) must be numeric — boundaries come
+        from percentile_approx and the recorded stats must be
+        JSON-round-trippable.  Pure rewrite — row content is unchanged,
+        so concurrent-writer races retry as usual.  Like Delta's
+        OPTIMIZE, clustering is maintenance: later commits to a
+        partition replace its clustered files (their stats stay tight
+        only until rewritten); re-run periodically.  Returns the new
+        version, or None on an empty table."""
+        if strategy not in ("linear", "zorder"):
+            raise ValueError(f"unknown optimize strategy {strategy!r}")
         col0 = sort_by[0]
         _, head = self._current()
         if head is None:
             return None
         schema = T.StructType.fromDDL(head["schema_ddl"])
-        col0_type = next(
-            (f.dataType for f in schema.fields if f.name == col0), None
-        )
-        if not isinstance(col0_type, _NUMERIC_TYPES):
-            raise ValueError(
-                f"optimize sort key {col0!r} must be numeric (range "
-                f"buckets come from percentile_approx and the stats "
-                f"must be JSON-recordable), got {col0_type}"
+        must_be_numeric = sort_by if strategy == "zorder" else [col0]
+        if strategy == "zorder" and not 1 <= len(sort_by) <= 3:
+            raise ValueError("zorder clustering supports 1-3 columns")
+        for c in must_be_numeric:
+            c_type = next(
+                (f.dataType for f in schema.fields if f.name == c), None
             )
+            if not isinstance(c_type, _NUMERIC_TYPES):
+                raise ValueError(
+                    f"optimize sort key {c!r} must be numeric (range "
+                    f"buckets come from percentile_approx and the stats "
+                    f"must be JSON-recordable), got {c_type}"
+                )
         bucket_col = "__mt_bkt"
         probs = [i / target_files for i in range(1, target_files)]
         for _ in range(_MAX_RETRIES):
@@ -2241,9 +2395,34 @@ class ManifestTable:
                         c, F.lit(None).cast(dftypes.get(c, T.StringType()))
                     )
             keyed = df.withColumn(_PK_COL, self._pk_expr())
+            if strategy == "zorder":
+                # literal bounds make the Morton expression pure, so it
+                # is re-evaluated for cuts, routing, and the in-file
+                # sort without materializing a key column in the data
+                brow = keyed.agg(
+                    *[
+                        F.min(F.col(c).cast("double")).alias(f"__lo_{c}")
+                        for c in sort_by
+                    ],
+                    *[
+                        F.max(F.col(c).cast("double")).alias(f"__hi_{c}")
+                        for c in sort_by
+                    ],
+                ).collect()[0]
+                order_expr = zorder_key_from_bounds(
+                    sort_by,
+                    {
+                        c: (brow[f"__lo_{c}"], brow[f"__hi_{c}"])
+                        for c in sort_by
+                    },
+                )
+                in_file_order = [order_expr]
+            else:
+                order_expr = F.col(col0)
+                in_file_order = [F.col(c) for c in sort_by]
             if probs:
                 cuts = keyed.groupBy(_PK_COL).agg(
-                    F.percentile_approx(col0, probs).alias("__cuts")
+                    F.percentile_approx(order_expr, probs).alias("__cuts")
                 )
                 routed = (
                     keyed.join(F.broadcast(cuts), _PK_COL)
@@ -2253,7 +2432,7 @@ class ManifestTable:
                             F.size(
                                 F.filter(
                                     F.col("__cuts"),
-                                    lambda c: c < F.col(col0),
+                                    lambda c: c < order_expr,
                                 )
                             ),
                             F.lit(0),  # NULL sort key -> bucket 0
@@ -2267,7 +2446,7 @@ class ManifestTable:
             out = os.path.join(self._data, batch_dir)
             (
                 routed.repartition(F.col(_PK_COL), F.col(bucket_col))
-                .sortWithinPartitions(*sort_by)
+                .sortWithinPartitions(*in_file_order)
                 .write.partitionBy(_PK_COL, bucket_col)
                 .mode("overwrite")
                 .parquet(out)

@@ -2663,3 +2663,176 @@ def should_run_full_lifecycle_on_file_uri_root(spark, tmp_path):
                 if f.endswith(".parquet")]
     # retention GC ran through the seam: old commits expired
     assert len(mt.history()) <= 4
+
+
+# -- positional deletes (Iceberg v2 pos-delete / deletion-vector analog) --
+
+
+def _mk_dups(spark, rows):
+    """Duplicate-key fixture: (user, kind, v) appended raw — the table
+    shape equality deletes CANNOT serve row-granularly."""
+    return spark.createDataFrame(rows, "id long, part string, v string")
+
+
+def should_pos_delete_exactly_matched_rows(spark, tmp_path):
+    """delete_where_pos removes EXACTLY the rows where the condition is
+    TRUE — other rows sharing the same key survive (the row-granular
+    contract delete_where_eq's key-granular one cannot express)."""
+    mt = _table(spark, tmp_path)
+    # two rows per id (raw appends, duplicate keys)
+    mt.append(_mk(spark, [(i, "a", f"x{i}") for i in range(6)]))
+    mt.append(_mk(spark, [(i, "a", f"y{i}") for i in range(6)]))
+    v = mt.delete_where_pos(F.col("v").startswith("x") & (F.col("id") < 3))
+    assert v == 3
+    got = sorted((r.id, r.v) for r in mt.read().collect())
+    # x0..x2 gone; y0..y2 (same keys!) survive; x3..x5, y3..y5 survive
+    assert got == sorted(
+        [(i, f"x{i}") for i in range(3, 6)] + [(i, f"y{i}") for i in range(6)]
+    )
+    # time travel: the pre-delete snapshot still shows all 12 rows
+    assert mt.read(version=2).count() == 12
+
+
+def should_pos_delete_respect_sequence_rule(spark, tmp_path):
+    """Rows appended AFTER a positional delete survive even when they
+    match the deleted predicate (applies_to pins the delete to the
+    files that existed at commit time)."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "doomed")]))
+    mt.delete_where_pos(F.col("v") == "doomed")
+    mt.append(_mk(spark, [(2, "a", "doomed")]))
+    got = {(r.id, r.v) for r in mt.read().collect()}
+    assert got == {(2, "doomed")}
+
+
+def should_pos_delete_be_metadata_only_and_pruned_reads_exact(spark, tmp_path):
+    """A positional delete must not rewrite any data file (O(matched
+    rows), not O(partition)), and stats-pruned reads over pending pos
+    deletes stay exact."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a" if i % 2 else "b", f"v{i}") for i in range(100)]))
+    files_before = mt.partition_files()
+    mt.delete_where_pos(F.col("id") % 10 == 0)
+    assert mt.partition_files() == files_before  # data files untouched
+    # merge-on-read with a where-pruned scan
+    got = {r.id for r in mt.read(where={"id": (0, 25)}).collect()}
+    assert got == {i for i in range(26) if i % 10 != 0}
+    # metadata-only answers must refuse for COVERED files while the
+    # delete is pending (matched ids are all even -> partition "b");
+    # uncovered files stay truthful
+    covered = mt.pending_delete_files()
+    assert covered != set()
+    rows = mt.file_rows()
+    assert all(rows[f] is None for f in covered)
+    assert all(v is not None for f, v in rows.items() if f not in covered)
+
+
+def should_pos_delete_mix_with_equality_deletes(spark, tmp_path):
+    """Pending eq and pos deletes on the same partition compose: each
+    applies its own semantics, and a rewrite materializes both."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a", "x") for i in range(4)]))
+    mt.append(_mk(spark, [(i, "a", "y") for i in range(4)]))
+    mt.delete_where_eq(F.col("id") == 0)  # key-granular: x0 AND y0
+    mt.delete_where_pos((F.col("id") == 1) & (F.col("v") == "x"))  # x1 only
+    got = sorted((r.id, r.v) for r in mt.read().collect())
+    assert got == [(1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y")]
+    # compact folds the partition: deletes materialize, entries spent
+    mt.compact(min_files=1)
+    assert mt._current()[1].get("deletes") == {}
+    assert sorted((r.id, r.v) for r in mt.read().collect()) == got
+
+
+def should_pos_delete_no_match_skip_commit(spark, tmp_path):
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))
+    v = mt.delete_where_pos(F.col("v") == "nope")
+    assert v == mt.current_version() == 1
+    # NULL-predicate rows are not matches (SQL DELETE semantics)
+    v = mt.delete_where_pos(F.col("v").substr(0, 1) == F.lit(None).cast("string"))
+    assert v == 1
+
+
+def should_pos_delete_survive_unrelated_rewrites(spark, tmp_path):
+    """An optimize (pure rewrite) over a table with pending pos deletes
+    materializes them; the rewritten table re-admits metadata answers."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a", f"v{i}") for i in range(50)]))
+    mt.delete_where_pos(F.col("id") >= 45)
+    mt.optimize(sort_by=["id"], target_files=4)
+    assert mt._current()[1].get("deletes") == {}
+    assert mt.read().count() == 45
+    assert mt.row_count() == 45  # metadata-only again truthful
+
+
+# -- zorder clustering (OPTIMIZE ... ZORDER BY analog) --------------------
+
+
+def _xy_table(spark, tmp_path, name):
+    df = spark.range(8192).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        ((F.col("id") * 37) % 64).cast("double").alias("y"),
+        F.lit("p").alias("part"),
+    )
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / name),
+        key_cols=["id"],
+        partition_by=["part"],
+        stats_cols=["x", "y"],
+    )
+    mt.append(df)
+    return mt
+
+
+def should_zorder_prune_on_every_clustered_column(spark, tmp_path):
+    """strategy="zorder" must give BALANCED per-file ranges: a
+    single-column predicate on EITHER clustered column plans a strict
+    subset of files, and the conjunction plans fewer still — where
+    linear clustering only serves the leading column."""
+    zo = _xy_table(spark, tmp_path, "zo")
+    zo.optimize(["x", "y"], target_files=16, strategy="zorder")
+    li = _xy_table(spark, tmp_path, "li")
+    li.optimize(["x", "y"], target_files=16, strategy="linear")
+    z_total, l_total = len(zo.planned_files()), len(li.planned_files())
+    assert z_total >= 8 and l_total >= 8
+    wx, wy = {"x": (8.0, 15.0)}, {"y": (8.0, 15.0)}
+    # both strategies prune the leading column
+    assert len(zo.planned_files(where=wx)) < z_total
+    assert len(li.planned_files(where=wx)) < l_total
+    # only zorder prunes the TRAILING column meaningfully
+    z_y, l_y = len(zo.planned_files(where=wy)), len(li.planned_files(where=wy))
+    assert z_y < z_total // 2
+    assert z_y < l_y
+    # the 2-D conjunction is tighter than either single dimension
+    both = len(zo.planned_files(where={**wx, **wy}))
+    assert both <= min(len(zo.planned_files(where=wx)), z_y)
+    # and the pruned read is exact
+    got = {r.id for r in zo.read(where={**wx, **wy}).collect()}
+    exp = {
+        i for i in range(8192)
+        if 8 <= i % 64 <= 15 and 8 <= (i * 37) % 64 <= 15
+    }
+    assert got == exp
+
+
+def should_zorder_content_be_pure_rewrite(spark, tmp_path):
+    """Zorder clustering is a maintenance rewrite: row content identical,
+    no key column materialized into the data schema."""
+    mt = _xy_table(spark, tmp_path, "zo")
+    before = {(r.id, r.x, r.y) for r in mt.read().collect()}
+    mt.optimize(["x", "y"], target_files=8, strategy="zorder")
+    assert {(r.id, r.x, r.y) for r in mt.read().collect()} == before
+    assert set(mt.read().columns) == {"id", "x", "y", "part"}
+
+
+def should_zorder_reject_bad_inputs(spark, tmp_path):
+    mt = _table(spark, tmp_path)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))
+    with pytest.raises(ValueError, match="must be numeric"):
+        mt.optimize(["v", "id"], strategy="zorder")  # string col
+    with pytest.raises(ValueError, match="1-3"):
+        mt.optimize(["id", "id", "id", "id"], strategy="zorder")
+    with pytest.raises(ValueError, match="unknown optimize strategy"):
+        mt.optimize(["id"], strategy="hilbert")

@@ -844,3 +844,49 @@ def should_answer_vs20_ranges_without_any_parquet_scan(spark, registry, sf_dir):
     plan = _plan(spark, registry, "vs20_metadata_column_range", sf_dir)
     assert "Scan parquet" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def should_prune_vs21_read_to_an_intersecting_file_subset(spark, registry, sf_dir):
+    # vs21's fixture: after optimize(strategy="zorder") the 2-D range
+    # read plans a STRICT subset of files (balanced hyper-rectangle
+    # stats on both clustered columns), and single-column predicates on
+    # EITHER dimension prune too — the property a lexicographic sort
+    # cannot give the trailing column.
+    from geospatial_data_lake_spark.operators.lake_queries import (
+        _build_zordered_lake,
+    )
+
+    mt = _build_zordered_lake(spark, sf_dir)
+    total = len(mt.planned_files())
+    assert total >= 8  # clustering actually split the partitions
+    both = mt.planned_files(
+        where={"o_custkey": (1, 75), "o_totalprice": (50000.0, 150000.0)}
+    )
+    assert 0 < len(both) < total
+    lead = len(mt.planned_files(where={"o_custkey": (1, 75)}))
+    trail = len(mt.planned_files(where={"o_totalprice": (50000.0, 150000.0)}))
+    assert lead < total and trail < total
+    assert len(both) <= min(lead, trail)
+
+
+def should_keep_vs22_delete_state_metadata_only(spark, registry, sf_dir):
+    # vs22's fixture: the positional delete rewrote NO data file — the
+    # two append batches' files are all still live, and the pending
+    # delete state is one pos-address file per touched partition.
+    from geospatial_data_lake_spark.operators.lake_queries import (
+        _build_posdel_lake,
+    )
+
+    mt = _build_posdel_lake(spark, sf_dir)
+    manifest = mt._current()[1]
+    dmap = manifest.get("deletes", {})
+    assert dmap, "positional delete must be pending (not materialized)"
+    entries = [d for v in dmap.values() for d in v]
+    assert all(d.get("kind") == "pos" for d in entries)
+    # only the 'click' partition is touched, one delete generation
+    assert len(entries) == 1
+    # every entry applies only to files of the FIRST append (sequence
+    # rule: the post-delete append's files are not covered)
+    covered = mt.pending_delete_files()
+    live = {f for fs in manifest["partitions"].values() for f in fs}
+    assert covered < live
