@@ -126,6 +126,10 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_broadcast_codes_and_stats_in_ss11", "ann"),
     "rk02_rrf_fusion_serve": (
         "should_serve_rk02_fusion_from_index_sized_arms", "ann"),
+    "vs21_zorder_clustered_read": (
+        "should_prune_vs21_read_to_an_intersecting_file_subset", "lake"),
+    "vs22_positional_delete_read": (
+        "should_keep_vs22_delete_state_metadata_only", "lake"),
 }
 
 TABLES = (
