@@ -1625,3 +1625,82 @@ def dd14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# dd15's oracle wraps dd07's whole component computation as a CTE and
+# picks each group's canonical survivor with a deterministic window.
+_DD15_ORACLE: str | None = None  # assembled below, after dd07 registers
+
+
+def _dd15_oracle() -> str:
+    from geospatial_data_lake_spark.registry import REGISTRY
+
+    return (
+        "WITH comp AS MATERIALIZED ("
+        + REGISTRY["dd07_duplicate_groups"].oracle
+        + """
+        ),
+        scored AS (
+            SELECT c.doc_id, c.group_id, c.group_size, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        )
+        SELECT group_id,
+               doc_id AS winner_doc_id,
+               CAST(n_chars AS BIGINT) AS winner_chars,
+               CAST(group_size AS BIGINT) AS group_size,
+               CAST(group_size - 1 AS BIGINT) AS n_dropped
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY group_id ORDER BY n_chars DESC, doc_id
+        ) = 1
+    """
+    )
+
+
+@register(
+    "dd15_canonical_dedup_decision",
+    oracle=_dd15_oracle(),
+    tags=("dedup", "canonical", "decision"),
+)
+def dd15_canonical_dedup_decision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION dedup decision on top of group resolution: for
+    every near-duplicate component (dd07's min-label groups over the
+    dd04 LSH pair graph), elect ONE canonical survivor — the longest
+    document, lowest doc_id on ties (the keep-the-most-complete-copy
+    heuristic real pipelines apply before dropping the rest).  Output
+    is one row per group: winner, its length, group size, and how many
+    documents the decision drops.
+
+    Scale shape: the election is a single partial-aggregable
+    ``max(struct(n_chars, -doc_id))`` per group — groups are
+    pair-graph-sized (near-dup members only, orders of magnitude
+    smaller than the corpus), the group table broadcasts into one
+    corpus-side semi-join for lengths, and no window function touches
+    corpus-scale data.  At 100 TB the decision costs one broadcast
+    lookup + one tiny aggregation beyond what dd07 already paid."""
+    groups = dd07_duplicate_groups(spark, sf_dir)
+    t = tables(spark, sf_dir)
+    scored = t.documents.select("doc_id", "n_chars").join(
+        F.broadcast(groups), "doc_id"
+    )
+    return (
+        scored.groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("c"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).alias("w"),
+            F.max("group_size").cast("bigint").alias("group_size"),
+        )
+        .select(
+            "group_id",
+            (-F.col("w.negid")).cast("bigint").alias("winner_doc_id"),
+            F.col("w.c").cast("bigint").alias("winner_chars"),
+            "group_size",
+            (F.col("group_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )

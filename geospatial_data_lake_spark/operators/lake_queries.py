@@ -2134,3 +2134,63 @@ def vs22_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "vs23_files_metadata_audit",
+    # the oracle recomputes what the METADATA must add up to from the
+    # raw fixture: per-priority row counts and exact o_totalprice
+    # bounds.  Any drift in optimize's stats bookkeeping, the JSON
+    # round-trip, or files_meta's assembly breaks the hash.
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("lake", "manifest", "metadata-table", "zorder"),
+)
+def vs23_files_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg ``files`` metadata table as a QUERYABLE DataFrame,
+    audited against the data it describes: over vs21's ZORDER-clustered
+    lake, ``files_meta()`` rows (one per clustered file, with recorded
+    row counts and per-column [min, max, null_count] stats) aggregate —
+    via ordinary DataFrame ops, ``get_json_object`` over the stats doc —
+    to per-partition row counts and EXACT o_totalprice bounds that must
+    equal SQL over the raw fixture.  This gates three things at once:
+    the clustered-rewrite path's stats bookkeeping (every optimize
+    bucket's counts/bounds), the manifest JSON round-trip (shortest
+    round-trip float repr -> get_json_object -> double is bit-exact),
+    and the metadata-table assembly itself.
+
+    Scale shape: the inspection plan touches O(live files) manifest
+    rows and ZERO parquet — on a 100 TB table this is the difference
+    between auditing a catalog and re-scanning the lake (vs19/vs20's
+    contract, generalized to a composable DataFrame surface).  Ref
+    analog: dataset listing endpoints (backend/datasets/list.py) — the
+    reference answers inventory questions from DynamoDB items, never
+    from S3 objects."""
+    mt = _build_zordered_lake(spark, sf_dir)
+    fm = mt.files_meta()
+    return (
+        fm.select(
+            F.get_json_object("partition", "$.o_orderpriority").alias(
+                "o_orderpriority"
+            ),
+            "record_count",
+            F.get_json_object("column_stats", "$.o_totalprice[0]")
+            .cast("double")
+            .alias("mn"),
+            F.get_json_object("column_stats", "$.o_totalprice[1]")
+            .cast("double")
+            .alias("mx"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("record_count").cast("bigint").alias("n_rows"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )

@@ -78,12 +78,15 @@ _PRIORITY: tuple[str, ...] = (
     # NEW in r12 — first driver check, then re-proofs of machinery
     # changed this round: vs21 (OPTIMIZE ZORDER clustering), vs22
     # (positional merge-on-read deletes — _effective_df grew a pos-kind
-    # anti-join, so vs10's eq-delete row re-proves alongside), sd01
-    # (pair-join broadcast-budget guard), ss08/ss09/st05 (oracle SQL
-    # refactored through _ivfpq_candidates_sql), rk01 (rk02's
-    # exact-arm reference).
+    # anti-join, so vs10's eq-delete row re-proves alongside), vs23
+    # (files/partitions/snapshots metadata tables audited over the
+    # zordered lake), sd01 (pair-join broadcast-budget guard),
+    # ss08/ss09/st05 (oracle SQL refactored through
+    # _ivfpq_candidates_sql), rk01 (rk02's exact-arm reference).
     "vs21_zorder_clustered_read",
     "vs22_positional_delete_read",
+    "vs23_files_metadata_audit",
+    "dd15_canonical_dedup_decision",
     "vs10_equality_delete_feed",
     "rk02_rrf_fusion_serve",
     "sd01_semantic_dedup",
@@ -112,8 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "p07_conjunctive_predicate",
     # ---- remainder of the window: next-oldest driver proofs (r5-r8
     # families: wkb/geo, substring dedup, the ANN training ladder,
-    # vocab/dq/pk).  The r12 insertions push the last three listed
-    # entries (ss04/ss07/a08 — all r11-parity-green) just past the
+    # vocab/dq/pk).  The r12 insertions push the last four listed
+    # entries (dd03/ss04/ss07/a08 — all r11-parity-green) just past the
     # 50-entry mark; they keep deterministic positions.
     "geo08_wkb_point_in_polygon",
     "geo09_wkb_multipolygon_holes",
@@ -143,7 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "ss04_ivf_trained_ann",
     "ss07_ivfpq_residual_search",
     "a08_rollup",
-    # ---- (the 50-entry mark falls three entries above this line after
+    # ---- (the 50-entry mark falls four entries above this line after
     # the r12 insertions.)  Below: rows driver-proven in r11 (the r11
     # additions, the manifest-lake/stream/dedup re-proof block, the
     # r11 tpch rotation) step aside but keep deterministic positions;

@@ -239,22 +239,66 @@ class ManifestTable:
         so removal is a recursive delete."""
         if not self._gc_enabled:
             return
+        self._expire_commits(
+            lambda n: int(n) <= committed_gen - self.keep
+        )
+
+    def expire_snapshots(
+        self, older_than_seconds: float, retain_last: int = 1
+    ) -> list[int]:
+        """AGE-based snapshot expiry — the Iceberg ``expireSnapshots``
+        maintenance action, complementing the count-based rolling
+        window (``keep_versions``) every commit already applies: drop
+        every snapshot whose commit is older than the horizon, always
+        retaining the newest ``retain_last`` (>= 1, so the head never
+        expires) and — like retention GC — every tagged or branch-base
+        snapshot.  Data files are reclaimed only when NO surviving
+        manifest references them.  Returns the expired version numbers.
+
+        Ref analog: the reference expires dataset versions by item
+        deletion in DynamoDB; here expiry is a metadata sweep plus
+        refcounted file reclaim."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        import time as _time
+
+        horizon = _time.time() - older_than_seconds
         try:
             names = sorted(fsio.listdir(self._commits))
         except FileNotFoundError:
-            return
+            return []
+        keep_tail = set(names[-retain_last:])
+
+        def aged_out(n: str) -> bool:
+            if n in keep_tail:
+                return False
+            try:
+                return fsio.mtime(os.path.join(self._commits, n)) < horizon
+            except OSError:
+                return False  # concurrent GC took it; nothing to do
+
+        return self._expire_commits(aged_out)
+
+    def _expire_commits(self, is_expired) -> list[int]:
+        """Shared expiry core for retention GC and ``expire_snapshots``:
+        ``is_expired(name)`` nominates commit names; tags and branch
+        bases always survive, and data directories are removed only
+        when no SURVIVING manifest references them."""
+        try:
+            names = sorted(fsio.listdir(self._commits))
+        except FileNotFoundError:
+            return []
         # Tags AND branch bases protect their snapshots from retention.
         tagged = set(self.tags().values()) | set(self.branches().values())
         expired = [
-            n
-            for n in names
-            if int(n) <= committed_gen - self.keep and int(n) not in tagged
+            n for n in names if is_expired(n) and int(n) not in tagged
         ]
         if not expired:
-            return
+            return []
+        expired_set = set(expired)
         retained_files: set[str] = set()
         for n in names:
-            if int(n) > committed_gen - self.keep or int(n) in tagged:
+            if n not in expired_set:
                 try:
                     m = self._load_manifest(int(n))
                 except NotFoundError:
@@ -281,6 +325,7 @@ class ManifestTable:
                     retained_files.update(files)
                 for entries in m.get("deletes", {}).values():
                     retained_files.update(d["file"] for d in entries)
+        dropped: list[int] = []
         for n in expired:
             if int(n) in tagged:
                 continue
@@ -303,8 +348,10 @@ class ManifestTable:
                     )
                 fsio.unlink(os.path.join(self._commits, n))
                 fsio.unlink(os.path.join(self._manifests, mname))
+                dropped.append(int(n))
             except (OSError, NotFoundError):
                 pass  # concurrent GC; harmless
+        return dropped
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove data files referenced by NO retained manifest — the
@@ -1173,6 +1220,94 @@ class ManifestTable:
                 continue  # concurrent GC
             out.append({"version": int(n), "committed_at": ts})
         return out
+
+    # -- metadata inspection tables (Iceberg files/partitions/snapshots) --
+    def files_meta(self, version: int | str | None = None) -> DataFrame:
+        """The Iceberg ``files`` metadata-table analog: one DataFrame
+        row per live data entry at ``version`` (head / version number /
+        tag name) — partition document, relative path, recorded row
+        count, spec stamp, pending-delete coverage, and the per-column
+        [min, max, null_count] stats as a JSON doc.  Built on the
+        driver from the manifest alone — O(live files) rows, zero
+        parquet scans — so inspection queries (vs23) compose with
+        ordinary DataFrame ops without touching data.
+
+        ``record_count`` is NULL for files committed before row
+        counting existed AND for files covered by a pending delete
+        (their effective counts are unknowable until materialization —
+        the same truthfulness contract as ``file_rows``/vs19)."""
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            raise NotFoundError(f"table never committed: {self.root}")
+        stats = manifest.get("stats", {})
+        covered = self._covered_files(manifest)
+        rows = []
+        for pk in sorted(manifest["partitions"]):
+            for f in sorted(manifest["partitions"][pk]):
+                fs = stats.get(f, {})
+                n = fs.get("__rows", [None])[0]
+                rows.append(
+                    (
+                        pk,
+                        f,
+                        None if f in covered or n is None else int(n),
+                        str(fs["__spec"]) if "__spec" in fs else None,
+                        f in covered,
+                        json.dumps(
+                            {
+                                c: v
+                                for c, v in fs.items()
+                                if not c.startswith("__")
+                            },
+                            sort_keys=True,
+                        ),
+                    )
+                )
+        return self._spark.createDataFrame(
+            rows,
+            "partition string, file string, record_count long, "
+            "spec_id string, has_pending_deletes boolean, "
+            "column_stats string",
+        )
+
+    def partitions_meta(self, version: int | str | None = None) -> DataFrame:
+        """The ``partitions`` metadata-table analog: per-partition file
+        and record counts (record_count NULL when any member file's
+        count is unknowable), driver-built like ``files_meta``."""
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            raise NotFoundError(f"table never committed: {self.root}")
+        stats = manifest.get("stats", {})
+        covered = self._covered_files(manifest)
+        rows = []
+        for pk in sorted(manifest["partitions"]):
+            files = manifest["partitions"][pk]
+            counts = [
+                None
+                if f in covered or "__rows" not in stats.get(f, {})
+                else int(stats[f]["__rows"][0])
+                for f in files
+            ]
+            rows.append(
+                (
+                    pk,
+                    len(files),
+                    None if any(c is None for c in counts) else sum(counts),
+                )
+            )
+        return self._spark.createDataFrame(
+            rows, "partition string, file_count long, record_count long"
+        )
+
+    def snapshots_meta(self) -> DataFrame:
+        """The ``snapshots`` metadata-table analog: retained commit
+        versions with their commit instants, newest first."""
+        rows = [
+            (h["version"], h["committed_at"]) for h in self.history()
+        ]
+        return self._spark.createDataFrame(
+            rows, "version long, committed_at timestamp"
+        )
 
     def changes(
         self,

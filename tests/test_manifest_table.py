@@ -2836,3 +2836,64 @@ def should_zorder_reject_bad_inputs(spark, tmp_path):
         mt.optimize(["id", "id", "id", "id"], strategy="zorder")
     with pytest.raises(ValueError, match="unknown optimize strategy"):
         mt.optimize(["id"], strategy="hilbert")
+
+
+# -- metadata inspection tables + age-based snapshot expiry ---------------
+
+
+def should_expose_files_and_partitions_metadata_tables(spark, tmp_path):
+    """files_meta/partitions_meta answer from the manifest alone and
+    stay truthful through rewrites and pending deletes."""
+    import json as _json
+
+    mt = _table(spark, tmp_path, stats_cols=["id"])
+    mt.append(_mk(spark, [(i, "a" if i % 2 else "b", f"v{i}") for i in range(40)]))
+    fm = {r.file: r for r in mt.files_meta().collect()}
+    pm = {r.partition: r for r in mt.partitions_meta().collect()}
+    assert sum(r.record_count for r in fm.values()) == 40
+    assert {r.record_count for r in pm.values()} == {20}
+    # per-file column stats round-trip the recorded bounds
+    for r in fm.values():
+        st = _json.loads(r.column_stats)
+        assert "id" in st and st["id"][0] <= st["id"][1]
+    # a pending delete makes covered counts unknowable (NULL), exposes
+    # the coverage flag, and leaves the other partition truthful
+    mt.delete_where_pos((F.col("id") % 2 == 0) & (F.col("id") < 4))
+    fm2 = mt.files_meta().collect()
+    assert any(r.has_pending_deletes and r.record_count is None for r in fm2)
+    assert any(not r.has_pending_deletes and r.record_count == 20 for r in fm2)
+    pm2 = {r.partition: r.record_count for r in mt.partitions_meta().collect()}
+    assert sorted(pm2.values(), key=str) == sorted([None, 20], key=str)
+    # version/tag resolution matches the read-side accessors
+    mt.tag("t1", version=1)
+    assert mt.files_meta(version="t1").count() == len(fm)
+    # snapshots_meta mirrors history()
+    sm = mt.snapshots_meta().collect()
+    assert [r.version for r in sm] == [h["version"] for h in mt.history()]
+
+
+def should_expire_snapshots_by_age_with_protections(spark, tmp_path):
+    """expire_snapshots drops aged commits but never the newest
+    retain_last, tags, or branch bases — and reclaims only files no
+    surviving manifest references."""
+    import time as _time
+
+    mt = _table(spark, tmp_path, keep_versions=100)
+    mt.upsert(_mk(spark, [(1, "a", "x")]))           # v1
+    mt.upsert(_mk(spark, [(2, "b", "y")]))           # v2
+    mt.tag("pin2", version=2)
+    _time.sleep(1.2)
+    mt.upsert(_mk(spark, [(3, "c", "z")]))           # v3 (young + head)
+    dropped = mt.expire_snapshots(older_than_seconds=1.0)
+    assert dropped == [1]  # v2 tagged, v3 in retain_last
+    assert [h["version"] for h in mt.history()] == [3, 2]
+    # tagged snapshot still fully readable
+    assert _state(mt.read(version="pin2")) == {1: ("a", "x"), 2: ("b", "y")}
+    # head re-read unharmed (shared files survived the reclaim)
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+    # dropping the tag releases the snapshot to the next sweep
+    mt.delete_tag("pin2")
+    assert mt.expire_snapshots(older_than_seconds=1.0) == [2]
+    assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+    with pytest.raises(ValueError, match="retain_last"):
+        mt.expire_snapshots(older_than_seconds=0.0, retain_last=0)

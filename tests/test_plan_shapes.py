@@ -890,3 +890,21 @@ def should_keep_vs22_delete_state_metadata_only(spark, registry, sf_dir):
     covered = mt.pending_delete_files()
     live = {f for fs in manifest["partitions"].values() for f in fs}
     assert covered < live
+
+
+def should_answer_vs23_metadata_audit_without_any_parquet_scan(spark, registry, sf_dir):
+    # the files-metadata inspection aggregates manifest rows only —
+    # like vs19/vs20, the plan must contain no parquet scan at all.
+    plan = _plan(spark, registry, "vs23_files_metadata_audit", sf_dir)
+    assert "Scan parquet" not in plan, plan
+
+
+def should_broadcast_group_table_for_dd15_election(spark, registry, sf_dir):
+    # dd15: the canonical-winner election joins the pair-graph-sized
+    # group table into the corpus via BROADCAST (never a corpus
+    # shuffle-join), aggregates with a partial-aggregable struct-max,
+    # and goes nowhere near a cartesian.
+    plan = _plan(spark, registry, "dd15_canonical_dedup_decision", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -46,6 +46,7 @@ WAIVERS: dict[str, str] = {
 HEAVY = (
     "dd03_jaccard_pairs",
     "dd04_minhash_lsh_pairs",
+    "dd15_canonical_dedup_decision",
     "dd06_embedding_neardup",
     "dd09_incremental_dedup",
     "dd11_indexed_incremental_dedup",

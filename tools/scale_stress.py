@@ -130,6 +130,9 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "should_prune_vs21_read_to_an_intersecting_file_subset", "lake"),
     "vs22_positional_delete_read": (
         "should_keep_vs22_delete_state_metadata_only", "lake"),
+    "vs23_files_metadata_audit": (
+        "should_answer_vs23_metadata_audit_without_any_parquet_scan",
+        "lake"),
 }
 
 TABLES = (
