@@ -133,6 +133,8 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "vs23_files_metadata_audit": (
         "should_answer_vs23_metadata_audit_without_any_parquet_scan",
         "lake"),
+    "dd15_canonical_dedup_decision": (
+        "should_broadcast_group_table_for_dd15_election", "dedup"),
 }
 
 TABLES = (
