@@ -384,6 +384,12 @@ _mt_op = st.one_of(
     ),
     st.tuples(st.just("restore"), st.integers(0, 10)),  # rollback target pick
     st.tuples(st.just("delete_eq"), st.integers(2, 4), st.integers(0, 3)),
+    # positional delete: ROW-granular — the model filters row tuples
+    # directly (duplicate keys from raw appends survive unless their
+    # own row matches), unlike delete_eq's key-granular contract
+    st.tuples(st.just("delete_pos"), st.integers(2, 4), st.integers(0, 3)),
+    # zorder clustering: content-invariant rewrite, like optimize
+    st.tuples(st.just("zorder")),
     # partition-spec evolution: new truncate width (hidden layout) —
     # content-invariant by definition, and every later op must keep
     # behaving identically across the spec boundary
@@ -464,6 +470,30 @@ def should_manifest_table_match_multiset_model(spark, layout, ops):
             v = mt.optimize(sort_by=["id"], target_files=2)
             if v is None:
                 continue  # empty table: nothing to cluster
+        elif op[0] == "zorder":
+            v = mt.optimize(
+                sort_by=["id", "v"], target_files=2, strategy="zorder"
+            )
+            if v is None:
+                continue  # empty table: nothing to cluster
+        elif op[0] == "delete_pos":
+            _, m, rem = op
+            if mt.current_version() == 0:
+                import pytest
+
+                from geospatial_data_lake_spark.plans.catalog import (
+                    NotFoundError,
+                )
+
+                with pytest.raises(NotFoundError):
+                    mt.delete_where_pos(F.col("v") % m == rem)
+                continue
+            before = mt.current_version()
+            v = mt.delete_where_pos(F.col("v") % m == rem)
+            # ROW-granular: exactly the matching row tuples disappear
+            model = [r for r in model if r[2] % m != rem]
+            if v == before:
+                continue  # nothing matched: no commit, no snapshot
         elif op[0] == "delete_eq":
             _, m, rem = op
             if mt.current_version() == 0:
