@@ -47,6 +47,16 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     out["lake_rows"] = mt.read(
         where={"o_orderpriority": ["1-URGENT", "2-HIGH"]}  # IN-list skip
     ).count()
+    # r12 surfaces: row-granular positional delete (merge-on-read),
+    # ZORDER clustering, metadata inspection tables, age-based expiry
+    mt.delete_where_pos(F.col("o_totalprice") < 1500.0)
+    mt.optimize(
+        ["o_orderkey", "o_totalprice"], target_files=4, strategy="zorder"
+    )
+    out["lake_files"] = mt.files_meta().count()
+    counted = mt.partitions_meta().agg(F.sum("record_count")).first()[0]
+    assert counted == mt.read().count()  # metadata-only count, truthful
+    mt.expire_snapshots(older_than_seconds=86400.0)  # young commits stay
 
     # 2. The registry: run any declared query; each has a DuckDB oracle
     from geospatial_data_lake_spark import load_all_queries

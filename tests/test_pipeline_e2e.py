@@ -360,7 +360,8 @@ def should_run_quickstart_example_end_to_end(spark, sf_dir):
     spec.loader.exec_module(mod)
     out = mod.main(spark, sf_dir)
     assert out["lake_rows"] > 0
-    assert out["registry_queries"] >= 226
+    assert out["lake_files"] > 0
+    assert out["registry_queries"] >= 235
     assert out["dedup_pairs"] > 0
     assert out["ann_topk_rows"] == 15
     assert out["gapfilled_hours"] > 0
