@@ -2194,3 +2194,91 @@ def vs23_files_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_price"),
         )
     )
+
+
+_TSLAKE: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_ts_stats_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """events -> manifest table ingested as four TIME-SLICED appends
+    (the natural arrival order of a log) with ``stats_cols=["ts"]``:
+    every file's recorded ts bounds are tight and near-disjoint, so a
+    time-window read can prune to the slices it intersects — the
+    per-file timestamp min/max every production lake format records."""
+    import datetime as dt
+
+    cache = _TSLAKE.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "event_type", "ts", "value")
+    mt = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_ts_"),
+        key_cols=["event_id"],
+        partition_by=["event_type"],
+        stats_cols=["ts"],
+    )
+    for wk in range(4):
+        lo = dt.datetime(2024, 1, 1 + 7 * wk)
+        hi = (
+            dt.datetime(2024, 1, 8 + 7 * wk)
+            if wk < 3
+            else dt.datetime(2024, 12, 31)
+        )
+        mt.append(
+            ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        )
+    cache[sf_dir] = mt
+    return mt
+
+
+@register(
+    "vs24_timestamp_pruned_read",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+    """,
+    tags=("lake", "manifest", "timestamp-stats", "time-travel"),
+)
+def vs24_timestamp_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WINDOW read over per-file TIMESTAMP statistics — the hot
+    lake access pattern: the events log lands in four time-sliced
+    appends with ``stats_cols=["ts"]`` (bounds recorded as exact UTC
+    epoch micros, JSON-safe — see _minmax_exprs), and a 4-day window
+    read plans only the files whose recorded range intersects it
+    (pruning pinned in tests/test_plan_shapes.py) while returning
+    exactly the raw SQL window.
+
+    Scale shape: a day's query against a year of 100 TB log ingest
+    touches the files of ~one slice — O(window overlap), never
+    O(history).  Where vs11 gets time pruning from a hidden day()
+    PARTITION transform, this is the finer-grained FILE-stats path
+    (Delta/Iceberg record both; intra-partition slices prune here even
+    when the partition key is something else entirely — event_type).
+    Ref analog: the reference's per-dataset version listing is keyed so
+    time-ordered probes never scan history
+    (backend/dataset_versions/list.py)."""
+    import datetime as dt
+
+    mt = _build_ts_stats_lake(spark, sf_dir)
+    return mt.read(
+        where={
+            "ts": (
+                dt.datetime(2024, 1, 9),
+                dt.datetime(2024, 1, 12, 23, 59, 59, 999999),
+            )
+        }
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )

@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "vs21_zorder_clustered_read",
     "vs22_positional_delete_read",
     "vs23_files_metadata_audit",
+    "vs24_timestamp_pruned_read",
     "dd15_canonical_dedup_decision",
     "vs10_equality_delete_feed",
     "rk02_rrf_fusion_serve",

@@ -83,6 +83,10 @@ _POSI_COL = "__mt_posi"  # _metadata.row_index, materialized at scan
 
 # Column types whose min/max stats are recorded (atomic, orderable, and
 # JSON-round-trippable without precision or timezone ambiguity).
+# Timestamps are recorded as UTC epoch MICROS (unix_micros — an exact
+# int64, tz-free), never as formatted strings: JSON has no timestamp
+# type and string round-trips reintroduce the precision/zone ambiguity
+# this list exists to exclude.
 _NUMERIC_TYPES = (
     T.ByteType,
     T.ShortType,
@@ -91,7 +95,34 @@ _NUMERIC_TYPES = (
     T.FloatType,
     T.DoubleType,
 )
-_STATS_TYPES = _NUMERIC_TYPES + (T.StringType,)
+_STATS_TYPES = _NUMERIC_TYPES + (
+    T.StringType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _minmax_exprs(c: str, dtype) -> tuple:
+    """(min, max) aggregation expressions for a stats column —
+    timestamps fold to epoch micros so the manifest stays pure JSON.
+    TIMESTAMP (instant) folds directly; TIMESTAMP_NTZ (wall time) is
+    read AS UTC wall time — session-independent, and the exact reading
+    ``_safe_lt`` gives a naive Python bound on the prune side."""
+    if isinstance(dtype, T.TimestampType):
+        return (
+            F.unix_micros(F.min(c)).alias(f"__mn_{c}"),
+            F.unix_micros(F.max(c)).alias(f"__mx_{c}"),
+        )
+    if isinstance(dtype, T.TimestampNTZType):
+        return (
+            F.unix_micros(F.to_utc_timestamp(F.min(c), "UTC")).alias(
+                f"__mn_{c}"
+            ),
+            F.unix_micros(F.to_utc_timestamp(F.max(c), "UTC")).alias(
+                f"__mx_{c}"
+            ),
+        )
+    return (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
 
 # Per-file bloom sizing: 2048 bits (32 longs in the manifest JSON), 3
 # xxhash64 probes — <1% false-positive up to ~200 distinct keys/file and
@@ -765,10 +796,10 @@ class ManifestTable:
                         f"pmod(xxhash64(`{c}`, {s}), {_BLOOM_BITS})"
                     ).alias(f"__h_{c}_{s}")
                 )
+        dtypes = {f.name: f.dataType for f in schema.fields}
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
-            aggs.append(F.min(c).alias(f"__mn_{c}"))
-            aggs.append(F.max(c).alias(f"__mx_{c}"))
+            aggs.extend(_minmax_exprs(c, dtypes[c]))
             aggs.append(
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
             )
@@ -2614,9 +2645,9 @@ class ManifestTable:
                 )
             ]
             proj, aggs, parse = self._meta_aggs(df.schema)
+            sort_dtypes = {f.name: f.dataType for f in df.schema.fields}
             for c in extra_sort_cols:
-                aggs.append(F.min(c).alias(f"__mn_{c}"))
-                aggs.append(F.max(c).alias(f"__mx_{c}"))
+                aggs.extend(_minmax_exprs(c, sort_dtypes[c]))
                 aggs.append(
                     F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
                 )
@@ -2940,9 +2971,26 @@ def _file_overlaps(
 
 
 def _safe_lt(a, b) -> bool:
-    """a < b when both are comparable (both numeric or both str); any
-    type mismatch compares as 'unknown' -> False (never prunes)."""
+    """a < b when both are comparable (both numeric or both str); a
+    datetime compares against NUMERIC stats as its UTC epoch micros
+    (timestamp stats are recorded that way — see _minmax_exprs); any
+    other type mismatch compares as 'unknown' -> False (never
+    prunes)."""
+    import datetime as _dt
+
     num = (int, float)
+
+    def _key(x):
+        if isinstance(x, _dt.datetime):
+            # a naive bound means session time, and the engine pins the
+            # session to UTC (session.py) — the same reading Spark's
+            # lit() gives it on the exact row filter
+            if x.tzinfo is None:
+                x = x.replace(tzinfo=_dt.timezone.utc)
+            return int(x.timestamp() * 1_000_000)
+        return x
+
+    a, b = _key(a), _key(b)
     if isinstance(a, num) and isinstance(b, num):
         return a < b
     if isinstance(a, str) and isinstance(b, str):

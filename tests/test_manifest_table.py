@@ -2897,3 +2897,109 @@ def should_expire_snapshots_by_age_with_protections(spark, tmp_path):
     assert _state(mt.read()) == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
     with pytest.raises(ValueError, match="retain_last"):
         mt.expire_snapshots(older_than_seconds=0.0, retain_last=0)
+
+
+def should_serialize_racing_positional_deletes(spark, tmp_path):
+    """Racing pos-deletes + appends + a compaction must serialize like
+    any commit: each delete retries on a lost CAS and recomputes its
+    row addresses against the winner's state, so the final content is
+    order-independent — seed rows minus every delete's matches, plus
+    every appended row (append rows never match the predicates)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "race_pos")
+    seed = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+    seed.append(
+        _mk(spark, [(i, "a" if i % 2 == 0 else "b", f"v{i}") for i in range(40)])
+    )
+
+    def posdel(vals):
+        mt = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+        return ("d", mt.delete_where_pos(F.col("v").isin(*vals)))
+
+    def append(i):
+        mt = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+        return ("a", mt.append(_mk(spark, [(100 + i, "a", f"W{i}")])))
+
+    def compact():
+        mt = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+        return ("c", mt.compact(min_files=1))
+
+    groups = [["v1", "v2"], ["v3", "v10"], ["v21"]]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(posdel, g) for g in groups]
+        futs += [pool.submit(append, i) for i in range(2)]
+        futs.append(pool.submit(compact))
+        results = [f.result() for f in futs]
+
+    committed = [v for _, v in results if v is not None]
+    assert sorted(committed) == list(range(2, 2 + len(committed)))
+    final = ManifestTable(spark, root, key_cols=["id"], partition_by=["part"])
+    state = _state(final.read())
+    want = {
+        i: ("a" if i % 2 == 0 else "b", f"v{i}")
+        for i in range(40)
+        if i not in (1, 2, 3, 10, 21)
+    }
+    want.update({100 + i: ("a", f"W{i}") for i in range(2)})
+    assert state == want
+    # every retained version reads cleanly (no torn delete state)
+    for v in range(1, final.current_version() + 1):
+        final.read(version=v).count()
+
+
+def should_record_timestamp_stats_as_exact_micros_and_prune(spark, tmp_path):
+    """Timestamp columns in stats_cols record [min, max] as UTC epoch
+    MICROS (pure JSON ints, no zone/precision ambiguity) for BOTH
+    timestamp flavors, and range reads prune files on the recorded
+    bounds while staying exact."""
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [
+            (i, "a", datetime(2024, 1, 1 + i, 12, 0, 0, 123456))
+            for i in range(8)
+        ],
+        "id long, part string, ts timestamp_ntz",
+    )
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "ntz"),
+        key_cols=["id"],
+        partition_by=["part"],
+        stats_cols=["ts"],
+    )
+    for i in range(0, 8, 2):  # four two-day slices -> disjoint bounds
+        mt.append(df.filter((F.col("id") >= i) & (F.col("id") < i + 2)))
+    stats = mt._current()[1]["stats"]
+    bounds = [v["ts"][:2] for v in stats.values() if "ts" in v]
+    assert bounds and all(
+        isinstance(b, int) for pair in bounds for b in pair
+    )
+    want_min = int(
+        datetime(2024, 1, 1, 12, 0, 0, 123456, tzinfo=timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert min(b[0] for b in bounds) == want_min  # exact micros
+    total = len(mt.planned_files())
+    win = (datetime(2024, 1, 3), datetime(2024, 1, 4, 23, 59, 59))
+    assert 0 < len(mt.planned_files(where={"ts": win})) < total
+    got = {r.id for r in mt.read(where={"ts": win}).collect()}
+    assert got == {2, 3}
+    # instant-typed (TIMESTAMP) column: same contract
+    df2 = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    mt2 = ManifestTable(
+        spark,
+        str(tmp_path / "ltz"),
+        key_cols=["id"],
+        partition_by=["part"],
+        stats_cols=["ts"],
+    )
+    for i in range(0, 8, 4):
+        mt2.append(df2.filter((F.col("id") >= i) & (F.col("id") < i + 4)))
+    stats2 = mt2._current()[1]["stats"]
+    assert min(
+        v["ts"][0] for v in stats2.values() if "ts" in v
+    ) == want_min
+    got2 = {r.id for r in mt2.read(where={"ts": win}).collect()}
+    assert got2 == {2, 3}

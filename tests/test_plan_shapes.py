@@ -908,3 +908,23 @@ def should_broadcast_group_table_for_dd15_election(spark, registry, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def should_prune_vs24_window_to_intersecting_time_slices(spark, registry, sf_dir):
+    # vs24's fixture: the 4-day window intersects one weekly slice —
+    # the read must plan a strict subset of the lake's files from the
+    # recorded ts micros bounds alone, and a whole-history window must
+    # keep everything (no over-pruning).
+    import datetime as dt
+
+    from geospatial_data_lake_spark.operators.lake_queries import (
+        _build_ts_stats_lake,
+    )
+
+    mt = _build_ts_stats_lake(spark, sf_dir)
+    total = len(mt.planned_files())
+    win = (dt.datetime(2024, 1, 9), dt.datetime(2024, 1, 12, 23, 59, 59))
+    pruned = len(mt.planned_files(where={"ts": win}))
+    assert 0 < pruned < total
+    wide = (dt.datetime(2023, 1, 1), dt.datetime(2025, 1, 1))
+    assert len(mt.planned_files(where={"ts": wide})) == total
