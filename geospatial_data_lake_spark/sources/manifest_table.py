@@ -99,6 +99,7 @@ _STATS_TYPES = _NUMERIC_TYPES + (
     T.StringType,
     T.TimestampType,
     T.TimestampNTZType,
+    T.DateType,
 )
 
 
@@ -121,6 +122,12 @@ def _minmax_exprs(c: str, dtype) -> tuple:
             F.unix_micros(F.to_utc_timestamp(F.max(c), "UTC")).alias(
                 f"__mx_{c}"
             ),
+        )
+    if isinstance(dtype, T.DateType):
+        # epoch DAYS (unix_date) — same JSON-int discipline as micros
+        return (
+            F.unix_date(F.min(c)).alias(f"__mn_{c}"),
+            F.unix_date(F.max(c)).alias(f"__mx_{c}"),
         )
     return (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
 
@@ -2972,10 +2979,17 @@ def _file_overlaps(
 
 def _safe_lt(a, b) -> bool:
     """a < b when both are comparable (both numeric or both str); a
-    datetime compares against NUMERIC stats as its UTC epoch micros
-    (timestamp stats are recorded that way — see _minmax_exprs); any
-    other type mismatch compares as 'unknown' -> False (never
-    prunes)."""
+    datetime bound compares against stored stats as its UTC epoch
+    MICROS, a date bound as epoch DAYS (timestamp/date stats are
+    recorded that way — see _minmax_exprs); any other type mismatch
+    compares as 'unknown' -> False (never prunes).
+
+    Because stored temporal stats are plain JSON ints, a converted
+    bound is sanity-checked against the stored value's SCALE (micros
+    since 1970 are >= 1e8 for any modern instant; epoch days are far
+    below it), so a kind mismatch — a datetime bound probed against a
+    DATE column's day-stats, or vice versa — degrades to 'unknown'
+    (keep the file) instead of wrongly pruning."""
     import datetime as _dt
 
     num = (int, float)
@@ -2987,10 +3001,23 @@ def _safe_lt(a, b) -> bool:
             # lit() gives it on the exact row filter
             if x.tzinfo is None:
                 x = x.replace(tzinfo=_dt.timezone.utc)
-            return int(x.timestamp() * 1_000_000)
-        return x
+            return int(x.timestamp() * 1_000_000), "micros"
+        if isinstance(x, _dt.date):
+            return (x - _dt.date(1970, 1, 1)).days, "days"
+        return x, None
 
-    a, b = _key(a), _key(b)
+    (a, ka), (b, kb) = _key(a), _key(b)
+    if ka or kb:
+        if ka and kb:
+            return a < b if ka == kb else False
+        conv_kind = ka or kb
+        raw = b if ka else a
+        if not isinstance(raw, num) or isinstance(raw, bool):
+            return False
+        plausible_micros = raw >= 10**8
+        if (conv_kind == "micros") != plausible_micros:
+            return False  # scale mismatch: unknown, never prune
+        return a < b
     if isinstance(a, num) and isinstance(b, num):
         return a < b
     if isinstance(a, str) and isinstance(b, str):

@@ -3003,3 +3003,38 @@ def should_record_timestamp_stats_as_exact_micros_and_prune(spark, tmp_path):
     ) == want_min
     got2 = {r.id for r in mt2.read(where={"ts": win}).collect()}
     assert got2 == {2, 3}
+
+
+def should_record_date_stats_as_epoch_days_and_prune(spark, tmp_path):
+    """DATE columns in stats_cols record [min, max] as epoch DAYS; date
+    range reads prune on them, and a KIND-mismatched bound (datetime
+    against day-stats) degrades to keep-the-file, never wrong-prunes."""
+    from datetime import date, datetime
+
+    df = spark.createDataFrame(
+        [(i, "a", date(2024, 1, 1 + i)) for i in range(8)],
+        "id long, part string, d date",
+    )
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "dt"),
+        key_cols=["id"],
+        partition_by=["part"],
+        stats_cols=["d"],
+    )
+    for i in range(0, 8, 2):
+        mt.append(df.filter((F.col("id") >= i) & (F.col("id") < i + 2)))
+    stats = mt._current()[1]["stats"]
+    bounds = [v["d"][:2] for v in stats.values() if "d" in v]
+    assert bounds and all(isinstance(b, int) for p in bounds for b in p)
+    assert min(b[0] for b in bounds) == (
+        date(2024, 1, 1) - date(1970, 1, 1)
+    ).days
+    total = len(mt.planned_files())
+    win = (date(2024, 1, 3), date(2024, 1, 4))
+    assert 0 < len(mt.planned_files(where={"d": win})) < total
+    assert {r.id for r in mt.read(where={"d": win}).collect()} == {2, 3}
+    # kind mismatch: a datetime bound against day-stats keeps ALL files
+    # (unknown, conservative) and the exact filter still applies
+    bad = (datetime(2024, 1, 3), datetime(2024, 1, 4, 23, 59))
+    assert len(mt.planned_files(where={"d": bad})) == total
