@@ -1240,7 +1240,9 @@ class ManifestTable:
     def history(self) -> list[dict]:
         """Commit history inside the retention window, newest first —
         the ``DESCRIBE HISTORY`` analog.  ``committed_at`` is the commit
-        file's mtime (the atomic-create instant)."""
+        file's mtime (the atomic-create instant); ``operation`` is the
+        commit's stamped label (APPEND/MERGE/DELETE POS/OPTIMIZE/...;
+        None for manifests written before labels existed)."""
         from datetime import datetime, timezone
 
         try:
@@ -1254,9 +1256,12 @@ class ManifestTable:
                     fsio.mtime(os.path.join(self._commits, n)),
                     tz=timezone.utc,
                 )
-            except OSError:
+                op = self._load_manifest(int(n)).get("op")
+            except (OSError, NotFoundError):
                 continue  # concurrent GC
-            out.append({"version": int(n), "committed_at": ts})
+            out.append(
+                {"version": int(n), "committed_at": ts, "operation": op}
+            )
         return out
 
     # -- metadata inspection tables (Iceberg files/partitions/snapshots) --
@@ -1339,12 +1344,14 @@ class ManifestTable:
 
     def snapshots_meta(self) -> DataFrame:
         """The ``snapshots`` metadata-table analog: retained commit
-        versions with their commit instants, newest first."""
+        versions with their commit instants and operation labels,
+        newest first."""
         rows = [
-            (h["version"], h["committed_at"]) for h in self.history()
+            (h["version"], h["committed_at"], h["operation"])
+            for h in self.history()
         ]
         return self._spark.createDataFrame(
-            rows, "version long, committed_at timestamp"
+            rows, "version long, committed_at timestamp, operation string"
         )
 
     def changes(
@@ -1582,6 +1589,7 @@ class ManifestTable:
         txn: tuple[str, int] | None = None,
         deletes: dict | None = None,
         spec_stamp: str | None = None,
+        op: str = "WRITE",
     ) -> bool:
         """Build and publish the next manifest.  On a lost race, drop
         the batch's freshly written files (when ``batch_dir`` is given —
@@ -1613,6 +1621,7 @@ class ManifestTable:
             str(manifest.get("current_spec", "0")) if manifest else "0"
         )
         new_manifest = {
+            "op": op,  # DESCRIBE HISTORY operation label
             "partitions": new_partitions,
             "stats": stats,
             "schema_ddl": schema_ddl,
@@ -1702,7 +1711,7 @@ class ManifestTable:
             }
             cons = dict(base.get("constraints", {}))
             cons[name] = predicate
-            new_manifest = {**base, "constraints": cons}
+            new_manifest = {**base, "constraints": cons, "op": "ADD CONSTRAINT"}
             try:
                 self._publish(new_manifest, gen)
                 return gen + 1
@@ -1781,6 +1790,7 @@ class ManifestTable:
                 "specs": specs,
                 "current_spec": new_sid,
                 "spec_columns": spec_columns,
+                "op": "EVOLVE SPEC",
             }
             try:
                 self._publish(new_manifest, gen)
@@ -1872,6 +1882,7 @@ class ManifestTable:
                 batch_dir,
                 deletes=self._deletes_minus(manifest, stale),
                 spec_stamp=cur,
+                op="REWRITE SPEC",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -1904,7 +1915,7 @@ class ManifestTable:
             }
             props = dict(base.get("props", {}))
             props[str(key)] = str(value)
-            new_manifest = {**base, "props": props}
+            new_manifest = {**base, "props": props, "op": "SET PROPERTY"}
             try:
                 self._publish(new_manifest, gen)
                 return gen + 1
@@ -1919,7 +1930,7 @@ class ManifestTable:
                 raise NotFoundError(f"no such constraint: {name}")
             cons = dict(manifest["constraints"])
             del cons[name]
-            new_manifest = {**manifest, "constraints": cons}
+            new_manifest = {**manifest, "constraints": cons, "op": "DROP CONSTRAINT"}
             try:
                 self._publish(new_manifest, gen)
                 return gen + 1
@@ -1969,6 +1980,7 @@ class ManifestTable:
         for _ in range(_MAX_RETRIES):
             gen, head = self._current()
             new_manifest = {
+                "op": "RESTORE",
                 "partitions": target["partitions"],
                 "stats": target.get("stats", {}),
                 "schema_ddl": target["schema_ddl"],
@@ -2084,6 +2096,7 @@ class ManifestTable:
                 # applies_to lists cannot name them), so entries carry
                 deletes=dict(manifest.get("deletes", {})) if manifest else {},
                 spec_stamp=batch_sid,
+                op="APPEND",
             ):
                 return gen + 1
         fsio.rmtree(os.path.join(self._data, batch_dir), ignore_errors=True)
@@ -2140,6 +2153,7 @@ class ManifestTable:
                 manifest["schema_ddl"],
                 batch_dir,
                 deletes=self._deletes_minus(manifest, touched),
+                op="DELETE",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -2224,6 +2238,7 @@ class ManifestTable:
                 manifest["schema_ddl"],
                 batch_dir,
                 deletes=deletes,
+                op="DELETE EQ",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -2301,6 +2316,7 @@ class ManifestTable:
                 manifest["schema_ddl"],
                 batch_dir,
                 deletes=deletes,
+                op="DELETE POS",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -2408,6 +2424,7 @@ class ManifestTable:
                 batch_dir,
                 txn=txn,
                 deletes=self._deletes_minus(manifest, touched),
+                op="REPLACE WHERE",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -2462,6 +2479,7 @@ class ManifestTable:
                 manifest["schema_ddl"],
                 batch_dir,
                 deletes=self._deletes_minus(manifest, set(to_fold)),
+                op="COMPACT",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -2682,6 +2700,7 @@ class ManifestTable:
                 batch_stats,
                 manifest["schema_ddl"],
                 batch_dir,
+                op="OPTIMIZE",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -2901,6 +2920,7 @@ class ManifestTable:
                 batch_dir,
                 txn=txn,
                 deletes=self._deletes_minus(manifest, touched),
+                op="MERGE",
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
@@ -3226,7 +3246,9 @@ def _fast_forward_chain(
         published_gen = 1 if chain.base_version > 0 else 0
     if chain_manifest is None or chain_gen <= published_gen:
         return head_gen, None  # no divergence since last publish: no-op
-    self._publish(chain_manifest, expected_gen=head_gen)
+    self._publish(
+        {**chain_manifest, "op": "FAST-FORWARD"}, expected_gen=head_gen
+    )
     return head_gen + 1, chain_gen
 
 

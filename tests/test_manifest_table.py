@@ -3038,3 +3038,22 @@ def should_record_date_stats_as_epoch_days_and_prune(spark, tmp_path):
     # (unknown, conservative) and the exact filter still applies
     bad = (datetime(2024, 1, 3), datetime(2024, 1, 4, 23, 59))
     assert len(mt.planned_files(where={"d": bad})) == total
+
+
+def should_label_every_commit_with_its_operation(spark, tmp_path):
+    """DESCRIBE HISTORY operations: each commit carries its op label,
+    visible through history() and snapshots_meta()."""
+    mt = _table(spark, tmp_path, keep_versions=100)
+    mt.append(_mk(spark, [(1, "a", "x"), (2, "b", "y")]))
+    mt.upsert(_mk(spark, [(2, "b", "Y2")]))
+    mt.delete_where_pos(F.col("id") == 1)
+    mt.optimize(sort_by=["id"], target_files=1)
+    mt.set_property("owner", "ops")
+    mt.restore(2)
+    ops = [h["operation"] for h in mt.history()]
+    assert ops == [
+        "RESTORE", "SET PROPERTY", "OPTIMIZE", "DELETE POS",
+        "MERGE", "APPEND",
+    ]
+    sm = {r.version: r.operation for r in mt.snapshots_meta().collect()}
+    assert sm[1] == "APPEND" and sm[6] == "RESTORE"
