@@ -1629,9 +1629,6 @@ def dd14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # dd15's oracle wraps dd07's whole component computation as a CTE and
 # picks each group's canonical survivor with a deterministic window.
-_DD15_ORACLE: str | None = None  # assembled below, after dd07 registers
-
-
 def _dd15_oracle() -> str:
     from geospatial_data_lake_spark.registry import REGISTRY
 

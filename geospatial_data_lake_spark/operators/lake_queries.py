@@ -2111,8 +2111,8 @@ def vs22_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos-delete / Delta deletion-vector analog), externally hash-gated:
     the fixture table is keyed by user_id with MANY rows per key, so
     equality deletes could not express "delete exactly the matched
-    rows" — ``delete_where_pos`` records (file basename, row ordinal)
-    addresses from the scan's ``_metadata`` pseudo-column and commits
+    rows" — ``delete_where_pos`` records (root-relative file path, row
+    ordinal) addresses from the scan's ``_metadata`` pseudo-column and commits
     only that address file plus a manifest.  The read anti-joins the
     address list (O(matched rows) state, zero data-file rewrites) and
     must reproduce the SQL lifecycle replay exactly — including the
@@ -2133,6 +2133,58 @@ def vs22_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
+    )
+
+
+@register(
+    "vs25_posdelete_change_feed",
+    # the oracle replays the NET multiset feed over (v1, head] as pure
+    # SQL: the mid-span positional delete removed exactly the cheap
+    # clicks of the PRE-delete batches (event_id % 3 < 2 — applies_to
+    # pins it to the files existing at commit time), and the final
+    # append contributed every event_id % 3 = 2 row as an insert.  Any
+    # drift in the content-diff classification, the multiset counting,
+    # or the span's changed-partition selection breaks the hash.
+    oracle="""
+        WITH feed AS (
+            SELECT 'delete' AS _change_type, event_type, value
+            FROM events
+            WHERE event_id % 3 < 2
+              AND event_type = 'click' AND value < 50.0
+            UNION ALL
+            SELECT 'insert' AS _change_type, event_type, value
+            FROM events WHERE event_id % 3 = 2
+        )
+        SELECT _change_type, event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(value), 4) AS sum_value
+        FROM feed
+        GROUP BY _change_type, event_type
+    """,
+    tags=("lake", "manifest", "cdc", "pos-delete"),
+)
+def vs25_posdelete_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC over a DUPLICATE-KEY event log with a positional delete
+    mid-span — the composition r12 left undefined (key-diff CDC
+    cross-joins over duplicate keys; Iceberg solves it with file/pos
+    diffs that skip REPLACE snapshots).  ``changes(v1, head)`` detects
+    the mid-span ``DELETE POS`` commit from the manifests alone and
+    routes to the CONTENT (full-row multiset) diff: net feed = the
+    pos-deleted rows as ``delete`` rows + the post-delete append as
+    ``insert`` rows, rewrite-invariant by construction.  The explicit
+    mode="key" path raises loudly instead (unit-gated).
+
+    Scale shape: the feed reads only changed partitions, aggregates
+    (row -> count) with map-side combine, and joins on distinct
+    physical rows — uniform hash keys, no skew; a 100 TB log pays
+    O(span's touched partitions), never O(table).  Ref analog: per-item
+    deletes feeding the incremental import-status view
+    (backend/datasets/delete.py:38-45, backend/import_status/get.py)."""
+    mt = _build_posdel_lake(spark, sf_dir)
+    feed = mt.changes(1, mt.current_version())
+    return feed.groupBy("_change_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )
 
 

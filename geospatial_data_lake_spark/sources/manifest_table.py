@@ -72,13 +72,16 @@ _PK_COL = "__mt_pk"
 _SRC_COL = "__mt_src_file"
 # Row-position identity for POSITIONAL deletes (Iceberg v2 pos-delete /
 # Delta deletion-vector analog): a physical row is addressed by its data
-# file's basename + its ordinal within that file.  Spark names every
-# written file `part-NNNNN-<job uuid>...parquet`, so the basename is
-# unique across a table's lifetime (each commit is one write job with a
-# fresh uuid; part numbers disambiguate within a job) — full paths would
-# also work but survive relocation worse (the data root is absent from
-# the manifest by design, so tables can be moved wholesale).
-_POSF_COL = "__mt_posf"  # _metadata.file_name, materialized at scan
+# file's DATA-ROOT-RELATIVE path + its ordinal within that file.
+# NOT the basename: Spark's dynamic-partition writer resets the
+# part-NNNNN counter per output directory, so one job's bucket/routing
+# subdirs (e.g. optimize's __mt_bkt=N leaves) share basenames like
+# `part-00000-<uuid>-c000.parquet` — a basename address would anti-join
+# rows in sibling buckets (silent over-delete).  NOT the absolute path:
+# the manifest is root-free by design so tables relocate wholesale.
+# The relative path equals the manifest's own file entry (both are
+# <batch>/<__mt_pk=HEX>/[__mt_bkt=N/]part-*.parquet), which IS unique.
+_POSF_COL = "__mt_posf"  # root-relative _metadata.file_path, at scan
 _POSI_COL = "__mt_posi"  # _metadata.row_index, materialized at scan
 
 # Column types whose min/max stats are recorded (atomic, orderable, and
@@ -247,8 +250,10 @@ class ManifestTable:
             ) from None
 
     def _publish(self, manifest: dict, expected_gen: int) -> None:
-        """Write the manifest document (content-addressed, race-free)
-        and commit it as expected_gen+1 via the ``put_if_absent`` CAS —
+        """Write the manifest document (uniquely named by generation +
+        fresh uuid — collision-free, not content-addressed; the commit
+        file's content is the authoritative binding) and commit it as
+        expected_gen+1 via the ``put_if_absent`` CAS —
         exactly one racer's commit-pointer create succeeds, the losers
         get CommitConflict and retry against the winner's state (the
         DynamoDB conditional-put analog; see fsio for the object-store
@@ -508,6 +513,29 @@ class ManifestTable:
             F.col(_SRC_COL), _PK_COL + "=([0-9A-Fa-f]+)/", 1
         )
 
+    def _pos_file_expr(self):
+        """Data-root-relative path of each row's data file, from the
+        scan's ``_metadata.file_path`` pseudo-column — the positional-
+        delete address (see ``_POSF_COL``).  ``file_path`` is the
+        qualified URI Spark's file index resolved (``file:/…`` locally,
+        ``s3a://bucket/…`` on object stores); strip the scheme and
+        authority, then the resolved data root, leaving exactly the
+        manifest's own relative file entry.  The fallback branch (root
+        prefix absent — would take an unexpected URI rendering) keeps
+        the stripped path; both the writer (``delete_where_pos``) and
+        the reader (``_effective_df``) evaluate THIS expression over
+        the same root, so addresses stay consistent either way."""
+        root = os.path.abspath(self._data).rstrip("/") + "/"
+        path = F.regexp_replace(
+            F.col("_metadata.file_path"),
+            r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?",
+            "",
+        )
+        return F.when(
+            path.startswith(root),
+            F.substring(path, len(root) + 1, 2147483647),
+        ).otherwise(path)
+
     def _holding_pkeys(self, df: DataFrame) -> set[str]:
         """Manifest partition keys of ``df``'s rows, decoded from each
         row's source-file path (see ``_src_hex_expr``)."""
@@ -738,6 +766,27 @@ class ManifestTable:
                     batch_dir, d
                 )
         return produced
+
+    def _delete_rows_by_hex(self, batch_dir: str) -> dict[str, int]:
+        """Per-routing-hex row counts of a just-written DELETE batch
+        (key tuples or positional addresses) — read back from the tiny
+        produced files, O(recorded entries).  Recorded on the delete
+        entry as ``rows`` so ``delete_files_meta`` answers record
+        counts scan-free (the operational compact-now signal)."""
+        out = os.path.join(self._data, batch_dir)
+        return {
+            r["h"]: r["n"]
+            for r in self._spark.read.parquet(out)
+            .groupBy(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    _PK_COL + "=([0-9A-Fa-f]+)/",
+                    1,
+                ).alias("h")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
     def _stats_columns(self, schema: T.StructType) -> list[str]:
         wanted = (
@@ -1115,7 +1164,7 @@ class ManifestTable:
         ``applies_to`` list); each group subtracts its deletes by kind:
         EQUALITY entries anti-join the union of their key tuples
         null-safely, POSITIONAL entries (``kind: "pos"``) anti-join on
-        (file basename, row ordinal) — row-granular, key-free, the
+        (root-relative file path, row ordinal) — row-granular, key-free, the
         Iceberg v2 pos-delete shape.  Group count is bounded by
         distinct delete generations per partition, not data size.
 
@@ -1168,7 +1217,7 @@ class ManifestTable:
             if with_pos or pos_dels:
                 # likewise scan-time: _metadata is a scan pseudo-column
                 df = df.withColumn(
-                    _POSF_COL, F.col("_metadata.file_name")
+                    _POSF_COL, self._pos_file_expr()
                 ).withColumn(_POSI_COL, F.col("_metadata.row_index"))
             eq_dels = [d for d in dels if kind_of.get(d, "eq") == "eq"]
             if eq_dels:
@@ -1342,6 +1391,41 @@ class ManifestTable:
             rows, "partition string, file_count long, record_count long"
         )
 
+    def delete_files_meta(self, version: int | str | None = None) -> DataFrame:
+        """The Iceberg ``delete_files`` metadata-table analog: one row
+        per PENDING (unmaterialized) delete entry at ``version`` — the
+        partition it belongs to, the delete file's relative path, its
+        kind (``eq`` key tuples / ``pos`` row addresses), its recorded
+        entry count, and the span of data files it applies to.  This is
+        the operational view an engineer reads to decide WHEN to
+        compact: record_count x applies_to_count is the merge-on-read
+        anti-join tax every read of those files pays.
+
+        Driver-built from the manifest alone — O(pending entries) rows,
+        ZERO parquet scans (entry counts were recorded at delete-commit
+        time; NULL for entries committed before counting existed)."""
+        manifest = self._manifest_at(version)
+        if manifest is None:
+            raise NotFoundError(f"table never committed: {self.root}")
+        rows = []
+        for pk in sorted(manifest.get("deletes", {})):
+            for d in manifest["deletes"][pk]:
+                rows.append(
+                    (
+                        pk,
+                        d["file"],
+                        d.get("kind", "eq"),
+                        int(d["rows"]) if "rows" in d else None,
+                        len(d["applies_to"]),
+                        json.dumps(sorted(d["applies_to"])),
+                    )
+                )
+        return self._spark.createDataFrame(
+            rows,
+            "partition string, file string, kind string, "
+            "record_count long, applies_to_count long, applies_to string",
+        )
+
     def snapshots_meta(self) -> DataFrame:
         """The ``snapshots`` metadata-table analog: retained commit
         versions with their commit instants and operation labels,
@@ -1354,28 +1438,76 @@ class ManifestTable:
             rows, "version long, committed_at timestamp, operation string"
         )
 
+    def _span_has_pos_deletes(
+        self, from_version: int, to_version: int, m_from: dict, m_to: dict
+    ) -> bool:
+        """True when the (from, to] span involves POSITIONAL deletes —
+        the signal that the table is a duplicate-key table and key-diff
+        CDC is unsound.  Two detectors, both metadata-only: pending
+        ``kind: "pos"`` entries at either endpoint, and a walk of the
+        span's commit labels for ``DELETE POS`` (which also catches a
+        pos-delete that a later rewrite MATERIALIZED mid-span — gone
+        from both endpoint manifests, rows gone all the same).  The
+        walk is O(span) tiny JSON loads on the driver, bounded by
+        retention."""
+        for m in (m_from, m_to):
+            for entries in m.get("deletes", {}).values():
+                if any(d.get("kind") == "pos" for d in entries):
+                    return True
+        for v in range(max(from_version, 0) + 1, to_version + 1):
+            try:
+                if self._load_manifest(v).get("op") == "DELETE POS":
+                    return True
+            except NotFoundError:
+                continue  # GC'd mid-span manifest (pre-retention tag)
+        return False
+
     def changes(
         self,
         from_version: int,
         to_version: int,
         preimage: bool = False,
+        mode: str = "auto",
     ) -> DataFrame:
         """Row-level change feed between two versions — the
         ``table_changes`` / CDF analog, derived from the manifests: only
         partitions whose FILE LISTS differ between the two versions are
-        read (O(changed partitions), never O(table)), then a null-safe
-        full-outer key join classifies each key as ``insert``,
-        ``delete``, or ``update_postimage`` (rows carried unchanged
-        through a partition rewrite are not changes and are dropped).
-        Returns the row columns plus ``_change_type``; delete rows carry
-        their pre-image values.  ``preimage=True`` additionally emits an
-        ``update_preimage`` row (the old values) per update — the full
-        Delta-CDF contract, which downstream incremental aggregation
-        needs to subtract the old contribution.
+        read (O(changed partitions), never O(table)).  Two
+        classification strategies, selected by ``mode``:
 
-        Assumes key-unique table state (the upsert/delete-maintained
-        contract CDF is defined over); duplicate keys from raw
-        ``append`` batches would cross-join in the key diff."""
+        - ``"key"``: a null-safe full-outer KEY join classifies each key
+          as ``insert``, ``delete``, or ``update_postimage`` (rows
+          carried unchanged through a partition rewrite are not changes
+          and are dropped).  Delete rows carry their pre-image values;
+          ``preimage=True`` additionally emits an ``update_preimage``
+          row per update — the full Delta-CDF contract.  Defined ONLY
+          over key-unique state (the upsert/delete-maintained
+          contract); over duplicate keys the key diff would cross-join,
+          so this mode RAISES when the span involves positional deletes
+          (the duplicate-key signal) instead of emitting garbage.
+        - ``"content"``: a full-row MULTISET diff — each side's changed
+          partitions aggregate to (row, count), a null-safe full-outer
+          join on ALL columns takes the count delta, and each net
+          occurrence emits as ``insert`` (count rose) or ``delete``
+          (count fell).  Key-free and rewrite-invariant (a pure rewrite
+          like optimize/compact preserves the multiset, so it emits
+          nothing), which makes it the CDC shape for duplicate-key /
+          append-only tables with positional deletes — Iceberg reaches
+          the same place via file/pos diffs that skip REPLACE
+          snapshots.  No update classification exists here (an upsert
+          surfaces as a delete+insert pair), so ``preimage=True``
+          raises.
+        - ``"auto"`` (default): ``"content"`` when the span involves
+          positional deletes (pending at either endpoint, or a
+          ``DELETE POS`` commit mid-span — even one a later rewrite
+          materialized), else ``"key"``.
+
+        Scale shape: both modes read O(changed partitions); content
+        mode shuffles those rows once on the full row (a wide group-by
+        key, but partial-aggregable and skew-free — distinct physical
+        rows hash uniformly)."""
+        if mode not in ("auto", "key", "content"):
+            raise ValueError(f"unknown changes mode {mode!r}")
         m_to = self._load_manifest(to_version)
         if from_version == 0:
             # from the empty pre-history: every current row is an insert
@@ -1390,9 +1522,29 @@ class ManifestTable:
             k
             for k in set(p_from) | set(p_to)
             # a partition is changed when its file list OR its pending
-            # equality-delete chain differs — both move effective rows
+            # delete chain differs — both move effective rows
             if p_from.get(k) != p_to.get(k) or d_from.get(k) != d_to.get(k)
         }
+        if mode != "content":
+            pos_span = self._span_has_pos_deletes(
+                from_version, to_version, m_from, m_to
+            )
+            if pos_span and mode == "key":
+                raise ValueError(
+                    "key-diff CDC is undefined over this span: it "
+                    "involves positional deletes (the duplicate-key "
+                    "table shape), and a key diff over duplicate keys "
+                    "cross-joins.  Use mode='content' (or the default "
+                    "mode='auto', which selects it) for the multiset "
+                    "change feed."
+                )
+            mode = "content" if pos_span else "key"
+        if mode == "content" and preimage:
+            raise ValueError(
+                "preimage rows exist only in key-diff CDC (content-mode "
+                "feeds have no update classification — an upsert "
+                "surfaces as a delete+insert pair)"
+            )
         old = self._effective_df(m_from, pkeys=changed)
         new = self._effective_df(m_to, pkeys=changed)
         # align to the union of columns (schema evolution between versions)
@@ -1404,6 +1556,8 @@ class ManifestTable:
                 old = old.withColumn(c, F.lit(None))
             if c not in new.columns:
                 new = new.withColumn(c, F.lit(None))
+        if mode == "content":
+            return self._changes_content_diff(old, new, all_cols)
         # presence markers: keys may legitimately be NULL, so a missing
         # side is detected by its marker, never by null keys
         o = old.withColumn("__o", F.lit(True)).alias("__o_side")
@@ -1444,8 +1598,59 @@ class ManifestTable:
             feed = feed.unionByName(pre)
         return feed
 
+    @staticmethod
+    def _changes_content_diff(
+        old: DataFrame, new: DataFrame, all_cols: list[str]
+    ) -> DataFrame:
+        """Full-row MULTISET net diff (see ``changes`` mode="content"):
+        (row -> count) per side, null-safe full-outer join on the whole
+        row, emit each net occurrence with its ``_change_type``.  The
+        per-side aggregation is partial (map-side combine), the join
+        keys are distinct physical rows (uniform hash — no skew), and a
+        pure rewrite diffs to empty by construction."""
+        oc = (
+            old.groupBy(*all_cols)
+            .agg(F.count(F.lit(1)).alias("__oc"))
+            .alias("__o_side")
+        )
+        nc = (
+            new.groupBy(*all_cols)
+            .agg(F.count(F.lit(1)).alias("__nc"))
+            .alias("__n_side")
+        )
+        cond = F.lit(True)
+        for c in all_cols:
+            cond = cond & F.col(f"__o_side.{c}").eqNullSafe(
+                F.col(f"__n_side.{c}")
+            )
+        delta = F.coalesce(F.col("__n_side.__nc"), F.lit(0)) - F.coalesce(
+            F.col("__o_side.__oc"), F.lit(0)
+        )
+        return (
+            oc.join(nc, cond, "full_outer")
+            .withColumn("__delta", delta)
+            .filter(F.col("__delta") != 0)
+            .select(
+                # both sides null-safe-equal where both present, so
+                # coalesce reads the value from whichever side exists
+                *[
+                    F.coalesce(
+                        F.col(f"__n_side.{c}"), F.col(f"__o_side.{c}")
+                    ).alias(c)
+                    for c in all_cols
+                ],
+                F.when(F.col("__delta") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("__delta")))
+                ).alias("__occ"),
+            )
+            .drop("__occ")
+        )
+
     def changes_since(
-        self, cursor: int, preimage: bool = False
+        self, cursor: int, preimage: bool = False, mode: str = "auto"
     ) -> tuple[DataFrame, int]:
         """Incremental change-feed consumption: everything that changed
         AFTER version ``cursor``, plus the new cursor to persist — the
@@ -1466,7 +1671,7 @@ class ManifestTable:
                     ]
                 )
             return self._spark.createDataFrame([], schema), cursor
-        return self.changes(cursor, gen, preimage=preimage), gen
+        return self.changes(cursor, gen, preimage=preimage, mode=mode), gen
 
     def partition_files(self, version: int | None = None) -> dict[str, list[str]]:
         """The manifest's partition -> file-list map (for tests/tools)."""
@@ -2222,12 +2427,17 @@ class ManifestTable:
                 pk: list(v)
                 for pk, v in manifest.get("deletes", {}).items()
             }
+            n_keys = self._delete_rows_by_hex(batch_dir)
             for pkey, rel in produced.items():
                 applies = list(partitions.get(pkey, []))
                 if not applies:  # keys matched rows of a gone partition?
                     continue
                 deletes.setdefault(pkey, []).append(
-                    {"file": rel, "applies_to": applies}
+                    {
+                        "file": rel,
+                        "applies_to": applies,
+                        "rows": n_keys.get(rel.rsplit("=", 1)[1], 0),
+                    }
                 )
             if self._try_commit(
                 gen,
@@ -2247,7 +2457,7 @@ class ManifestTable:
         """Merge-on-read DELETE via POSITIONAL-DELETE files (the Iceberg
         v2 position-delete / Delta deletion-vector analog): commit a
         small per-partition file of the matched rows' PHYSICAL
-        addresses — (data-file basename, row ordinal) from the scan's
+        addresses — (root-relative data-file path, row ordinal) from the scan's
         ``_metadata`` pseudo-column — and let reads anti-join it until
         the next rewrite materializes.
 
@@ -2300,12 +2510,18 @@ class ManifestTable:
                 pk: list(v)
                 for pk, v in manifest.get("deletes", {}).items()
             }
+            n_addr = self._delete_rows_by_hex(batch_dir)
             for pkey, rel in produced.items():
                 applies = list(partitions.get(pkey, []))
                 if not applies:  # matched rows of a since-gone partition
                     continue
                 deletes.setdefault(pkey, []).append(
-                    {"file": rel, "applies_to": applies, "kind": "pos"}
+                    {
+                        "file": rel,
+                        "applies_to": applies,
+                        "kind": "pos",
+                        "rows": n_addr.get(rel.rsplit("=", 1)[1], 0),
+                    }
                 )
             if self._try_commit(
                 gen,

@@ -2765,6 +2765,113 @@ def should_pos_delete_survive_unrelated_rewrites(spark, tmp_path):
     assert mt.row_count() == 45  # metadata-only again truthful
 
 
+def should_pos_delete_after_optimize_hit_only_matched_rows(spark, tmp_path):
+    """delete_where_pos AFTER optimize(): the clustered layout writes
+    many bucket subdirs in ONE job, so part-file BASENAMES collide
+    across buckets (the dynamic-partition writer resets the counter per
+    directory).  Addresses must therefore be root-relative paths — a
+    basename address would anti-join same-named rows in sibling buckets
+    (silent multi-row loss; the historical r12 bug)."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a", f"v{i}") for i in range(4000)]))
+    mt.optimize(sort_by=["id"], target_files=8)
+    before = mt.read().count()
+    assert before == 4000
+    v = mt.delete_where_pos(F.col("id") == 123)
+    got = mt.read()
+    # EXACTLY one row disappears — not one per same-basename bucket
+    assert got.count() == before - 1
+    assert got.filter(F.col("id") == 123).count() == 0
+    # the recorded address is the manifest-relative path, not a basename
+    dmap = mt._current()[1]["deletes"]
+    (entries,) = dmap.values()
+    posf = (
+        spark.read.parquet(
+            *[str(tmp_path / "mt" / "data" / e["file"]) for e in entries]
+        )
+        .select("__file")
+        .collect()
+    )
+    assert len(posf) == 1 and "/" in posf[0][0]
+    # and the address lives under a manifest-listed entry (optimize
+    # lists bucket DIRECTORIES; the address names the part file inside)
+    assert any(
+        posf[0][0].startswith(f + "/")
+        for fl in mt._current()[1]["partitions"].values()
+        for f in fl
+    )
+    # pos-delete remains row-exact on a later duplicate-key append
+    mt.append(_mk(spark, [(123, "a", "reborn")]))
+    assert mt.read().filter(F.col("id") == 123).count() == 1
+
+
+def should_route_change_feed_around_pos_deletes(spark, tmp_path):
+    """CDC x positional deletes: key-diff CDC is undefined over
+    duplicate-key spans, so (a) mode="key" RAISES loudly instead of
+    cross-joining, (b) mode="auto" routes to the content (multiset)
+    diff, whose net feed is exactly the pos-deleted rows as deletes
+    plus later appends as inserts."""
+    import pytest
+
+    mt = _table(spark, tmp_path)
+    # duplicate keys: two rows per id across two appends
+    mt.append(_mk(spark, [(i, "a", f"x{i}") for i in range(6)]))  # v1
+    mt.append(_mk(spark, [(i, "a", f"y{i}") for i in range(6)]))  # v2
+    mt.delete_where_pos(F.col("v").isin("x1", "y1"))  # v3
+    mt.append(_mk(spark, [(1, "a", "z1")]))  # v4
+    with pytest.raises(ValueError, match="positional deletes"):
+        mt.changes(2, 4, mode="key")
+    with pytest.raises(ValueError, match="preimage"):
+        # auto -> content; preimage rows are undefined there
+        mt.changes(2, 4, preimage=True)
+    feed = sorted(
+        (r._change_type, r.id, r.v) for r in mt.changes(2, 4).collect()
+    )
+    assert feed == [
+        ("delete", 1, "x1"),
+        ("delete", 1, "y1"),
+        ("insert", 1, "z1"),
+    ]
+    # full-history net feed == current effective content, all inserts
+    full = mt.changes(0, 4)
+    assert full.filter(F.col("_change_type") != "insert").count() == 0
+    assert sorted((r.id, r.v) for r in full.collect()) == sorted(
+        (r.id, r.v) for r in mt.read().collect()
+    )
+
+
+def should_emit_empty_content_feed_across_pure_rewrite(spark, tmp_path):
+    """The content diff is rewrite-invariant: a span that covers an
+    optimize() (which MATERIALIZES a pending pos-delete — the delete
+    entry is gone from both endpoint manifests) still classifies the
+    deleted rows, and the optimize-only sub-span diffs to EMPTY."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a", f"v{i}") for i in range(40)]))  # v1
+    mt.append(_mk(spark, [(i, "a", f"w{i}") for i in range(40)]))  # v2
+    mt.delete_where_pos(F.col("v") == "v7")  # v3
+    mt.optimize(sort_by=["id"], target_files=3)  # v4: materializes it
+    # optimize-only sub-span: pure rewrite, multiset unchanged -> empty
+    assert mt.changes(3, 4, mode="content").count() == 0
+    # the span v2 -> v4 has NO pending pos entries at either endpoint —
+    # only the mid-span DELETE POS commit label reveals it; auto must
+    # still route to content and emit exactly the one deleted row
+    feed = [(r._change_type, r.id, r.v) for r in mt.changes(2, 4).collect()]
+    assert feed == [("delete", 7, "v7")]
+
+
+def should_count_multiplicity_in_content_feed(spark, tmp_path):
+    """Content-mode CDC is a MULTISET diff: identical physical rows
+    diff by count, emitting one feed row per net occurrence."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "dup"), (1, "a", "dup")]))  # v1
+    mt.append(_mk(spark, [(1, "a", "dup"), (1, "a", "dup")]))  # v2
+    mt.delete_where_pos(F.col("id") == 1)  # v3: all four rows
+    ins = mt.changes(0, 2, mode="content").collect()
+    assert [r._change_type for r in ins] == ["insert"] * 4
+    dels = mt.changes(2, 3).collect()
+    assert [r._change_type for r in dels] == ["delete"] * 4
+
+
 # -- zorder clustering (OPTIMIZE ... ZORDER BY analog) --------------------
 
 
