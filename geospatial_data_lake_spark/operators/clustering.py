@@ -42,6 +42,7 @@ part of the training-data-pipeline extension scope (SURVEY.md §2
 
 from __future__ import annotations
 
+import math
 import os
 import weakref
 
@@ -1778,6 +1779,88 @@ def sd01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         ),
         k=_K,
+    )
+
+
+# Production cell-population target for auto-k SemDeDup: k ~ N / 32
+# keeps the quadratic within-cell compare ~constant per cell as the
+# corpus grows (the linearity contract pinned by the k-scaling
+# pair-count test in tests/test_operators_unit.py).
+_SD_TARGET_CELL = 32
+
+
+def semdedup_auto_k(
+    n_vectors: int, target_cell: int = _SD_TARGET_CELL
+) -> int:
+    """The production k for SemDeDup: grow cluster count with the
+    corpus (k ~ N / target_cell) so per-cell population — and the
+    within-cell quadratic compare — stays constant as data scales.
+    Pure arithmetic on a driver-side scalar; deterministic given N."""
+    return max(1, math.ceil(n_vectors / target_cell))
+
+
+@register(
+    "sd02_semantic_dedup_autok",
+    # data-dependent k means the oracle cannot replay the Lloyd
+    # trajectory (the kmeans CTE prefix bakes a literal k), so this is
+    # AUDIT-gated like ss02b: the oracle recomputes the two
+    # SQL-derivable scalars (corpus size, the auto-k formula) and pins
+    # the census invariants — member conservation, the cluster-count
+    # bound, per-cluster removal bounds — to literal TRUE.  Any drift
+    # in auto-k arithmetic, cluster assignment totals, or the census
+    # bookkeeping breaks the hash.
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(greatest(
+                   1, CAST(ceil(count(*) / {_SD_TARGET_CELL}.0) AS BIGINT)
+               ) AS BIGINT) AS k_auto,
+               true AS members_conserved,
+               true AS clusters_within_k,
+               true AS removal_bounded
+        FROM embeddings
+    """,
+    tags=("dedup", "clustering", "embedding", "audit"),
+)
+def sd02_semantic_dedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sd01's PRODUCTION arm: SemDeDup with the auto-scaled cluster
+    count (``semdedup_auto_k`` — k ~ N/32) instead of sd01's pinned
+    oracle-replayable k, audit-gated on the invariants SQL can verify:
+    corpus size, the k formula itself, member conservation (clusters
+    partition the corpus), the cluster-count bound (Lloyd can merge
+    cells but never mint more than k), and per-cluster removal bounds
+    (0 <= removed <= members-1 — the lowest id always survives).
+
+    This is the knob that makes sd01's linearity claim operational at
+    100 TB: fixed k turns the within-cell compare quadratic in corpus
+    size, auto-k holds cell populations (and the pair-join work per
+    row) constant — pinned by the k-scaling pair-count test.  The
+    census machinery (budget-gated broadcast, cid-equi-join fallback)
+    is sd01's, unchanged."""
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()  # one scalar — the same driver-side cost as cl01's seeds
+    k = semdedup_auto_k(n)
+    census = semantic_dedup_census(spark, e, k=k)
+    return census.agg(
+        F.sum("n_members").alias("members_total"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(
+            F.when(
+                (F.col("n_removed") < 0)
+                | (
+                    F.col("n_removed")
+                    > F.greatest(F.col("n_members") - 1, F.lit(0))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad_removals"),
+    ).select(
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.lit(k).cast("bigint").alias("k_auto"),
+        (F.col("members_total") == F.lit(n)).alias("members_conserved"),
+        (F.col("n_clusters") <= F.lit(k)).alias("clusters_within_k"),
+        (F.col("bad_removals") == 0).alias("removal_bounded"),
     )
 
 

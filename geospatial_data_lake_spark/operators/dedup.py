@@ -652,59 +652,164 @@ def dd07_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-representative step that turns pairwise matches into a
     dedup decision.
 
-    Spark has no recursive SQL, so components are computed by iterative
-    min-label propagation to fixpoint: each round every node takes the
-    min of its own label and its neighbors' labels. Convergence needs
-    O(diameter) rounds — near-dup clusters are dense (almost cliques),
-    so 2-3 rounds settle real corpora. Each round is one shuffle-join +
-    one aggregation; ``localCheckpoint`` truncates the growing lineage
-    so round N's plan doesn't replay rounds 1..N-1. The fixpoint test is
-    an aggregate (count of changed labels) — no data ever collects to
-    the driver. The DuckDB oracle computes the same components with a
-    recursive CTE.
+    Spark has no recursive SQL, so components come from alternating
+    large-star/small-star contraction (``_cc_alternating_stars`` —
+    Kiveris et al. 2014): each round points high nodes at their
+    neighborhood minimum, SHRINKING the edge set toward per-component
+    stars, so round cost tracks the contracted graph instead of paying
+    the full pair graph for O(diameter) rounds the way plain min-label
+    propagation did (the r12 x100 fixture — duplication-heavy, clique-
+    dense — outran the harness on that schedule; the first large-star
+    collapses exactly that mass).  The result labeling (component min)
+    is schedule-independent, so the DuckDB oracle's unrolled min-label
+    propagation still gates it exactly.
     """
     pairs = dd04_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
-    # The pair graph is orders of magnitude smaller than the corpus
-    # (only near-dup members appear); 8 partitions keep the per-round
-    # shuffles latency-bound rather than task-overhead-bound.
-    edges = (
-        pairs.unionByName(
-            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-        )
-        .repartition(8, "d2")
-        .localCheckpoint(eager=True)
-    )
-    labels = edges.select(F.col("d1").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(20):  # diameter bound; real clusters converge in 2-3
-        neighbor_min = (
-            edges.join(labels, edges.d2 == labels.node)
-            .groupBy(F.col("d1").alias("node"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        # one materialization per round: the checkpoint job computes both
-        # the new label and its changed flag; the fixpoint probe is then a
-        # cheap count over the checkpointed (tiny) frame
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least("label", "nmin").alias("label"),
-                (F.col("nmin") < F.col("label")).alias("chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter("chg").count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+    labels = _cc_alternating_stars(pairs)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
     return labels.join(F.broadcast(sizes), "label").select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("group_id"),
         "group_size",
     )
+
+
+def _cc_alternating_stars(
+    pairs: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """EXACT connected components over an edge list via alternating
+    large-star / small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): large-star
+    attaches every neighbor LARGER than a node to its neighborhood
+    minimum, small-star folds the smaller neighbors onto it.  Both
+    steps preserve connectivity and monotonically contract the graph
+    toward one star per component, centered at the component min —
+    convergence in O(log^2 n) rounds worst-case, 2-3 on the
+    clique-heavy graphs near-dup corpora produce, with PER-ROUND cost
+    proportional to the SHRINKING edge set (plain min-label
+    propagation pays the full pair graph every round for O(diameter)
+    rounds — the difference between fitting and outrunning a
+    duplication-heavy x100 fixture).
+
+    The pair graph is orders of magnitude smaller than the corpus
+    (only near-dup members appear); 8 partitions keep the per-round
+    shuffles latency-bound rather than task-overhead-bound, and
+    ``localCheckpoint`` truncates lineage so round N never replays
+    rounds 1..N-1.  Convergence is detected by a count+hash signature;
+    the final labeling is then VERIFIED against the original edges —
+    zero label-mismatched endpoints.  Uniform labels per component
+    force exactness: a label only ever takes node-id values from
+    inside its component and never sinks below the component min m,
+    while m's own label can only be m — so uniformity pins every
+    member to exactly m.  An unconverged or hash-collided run RAISES;
+    it can never return a wrong answer.
+
+    Returns (node, label) for every node with at least one edge."""
+    und = (
+        pairs.select(
+            F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(8, "a")
+        .localCheckpoint(eager=True)
+    )
+    orig = und
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # large-star: v in Γ(u), v > u  attaches to  m(u) = min(Γ(u) ∪ {u})
+        nbr = und.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        m = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        ls = (
+            nbr.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+        )
+        half = ls.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        ).distinct()
+        # small-star: the ≤u neighborhood (plus u) folds onto its min
+        nbr2 = half.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(
+            half.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        s = nbr2.filter(F.col("v") < F.col("u"))
+        m2 = s.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            s.join(m2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .unionByName(
+                m2.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            )
+        )
+        und = (
+            ss.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .repartition(8, "a")
+            .localCheckpoint(eager=True)
+        )
+        sig_row = und.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold of per-edge hashes: order-independent and
+            # overflow-free under ANSI (edges are distinct pairs)
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        sig = (sig_row.n, sig_row.h)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "alternating star rounds"
+        )
+    # star edges (child, center): center < child at convergence
+    labels = (
+        und.select(F.col("b").alias("node"), F.col("a").alias("label"))
+        .unionByName(
+            und.select(F.col("a").alias("node"), F.col("a").alias("label"))
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # exactness gate over the ORIGINAL edges: every edge's endpoints
+    # must share a label (uniformity ⇒ component-min labeling; see
+    # docstring).  One O(|edges|) join — loud failure, never silence.
+    la = labels.select(
+        F.col("node").alias("a"), F.col("label").alias("la")
+    )
+    lb = labels.select(
+        F.col("node").alias("b"), F.col("label").alias("lb")
+    )
+    bad = (
+        orig.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") != F.col("lb"))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"connected-components verification failed: {bad} original "
+            "edges span two labels (unconverged contraction?)"
+        )
+    return labels
 
 
 @register(

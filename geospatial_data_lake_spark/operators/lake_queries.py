@@ -2189,6 +2189,57 @@ def vs25_posdelete_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs26_delete_files_audit",
+    # the oracle recomputes what the pos-delete entry's RECORDED count
+    # must be from the raw fixture: exactly the cheap clicks of the
+    # pre-delete batches (event_id % 3 < 2 — applies_to pins the delete
+    # to the files existing at commit time).  Any drift in the
+    # delete-commit count recording, the manifest round-trip, or the
+    # delete_files_meta assembly breaks the hash.
+    oracle="""
+        SELECT 'pos' AS kind,
+               'click' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_addresses
+        FROM events
+        WHERE event_id % 3 < 2
+          AND event_type = 'click' AND value < 50.0
+    """,
+    tags=("lake", "manifest", "metadata-table", "pos-delete"),
+)
+def vs26_delete_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg ``delete_files`` metadata table as a QUERYABLE
+    DataFrame, audited against the data it describes: over the vs22
+    duplicate-key event log with its pending positional delete,
+    ``delete_files_meta()`` rows (kind, recorded entry count,
+    applies-to span — counts recorded at delete-commit time) aggregate
+    to exactly the number of rows the lifecycle deleted, per partition
+    decoded from the partition document.  This is the operational
+    compact-now view: record_count x applies_to_count is the
+    merge-on-read anti-join tax each read pays, and
+    ``rewrite_position_deletes`` consumes the same numbers to pick
+    partitions past the materialization threshold.
+
+    Scale shape: O(pending delete entries) manifest rows, ZERO parquet
+    scans (plan-pinned) — on a 100 TB log the decision to compact costs
+    a catalog read, never a data scan.  Ref analog: the dataset
+    version list the reference reads from DynamoDB metadata without
+    touching S3 objects (backend/datasets/list.py)."""
+    mt = _build_posdel_lake(spark, sf_dir)
+    return (
+        mt.delete_files_meta()
+        .select(
+            "kind",
+            F.get_json_object("partition", "$.event_type").alias(
+                "event_type"
+            ),
+            "record_count",
+        )
+        .groupBy("kind", "event_type")
+        .agg(F.sum("record_count").cast("bigint").alias("n_addresses"))
+    )
+
+
+@register(
     "vs23_files_metadata_audit",
     # the oracle recomputes what the METADATA must add up to from the
     # raw fixture: per-priority row counts and exact o_totalprice

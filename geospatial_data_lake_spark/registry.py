@@ -66,38 +66,86 @@ _LOADED = False
 # the first 50 entries.  The prefix is ROTATED each round: queries proven
 # driver-green at sf0.01 in a prior round step aside (keeping canaries
 # per family so a regression is still externally visible) and
-# never-driver-checked queries move up.  Cumulative driver-green entering
-# r11: ALL 214 then-oracled queries (every registry entry driver-green
-# at sf0.01 in some round r2-r10); ss02/ss03 were rows-only until the
-# r11 continuation converted their projections to oracle-replayable
-# folds — every registry entry is oracled (230 entering r12; zero
-# rows-only).  The prefix is documented
-# inline below.  Everything not listed keeps its registration order
-# after the prioritized prefix; nothing is dropped.
+# never-driver-checked queries move up.  Cumulative driver-green
+# entering r13: ALL 236 then-registered queries (every entry
+# driver-green at sf0.01 in some round r2-r12; zero rows-only, zero
+# waivers); r13 adds vs25/vs26/sd02 (first driver check this round).  The
+# prefix is documented inline below.  Everything not listed keeps its
+# registration order after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # NEW in r12 — first driver check, then re-proofs of machinery
-    # changed this round: vs21 (OPTIMIZE ZORDER clustering), vs22
-    # (positional merge-on-read deletes — _effective_df grew a pos-kind
-    # anti-join, so vs10's eq-delete row re-proves alongside), vs23
-    # (files/partitions/snapshots metadata tables audited over the
-    # zordered lake), sd01 (pair-join broadcast-budget guard),
-    # ss08/ss09/st05 (oracle SQL refactored through
-    # _ivfpq_candidates_sql), rk01 (rk02's exact-arm reference).
-    "vs21_zorder_clustered_read",
+    # NEW in r13 — first driver check, then re-proofs of machinery
+    # changed this round: vs22/vs10 (positional/equality delete commits
+    # now record root-relative addresses + entry counts), vs18
+    # (changes() grew mode routing), vs23 (manifest delete entries
+    # gained a rows field the metadata assembly shares).
+    "vs25_posdelete_change_feed",
+    "vs26_delete_files_audit",
+    "sd02_semantic_dedup_autok",
     "vs22_positional_delete_read",
+    "vs10_equality_delete_feed",
+    "vs18_cdc_replication_read",
     "vs23_files_metadata_audit",
+    # ---- stalest tier: last driver proof r1 (parity-swept every
+    # round since; canaries for the aggregate/scalar/geo/tpch
+    # families the recent rounds displaced from the checked window).
+    "a08b_cube",
+    "a10_percentiles",
+    "a11_stats_aggregates",
+    "a12_grouping_sets",
+    "a13_pivot",
+    "dd02_fingerprint_groups",
+    "dd06_embedding_neardup",
+    "f15_fuzzy_title_match",
+    "geo01_bbox_intersect_pairs",
+    "geo02_point_in_bbox",
+    "geo03_temporal_overlap",
+    "j10_correlated_exists_sql",
+    "j11_binned_interval_join",
+    "o05_offset_pagination",
+    "tpch_q12_priority_by_status",
+    "tpch_q14_promo_revenue",
+    "tpch_q4_late_orders",
+    "tpch_q6_forecast_revenue",
+    "w06_ntile",
+    "w07_first_last_value",
+    # ---- next tier: last driver proof r3 (scan/predicate/join/
+    # window/setop core).
+    "a01_count_per_group",
+    "a02_existence_probe",
+    "a03_uniqueness_check",
+    "a06_grouped_bool",
+    "a08_rollup",
+    "j02_fk_chain_join",
+    "j03_left_outer_join",
+    "j04_semi_join",
+    "j05_anti_join",
+    "j06_graph_reachability",
+    "o01_ordered_iteration",
+    "o02_exists_shortcircuit",
+    "o03_top1_latest",
+    "p01_projection_rename",
+    "p02_in_list_predicate",
+    "p04_regex_predicate",
+    "p05_null_predicate",
+    "p06_range_predicate",
+    "s02_filtered_scan",
+    "s03_secondary_index_scan",
+    "s11_pruned_scan",
+    "u01_distinct",
+    "u03_except",
+    "w01_ordinal_assignment",
+    "vs21_zorder_clustered_read",
     "vs24_timestamp_pruned_read",
     "dd15_canonical_dedup_decision",
-    "vs10_equality_delete_feed",
     "rk02_rrf_fusion_serve",
     "sd01_semantic_dedup",
     "ss08_persisted_ivfpq_search",
     "ss09_ivfpq_refined_search",
     "st05_stream_ann_index_maintenance",
     "rk01_rrf_fusion",
-    # ---- next sixteen: the rows the r11 additions displaced from the
-    # checked window (last driver proof r3-r7; cumulatively green,
-    # parity-swept r11).
+    # ---- below the 50-entry mark: prior rounds' head blocks step
+    # aside but keep deterministic positions; everything not listed
+    # keeps registration order after the prefix.
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
@@ -114,11 +162,6 @@ _PRIORITY: tuple[str, ...] = (
     "w08_distribution_ranks",
     "o06_keyset_pagination",
     "p07_conjunctive_predicate",
-    # ---- remainder of the window: next-oldest driver proofs (r5-r8
-    # families: wkb/geo, substring dedup, the ANN training ladder,
-    # vocab/dq/pk).  The r12 insertions push the last four listed
-    # entries (dd03/ss04/ss07/a08 — all r11-parity-green) just past the
-    # 50-entry mark; they keep deterministic positions.
     "geo08_wkb_point_in_polygon",
     "geo09_wkb_multipolygon_holes",
     "geo10_wkb_polyline_length",
@@ -146,12 +189,6 @@ _PRIORITY: tuple[str, ...] = (
     "dd03_jaccard_pairs",
     "ss04_ivf_trained_ann",
     "ss07_ivfpq_residual_search",
-    "a08_rollup",
-    # ---- (the 50-entry mark falls four entries above this line after
-    # the r12 insertions.)  Below: rows driver-proven in r11 (the r11
-    # additions, the manifest-lake/stream/dedup re-proof block, the
-    # r11 tpch rotation) step aside but keep deterministic positions;
-    # everything not listed keeps registration order after the prefix.
     "ts01_gap_fill_locf",
     "ts02_ohlc_downsample",
     "ts03_time_weighted_avg",
@@ -175,7 +212,6 @@ _PRIORITY: tuple[str, ...] = (
     "vs07_replace_where",
     "vs08_version_drift",
     "vs09_restore_constrained_lifecycle",
-    # (vs10 moved into the r12 head block: _effective_df changed)
     "vs11_hidden_partition_pruned_read",
     "vs12_tagged_snapshot_read",
     "vs13_wap_publish",
@@ -183,7 +219,6 @@ _PRIORITY: tuple[str, ...] = (
     "vs15_spec_evolution_read",
     "vs16_spec_rewrite_read",
     "vs17_partition_column_evolution_read",
-    "vs18_cdc_replication_read",
     "st01_stream_lake_merge",
     "st02_stream_dedup_ingest",
     "st03_stream_volume_monitor",
@@ -216,45 +251,20 @@ _PRIORITY: tuple[str, ...] = (
     "tx07_winnowing_fingerprints",
     "t03_session_window",
     "s01_point_lookup",
-    "s02_filtered_scan",
-    "p02_in_list_predicate",
-    "u03_except",
     "tpch_q18_large_volume_customers",
-    "s03_secondary_index_scan",
     "s04_prefix_range_scan",
     "s05_json_field_source",
-    "s11_pruned_scan",
-    "p01_projection_rename",
-    "p04_regex_predicate",
-    "p05_null_predicate",
-    "p06_range_predicate",
     "p08_schema_validity_predicate",
-    "j02_fk_chain_join",
-    "j03_left_outer_join",
-    "j04_semi_join",
-    "j05_anti_join",
-    "j06_graph_reachability",
     "j09_asof_join",
-    "a01_count_per_group",
-    "a02_existence_probe",
-    "a03_uniqueness_check",
-    "a06_grouped_bool",
     "a07_error_report",
-    "w01_ordinal_assignment",
     "w02_batch_assignment",
     "w04_lag_running_sum",
-    "o01_ordered_iteration",
-    "o02_exists_shortcircuit",
-    "o03_top1_latest",
-    "u01_distinct",
     "u05_duplicate_consistency",
     "x04_centroid_udaf",
     "t01_tumbling_window",
     "f01_url_parse",
     "f09_json_map_explode",
     "mm01_blob_metadata",
-    "geo01_bbox_intersect_pairs",
-    "geo02_point_in_bbox",
     "geo06_zorder_cells",
     "vb02_bpe_merges",
     "tx10_bigram_prob_score",

@@ -2700,6 +2700,88 @@ class ManifestTable:
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
 
+    def rewrite_position_deletes(
+        self, min_delete_ratio: float = 0.05
+    ) -> int | None:
+        """Targeted pos-delete compaction — the Iceberg
+        ``rewrite_position_delete_files`` action analog, at partition
+        granularity: materialize pending POSITIONAL deletes only in
+        partitions where recorded addresses have accumulated past
+        ``min_delete_ratio`` of the partition's physical rows.  Below
+        the threshold merge-on-read stays the right trade (one tiny
+        anti-join per read vs rewriting terabytes to drop a few rows);
+        past it every read pays a growing anti-join tax and the rewrite
+        amortizes.  Before this action, materialization only happened
+        as a side effect of unrelated rewrites (compact/optimize touch
+        EVERY deleted partition regardless of ratio).
+
+        The decision is METADATA-only: address counts come from the
+        delete entries' recorded ``rows`` and partition row counts from
+        per-file ``__rows`` stats — zero parquet reads to decide; a
+        partition whose counts predate recording is conservatively
+        rewritten.  The rewrite itself is compact's pure-rewrite
+        machinery (era-exact routing, deletes applied on read), so
+        table content is hash-stable across the action and concurrent
+        writers retry as usual.  Selected partitions' EQUALITY entries
+        materialize along the way (the effective read applies both).
+        Returns the new version, or None when no partition crosses the
+        threshold."""
+        for _ in range(_MAX_RETRIES):
+            gen, manifest = self._current()
+            if manifest is None:
+                return None
+            partitions = dict(manifest["partitions"])
+            stats = manifest.get("stats", {})
+            to_fold: set[str] = set()
+            for pk, entries in manifest.get("deletes", {}).items():
+                pos = [d for d in entries if d.get("kind") == "pos"]
+                if not pos:
+                    continue
+                counts = [
+                    stats.get(f, {}).get("__rows", [None])[0]
+                    for f in partitions.get(pk, [])
+                ]
+                if any("rows" not in d for d in pos) or any(
+                    c is None for c in counts
+                ):
+                    to_fold.add(pk)  # unknowable ratio: rewrite
+                    continue
+                n_addr = sum(int(d["rows"]) for d in pos)
+                total = sum(int(c) for c in counts)
+                if total == 0 or n_addr / total >= min_delete_ratio:
+                    to_fold.add(pk)
+            if not to_fold:
+                return None
+            merged = self._effective_df(
+                manifest, pkeys=to_fold, with_file=True
+            )
+            merged = merged.withColumn(
+                _PK_COL, self._src_hex_expr()
+            ).drop(_SRC_COL)
+            batch_dir = uuid.uuid4().hex
+            produced = self._write_partitioned(
+                merged, batch_dir, pk_expr=F.col(_PK_COL)
+            )
+            batch_stats = self._collect_stats_for_batch(batch_dir, produced)
+            new_partitions = dict(partitions)
+            for pkey in to_fold:
+                new_partitions.pop(pkey, None)  # all-deleted: gone
+            for pkey, rel in produced.items():
+                new_partitions[pkey] = [rel]
+            if self._try_commit(
+                gen,
+                manifest,
+                new_partitions,
+                produced,
+                batch_stats,
+                manifest["schema_ddl"],
+                batch_dir,
+                deletes=self._deletes_minus(manifest, to_fold),
+                op="REWRITE POS DELETES",
+            ):
+                return gen + 1
+        raise CommitConflict("manifest-table contention: retries exhausted")
+
     def optimize(
         self,
         sort_by: list[str],

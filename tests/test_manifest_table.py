@@ -2872,6 +2872,64 @@ def should_count_multiplicity_in_content_feed(spark, tmp_path):
     assert [r._change_type for r in dels] == ["delete"] * 4
 
 
+def should_expose_pending_deletes_in_metadata_table(spark, tmp_path):
+    """delete_files_meta lists every PENDING delete entry with its kind,
+    recorded entry count, and applies-to span — driver-built from the
+    manifest alone (the compact-now operational view)."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a", f"x{i}") for i in range(10)]))
+    mt.append(_mk(spark, [(i, "b", f"y{i}") for i in range(4)]))
+    mt.delete_where_pos(F.col("v").isin("x1", "x2", "x3"))
+    mt.delete_where_eq(F.col("v") == "y0")
+    rows = {
+        (r.kind, r.record_count, r.applies_to_count)
+        for r in mt.delete_files_meta().collect()
+    }
+    assert rows == {("pos", 3, 1), ("eq", 1, 1)}
+    # empty on a table with no pending deletes, and after materialization
+    mt.compact(min_files=1)
+    assert mt.delete_files_meta().count() == 0
+    # historical versions answer too (time travel over the view);
+    # the key-granular eq delete recorded id=0's duplicate in BOTH
+    # partitions -> one pos entry + two eq entries
+    assert mt.delete_files_meta(version=4).count() == 3
+
+
+def should_rewrite_pos_deletes_only_past_ratio(spark, tmp_path):
+    """rewrite_position_deletes materializes ONLY partitions whose
+    pending address count crosses min_delete_ratio; light partitions
+    keep riding merge-on-read, and table content is hash-stable across
+    the action (pure rewrite)."""
+    mt = _table(spark, tmp_path)
+    mt.append(
+        _mk(
+            spark,
+            [(i, "a", f"a{i}") for i in range(100)]
+            + [(i, "b", f"b{i}") for i in range(100)],
+        )
+    )
+    # partition a: 10% deleted; partition b: 1% deleted
+    mt.delete_where_pos(
+        (F.col("part") == "a") & (F.col("id") < 10)
+        | ((F.col("part") == "b") & (F.col("id") == 0))
+    )
+    before = sorted((r.id, r.part, r.v) for r in mt.read().collect())
+    v = mt.rewrite_position_deletes(min_delete_ratio=0.05)
+    assert v is not None
+    # content unchanged (the vs22-read hash-stability contract)
+    assert sorted((r.id, r.part, r.v) for r in mt.read().collect()) == before
+    # partition a's entry materialized; partition b's still pending
+    pend = [(r.partition, r.kind) for r in mt.delete_files_meta().collect()]
+    assert len(pend) == 1 and "b" in pend[0][0] and pend[0][1] == "pos"
+    # below-threshold call: nothing crosses 50% -> no-op, no commit
+    assert mt.rewrite_position_deletes(min_delete_ratio=0.5) is None
+    assert mt.current_version() == v
+    # raising the stakes: b crosses at 0.5% -> second targeted rewrite
+    assert mt.rewrite_position_deletes(min_delete_ratio=0.005) == v + 1
+    assert mt.delete_files_meta().count() == 0
+    assert sorted((r.id, r.part, r.v) for r in mt.read().collect()) == before
+
+
 # -- zorder clustering (OPTIMIZE ... ZORDER BY analog) --------------------
 
 

@@ -1444,6 +1444,34 @@ def should_confine_semantic_dedup_pairs_to_clusters_in_sd01(spark, sf_dir):
     assert sum(r.n_removed for r in census) <= len(dd06_dups)
 
 
+def should_resolve_components_on_adversarial_topologies(spark):
+    """_cc_alternating_stars (dd07's engine): exact component-min labels
+    on the shapes that stress star contraction — a long PATH (worst
+    case: log-round convergence, where plain propagation needs
+    O(diameter) rounds), a clique, a star already centered at its max
+    (must re-center at the min), and singleton pairs."""
+    from geospatial_data_lake_spark.operators.dedup import (
+        _cc_alternating_stars,
+    )
+
+    path = [(i, i + 1) for i in range(100, 140)]  # 41-node path
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    star_at_max = [(900, v) for v in range(890, 900)]  # center 900 = max
+    lone = [(7000, 7001)]
+    pairs = spark.createDataFrame(
+        path + clique + star_at_max + lone, "d1 long, d2 long"
+    )
+    got = {
+        r.node: r.label for r in _cc_alternating_stars(pairs).collect()
+    }
+    assert {got[n] for n in range(100, 141)} == {100}
+    assert {got[n] for n in range(5)} == {0}
+    assert {got[n] for n in range(890, 901)} == {890}
+    assert (got[7000], got[7001]) == (7000, 7000)
+    # every edge-bearing node is labeled, nothing extra
+    assert len(got) == 41 + 5 + 11 + 2
+
+
 def should_shuffle_sd01_pair_join_when_corpus_exceeds_budget(spark, sf_dir):
     """sd01's broadcast-budget guard (dd09's discipline): with the
     budget conf squeezed below any real corpus, the pair join must DROP
@@ -1609,8 +1637,15 @@ def should_keep_semdedup_compare_work_linear_when_k_scales(spark, sf_dir):
     by candidate-pair COUNTS (sum over cells of C(n,2)) — the work
     metric itself, no flaky wall-clock: a x10 corpus clustered with
     x10 k must stay within a small factor of 10x the base pair count
-    (cell populations preserved), while FIXED k blows up ~100x."""
-    from geospatial_data_lake_spark.operators.clustering import kmeans_fit
+    (cell populations preserved), while FIXED k blows up ~100x.
+    Extended to the PRODUCTION auto-k path (sd02): the k
+    ``semdedup_auto_k`` derives from the corpus count must land on the
+    same linear envelope — the formula, not just a hand-picked k,
+    carries the contract."""
+    from geospatial_data_lake_spark.operators.clustering import (
+        kmeans_fit,
+        semdedup_auto_k,
+    )
 
     e1 = tables_embeddings(spark, sf_dir)
     e10 = e1
@@ -1632,6 +1667,17 @@ def should_keep_semdedup_compare_work_linear_when_k_scales(spark, sf_dir):
     p10_fixed_k = pair_work(e10, 8)
     assert p10_fixed_k > 30 * p1  # fixed k: quadratic blow-up is real
     assert p10_scaled_k < 30 * p1  # scaled k: ~10x work, far below it
+    # the auto-k FORMULA rides the same envelope: k(N) from the actual
+    # corpus counts must keep x10 pair work within the linear band of
+    # the auto-k base (cell populations ~target on both sides)
+    n1 = e1.count()
+    n10 = 10 * n1
+    pa1 = pair_work(e1, semdedup_auto_k(n1))
+    pa10 = pair_work(e10, semdedup_auto_k(n10))
+    assert semdedup_auto_k(n10) == 10 * semdedup_auto_k(n1) or abs(
+        semdedup_auto_k(n10) - 10 * semdedup_auto_k(n1)
+    ) <= 10  # ceil granularity
+    assert pa10 < 30 * pa1  # auto-k: linear envelope, never quadratic
 
 
 def tables_embeddings(spark, sf_dir):

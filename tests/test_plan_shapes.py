@@ -899,6 +899,17 @@ def should_answer_vs23_metadata_audit_without_any_parquet_scan(spark, registry, 
     assert "Scan parquet" not in plan, plan
 
 
+def should_answer_vs26_delete_files_audit_without_any_parquet_scan(
+    spark, registry, sf_dir
+):
+    # the delete-files inspection (pending-delete entry counts) is
+    # driver-built from the manifest — counts were recorded at
+    # delete-commit time, so the audit plan must contain no parquet
+    # scan at all (the compact-now decision is a catalog read).
+    plan = _plan(spark, registry, "vs26_delete_files_audit", sf_dir)
+    assert "Scan parquet" not in plan, plan
+
+
 def should_broadcast_group_table_for_dd15_election(spark, registry, sf_dir):
     # dd15: the canonical-winner election joins the pair-graph-sized
     # group table into the corpus via BROADCAST (never a corpus
