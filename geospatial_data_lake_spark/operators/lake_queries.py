@@ -2240,6 +2240,65 @@ def vs26_delete_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs27_per_commit_change_feed",
+    # the oracle replays the COMMIT-BY-COMMIT history as pure SQL: v1
+    # appends every event_id % 3 < 2 row, v2's positional delete
+    # removes that batch's cheap clicks, v3 appends the rest.  Unlike
+    # vs25's net two-endpoint feed, the mid-span lifecycle is visible
+    # per version — any drift in the per-commit span walk, the
+    # rewrite-skip rule, or the version stamping breaks the hash.
+    oracle="""
+        WITH feed AS (
+            SELECT 1 AS _commit_version, 'insert' AS _change_type,
+                   event_type, value
+            FROM events WHERE event_id % 3 < 2
+            UNION ALL
+            SELECT 2, 'delete', event_type, value
+            FROM events
+            WHERE event_id % 3 < 2
+              AND event_type = 'click' AND value < 50.0
+            UNION ALL
+            SELECT 3, 'insert', event_type, value
+            FROM events WHERE event_id % 3 = 2
+        )
+        SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
+               _change_type, event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(value), 4) AS sum_value
+        FROM feed
+        GROUP BY _commit_version, _change_type, event_type
+    """,
+    tags=("lake", "manifest", "cdc", "pos-delete"),
+)
+def vs27_per_commit_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COMMIT CDC — Delta CDF's ``_commit_version`` contract over
+    the duplicate-key event log: ``changes_per_commit`` walks the
+    commit span, derives each version's own change set (content-mode
+    multiset diffs — the key-free classification duplicate-key tables
+    need), stamps it with the version, and unions.  A consumer
+    replaying history commit-by-commit (event sourcing, audit trails)
+    sees the append -> positional-delete -> append lifecycle as three
+    distinct stamped change sets, where vs25's net feed collapses the
+    endpoints.  Pure-rewrite commits are skipped by their operation
+    label before any data is read — Iceberg's REPLACE-snapshot rule.
+
+    Scale shape: cost is the SUM of per-commit changed partitions
+    (each span reads only partitions whose file lists moved at that
+    version), never O(table x span); the per-span multiset diff
+    shuffles on distinct physical rows.  Ref analog: the import-status
+    view replaying Step Function state transitions in arrival order
+    (backend/import_status/get.py:39-94)."""
+    mt = _build_posdel_lake(spark, sf_dir)
+    feed = mt.changes_per_commit(0, mt.current_version(), mode="content")
+    return feed.groupBy(
+        "_commit_version", "_change_type", "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
     "vs23_files_metadata_audit",
     # the oracle recomputes what the METADATA must add up to from the
     # raw fixture: per-priority row counts and exact o_totalprice

@@ -69,7 +69,8 @@ _LOADED = False
 # never-driver-checked queries move up.  Cumulative driver-green
 # entering r13: ALL 236 then-registered queries (every entry
 # driver-green at sf0.01 in some round r2-r12; zero rows-only, zero
-# waivers); r13 adds vs25/vs26/sd02 (first driver check this round).  The
+# waivers); r13 adds vs25/vs26/vs27/sd02 (first driver check this
+# round).  The
 # prefix is documented inline below.  Everything not listed keeps its
 # registration order after the prioritized prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
@@ -81,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "vs25_posdelete_change_feed",
     "vs26_delete_files_audit",
     "sd02_semantic_dedup_autok",
+    "vs27_per_commit_change_feed",
     "vs22_positional_delete_read",
     "vs10_equality_delete_feed",
     "vs18_cdc_replication_read",

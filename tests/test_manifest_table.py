@@ -2859,6 +2859,47 @@ def should_emit_empty_content_feed_across_pure_rewrite(spark, tmp_path):
     assert feed == [("delete", 7, "v7")]
 
 
+def should_stamp_and_skip_commits_in_per_commit_feed(spark, tmp_path):
+    """changes_per_commit: each commit's change set carries its
+    _commit_version; pure-rewrite commits (optimize) are SKIPPED by
+    label; a row deleted mid-span appears in its deleting commit even
+    though the NET endpoint diff would also show it — and a deleted+
+    re-inserted row appears in BOTH commits, which the net feed
+    collapses."""
+    import pytest
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(i, "a", f"x{i}") for i in range(4)]))  # v1
+    mt.delete_where_pos(F.col("v") == "x2")  # v2
+    mt.optimize(sort_by=["id"], target_files=2)  # v3: pure rewrite
+    mt.append(_mk(spark, [(2, "a", "x2")]))  # v4: re-insert same content
+    feed = sorted(
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in mt.changes_per_commit(0, 4, mode="content").collect()
+    )
+    assert feed == [
+        (1, "insert", 0, "x0"),
+        (1, "insert", 1, "x1"),
+        (1, "insert", 2, "x2"),
+        (1, "insert", 3, "x3"),
+        (2, "delete", 2, "x2"),
+        (4, "insert", 2, "x2"),
+    ]
+    # the optimize-only sub-span is empty WITHOUT reading any data
+    # (skipped by label), and an empty span raises
+    assert mt.changes_per_commit(2, 3).count() == 0
+    with pytest.raises(ValueError, match="empty per-commit span"):
+        mt.changes_per_commit(3, 3)
+    # the net feed over the same span collapses the delete+reinsert
+    net = mt.changes(0, 4)
+    assert sorted((r._change_type, r.id, r.v) for r in net.collect()) == [
+        ("insert", 0, "x0"),
+        ("insert", 1, "x1"),
+        ("insert", 2, "x2"),
+        ("insert", 3, "x3"),
+    ]
+
+
 def should_count_multiplicity_in_content_feed(spark, tmp_path):
     """Content-mode CDC is a MULTISET diff: identical physical rows
     diff by count, emitting one feed row per net occurrence."""

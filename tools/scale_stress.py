@@ -135,6 +135,7 @@ HEAVY: dict[str, tuple[str | None, str]] = {
         "lake"),
     "dd15_canonical_dedup_decision": (
         "should_broadcast_group_table_for_dd15_election", "dedup"),
+    "dd07_duplicate_groups": (None, "dedup"),
     "vs24_timestamp_pruned_read": (
         "should_prune_vs24_window_to_intersecting_time_slices", "lake"),
 }
