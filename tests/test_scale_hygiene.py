@@ -43,8 +43,10 @@ COLLECT_ALLOWLIST = {
     "operators/ordinal.py": 1,      # per-partition offsets, O(partitions)
     "operators/similarity.py": 1,   # k seed vectors, model-sized
     "layout.py": 1,                 # z-order range bounds, O(files)
-    "sources/manifest_table.py": 9, # manifest metadata: O(files/partitions);
-                                    # + zorder bounds agg, 2 x cols scalars
+    "sources/manifest_table.py": 10, # manifest metadata: O(files/partitions);
+                                    # + zorder bounds agg, 2 x cols scalars;
+                                    # + delete-entry count read-back,
+                                    #   O(touched partitions) rows
     "sources/lake_binding.py": 2,   # binding smoke probes, limit-1
     "sources/sinks.py": 3,          # upsert key sets, O(batch keys)
 }

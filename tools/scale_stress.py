@@ -136,6 +136,11 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "dd15_canonical_dedup_decision": (
         "should_broadcast_group_table_for_dd15_election", "dedup"),
     "dd07_duplicate_groups": (None, "dedup"),
+    "vs25_posdelete_change_feed": (None, "lake"),
+    "vs26_delete_files_audit": (
+        "should_answer_vs26_delete_files_audit_without_any_parquet_scan",
+        "lake"),
+    "vs27_per_commit_change_feed": (None, "lake"),
     "vs24_timestamp_pruned_read": (
         "should_prune_vs24_window_to_intersecting_time_slices", "lake"),
 }
