@@ -147,7 +147,19 @@ def main() -> None:
         max(calib_start, calib_end) / max(min(calib_start, calib_end), 1e-9),
         3,
     )
-    contended = drift > _CALIBRATION_DRIFT_LIMIT
+    # Per-query spread sentinel: a start/end calibration probe misses
+    # contention windows that open MID-run, but those windows leave a
+    # signature inside the query's own raw triple — a >3x max/min
+    # spread on a >=1 s query is a flagged measurement, not a plan
+    # property.  The median already absorbs one bad run; the suspect
+    # list tells the reader which medians may still be inflated (two
+    # bad runs out of three).
+    suspects = sorted(
+        name
+        for name, runs in raw_runs.items()
+        if max(runs) >= 1.0 and max(runs) / max(min(runs), 1e-9) > 3.0
+    )
+    contended = drift > _CALIBRATION_DRIFT_LIMIT or bool(suspects)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -182,11 +194,13 @@ def main() -> None:
                 "sf": sf_val,
                 # host-contention sentinel: True means the fixed-cost
                 # calibration probe drifted >limit between the start and
-                # end of this run — treat per-query deltas as suspect
-                # and re-measure on a quiet box before calling them
+                # end of this run OR some query's raw triple spread >3x
+                # — treat those per-query values as suspect and
+                # re-measure on a quiet box before calling them
                 # regressions (see BENCHNOTES.md).
                 "contended": contended,
                 "calibration_drift": drift,
+                "suspects": suspects,
             }
         )
     )
