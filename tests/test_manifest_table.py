@@ -2900,6 +2900,25 @@ def should_stamp_and_skip_commits_in_per_commit_feed(spark, tmp_path):
     ]
 
 
+def should_content_diff_across_schema_evolution(spark, tmp_path):
+    """Content-mode CDC across a column-adding schema evolution: the
+    old side's missing column aligns as typed-NULL and the full-row
+    multiset join still classifies exactly (pre-evolution rows carry
+    NULL for the new column in their delete/insert images)."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))  # v1: pre-evolution
+    mt.append(
+        spark.createDataFrame(
+            [(2, "a", "y", 9.5)], "id long, part string, v string, score double"
+        )
+    )  # v2: adds score
+    mt.delete_where_pos(F.col("v") == "x")  # v3 -> auto routes to content
+    feed = sorted(
+        (r._change_type, r.id, r.v, r.score) for r in mt.changes(1, 3).collect()
+    )
+    assert feed == [("delete", 1, "x", None), ("insert", 2, "y", 9.5)]
+
+
 def should_count_multiplicity_in_content_feed(spark, tmp_path):
     """Content-mode CDC is a MULTISET diff: identical physical rows
     diff by count, emitting one feed row per net occurrence."""

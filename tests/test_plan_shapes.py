@@ -899,6 +899,19 @@ def should_answer_vs23_metadata_audit_without_any_parquet_scan(spark, registry, 
     assert "Scan parquet" not in plan, plan
 
 
+def should_join_content_diff_on_full_row_never_cartesian(
+    spark, registry, sf_dir
+):
+    # vs25's content-mode CDC: the multiset diff must join the two
+    # sides on the FULL-ROW null-safe equi-key — duplicate keys in the
+    # event log must never degrade it to a cartesian or a nested-loop
+    # replication (the failure shape key-diff CDC had over this table).
+    for name in ("vs25_posdelete_change_feed", "vs27_per_commit_change_feed"):
+        plan = _plan(spark, registry, name, sf_dir)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def should_answer_vs26_delete_files_audit_without_any_parquet_scan(
     spark, registry, sf_dir
 ):
