@@ -83,6 +83,36 @@ _SRC_COL = "__mt_src_file"
 # <batch>/<__mt_pk=HEX>/[__mt_bkt=N/]part-*.parquet), which IS unique.
 _POSF_COL = "__mt_posf"  # root-relative _metadata.file_path, at scan
 _POSI_COL = "__mt_posi"  # _metadata.row_index, materialized at scan
+# Address-format stamp written on every positional-delete entry.  An
+# entry WITHOUT it predates root-relative addressing (basename era):
+# its recorded addresses can no longer match the current scan
+# expression, so applying it would silently RESURRECT deleted rows —
+# readers raise instead (see ``_effective_df``).
+_POS_ADDR_FORMAT = "relpath"
+
+# Content-mode CDC emits net occurrences through a two-level chunked
+# explode; no in-memory array at either level exceeds
+# max(_OCC_CHUNK, ceil(multiplicity / _OCC_CHUNK)) elements.
+_OCC_CHUNK = 100_000
+
+# changes_per_commit() eagerly localCheckpoints its accumulated union
+# every this-many commits: the optimizer never sees more than one
+# chunk of per-commit sub-plans plus one LogicalRDD, so a
+# thousand-commit replay costs O(span) data work (unavoidable — it IS
+# the history) but O(chunk) plan work per step, never an O(span) DAG.
+_PER_COMMIT_CHUNK = 32
+
+
+def _has_map_type(dt) -> bool:
+    """True when ``dt`` is or contains a MapType (maps are not
+    groupable/joinable/orderable in Spark at any nesting depth)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_map_type(f.dataType) for f in dt.fields)
+    return False
 
 # Column types whose min/max stats are recorded (atomic, orderable, and
 # JSON-round-trippable without precision or timezone ambiguity).
@@ -524,17 +554,33 @@ class ManifestTable:
         prefix absent — would take an unexpected URI rendering) keeps
         the stripped path; both the writer (``delete_where_pos``) and
         the reader (``_effective_df``) evaluate THIS expression over
-        the same root, so addresses stay consistent either way."""
-        root = os.path.abspath(self._data).rstrip("/") + "/"
+        the same root, so addresses stay consistent either way.
+
+        Spark's file index may render the SYMLINK-RESOLVED path
+        (``os.path.realpath``) rather than the ``abspath`` the table was
+        opened through, so both roots are tested before falling back —
+        the fallback records scheme-stripped ABSOLUTE paths, which stay
+        self-consistent within one root but break the 'tables relocate
+        wholesale' property for pos-delete addresses (a moved table's
+        deleted rows would resurface), so it must stay unreachable for
+        any URI rendering Spark actually produces."""
         path = F.regexp_replace(
             F.col("_metadata.file_path"),
             r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?",
             "",
         )
-        return F.when(
-            path.startswith(root),
-            F.substring(path, len(root) + 1, 2147483647),
-        ).otherwise(path)
+        roots = {os.path.abspath(self._data), os.path.realpath(self._data)}
+        expr = None
+        for r in sorted(roots):
+            root = r.rstrip("/") + "/"
+            clause = (
+                path.startswith(root),
+                F.substring(path, len(root) + 1, 2147483647),
+            )
+            expr = (
+                F.when(*clause) if expr is None else expr.when(*clause)
+            )
+        return expr.otherwise(path)
 
     def _holding_pkeys(self, df: DataFrame) -> set[str]:
         """Manifest partition keys of ``df``'s rows, decoded from each
@@ -1180,6 +1226,26 @@ class ManifestTable:
             for entries in dmap.values()
             for d in entries
         }
+        # address-format guard: a pending pos entry without the
+        # relative-path stamp recorded BASENAME addresses, which the
+        # current scan expression can never match — applying it would
+        # silently resurrect its deleted rows, so raise instead
+        stale_addr = sorted(
+            d["file"]
+            for entries in dmap.values()
+            for d in entries
+            if d.get("kind") == "pos" and d.get("addr") != _POS_ADDR_FORMAT
+        )
+        if stale_addr:
+            raise ValidationError(
+                "pending positional-delete file(s) predate root-relative "
+                f"addressing (no addr={_POS_ADDR_FORMAT!r} stamp): "
+                f"{stale_addr}.  Their basename addresses no longer match "
+                "the scan's address expression, so applying them would "
+                "silently resurrect deleted rows.  Materialize the "
+                "deletes with the WRITING code version (optimize / "
+                "rewrite_position_deletes) before upgrading."
+            )
         groups: dict[tuple, list[str]] = {}
         for pk, files in parts.items():
             if pkeys is not None and pk not in pkeys:
@@ -1449,7 +1515,17 @@ class ManifestTable:
         pos-delete that a later rewrite MATERIALIZED mid-span — gone
         from both endpoint manifests, rows gone all the same).  The
         walk is O(span) tiny JSON loads on the driver, bounded by
-        retention."""
+        retention.
+
+        A mid-span manifest that cannot be loaded (GC'd by
+        ``expire_snapshots`` while both endpoints survive, e.g. tagged
+        endpoints with expired interior) is treated as UNKNOWN -> True:
+        the expired commit could have been a ``DELETE POS`` over a
+        duplicate-key table, and guessing "no" would silently re-enable
+        key-diff — the cross-join this detector exists to prevent.
+        Content mode is correct (merely update-free) on key-unique
+        tables, so the conservative answer costs classification detail,
+        never soundness."""
         for m in (m_from, m_to):
             for entries in m.get("deletes", {}).values():
                 if any(d.get("kind") == "pos" for d in entries):
@@ -1459,7 +1535,7 @@ class ManifestTable:
                 if self._load_manifest(v).get("op") == "DELETE POS":
                     return True
             except NotFoundError:
-                continue  # GC'd mid-span manifest (pre-retention tag)
+                return True  # GC'd mid-span commit: kind unknowable
         return False
 
     def changes(
@@ -1533,10 +1609,11 @@ class ManifestTable:
                 raise ValueError(
                     "key-diff CDC is undefined over this span: it "
                     "involves positional deletes (the duplicate-key "
-                    "table shape), and a key diff over duplicate keys "
-                    "cross-joins.  Use mode='content' (or the default "
-                    "mode='auto', which selects it) for the multiset "
-                    "change feed."
+                    "table shape) — or contains a GC'd commit whose "
+                    "kind is unknowable — and a key diff over "
+                    "duplicate keys cross-joins.  Use mode='content' "
+                    "(or the default mode='auto', which selects it) "
+                    "for the multiset change feed."
                 )
             mode = "content" if pos_span else "key"
         if mode == "content" and preimage:
@@ -1607,25 +1684,81 @@ class ManifestTable:
         row, emit each net occurrence with its ``_change_type``.  The
         per-side aggregation is partial (map-side combine), the join
         keys are distinct physical rows (uniform hash — no skew), and a
-        pure rewrite diffs to empty by construction."""
-        oc = (
-            old.groupBy(*all_cols)
-            .agg(F.count(F.lit(1)).alias("__oc"))
-            .alias("__o_side")
-        )
-        nc = (
-            new.groupBy(*all_cols)
-            .agg(F.count(F.lit(1)).alias("__nc"))
-            .alias("__n_side")
-        )
+        pure rewrite diffs to empty by construction.
+
+        MAP-typed columns are not groupable or joinable in Spark (map
+        equality is order-ambiguous), so each top-level map column is
+        canonicalized — entries sorted by key, rendered ``to_json`` —
+        and the CANONICAL STRING serves as that column's group/join
+        key, while the original map value rides along via ``first()``
+        (any member of a group is the same logical map).  A map nested
+        BELOW the top level (inside a struct/array, or as a map value)
+        has no canonical ordering Spark can construct declaratively, so
+        that raises a clear error instead of Spark's opaque grouping
+        AnalysisException.
+
+        Net occurrences are emitted via a TWO-LEVEL chunked explode
+        (``_OCC_CHUNK`` rows per chunk) so a row with huge multiplicity
+        (millions of identical event rows deleted at once) never
+        materializes one multi-million-element in-memory array in a
+        single row — the largest array either level builds is
+        ``max(_OCC_CHUNK, ceil(|delta| / _OCC_CHUNK))`` elements."""
+        canon: set[str] = set()
+        for c in all_cols:
+            for side in (old, new):
+                dt = side.schema[c].dataType
+                if not _has_map_type(dt):
+                    continue
+                if (
+                    isinstance(dt, T.MapType)
+                    and not _has_map_type(dt.keyType)
+                    and not _has_map_type(dt.valueType)
+                ):
+                    canon.add(c)
+                    continue
+                raise ValidationError(
+                    f"content-mode CDC cannot diff column {c!r}: its "
+                    f"type ({dt.simpleString()}) nests a map below the "
+                    "top level, and nested maps have no canonical "
+                    "ordering to group or join on.  Restructure the "
+                    "column (top-level map, or struct/array of "
+                    "orderable types) or diff on a projection."
+                )
+
+        def _ck(c: str) -> str:
+            return f"__ck_{c}"
+
+        def _grouped(df: DataFrame, cnt: str) -> DataFrame:
+            gcols = [
+                # sorted-entry JSON: a canonical, orderable rendering of
+                # the map's logical (unordered) content
+                F.to_json(
+                    F.map_from_entries(F.array_sort(F.map_entries(F.col(c))))
+                ).alias(_ck(c))
+                if c in canon
+                else F.col(c)
+                for c in all_cols
+            ]
+            aggs = [F.count(F.lit(1)).alias(cnt)] + [
+                F.first(F.col(c)).alias(c) for c in canon
+            ]
+            return df.groupBy(*gcols).agg(*aggs)
+
+        oc = _grouped(old, "__oc").alias("__o_side")
+        nc = _grouped(new, "__nc").alias("__n_side")
         cond = F.lit(True)
         for c in all_cols:
-            cond = cond & F.col(f"__o_side.{c}").eqNullSafe(
-                F.col(f"__n_side.{c}")
+            k = _ck(c) if c in canon else c
+            cond = cond & F.col(f"__o_side.{k}").eqNullSafe(
+                F.col(f"__n_side.{k}")
             )
         delta = F.coalesce(F.col("__n_side.__nc"), F.lit(0)) - F.coalesce(
             F.col("__o_side.__oc"), F.lit(0)
         )
+        chunks = F.ceil(F.col("__abs") / F.lit(_OCC_CHUNK)).cast("long")
+        chunk_rows = F.when(
+            F.col("__chunk") < chunks, F.lit(_OCC_CHUNK).cast("long")
+        ).otherwise(F.col("__abs") - (chunks - F.lit(1)) * F.lit(_OCC_CHUNK))
         return (
             oc.join(nc, cond, "full_outer")
             .withColumn("__delta", delta)
@@ -1642,8 +1775,21 @@ class ManifestTable:
                 F.when(F.col("__delta") > 0, F.lit("insert"))
                 .otherwise(F.lit("delete"))
                 .alias("_change_type"),
+                F.abs(F.col("__delta")).cast("long").alias("__abs"),
+            )
+            .select(
+                *all_cols,
+                "_change_type",
+                "__abs",
                 F.explode(
-                    F.sequence(F.lit(1), F.abs(F.col("__delta")))
+                    F.sequence(F.lit(1).cast("long"), chunks)
+                ).alias("__chunk"),
+            )
+            .select(
+                *all_cols,
+                "_change_type",
+                F.explode(
+                    F.sequence(F.lit(1).cast("long"), chunk_rows)
                 ).alias("__occ"),
             )
             .drop("__occ")
@@ -1670,7 +1816,16 @@ class ManifestTable:
         ``mode`` routes each span like ``changes`` (auto picks content
         diff on pos-delete spans); preimage rows are not emitted (net
         per-commit upserts surface as delete+insert under content mode,
-        update_postimage under key mode)."""
+        update_postimage under key mode).
+
+        Long histories: the accumulated union eagerly
+        ``localCheckpoint``s every ``_PER_COMMIT_CHUNK`` commits, so the
+        optimizer's input is always one chunk of per-commit sub-plans
+        plus one materialized LogicalRDD — a thousand-commit replay
+        never builds an O(span) lazy DAG.  The tradeoff is that a
+        > ``_PER_COMMIT_CHUNK``-commit call does part of its work
+        EAGERLY (at call time, chunk by chunk) instead of all at first
+        action; short spans are unaffected."""
         if to_version <= from_version:
             raise ValueError(
                 f"empty per-commit span ({from_version}, {to_version}]"
@@ -1686,6 +1841,7 @@ class ManifestTable:
             "EVOLVE SPEC",
         }
         out = None
+        pending = 0  # sub-plans unioned since the last checkpoint
         for v in range(max(from_version, 0) + 1, to_version + 1):
             if self._load_manifest(v).get("op") in _NO_DATA_OPS:
                 continue
@@ -1693,6 +1849,12 @@ class ManifestTable:
                 "_commit_version", F.lit(v).cast("long")
             )
             out = span if out is None else out.unionByName(span)
+            pending += 1
+            if pending >= _PER_COMMIT_CHUNK:
+                # bound the lazy DAG: materialize the chunk, carry a
+                # LogicalRDD forward (see docstring)
+                out = out.localCheckpoint(eager=True)
+                pending = 0
         if out is None:  # every commit in span was a pure rewrite
             m = self._load_manifest(to_version)
             schema = T.StructType(
@@ -2577,6 +2739,7 @@ class ManifestTable:
                         "applies_to": applies,
                         "kind": "pos",
                         "rows": n_addr.get(rel.rsplit("=", 1)[1], 0),
+                        "addr": _POS_ADDR_FORMAT,
                     }
                 )
             if self._try_commit(

@@ -3282,3 +3282,212 @@ def should_label_every_commit_with_its_operation(spark, tmp_path):
     ]
     sm = {r.version: r.operation for r in mt.snapshots_meta().collect()}
     assert sm[1] == "APPEND" and sm[6] == "RESTORE"
+
+
+def _manifest_file(root, gen):
+    """Disk path of version ``gen``'s manifest document (test-only:
+    emulating retention GC / hand-editing entries)."""
+    import glob
+    import os
+
+    return glob.glob(
+        os.path.join(str(root), "manifests", f"{gen:020d}-*.json")
+    )[0]
+
+
+def should_content_diff_map_typed_columns(spark, tmp_path):
+    """Content-mode CDC over a table carrying a MAP column (the
+    survey's ``details map<string,string>`` shape): maps are not
+    groupable/joinable in Spark, so the diff canonicalizes them
+    (sorted-entry JSON) for the group/join key while the original map
+    rides through to the feed — and two maps with the same content in
+    different insertion order are the SAME row, never a false
+    delete+insert pair.  A map nested below the top level has no
+    canonical ordering, so that raises a clear error instead of
+    Spark's opaque grouping AnalysisException."""
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(
+        spark.createDataFrame(
+            [
+                (1, "a", "x", {"k1": "v1", "k2": "v2"}),
+                (2, "a", "y", {"k2": "v2", "k1": "v1"}),
+                (3, "a", "z", None),
+            ],
+            "id long, part string, v string, details map<string,string>",
+        )
+    )  # v1
+    mt.delete_where_pos(F.col("v") == "x")  # v2 -> auto routes to content
+    feed = [
+        (r._change_type, r.id, dict(r.details))
+        for r in mt.changes(1, 2).collect()
+    ]
+    assert feed == [("delete", 1, {"k1": "v1", "k2": "v2"})]
+    # same logical map content, different insertion order across
+    # versions: NOT a change (canonicalization is order-insensitive)
+    mt2 = ManifestTable(
+        spark, str(tmp_path / "m2"), key_cols=["id"], partition_by=["part"]
+    )
+    mt2.append(
+        spark.createDataFrame(
+            [(1, "a", {"k1": "v1", "k2": "v2"})],
+            "id long, part string, d map<string,string>",
+        )
+    )
+    mt2.append(
+        spark.createDataFrame(
+            [(9, "a", {"zz": "1"})], "id long, part string, d map<string,string>"
+        )
+    )
+    assert sorted(
+        (r._change_type, r.id)
+        for r in mt2.changes(1, 2, mode="content").collect()
+    ) == [("insert", 9)]
+    # nested map: clear, early error
+    mt3 = ManifestTable(
+        spark, str(tmp_path / "m3"), key_cols=["id"], partition_by=["part"]
+    )
+    nested = "id long, part string, s struct<m:map<string,string>>"
+    mt3.append(spark.createDataFrame([(1, "a", ({"k": "v"},))], nested))
+    mt3.append(spark.createDataFrame([(2, "a", ({"k": "v"},))], nested))
+    with pytest.raises(ValidationError, match="nests a map"):
+        mt3.changes(1, 2, mode="content")
+
+
+def should_chunk_large_multiplicity_occurrences(spark, tmp_path, monkeypatch):
+    """The content diff emits net occurrences through a TWO-LEVEL
+    chunked explode so a row with huge multiplicity never builds one
+    multi-million-element array in a single row.  Pinned by shrinking
+    the chunk size: a 23-deep duplicate with chunk=7 must cross chunk
+    boundaries (4 chunks: 7+7+7+2) and still emit exactly 23 rows."""
+    from geospatial_data_lake_spark.sources import manifest_table as mtmod
+
+    monkeypatch.setattr(mtmod, "_OCC_CHUNK", 7)
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "dup")] * 23))  # v1
+    mt.delete_where_pos(F.col("id") == 1)  # v2
+    dels = mt.changes(1, 2).collect()
+    assert len(dels) == 23
+    assert {r._change_type for r in dels} == {"delete"}
+    assert {(r.id, r.v) for r in dels} == {(1, "dup")}
+
+
+def should_treat_gcd_midspan_manifest_as_unknown(spark, tmp_path):
+    """A mid-span manifest that retention GC removed (tagged endpoints
+    can outlive interior versions) makes the span's delete kinds
+    UNKNOWABLE: the expired commit could have been a DELETE POS over a
+    duplicate-key table, so mode='key' must RAISE (never silently
+    key-diff a possibly-duplicate-keyed span) and mode='auto' must
+    route to the content diff — which stays correct either way."""
+    import os
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))  # v1
+    mt.append(_mk(spark, [(2, "a", "y")]))  # v2 (to be GC'd)
+    mt.append(_mk(spark, [(3, "a", "z")]))  # v3
+    os.remove(_manifest_file(tmp_path / "mt", 2))
+    with pytest.raises(ValueError, match="GC'd commit"):
+        mt.changes(1, 3, mode="key")
+    feed = sorted(
+        (r._change_type, r.id) for r in mt.changes(1, 3).collect()
+    )
+    assert feed == [("insert", 2), ("insert", 3)]
+
+
+def should_reject_stale_pos_delete_address_format(spark, tmp_path):
+    """Address-format guard: a pending positional-delete entry WITHOUT
+    the relative-path stamp (``addr``) predates root-relative
+    addressing — its recorded basename addresses can no longer match
+    the scan's address expression, so applying it would silently
+    RESURRECT deleted rows.  Reads must raise instead."""
+    import json
+
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x"), (2, "a", "y")]))  # v1
+    mt.delete_where_pos(F.col("v") == "x")  # v2: stamped entry
+    assert {r.id for r in mt.read().collect()} == {2}
+    # strip the stamp in place — emulating a table written by the
+    # pre-relative-address code version
+    mpath = _manifest_file(tmp_path / "mt", 2)
+    with open(mpath) as fh:
+        m = json.load(fh)
+    for entries in m["deletes"].values():
+        for d in entries:
+            d.pop("addr", None)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValidationError, match="predate root-relative"):
+        mt.read().collect()
+
+
+def should_bound_per_commit_plan_over_long_history(spark, tmp_path):
+    """A long-history ``changes_per_commit`` replay (101 data commits)
+    completes with a BOUNDED lazy plan: the accumulated union is
+    eagerly localCheckpoint'ed every ``_PER_COMMIT_CHUNK`` commits, so
+    the optimizer's input is one materialized LogicalRDD plus at most
+    one chunk of per-commit sub-plans — never an O(span) DAG."""
+    mt = _table(spark, tmp_path, keep_versions=200)
+    for i in range(101):
+        mt.append(_mk(spark, [(i, "a", f"x{i}")]))
+    pc = mt.changes_per_commit(0, 101)
+    plan = pc._jdf.queryExecution().analyzed().toString()
+    # exactly one checkpoint RDD carries the first 96 commits; the
+    # trailing <chunk uncheckpointed commits are the only sub-plans left
+    assert plan.count("LogicalRDD") == 1
+    rows = pc.collect()
+    assert len(rows) == 101
+    assert {r._change_type for r in rows} == {"insert"}
+    assert sorted(r._commit_version for r in rows) == list(range(1, 102))
+
+
+def should_record_relative_addresses_through_symlinked_root(spark, tmp_path):
+    """Pos-delete addresses stay ROOT-RELATIVE when the table is opened
+    through a symlink: Spark's file index may render the
+    symlink-RESOLVED (realpath) URI while the handle holds the abspath,
+    and a mismatch would silently record absolute addresses — breaking
+    the 'tables relocate wholesale' property (deleted rows resurface
+    after a move).  The address expression tests both roots."""
+    import json
+    import os
+
+    real_root = tmp_path / "realdir"
+    real_root.mkdir()
+    link_root = tmp_path / "linkdir"
+    os.symlink(str(real_root), str(link_root))
+    mt = ManifestTable(
+        spark,
+        str(link_root / "mt"),
+        key_cols=["id"],
+        partition_by=["part"],
+    )
+    mt.append(_mk(spark, [(1, "a", "x"), (2, "a", "y"), (3, "a", "z")]))
+    mt.delete_where_pos(F.col("v") == "y")
+    with open(_manifest_file(real_root / "mt", 2)) as fh:
+        m = json.load(fh)
+    posfiles = [
+        d["file"] for entries in m["deletes"].values() for d in entries
+    ]
+    addrs = [
+        r["__file"]
+        for r in spark.read.parquet(
+            *[str(real_root / "mt" / "data" / f) for f in posfiles]
+        )
+        .select("__file")
+        .collect()
+    ]
+    assert addrs and all(not a.startswith("/") for a in addrs), addrs
+    # and the delete is effective through BOTH the link and the real path
+    assert sorted((r.id, r.v) for r in mt.read().collect()) == [
+        (1, "x"),
+        (3, "z"),
+    ]
+    direct = ManifestTable(
+        spark, str(real_root / "mt"), key_cols=["id"], partition_by=["part"]
+    )
+    assert sorted((r.id, r.v) for r in direct.read().collect()) == [
+        (1, "x"),
+        (3, "z"),
+    ]
