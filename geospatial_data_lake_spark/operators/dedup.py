@@ -674,6 +674,67 @@ def dd07_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind an EAGER
+    ``localCheckpoint`` result (a ``LogicalRDD`` plan node wrapping the
+    persisted internal RDD).  Only call this once nothing will read the
+    DataFrame again — a local checkpoint is lineage-truncating, so its
+    blocks cannot be recomputed.  Best-effort: any failure (plan shape
+    drift across Spark versions, a stopped context) degrades to keeping
+    the blocks, never to an error — exactly the pre-hygiene behavior."""
+    try:
+        # blocking removal: deterministic block-manager accounting (a
+        # non-blocking unpersist leaves a window where the blocks still
+        # count against the session); the wait is a driver RPC per
+        # freed round — microseconds against a multi-second round
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass
+
+
+def _verify_component_labels(orig: DataFrame, labels: DataFrame) -> None:
+    """Exactness gate for a connected-components labeling: every
+    original edge's endpoints must BOTH be labeled and share a label,
+    and the labeled node set must be exactly the edge-endpoint set.
+    LEFT joins + null checks — an endpoint MISSING from the label set
+    fails the gate instead of silently dropping its edges from the
+    check (an inner join would); the cardinality assert additionally
+    rejects phantom labeled nodes.  Raises on any violation — the gate
+    can never bless a wrong labeling by omission."""
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    bad = (
+        orig.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .filter(
+            F.col("la").isNull()
+            | F.col("lb").isNull()
+            | (F.col("la") != F.col("lb"))
+        )
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"connected-components verification failed: {bad} original "
+            "edges have unlabeled or label-mismatched endpoints "
+            "(unconverged contraction, or nodes dropped from the "
+            "labeling?)"
+        )
+    n_nodes = (
+        orig.select(F.col("a").alias("n"))
+        .unionByName(orig.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    n_labeled = labels.count()
+    if n_nodes != n_labeled:
+        raise RuntimeError(
+            "connected-components verification failed: labeling covers "
+            f"{n_labeled} nodes but the edge set has {n_nodes} distinct "
+            "endpoints"
+        )
+
+
 def _cc_alternating_stars(
     pairs: DataFrame, max_rounds: int = 25
 ) -> DataFrame:
@@ -752,7 +813,7 @@ def _cc_alternating_stars(
                 m2.select(F.col("u").alias("x"), F.col("m").alias("y"))
             )
         )
-        und = (
+        new_und = (
             ss.select(
                 F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
             )
@@ -761,6 +822,13 @@ def _cc_alternating_stars(
             .repartition(8, "a")
             .localCheckpoint(eager=True)
         )
+        # the superseded round's checkpoint blocks are dead the moment
+        # the next round is eagerly materialized — free them so a long
+        # session of repeated runs doesn't accumulate block-manager
+        # state (orig is round 0: still needed by the exactness gate)
+        if und is not orig:
+            _free_checkpoint(und)
+        und = new_und
         sig_row = und.agg(
             F.count(F.lit(1)).alias("n"),
             # xor-fold of per-edge hashes: order-independent and
@@ -790,25 +858,16 @@ def _cc_alternating_stars(
         .localCheckpoint(eager=True)
     )
     # exactness gate over the ORIGINAL edges: every edge's endpoints
-    # must share a label (uniformity ⇒ component-min labeling; see
-    # docstring).  One O(|edges|) join — loud failure, never silence.
-    la = labels.select(
-        F.col("node").alias("a"), F.col("label").alias("la")
-    )
-    lb = labels.select(
-        F.col("node").alias("b"), F.col("label").alias("lb")
-    )
-    bad = (
-        orig.join(la, "a")
-        .join(lb, "b")
-        .filter(F.col("la") != F.col("lb"))
-        .count()
-    )
-    if bad:
-        raise RuntimeError(
-            f"connected-components verification failed: {bad} original "
-            "edges span two labels (unconverged contraction?)"
-        )
+    # must be labeled and share a label (uniformity ⇒ component-min
+    # labeling; see docstring), and the labeled node set must equal the
+    # endpoint set.  LEFT joins + null checks + cardinality — loud
+    # failure, never silence (see _verify_component_labels).
+    _verify_component_labels(orig, labels)
+    # everything but the returned labels is dead now: free the final
+    # round's contraction and the round-0 original edges
+    if und is not orig:
+        _free_checkpoint(und)
+    _free_checkpoint(orig)
     return labels
 
 

@@ -67,29 +67,79 @@ _LOADED = False
 # driver-green at sf0.01 in a prior round step aside (keeping canaries
 # per family so a regression is still externally visible) and
 # never-driver-checked queries move up.  Cumulative driver-green
-# entering r13: ALL 236 then-registered queries (every entry
-# driver-green at sf0.01 in some round r2-r12; zero rows-only, zero
-# waivers); r13 adds vs25/vs26/vs27/sd02 (first driver check this
-# round).  The
-# prefix is documented inline below.  Everything not listed keeps its
-# registration order after the prioritized prefix; nothing is dropped.
+# entering r14: ALL 240 registered queries (every entry driver-green
+# at sf0.01 in some round r2-r13; zero rows-only, zero waivers), so
+# the r14 prefix is pure rotation — re-proofs of this round's changed
+# machinery first, then the families whose last driver proof is
+# oldest (r4-r6).  The prefix is documented inline below.  Everything
+# not listed keeps its registration order after the prioritized
+# prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # NEW in r13 — first driver check, then re-proofs of machinery
-    # changed this round: vs22/vs10 (positional/equality delete commits
-    # now record root-relative addresses + entry counts), vs18
-    # (changes() grew mode routing), vs23 (manifest delete entries
-    # gained a rows field the metadata assembly shares).
+    # ---- r14 driver prefix (50 entries): canaries for the machinery
+    # changed THIS round lead — vs25/vs27 (content diff gained map
+    # canonicalization + chunked occurrence emission), vs18 (changes()
+    # span detection turned conservative on GC'd manifests), vs22
+    # (pos-delete addresses gained the realpath root + format stamp),
+    # dd07/dd15 (exactness gate rebuilt on left joins + checkpoint
+    # hygiene), sd02 (canary for the clustering substrate) — then the
+    # families whose last driver proof is the STALEST (r4-r6): tpch
+    # q3/q5/q7/q8/q10/q15/q16/q20, geo04-07, mm01-06, ev01-05,
+    # st01-04, sm01-05, and the f-family scalars.
     "vs25_posdelete_change_feed",
-    "vs26_delete_files_audit",
-    "sd02_semantic_dedup_autok",
     "vs27_per_commit_change_feed",
-    "vs22_positional_delete_read",
-    "vs10_equality_delete_feed",
     "vs18_cdc_replication_read",
+    "vs22_positional_delete_read",
+    "dd07_duplicate_groups",
+    "dd15_canonical_dedup_decision",
+    "sd02_semantic_dedup_autok",
+    "vs26_delete_files_audit",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_part_promotion",
+    "geo04_point_in_polygon",
+    "geo05_polygon_intersect_pairs",
+    "geo06_zorder_cells",
+    "geo07_nearest_within_radius",
+    "mm01_blob_metadata",
+    "mm02_decode_features",
+    "mm03_frame_sample",
+    "mm04_ppm_decode_stats",
+    "mm05_wav_features",
+    "ev01_funnel_conversion",
+    "ev02_cohort_retention",
+    "ev03_rolling_active_users",
+    "ev04_hierarchical_rollup",
+    "st01_stream_lake_merge",
+    "st02_stream_dedup_ingest",
+    "st03_stream_volume_monitor",
+    "st04_stream_geo_ingest",
+    "sm01_hash_bernoulli_sample",
+    "sm02_stratified_sample_counts",
+    "sm03_train_test_split",
+    "sm04_weighted_sample",
+    "sm05_mixture_quota_sample",
+    "f01_url_parse",
+    "f02_href_resolve",
+    "f04_composite_key_roundtrip",
+    "f05_multihash_decode",
+    "f07_datetime_functions",
+    "f08_version_id_mint",
+    "f09_json_map_explode",
+    "f11_url_encode",
+    "f12_case_mapping",
+    "f13_rolling_hash",
+    "mm06_png_decode_stats",
+    "ev05_top_event_paths",
+    "tpch_q15_top_supplier",
+    # ---- below the 50-entry mark: prior rounds' blocks keep
+    # deterministic positions; everything not listed keeps
+    # registration order after the prefix.
+    "vs10_equality_delete_feed",
     "vs23_files_metadata_audit",
-    # ---- stalest tier: last driver proof r1 (parity-swept every
-    # round since; canaries for the aggregate/scalar/geo/tpch
-    # families the recent rounds displaced from the checked window).
     "a08b_cube",
     "a10_percentiles",
     "a11_stats_aggregates",
@@ -110,8 +160,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "w06_ntile",
     "w07_first_last_value",
-    # ---- next tier: last driver proof r3 (scan/predicate/join/
-    # window/setop core).
     "a01_count_per_group",
     "a02_existence_probe",
     "a03_uniqueness_check",
@@ -138,26 +186,17 @@ _PRIORITY: tuple[str, ...] = (
     "w01_ordinal_assignment",
     "vs21_zorder_clustered_read",
     "vs24_timestamp_pruned_read",
-    "dd15_canonical_dedup_decision",
     "rk02_rrf_fusion_serve",
     "sd01_semantic_dedup",
     "ss08_persisted_ivfpq_search",
     "ss09_ivfpq_refined_search",
     "st05_stream_ann_index_maintenance",
     "rk01_rrf_fusion",
-    # ---- below the 50-entry mark: prior rounds' head blocks step
-    # aside but keep deterministic positions; everything not listed
-    # keeps registration order after the prefix.
-    "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
     "tx01_token_stats",
     "tx03_language_id",
     "tx08_tfidf_topterms",
-    "ev01_funnel_conversion",
-    "ev02_cohort_retention",
-    "sm02_stratified_sample_counts",
-    "sm04_weighted_sample",
     "u02_union_discriminated",
     "u06_except_all",
     "w05_range_frame",
@@ -172,8 +211,6 @@ _PRIORITY: tuple[str, ...] = (
     "dd01_exact_dedup_summary",
     "dd10_substring_spans",
     "dd13_substring_removal",
-    "geo04_point_in_polygon",
-    "geo07_nearest_within_radius",
     "cl01_kmeans_train",
     "ss01_cosine_topk",
     "ss05_pq_adc_search",
@@ -194,7 +231,6 @@ _PRIORITY: tuple[str, ...] = (
     "ts01_gap_fill_locf",
     "ts02_ohlc_downsample",
     "ts03_time_weighted_avg",
-    "ev05_top_event_paths",
     "ss11_scalar_quant_search",
     "st06_stream_timeseries_rollup",
     "vs19_metadata_only_counts",
@@ -203,7 +239,6 @@ _PRIORITY: tuple[str, ...] = (
     "ss02_lsh_ann_topk",
     "ss03_ivf_ann_topk",
     "dd14_decontamination",
-    "sm05_mixture_quota_sample",
     "ss10_binary_quant_search",
     "vs01_manifest_merge_roundtrip",
     "vs02_manifest_time_travel",
@@ -221,34 +256,23 @@ _PRIORITY: tuple[str, ...] = (
     "vs15_spec_evolution_read",
     "vs16_spec_rewrite_read",
     "vs17_partition_column_evolution_read",
-    "st01_stream_lake_merge",
-    "st02_stream_dedup_ingest",
-    "st03_stream_volume_monitor",
-    "st04_stream_geo_ingest",
     "geo11_geoparquet_roundtrip",
-    "dd07_duplicate_groups",
     "dd09_incremental_dedup",
     "dd11_indexed_incremental_dedup",
     "dd12_dispatched_incremental",
     "dd04_minhash_lsh_pairs",
     "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_nation_volume",
     "tpch_q13_customer_distribution",
     "dq03_referential_integrity",
     "dq04_chi2_drift",
     "dq05_embedding_drift",
     "qf02_gopher_rules",
     "tx09_token_diversity",
-    "ev04_hierarchical_rollup",
     "s12_orc_roundtrip",
     "j12_full_outer_join",
-    "mm06_png_decode_stats",
     "x05_group_rank_normalize",
     "x06_udtf_segment_split",
     "x07_arrow_batch_norms",
-    "mm02_decode_features",
-    "mm03_frame_sample",
     "pr01_link_pagerank",
     "tx07_winnowing_fingerprints",
     "t03_session_window",
@@ -264,10 +288,6 @@ _PRIORITY: tuple[str, ...] = (
     "u05_duplicate_consistency",
     "x04_centroid_udaf",
     "t01_tumbling_window",
-    "f01_url_parse",
-    "f09_json_map_explode",
-    "mm01_blob_metadata",
-    "geo06_zorder_cells",
     "vb02_bpe_merges",
     "tx10_bigram_prob_score",
     "w03_rank_per_group",
@@ -276,7 +296,6 @@ _PRIORITY: tuple[str, ...] = (
     "dq02_column_profile",
     "mx02_temperature_mixture",
     "tpch_q17_small_qty_revenue",
-    "tpch_q8_market_share",
     "dq07_volume_anomalies",
 )
 

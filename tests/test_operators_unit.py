@@ -1472,6 +1472,75 @@ def should_resolve_components_on_adversarial_topologies(spark):
     assert len(got) == 41 + 5 + 11 + 2
 
 
+def should_fail_component_gate_on_dropped_or_wrong_labels(spark):
+    """The exactness gate's stated guarantee — raises rather than ever
+    blessing a wrong labeling — must hold even when a node is MISSING
+    from the label set: an inner-join check would silently drop that
+    node's edges from the verification; the left-join + null-check +
+    cardinality gate fails all three corruption shapes."""
+    import pytest
+
+    from geospatial_data_lake_spark.operators.dedup import (
+        _verify_component_labels,
+    )
+
+    orig = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    ok = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, label long"
+    )
+    _verify_component_labels(orig, ok)  # correct labeling passes
+    dropped = ok.filter(F.col("node") != 3)  # node 3 vanished
+    with pytest.raises(RuntimeError, match="unlabeled"):
+        _verify_component_labels(orig, dropped)
+    wrong = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "node long, label long"
+    )
+    with pytest.raises(RuntimeError, match="label-mismatched"):
+        _verify_component_labels(orig, wrong)
+    phantom = ok.unionByName(
+        spark.createDataFrame([(99, 99)], "node long, label long")
+    )
+    with pytest.raises(RuntimeError, match="distinct endpoints"):
+        _verify_component_labels(orig, phantom)
+
+
+def should_release_superseded_round_checkpoints(spark):
+    """Checkpoint hygiene: repeated _cc_alternating_stars runs in one
+    session must not accumulate block-manager state — each round frees
+    the superseded round's eager localCheckpoint once the next round
+    materializes, and the final round + original edges free after the
+    exactness gate.  Only the RETURNED labels checkpoint survives a
+    run; freeing it returns the session to baseline.  (r13 BENCHNOTES:
+    dd15's x100 plan pin errored after many back-to-back dd07
+    executions from exactly this accumulation.)"""
+    from geospatial_data_lake_spark.operators.dedup import (
+        _cc_alternating_stars,
+        _free_checkpoint,
+    )
+
+    def n_persistent():
+        return len(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)]
+        + [(i, j) for i in range(5) for j in range(i + 1, 5)],
+        "d1 long, d2 long",
+    )
+    baseline = n_persistent()
+    for _ in range(8):
+        labels = _cc_alternating_stars(pairs)
+        assert labels.count() == 41 + 5
+        # everything internal is already freed; only the returned
+        # labels checkpoint remains.  (<=: Spark's ContextCleaner may
+        # concurrently collect unreferenced checkpoints from EARLIER
+        # tests, so the baseline can only shrink — growth is the bug.)
+        assert n_persistent() <= baseline + 1
+        _free_checkpoint(labels)
+        assert n_persistent() <= baseline
+
+
 def should_shuffle_sd01_pair_join_when_corpus_exceeds_budget(spark, sf_dir):
     """sd01's broadcast-budget guard (dd09's discipline): with the
     budget conf squeezed below any real corpus, the pair join must DROP
