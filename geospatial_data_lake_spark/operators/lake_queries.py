@@ -2298,6 +2298,219 @@ def vs27_per_commit_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAPCOL: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_mapcol_lake(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """The vs22 duplicate-key positional-delete lifecycle, on a table
+    carrying a MAP column (the reference's
+    ``validation_results.details map<string,string>`` shape, SURVEY
+    §1.2) — the table shape Spark cannot group or join on directly, so
+    every full-row lake operation must canonicalize it."""
+    cache = _MAPCOL.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.create_map(
+            F.lit("cheap"),
+            F.coalesce(F.col("value") < 50.0, F.lit(False)).cast("string"),
+            F.lit("etype"),
+            F.col("event_type"),
+        ).alias("details"),
+    )
+    mt = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_mc_"),
+        key_cols=["user_id"],
+        partition_by=["event_type"],
+    )
+    mt.append(ev.filter(F.col("event_id") % 3 < 2))
+    mt.delete_where_pos(
+        (F.col("event_type") == "click") & (F.col("value") < 50.0)
+    )
+    mt.append(ev.filter(F.col("event_id") % 3 == 2))
+    cache[sf_dir] = mt
+    return mt
+
+
+@register(
+    "vs28_mapcol_change_feed",
+    # the oracle replays the net multiset feed (vs25's lifecycle) AND
+    # rebuilds the map's canonical sorted-entry JSON by hand — the
+    # exact string Spark's to_json(sorted map_entries) renders, keys
+    # in lexicographic order ("cheap" < "etype"), no whitespace.  Any
+    # drift in the map canonicalization (insertion-order sensitivity,
+    # a false delete+insert pair from unequal renderings) breaks the
+    # hash.
+    oracle="""
+        WITH feed AS (
+            SELECT 'delete' AS _change_type, event_type, value
+            FROM events
+            WHERE event_id % 3 < 2
+              AND event_type = 'click' AND value < 50.0
+            UNION ALL
+            SELECT 'insert' AS _change_type, event_type, value
+            FROM events WHERE event_id % 3 = 2
+        )
+        SELECT _change_type,
+               '{"cheap":"' || CAST(coalesce(value < 50.0, false) AS VARCHAR)
+                 || '","etype":"' || event_type || '"}' AS details_json,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(value), 4) AS sum_value
+        FROM feed
+        GROUP BY _change_type, details_json
+    """,
+    tags=("lake", "manifest", "cdc", "pos-delete", "map-column"),
+)
+def vs28_mapcol_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-mode CDC over a MAP-columned duplicate-key table — the
+    composition Spark rejects outright (maps are not groupable or
+    joinable, so a naive full-row multiset diff raises
+    AnalysisException on the first pos-delete span).  The content diff
+    canonicalizes the map (entries sorted by key, rendered to_json)
+    for its group/join key while the original map rides through to the
+    feed; this query re-renders the canonical JSON in the OUTPUT so
+    the oracle can rebuild the identical string from raw SQL — proving
+    both the classification AND the canonicalization byte-for-byte
+    (an insertion-order-sensitive rendering would split one logical
+    row into a false delete+insert pair and break the hash).
+
+    Scale shape: identical to vs25 (changed-partition reads, map-side
+    combinable counts, uniform full-row hash keys) plus one
+    per-row JSON rendering — no extra shuffle.  Ref analog: the
+    validation_results item's details map
+    (backend/processing_assets_model.py, SURVEY §1.2) flowing through
+    a change feed."""
+    mt = _build_mapcol_lake(spark, sf_dir)
+    feed = mt.changes(1, mt.current_version())
+    return (
+        feed.select(
+            "_change_type",
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(F.map_entries(F.col("details")))
+                )
+            ).alias("details_json"),
+            "value",
+        )
+        .groupBy("_change_type", "details_json")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_CONTENT_REPLICA: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_content_replica(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """Duplicate-key replication through CONTENT feeds: a source log
+    (deliberately bucketed so identical full rows recur — multiplicity
+    is the hard part) runs append -> positional delete -> append; a
+    replica seeds from the v1 snapshot and converges by applying the
+    net (1, head] content feed via ``apply_content_changes`` — delete
+    rows remove exactly their multiplicity, insert rows append."""
+    cache = _CONTENT_REPLICA.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    rows = t.events.select(
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value") / 10) * 10).cast("double").alias("vbucket"),
+        (F.col("event_id") % 3).alias("__third"),
+    )
+    src = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_cr_src_"),
+        key_cols=["user_id"],
+        partition_by=["event_type"],
+    )
+    cols = ["user_id", "event_type", "vbucket"]
+    src.append(rows.filter(F.col("__third") < 2).select(*cols))
+    src.delete_where_pos(
+        (F.col("event_type") == "click") & (F.col("vbucket") < 50.0)
+    )
+    src.append(rows.filter(F.col("__third") == 2).select(*cols))
+    rep = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_cr_rep_"),
+        key_cols=["user_id"],
+        partition_by=["event_type"],
+    )
+    rep.append(src.read(version=1))
+    rep.apply_content_changes(src.changes(1, src.current_version()))
+    cache[sf_dir] = rep
+    return rep
+
+
+@register(
+    "vs29_content_feed_apply",
+    # the oracle replays the SOURCE's logical lifecycle over raw
+    # parquet (v1 batch minus its cheap clicks, plus the final batch —
+    # as a MULTISET, duplicates preserved) and aggregates; the Spark
+    # side aggregates the REPLICA, which only ever saw the v1 snapshot
+    # plus the change feed.  A multiplicity error in the apply (one
+    # copy too many or too few of any duplicated row) breaks the hash.
+    oracle="""
+        WITH src AS (
+            SELECT user_id, event_type,
+                   CAST(floor(value / 10) * 10 AS DOUBLE) AS vbucket,
+                   event_id % 3 AS third
+            FROM events
+        ),
+        final AS (
+            SELECT user_id, event_type, vbucket FROM src
+            WHERE third < 2
+              AND NOT (event_type = 'click' AND vbucket < 50.0)
+            UNION ALL
+            SELECT user_id, event_type, vbucket FROM src WHERE third = 2
+        )
+        SELECT event_type, vbucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM final
+        GROUP BY event_type, vbucket
+    """,
+    tags=("lake", "manifest", "cdc", "replication", "pos-delete"),
+)
+def vs29_content_feed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION for DUPLICATE-KEY tables — the gap vs18's
+    key-based replica cannot cover (its upsert/delete-by-key apply is
+    undefined over duplicate keys): the replica seeds from a snapshot
+    and converges by APPLYING the content-mode multiset feed through
+    ``apply_content_changes`` — delete rows remove exactly their
+    multiplicity of matching full rows as positional deletes, insert
+    rows append, and an inapplicable feed (wrong snapshot) raises
+    before committing.  The fixture buckets values so identical full
+    rows recur: the hash certifies multiset convergence, copy for
+    copy.
+
+    Scale shape: the apply joins the feed's distinct deleted rows
+    against only the partitions holding them (uniform full-row hash
+    keys) and windows within identical-row groups — tiny partitions by
+    construction; cost is O(matched + feed), never O(table).  Ref
+    analog: the reference replicates dataset state into an external
+    consumer by replaying per-item events
+    (backend/dataset_versions/create.py + backend/import_status/get.py);
+    this is that contract for logs without keys."""
+    rep = _build_content_replica(spark, sf_dir)
+    return rep.read().groupBy("event_type", "vbucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
 @register(
     "vs23_files_metadata_audit",
     # the oracle recomputes what the METADATA must add up to from the

@@ -85,6 +85,8 @@ _PRIORITY: tuple[str, ...] = (
     # families whose last driver proof is the STALEST (r4-r6): tpch
     # q3/q5/q7/q8/q10/q15/q16/q20, geo04-07, mm01-06, ev01-05,
     # st01-04, sm01-05, and the f-family scalars.
+    "vs28_mapcol_change_feed",
+    "vs29_content_feed_apply",
     "vs25_posdelete_change_feed",
     "vs27_per_commit_change_feed",
     "vs18_cdc_replication_read",

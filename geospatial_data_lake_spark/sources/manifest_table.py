@@ -46,7 +46,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -113,6 +113,46 @@ def _has_map_type(dt) -> bool:
     if isinstance(dt, T.StructType):
         return any(_has_map_type(f.dataType) for f in dt.fields)
     return False
+
+
+def _map_canon_cols(sides: list[DataFrame], cols: list[str]) -> set[str]:
+    """The subset of ``cols`` that must be CANONICALIZED before any
+    grouping/joining/ordering on the full row (top-level map columns —
+    sorted-entry JSON makes them orderable; see ``_canon_expr``).  A
+    map nested BELOW the top level has no canonical ordering Spark can
+    construct declaratively, so that raises a clear error instead of
+    Spark's opaque grouping AnalysisException."""
+    canon: set[str] = set()
+    for c in cols:
+        for side in sides:
+            dt = side.schema[c].dataType
+            if not _has_map_type(dt):
+                continue
+            if (
+                isinstance(dt, T.MapType)
+                and not _has_map_type(dt.keyType)
+                and not _has_map_type(dt.valueType)
+            ):
+                canon.add(c)
+                continue
+            raise ValidationError(
+                f"full-row operation cannot handle column {c!r}: its "
+                f"type ({dt.simpleString()}) nests a map below the top "
+                "level, and nested maps have no canonical ordering to "
+                "group or join on.  Restructure the column (top-level "
+                "map, or struct/array of orderable types) or operate "
+                "on a projection."
+            )
+    return canon
+
+
+def _canon_expr(c: str):
+    """Canonical, orderable rendering of a top-level map column:
+    sorted-entry JSON — two maps with equal content in different
+    insertion order render identically."""
+    return F.to_json(
+        F.map_from_entries(F.array_sort(F.map_entries(F.col(c))))
+    )
 
 # Column types whose min/max stats are recorded (atomic, orderable, and
 # JSON-round-trippable without precision or timezone ambiguity).
@@ -1703,27 +1743,7 @@ class ManifestTable:
         materializes one multi-million-element in-memory array in a
         single row — the largest array either level builds is
         ``max(_OCC_CHUNK, ceil(|delta| / _OCC_CHUNK))`` elements."""
-        canon: set[str] = set()
-        for c in all_cols:
-            for side in (old, new):
-                dt = side.schema[c].dataType
-                if not _has_map_type(dt):
-                    continue
-                if (
-                    isinstance(dt, T.MapType)
-                    and not _has_map_type(dt.keyType)
-                    and not _has_map_type(dt.valueType)
-                ):
-                    canon.add(c)
-                    continue
-                raise ValidationError(
-                    f"content-mode CDC cannot diff column {c!r}: its "
-                    f"type ({dt.simpleString()}) nests a map below the "
-                    "top level, and nested maps have no canonical "
-                    "ordering to group or join on.  Restructure the "
-                    "column (top-level map, or struct/array of "
-                    "orderable types) or diff on a projection."
-                )
+        canon = _map_canon_cols([old, new], all_cols)
 
         def _ck(c: str) -> str:
             return f"__ck_{c}"
@@ -1732,11 +1752,7 @@ class ManifestTable:
             gcols = [
                 # sorted-entry JSON: a canonical, orderable rendering of
                 # the map's logical (unordered) content
-                F.to_json(
-                    F.map_from_entries(F.array_sort(F.map_entries(F.col(c))))
-                ).alias(_ck(c))
-                if c in canon
-                else F.col(c)
+                _canon_expr(c).alias(_ck(c)) if c in canon else F.col(c)
                 for c in all_cols
             ]
             aggs = [F.count(F.lit(1)).alias(cnt)] + [
@@ -2695,6 +2711,22 @@ class ManifestTable:
         Reference analog: per-item DynamoDB deletes
         (backend/datasets/delete.py) re-expressed as a lake-format
         metadata commit."""
+        # SQL DELETE matching: only TRUE matches; rows already removed
+        # by pending deletes never reach the filter (the effective view
+        # subtracts them), so addresses are never re-recorded.
+        return self._delete_matched_pos(
+            lambda eff: eff.filter(F.coalesce(condition, F.lit(False)))
+        )
+
+    def _delete_matched_pos(self, matcher) -> int:
+        """Shared positional-delete commit loop: ``matcher(effective)``
+        selects the rows to delete from the effective view (scan-time
+        position columns attached); their (root-relative file path, row
+        ordinal) addresses commit as a ``kind: "pos"`` entry.  Routing
+        is era-exact by the HOLDING file's hex, same as equality-delete
+        key files.  ``delete_where_pos`` passes a predicate filter;
+        ``apply_content_changes`` passes a multiplicity-capped
+        full-row match."""
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             if manifest is None:
@@ -2703,14 +2735,7 @@ class ManifestTable:
             effective = self._effective_df(
                 manifest, with_file=True, with_pos=True
             )
-            # SQL DELETE matching: only TRUE matches; rows already
-            # removed by pending deletes never reach the filter (the
-            # effective view subtracts them), so addresses are never
-            # re-recorded.  Routing is era-exact by the HOLDING file's
-            # hex, same as equality-delete key files.
-            matched = effective.filter(
-                F.coalesce(condition, F.lit(False))
-            ).select(
+            matched = matcher(effective).select(
                 F.col(_POSF_COL).alias("__file"),
                 F.col(_POSI_COL).alias("__pos"),
                 self._src_hex_expr().alias(_PK_COL),
@@ -2755,6 +2780,122 @@ class ManifestTable:
             ):
                 return gen + 1
         raise CommitConflict("manifest-table contention: retries exhausted")
+
+    def apply_content_changes(
+        self, feed: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
+        """Apply a CONTENT-mode change feed to THIS table — the Iceberg
+        apply-changelog / Delta MERGE-from-CDF pattern for
+        duplicate-key tables, where key-based MERGE is undefined:
+        ``delete`` rows remove EXACTLY their multiplicity of matching
+        full rows (as one positional-delete commit), ``insert`` rows
+        append (one append commit).  A replica that seeds from a
+        snapshot and applies each span's ``changes(...)`` feed
+        converges to the source's multiset state — no keys required.
+
+        Multiplicity is enforced, not approximated: per distinct full
+        row, exactly ``count(delete rows)`` live occurrences are
+        addressed (ordered by physical position for determinism); if
+        the table holds FEWER matching occurrences than the feed
+        deletes, the apply RAISES before committing anything — a feed
+        replayed against the wrong snapshot must fail loudly, not
+        half-apply.  Map-typed columns group through the same
+        canonicalization as the content diff itself.
+
+        Not atomic across the two commits (delete then append) — a
+        reader between them sees the deletes without the inserts;
+        ``txn`` stamps the APPEND commit for cursor idempotency.  Net
+        content feeds never contain the same full row on both sides,
+        so delete-then-append order is always safe.
+
+        Scale shape: the delete path joins the feed's distinct deleted
+        rows against only the partitions holding them (full-row hash
+        keys — uniform, no skew) and windows WITHIN identical-row
+        groups (tiny partitions by construction); cost is O(matched
+        rows + feed), never O(table)."""
+        gen0, manifest = self._current()
+        if manifest is None:
+            raise NotFoundError(f"table never committed: {self.root}")
+        if "_change_type" not in feed.columns:
+            raise ValidationError(
+                "not a change feed: missing _change_type column"
+            )
+        schema_cols = [
+            f.name
+            for f in T.StructType.fromDDL(manifest["schema_ddl"]).fields
+        ]
+        missing = [c for c in schema_cols if c not in feed.columns]
+        if missing:
+            raise ValidationError(
+                f"change feed is missing table columns {missing}: a "
+                "content apply needs every column (a partial feed "
+                "would null-fill inserts and under-match deletes)"
+            )
+        cols = schema_cols
+        dels = feed.filter(F.col("_change_type") == "delete").select(*cols)
+        ins = feed.filter(F.col("_change_type") == "insert").select(*cols)
+        bad = feed.filter(
+            ~F.col("_change_type").isin("insert", "delete")
+        ).count()
+        if bad:
+            raise ValidationError(
+                f"{bad} feed rows carry a non-content _change_type "
+                "(update_*): apply key-mode feeds through upsert/"
+                "delete_where_eq, or re-derive the span with "
+                "mode='content'"
+            )
+        canon = _map_canon_cols([dels], cols)
+        n_del = dels.count()
+        ver = gen0
+        if n_del:
+
+            def matcher(eff: DataFrame) -> DataFrame:
+                e = eff
+                keyed = []
+                for c in cols:
+                    if c in canon:
+                        kc = f"__ek_{c}"
+                        e = e.withColumn(kc, _canon_expr(c))
+                        keyed.append(kc)
+                    else:
+                        keyed.append(c)
+                dc = (
+                    dels.select(
+                        *[
+                            (
+                                _canon_expr(c) if c in canon else F.col(c)
+                            ).alias(f"__dk_{c}")
+                            for c in cols
+                        ]
+                    )
+                    .groupBy(*[f"__dk_{c}" for c in cols])
+                    .agg(F.count(F.lit(1)).alias("__want"))
+                )
+                cond = F.lit(True)
+                for k, c in zip(keyed, cols):
+                    cond = cond & F.col(k).eqNullSafe(F.col(f"__dk_{c}"))
+                w = Window.partitionBy(*keyed).orderBy(
+                    _POSF_COL, _POSI_COL
+                )
+                m = (
+                    e.join(dc, cond, "inner")
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= F.col("__want"))
+                )
+                got = m.count()
+                if got != n_del:
+                    raise ValidationError(
+                        f"content feed deletes {n_del} occurrences but "
+                        f"only {got} matching live rows exist — the "
+                        "feed does not apply to this table state "
+                        "(wrong snapshot, or already applied?)"
+                    )
+                return m
+
+            ver = self._delete_matched_pos(matcher)
+        if not ins.isEmpty():
+            ver = self.append(ins, txn=txn)
+        return ver
 
     def overwrite_where(
         self,

@@ -3491,3 +3491,89 @@ def should_record_relative_addresses_through_symlinked_root(spark, tmp_path):
         (1, "x"),
         (3, "z"),
     ]
+
+
+def should_apply_content_feed_to_converge_replica(spark, tmp_path):
+    """apply_content_changes — the apply-changelog pattern for
+    DUPLICATE-KEY tables: a replica seeded from the v1 snapshot plus
+    the net (1, head] content feed converges to the source's multiset
+    state exactly (the feed's delete rows carry multiplicity: three
+    copies deleted then one re-inserted nets to two deletes)."""
+    src = ManifestTable(
+        spark, str(tmp_path / "src"), key_cols=["id"], partition_by=["part"]
+    )
+    src.append(
+        _mk(spark, [(1, "a", "dup")] * 3 + [(2, "a", "x"), (3, "b", "y")])
+    )  # v1
+    src.delete_where_pos(F.col("id") == 1)  # v2: all three copies
+    src.append(_mk(spark, [(1, "a", "dup"), (4, "b", "z")]))  # v3
+    rep = ManifestTable(
+        spark, str(tmp_path / "rep"), key_cols=["id"], partition_by=["part"]
+    )
+    rep.append(src.read(version=1))
+    feed = src.changes(1, 3)
+    # net multiset math: 3 deleted + 1 re-inserted -> 2 net deletes
+    assert sorted(
+        (r._change_type, r.id, r.v) for r in feed.collect()
+    ) == [("delete", 1, "dup"), ("delete", 1, "dup"), ("insert", 4, "z")]
+    rep.apply_content_changes(feed)
+    assert sorted((r.id, r.part, r.v) for r in rep.read().collect()) == sorted(
+        (r.id, r.part, r.v) for r in src.read().collect()
+    )
+
+
+def should_enforce_multiplicity_in_content_apply(spark, tmp_path):
+    """The apply removes EXACTLY the feed's multiplicity of matching
+    rows (2 of 3 identical copies), raises BEFORE committing when the
+    feed deletes more occurrences than the table holds (wrong-snapshot
+    protection), and rejects key-mode (update_*) feeds."""
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(7, "a", "d")] * 3 + [(8, "a", "k")]))
+    two = spark.createDataFrame(
+        [("delete", 7, "a", "d")] * 2,
+        "_change_type string, id long, part string, v string",
+    )
+    mt.apply_content_changes(two)
+    assert [r.v for r in mt.read().filter(F.col("id") == 7).collect()] == [
+        "d"
+    ]
+    five = spark.createDataFrame(
+        [("delete", 7, "a", "d")] * 5,
+        "_change_type string, id long, part string, v string",
+    )
+    with pytest.raises(ValidationError, match="only 1 matching"):
+        mt.apply_content_changes(five)
+    # nothing committed by the failed apply
+    assert [r.v for r in mt.read().filter(F.col("id") == 7).collect()] == [
+        "d"
+    ]
+    keyfeed = spark.createDataFrame(
+        [("update_postimage", 8, "a", "K2")],
+        "_change_type string, id long, part string, v string",
+    )
+    with pytest.raises(ValidationError, match="update"):
+        mt.apply_content_changes(keyfeed)
+
+
+def should_apply_content_feed_with_map_columns(spark, tmp_path):
+    """Map-typed columns flow through the apply via the same
+    canonicalization as the content diff: a feed row whose map has the
+    same content in a DIFFERENT insertion order still matches (maps
+    are logically unordered)."""
+    mt = ManifestTable(
+        spark, str(tmp_path / "mm"), key_cols=["id"], partition_by=["part"]
+    )
+    mt.append(
+        spark.createDataFrame(
+            [(1, "a", {"k1": "v1", "k2": "v2"}), (2, "a", {"z": "9"})],
+            "id long, part string, d map<string,string>",
+        )
+    )
+    feed = spark.createDataFrame(
+        [("delete", 1, "a", {"k2": "v2", "k1": "v1"})],
+        "_change_type string, id long, part string, d map<string,string>",
+    )
+    mt.apply_content_changes(feed)
+    assert sorted(r.id for r in mt.read().collect()) == [2]

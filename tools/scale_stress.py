@@ -136,11 +136,14 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "dd15_canonical_dedup_decision": (
         "should_broadcast_group_table_for_dd15_election", "dedup"),
     "dd07_duplicate_groups": (None, "dedup"),
-    "vs25_posdelete_change_feed": (None, "lake"),
+    "vs25_posdelete_change_feed": (
+        "should_join_content_diff_on_full_row_never_cartesian", "lake"),
     "vs26_delete_files_audit": (
         "should_answer_vs26_delete_files_audit_without_any_parquet_scan",
         "lake"),
-    "vs27_per_commit_change_feed": (None, "lake"),
+    "vs27_per_commit_change_feed": (
+        "should_join_content_diff_on_full_row_never_cartesian", "lake"),
+    "sd02_semantic_dedup_autok": (None, "dedup"),
     "vs24_timestamp_pruned_read": (
         "should_prune_vs24_window_to_intersecting_time_slices", "lake"),
 }
