@@ -61,6 +61,7 @@ from geospatial_data_lake_spark.operators.textops import (
     gram_starts as _gram_starts,
 )
 from geospatial_data_lake_spark.registry import register
+from geospatial_data_lake_spark.session import free_local_checkpoint
 from geospatial_data_lake_spark.tables import session_tmpdir, tables
 
 N_PERM = 32  # minhash permutations
@@ -674,22 +675,9 @@ def dd07_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _free_checkpoint(df: DataFrame) -> None:
-    """Release the block-manager storage behind an EAGER
-    ``localCheckpoint`` result (a ``LogicalRDD`` plan node wrapping the
-    persisted internal RDD).  Only call this once nothing will read the
-    DataFrame again — a local checkpoint is lineage-truncating, so its
-    blocks cannot be recomputed.  Best-effort: any failure (plan shape
-    drift across Spark versions, a stopped context) degrades to keeping
-    the blocks, never to an error — exactly the pre-hygiene behavior."""
-    try:
-        # blocking removal: deterministic block-manager accounting (a
-        # non-blocking unpersist leaves a window where the blocks still
-        # count against the session); the wait is a driver RPC per
-        # freed round — microseconds against a multi-second round
-        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
-    except Exception:
-        pass
+# Shared checkpoint-release helper (see session.free_local_checkpoint);
+# re-exported under the historical name for the round's gate tests.
+_free_checkpoint = free_local_checkpoint
 
 
 def _verify_component_labels(orig: DataFrame, labels: DataFrame) -> None:

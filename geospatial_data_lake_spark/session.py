@@ -60,3 +60,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def free_local_checkpoint(df) -> None:
+    """Release the block-manager storage behind an EAGER
+    ``localCheckpoint`` result (a ``LogicalRDD`` plan node wrapping the
+    persisted internal RDD).  Only call this once nothing will read the
+    DataFrame again — a local checkpoint is lineage-truncating, so its
+    blocks cannot be recomputed.  Loops that supersede a checkpoint per
+    iteration (iterative contraction, chunked unions) must free
+    explicitly: Spark's ContextCleaner only reclaims checkpoint RDDs on
+    a JVM GC after every reference drops, which is far too lazy for a
+    long session.  Best-effort: any failure (plan-shape drift across
+    Spark versions, a stopped context) degrades to keeping the blocks —
+    exactly the no-hygiene behavior.  The unpersist is BLOCKING for
+    deterministic accounting (a driver RPC — microseconds against a
+    multi-second iteration)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geospatial_data_lake_spark.layout import zorder_key_from_bounds
+from geospatial_data_lake_spark.session import free_local_checkpoint
 from geospatial_data_lake_spark.sources import fsio
 
 from geospatial_data_lake_spark.plans.catalog import (
@@ -1858,6 +1859,7 @@ class ManifestTable:
         }
         out = None
         pending = 0  # sub-plans unioned since the last checkpoint
+        prev_ckpt = None  # superseded chunk checkpoint, freed below
         for v in range(max(from_version, 0) + 1, to_version + 1):
             if self._load_manifest(v).get("op") in _NO_DATA_OPS:
                 continue
@@ -1868,8 +1870,13 @@ class ManifestTable:
             pending += 1
             if pending >= _PER_COMMIT_CHUNK:
                 # bound the lazy DAG: materialize the chunk, carry a
-                # LogicalRDD forward (see docstring)
+                # LogicalRDD forward (see docstring).  The PREVIOUS
+                # chunk's blocks were copied into this one, so free
+                # them — only the LAST checkpoint backs the result.
                 out = out.localCheckpoint(eager=True)
+                if prev_ckpt is not None:
+                    free_local_checkpoint(prev_ckpt)
+                prev_ckpt = out
                 pending = 0
         if out is None:  # every commit in span was a pure rewrite
             m = self._load_manifest(to_version)
