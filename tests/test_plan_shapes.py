@@ -906,7 +906,13 @@ def should_join_content_diff_on_full_row_never_cartesian(
     # sides on the FULL-ROW null-safe equi-key — duplicate keys in the
     # event log must never degrade it to a cartesian or a nested-loop
     # replication (the failure shape key-diff CDC had over this table).
-    for name in ("vs25_posdelete_change_feed", "vs27_per_commit_change_feed"):
+    # vs28 adds a MAP column: its canonicalized (sorted-entry JSON)
+    # group/join key must keep the same hash-join shape.
+    for name in (
+        "vs25_posdelete_change_feed",
+        "vs27_per_commit_change_feed",
+        "vs28_mapcol_change_feed",
+    ):
         plan = _plan(spark, registry, name, sf_dir)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
