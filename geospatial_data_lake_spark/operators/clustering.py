@@ -149,10 +149,27 @@ def _sq_dist_to(centroid: list[float]) -> Column:
     )
 
 
+# Above this cluster count, nearest-centroid assignment switches from
+# the fused-expression path to the vectorized numpy path: the
+# expression path builds k distance folds in ONE literal array —
+# exactly replayable by the SQL oracle, ideal for the pinned k<=8
+# queries — but the plan itself becomes the bottleneck at sd02's
+# production auto-k (k ~ N/32: thousands of 64-term folds blow past
+# whole-stage-codegen limits and compile for minutes before a single
+# row moves).
+_EXPR_ASSIGN_MAX_K = 64
+
+
 def _assign(df: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """Nearest-centroid assignment: argmin via ``array_min`` over
     ``struct(dist, cid)`` (lexicographic struct order = dist then cid,
-    matching the oracle's ``ORDER BY dist, cid``)."""
+    matching the oracle's ``ORDER BY dist, cid``).  Above
+    ``_EXPR_ASSIGN_MAX_K`` centroids the same contract runs on the
+    vectorized path (``_assign_vectorized``) — identical (dist, cid)
+    ordering and 9-dp rounding, matmul speed instead of
+    expression-tree speed."""
+    if len(cents) > _EXPR_ASSIGN_MAX_K:
+        return _assign_vectorized(df, cents)
     structs = [
         F.struct(_sq_dist_to(cv).alias("dist"), F.lit(cid).alias("cid"))
         for cid, cv in sorted(cents.items())
@@ -160,6 +177,64 @@ def _assign(df: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     best = F.array_min(F.array(*structs))
     return df.select(
         "vec_id", "v", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+
+
+def _assign_vectorized(
+    df: DataFrame, cents: dict[int, list[float]]
+) -> DataFrame:
+    """``_assign`` for PRODUCTION cluster counts: broadcast the
+    centroid MATRIX (k x dim floats — model-sized) into a mapInPandas
+    kernel computing the full distance block per Arrow batch via the
+    |v|^2 + |c|^2 - 2 v.c identity (BLAS matmul), argmin with ties to
+    the LOWEST cid — the same (dist, cid) struct order and 9-dp
+    rounding as the expression path.  Row chunks are sized so the
+    n x k distance block stays ~32 MB regardless of k.  O(n x k x d)
+    FLOPs either way; this path runs them at matmul speed and keeps
+    the PLAN size O(1) in k.  Sub-9dp float-association differences vs
+    the fold are possible in principle — this path is reserved for
+    audit-gated production k, never for the oracle-replayed pinned-k
+    queries (which stay on the expression path by the threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = sorted(int(c) for c in cents)
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    C = np.asarray([cents[c] for c in cids], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    # ~32 MB of float64 distance block per chunk, whatever k is
+    chunk = max(1, 4_000_000 // len(cids))
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            v2 = (V * V).sum(axis=1)
+            out_cid = np.empty(n, dtype=np.int64)
+            out_dist = np.empty(n, dtype=np.float64)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                d2 = v2[s:e, None] + c2[None, :] - 2.0 * (V[s:e] @ C.T)
+                np.maximum(d2, 0.0, out=d2)  # identity can go -epsilon
+                np.round(d2, 9, out=d2)
+                idx = d2.argmin(axis=1)  # first min = lowest cid
+                out_cid[s:e] = cid_arr[idx]
+                out_dist[s:e] = d2[np.arange(e - s), idx]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cid": out_cid.astype("int32"),
+                    "dist": out_dist,
+                }
+            )
+
+    return df.select("vec_id", "v").mapInPandas(
+        kernel, "vec_id long, v array<double>, cid int, dist double"
     )
 
 

@@ -1755,3 +1755,36 @@ def tables_embeddings(spark, sf_dir):
     return tables(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+
+
+def should_match_expression_assignment_on_vectorized_path(spark, sf_dir):
+    """The vectorized (mapInPandas matmul) nearest-centroid assignment
+    — the path sd02's production auto-k takes above
+    _EXPR_ASSIGN_MAX_K, where the k-struct fused expression would blow
+    past codegen limits and compile for minutes — must agree with the
+    expression path centroid-for-centroid: same (dist, cid) argmin
+    order, same 9-dp rounding, ties to the lowest cid."""
+    import geospatial_data_lake_spark.operators.clustering as cl
+    from geospatial_data_lake_spark.tables import tables
+
+    e = tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = e.filter(F.col("vec_id") < 100).collect()
+    cents = {int(r.vec_id): [float(x) for x in r.v] for r in rows}
+    assert len(cents) > cl._EXPR_ASSIGN_MAX_K  # really the vector path
+    vec = {
+        r.vec_id: (r.cid, r.dist)
+        for r in cl._assign_vectorized(e, cents).collect()
+    }
+    old = cl._EXPR_ASSIGN_MAX_K
+    cl._EXPR_ASSIGN_MAX_K = 10**9  # force the expression path
+    try:
+        expr = {
+            r.vec_id: (r.cid, r.dist) for r in cl._assign(e, cents).collect()
+        }
+    finally:
+        cl._EXPR_ASSIGN_MAX_K = old
+    assert set(vec) == set(expr)
+    assert all(vec[k][0] == expr[k][0] for k in expr)
+    assert all(abs(vec[k][1] - expr[k][1]) <= 1e-9 for k in expr)
