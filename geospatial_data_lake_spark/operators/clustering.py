@@ -1916,7 +1916,12 @@ def sd02_semantic_dedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.count()  # one scalar — the same driver-side cost as cl01's seeds
     k = semdedup_auto_k(n)
-    census = semantic_dedup_census(spark, e, k=k)
+    # megacell guard at 32x the target cell: untouched on healthy
+    # clusterings (cells ~ target), caps the quadratic compare at
+    # N x bound when the geometry degenerates (see census docstring)
+    census = semantic_dedup_census(
+        spark, e, k=k, max_cell_compare=32 * _SD_TARGET_CELL
+    )
     return census.agg(
         F.sum("n_members").alias("members_total"),
         F.count(F.lit(1)).alias("n_clusters"),
@@ -1952,13 +1957,32 @@ def _embedding_broadcast_bytes(m: DataFrame) -> int:
 
 
 def semantic_dedup_census(
-    spark: SparkSession, e: DataFrame, k: int
+    spark: SparkSession, e: DataFrame, k: int,
+    max_cell_compare: int | None = None,
 ) -> DataFrame:
     """sd01's core with the PRODUCTION knob exposed: ``k`` scales with
     the corpus (k ~ N/target_cell) so per-cell population — and with it
     the quadratic within-cell compare — stays constant as data grows.
     The registered sd01 pins k=_K to stay oracle-replayable; the
     k-scaling linearity is pinned by a candidate-pair-count test.
+
+    ``max_cell_compare`` is the MEGACELL guard: k-means gives no upper
+    bound on cell population (degenerate geometry — e.g. a corpus with
+    a dense diagonal — can dump a large fraction of all vectors into
+    one cell, observed live on the x100 fixture: a handful of megacells
+    turned the 'constant per-cell' compare into ~10^9 pairs pinning 32
+    cores for 20+ minutes).  When set, cells ABOVE the bound have their
+    pair compare confined to hash-salted sub-cells of ~bound expected
+    size (salt = xxhash64(vec_id) mod ceil(|cell|/bound), derived from
+    a k-row broadcast of cell sizes), capping TOTAL pair work at
+    |cell| x bound per cell — N x bound overall, LINEAR in the corpus
+    no matter how badly the clustering degenerates.  The price is
+    honest and documented: near-dup pairs SPLIT ACROSS sub-cells of a
+    megacell are missed (normal cells are untouched), which only
+    sharpens SemDeDup's existing cluster-confinement approximation;
+    reporting stays per ORIGINAL cell, so the census invariants
+    (member conservation, cluster-count bound, removal bounds) hold
+    unchanged.
 
     Pair-join build side is BUDGETED (dd09's discipline, dedup.py's
     ``_broadcast_budget``): under the budget the corpus replicates and
@@ -1980,6 +2004,18 @@ def semantic_dedup_census(
     m = fin.select("vec_id", "v", "cid").withColumn(
         "n", F.sqrt(_cg_dot(F.col("v"), F.col("v")))
     )
+    join_keys = ["cid"]
+    if max_cell_compare is not None:
+        nsub = fin.groupBy("cid").agg(
+            F.ceil(
+                F.count(F.lit(1)) / F.lit(int(max_cell_compare))
+            ).cast("int").alias("__nsub")
+        )
+        m = m.join(F.broadcast(nsub), "cid").withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("vec_id"), F.col("__nsub")).cast("int"),
+        ).drop("__nsub")
+        join_keys = ["cid", "__salt"]
     a = spread(spark, m).alias("a")
     b = m.alias("b")
     build = (
@@ -1987,12 +2023,13 @@ def semantic_dedup_census(
         if _embedding_broadcast_bytes(m) <= _broadcast_budget(spark)
         else b
     )
+    pair_cond = F.col("a.vec_id") < F.col("b.vec_id")
+    for kcol in join_keys:
+        pair_cond = (
+            F.col(f"a.{kcol}") == F.col(f"b.{kcol}")
+        ) & pair_cond
     removed = (
-        a.join(
-            build,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(build, pair_cond)
         .filter(
             _cg_dot(F.col("a.v"), F.col("b.v"))
             / (F.col("a.n") * F.col("b.n"))

@@ -1788,3 +1788,28 @@ def should_match_expression_assignment_on_vectorized_path(spark, sf_dir):
     assert set(vec) == set(expr)
     assert all(vec[k][0] == expr[k][0] for k in expr)
     assert all(abs(vec[k][1] - expr[k][1]) <= 1e-9 for k in expr)
+
+
+def should_bound_census_pair_work_on_megacells(spark):
+    """The SemDeDup megacell guard (max_cell_compare): k-means gives no
+    upper bound on cell population, and a degenerate corpus (here 3000
+    IDENTICAL vectors — everything lands in one cell) would turn the
+    'constant per-cell' compare quadratic.  With the guard, the cell
+    salts into ceil(3000/100)=30 hash sub-cells (~linear total pair
+    work); reporting stays per ORIGINAL cell and each sub-cell keeps
+    its lowest id, so exactly members - 30 rows are removed and member
+    conservation holds."""
+    import geospatial_data_lake_spark.operators.clustering as cl
+
+    e = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(d)) for d in range(64)]).alias("v"),
+    )
+    census = cl.semantic_dedup_census(
+        spark, e, k=4, max_cell_compare=100
+    ).collect()
+    assert len(census) == 1  # one ORIGINAL cell in the report
+    (row,) = census
+    assert row.n_members == 3000
+    assert row.n_removed == 3000 - 30  # each of 30 sub-cells keeps one
+    assert row.n_kept == 30

@@ -197,15 +197,33 @@ def _copy_expr(spark, src_dir: str, name: str, i: int):
             }
         )
     if name == "embeddings":
-        elem = df.schema["embedding"].dataType.elementType.simpleString()
+        # ISOMETRIC per-copy perturbation: cyclic dim-shift (+ reverse
+        # on the second tier) — every copy is a distance-preserving
+        # image of the base cloud, so cluster geometry holds at ANY
+        # factor.  The old additive i*0.013 offset drifted copies
+        # diagonally: at factor 100 the high-i copies of EVERY base
+        # vector collapsed into a few k-means megacells (offset 1.3/dim
+        # >> base spread) and the within-cell quadratic compare blew up
+        # to ~10^9 pairs — a property of the broken fixture, not the
+        # operator (which now also guards megacells; see
+        # clustering.semantic_dedup_census).  Cross-copy vectors stay
+        # non-near-dup (a shifted vector correlates with its base only
+        # by autocorrelation), so dup density per copy still matches
+        # the original.
+        dim = 64  # embeddings.parquet contract (clustering._DIM)
+        s = i % dim
+        shifted = (
+            F.concat(
+                F.slice("embedding", s + 1, dim - s),
+                F.slice("embedding", 1, s),
+            )
+            if s
+            else F.col("embedding")
+        )
+        if (i // dim) % 2 == 1:
+            shifted = F.reverse(shifted)
         return df.withColumns(
-            {
-                "vec_id": F.col("vec_id") + shift,
-                "embedding": F.transform(
-                    "embedding",
-                    lambda x: (x + F.lit(i * 0.013)).cast(elem),
-                ),
-            }
+            {"vec_id": F.col("vec_id") + shift, "embedding": shifted}
         )
     if name == "events":
         return df.withColumns(
