@@ -62,6 +62,10 @@ CROSSJOIN_ALLOWLIST = {
 
 RDD_ALLOWLIST = {
     "tables.py": 1,                 # spread(): partition-count probe only
+    # free_local_checkpoint(): a py4j handle on the JVM RDD backing an
+    # eager localCheckpoint, used only to unpersist its blocks — no
+    # Python-side RDD computation ever runs
+    "session.py": 1,
 }
 
 
