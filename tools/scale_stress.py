@@ -144,6 +144,9 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "vs27_per_commit_change_feed": (
         "should_join_content_diff_on_full_row_never_cartesian", "lake"),
     "sd02_semantic_dedup_autok": (None, "dedup"),
+    "vs28_mapcol_change_feed": (
+        "should_join_content_diff_on_full_row_never_cartesian", "lake"),
+    "vs29_content_feed_apply": (None, "lake"),
     "vs24_timestamp_pruned_read": (
         "should_prune_vs24_window_to_intersecting_time_slices", "lake"),
 }
