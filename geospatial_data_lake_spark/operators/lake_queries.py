@@ -2511,6 +2511,136 @@ def vs29_content_feed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTENT_STREAM: "weakref.WeakKeyDictionary[SparkSession, dict[str, ManifestTable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _build_content_stream_replica(spark: SparkSession, sf_dir: str) -> ManifestTable:
+    """CONTINUOUS duplicate-key replication: the source log commits in
+    four arrival batches with a positional delete mid-stream; the
+    replica polls ``changes_since(cursor, mode="content")`` after each
+    arrival and applies each span through the two-phase-txn'd
+    ``apply_content_changes`` — and EVERY micro-batch is applied TWICE
+    (the crash-restart replay a streaming sink must survive), which
+    the derived txn stamps turn into no-ops.  mode="content" is passed
+    explicitly: the table is duplicate-key by construction, and auto's
+    key-diff default is only defined for the key-unique contract (the
+    pos-delete signal cannot exist on append-only spans)."""
+    cache = _CONTENT_STREAM.setdefault(spark, {})
+    if sf_dir in cache:
+        return cache[sf_dir]
+    t = tables(spark, sf_dir)
+    rows = t.events.select(
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value") / 10) * 10).cast("double").alias("vbucket"),
+        (F.col("event_id") % 4).alias("__q"),
+    )
+    cols = ["user_id", "event_type", "vbucket"]
+    src = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_cs_src_"),
+        key_cols=["user_id"],
+        partition_by=["event_type"],
+    )
+    rep = ManifestTable(
+        spark,
+        session_tmpdir(spark, "gdl_lake_cs_rep_"),
+        key_cols=["user_id"],
+        partition_by=["event_type"],
+    )
+    src.append(rows.filter(F.col("__q") == 0).select(*cols))  # v1
+    rep.append(src.read(version=1))  # replica seeds from the snapshot
+    cursor = 1
+
+    def pull() -> None:
+        nonlocal cursor
+        feed, new = src.changes_since(cursor, mode="content")
+        if new == cursor:
+            return
+        rep.apply_content_changes(feed, txn=("st07", new))
+        # crash-restart: the sink replays its last micro-batch — the
+        # phase txn stamps make the second apply commit NOTHING
+        rep.apply_content_changes(feed, txn=("st07", new))
+        cursor = new
+
+    src.append(rows.filter(F.col("__q") == 1).select(*cols))  # v2
+    pull()
+    src.delete_where_pos(  # v3: row-granular, applies to v1+v2 files
+        (F.col("event_type") == "click") & (F.col("vbucket") < 50.0)
+    )
+    src.append(rows.filter(F.col("__q") == 2).select(*cols))  # v4
+    pull()  # one span netting the delete + the append
+    src.append(rows.filter(F.col("__q") == 3).select(*cols))  # v5
+    pull()
+    # at-head pull: nothing to read, cursor unchanged
+    _, at_head = src.changes_since(cursor, mode="content")
+    if at_head != cursor:  # pragma: no cover - contract violation
+        raise AssertionError("at-head changes_since moved the cursor")
+    cache[sf_dir] = rep
+    return rep
+
+
+@register(
+    "st07_stream_content_replication",
+    # the oracle replays the SOURCE's logical lifecycle: batches q<2
+    # minus their cheap clicks (the mid-stream positional delete
+    # applies only to files existing at commit time), plus batches
+    # q>=2 in full (appended after the delete — the sequence rule).
+    # The Spark side aggregates the REPLICA, which saw only the v1
+    # snapshot plus three content-feed pulls, each applied twice.  Any
+    # replay leak (double delete, double insert), multiplicity error,
+    # or cursor drift breaks the hash.
+    oracle="""
+        WITH src AS (
+            SELECT user_id, event_type,
+                   CAST(floor(value / 10) * 10 AS DOUBLE) AS vbucket,
+                   event_id % 4 AS q
+            FROM events
+        ),
+        final AS (
+            SELECT user_id, event_type, vbucket FROM src
+            WHERE q < 2
+              AND NOT (event_type = 'click' AND vbucket < 50.0)
+            UNION ALL
+            SELECT user_id, event_type, vbucket FROM src WHERE q >= 2
+        )
+        SELECT event_type, vbucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM final
+        GROUP BY event_type, vbucket
+    """,
+    tags=("lake", "streaming", "cdc", "replication", "exactly-once"),
+)
+def st07_stream_content_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING CDC replication for DUPLICATE-KEY tables, end-to-end:
+    vs18 proved the cursor-loop contract for key-unique replicas
+    (upsert/delete-by-key apply); this is the same loop where keys
+    cannot work — each ``changes_since(cursor, mode="content")`` span
+    applies through ``apply_content_changes``, whose two derived txn
+    stamps (<app>#content-del / <app>#content-ins) make the whole
+    apply EXACTLY-ONCE under crash replay: every micro-batch in the
+    fixture is deliberately applied twice, including across the
+    half-applied window (delete committed, append not), and the
+    replica still converges to the source's multiset state.
+
+    Scale shape: each pull costs O(that span's changed partitions +
+    feed); the apply joins feed-distinct rows against only the
+    partitions holding them and windows within identical-row groups.
+    Ref analog: the import-status consumer replaying Step Function
+    transitions exactly once per cursor
+    (backend/import_status/get.py:39-94), here for keyless logs."""
+    rep = _build_content_stream_replica(spark, sf_dir)
+    return rep.read().groupBy("event_type", "vbucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
 @register(
     "vs23_files_metadata_audit",
     # the oracle recomputes what the METADATA must add up to from the

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     # st01-04, sm01-05, and the f-family scalars.
     "vs28_mapcol_change_feed",
     "vs29_content_feed_apply",
+    "st07_stream_content_replication",
     "vs25_posdelete_change_feed",
     "vs27_per_commit_change_feed",
     "vs18_cdc_replication_read",

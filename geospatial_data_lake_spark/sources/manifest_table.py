@@ -2725,7 +2725,9 @@ class ManifestTable:
             lambda eff: eff.filter(F.coalesce(condition, F.lit(False)))
         )
 
-    def _delete_matched_pos(self, matcher) -> int:
+    def _delete_matched_pos(
+        self, matcher, txn: tuple[str, int] | None = None
+    ) -> int:
         """Shared positional-delete commit loop: ``matcher(effective)``
         selects the rows to delete from the effective view (scan-time
         position columns attached); their (root-relative file path, row
@@ -2733,11 +2735,14 @@ class ManifestTable:
         is era-exact by the HOLDING file's hex, same as equality-delete
         key files.  ``delete_where_pos`` passes a predicate filter;
         ``apply_content_changes`` passes a multiplicity-capped
-        full-row match."""
+        full-row match (and a ``txn`` stamp so a crash-replayed apply
+        skips the phase instead of failing its multiplicity check)."""
         for _ in range(_MAX_RETRIES):
             gen, manifest = self._current()
             if manifest is None:
                 raise NotFoundError(f"table never committed: {self.root}")
+            if self._txn_applied(manifest, txn):
+                return gen  # replayed phase (possibly by a racing replica)
             partitions = dict(manifest["partitions"])
             effective = self._effective_df(
                 manifest, with_file=True, with_pos=True
@@ -2782,6 +2787,7 @@ class ManifestTable:
                 {},
                 manifest["schema_ddl"],
                 batch_dir,
+                txn=txn,
                 deletes=deletes,
                 op="DELETE POS",
             ):
@@ -2810,10 +2816,16 @@ class ManifestTable:
         canonicalization as the content diff itself.
 
         Not atomic across the two commits (delete then append) — a
-        reader between them sees the deletes without the inserts;
-        ``txn`` stamps the APPEND commit for cursor idempotency.  Net
-        content feeds never contain the same full row on both sides,
-        so delete-then-append order is always safe.
+        reader between them sees the deletes without the inserts — but
+        with ``txn`` it IS exactly-once under crash replay: the two
+        phases stamp derived txn ids (``<app>#content-del`` /
+        ``<app>#content-ins``, same version), so a replayed apply skips
+        whatever already committed — including the half-applied case
+        (crash between the delete and append commits), where the
+        replay would otherwise fail its own multiplicity check because
+        the deleted rows are already gone.  Net content feeds never
+        contain the same full row on both sides, so delete-then-append
+        order is always safe.
 
         Scale shape: the delete path joins the feed's distinct deleted
         rows against only the partitions holding them (full-row hash
@@ -2823,6 +2835,15 @@ class ManifestTable:
         gen0, manifest = self._current()
         if manifest is None:
             raise NotFoundError(f"table never committed: {self.root}")
+        del_txn = ins_txn = None
+        if txn is not None:
+            app, ver = str(txn[0]), int(txn[1])
+            del_txn = (f"{app}#content-del", ver)
+            ins_txn = (f"{app}#content-ins", ver)
+            if self._txn_applied(manifest, ins_txn):
+                # the append phase is last: its stamp means the whole
+                # apply landed — replay reads nothing, commits nothing
+                return gen0
         if "_change_type" not in feed.columns:
             raise ValidationError(
                 "not a change feed: missing _change_type column"
@@ -2899,9 +2920,9 @@ class ManifestTable:
                     )
                 return m
 
-            ver = self._delete_matched_pos(matcher)
+            ver = self._delete_matched_pos(matcher, txn=del_txn)
         if not ins.isEmpty():
-            ver = self.append(ins, txn=txn)
+            ver = self.append(ins, txn=ins_txn)
         return ver
 
     def overwrite_where(

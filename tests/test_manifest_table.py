@@ -3577,3 +3577,50 @@ def should_apply_content_feed_with_map_columns(spark, tmp_path):
     )
     mt.apply_content_changes(feed)
     assert sorted(r.id for r in mt.read().collect()) == [2]
+
+
+def should_replay_content_apply_exactly_once(spark, tmp_path, monkeypatch):
+    """apply_content_changes with txn is EXACTLY-ONCE under crash
+    replay: (a) a full replay of an applied feed commits nothing; (b)
+    a crash in the half-applied window — delete phase committed, the
+    append crashed — replays to convergence (the delete phase skips by
+    its txn stamp instead of failing its multiplicity check over the
+    already-deleted rows, and only the append lands)."""
+    src = ManifestTable(
+        spark, str(tmp_path / "src"), key_cols=["id"], partition_by=["part"]
+    )
+    src.append(_mk(spark, [(1, "a", "dup")] * 3 + [(2, "a", "x")]))  # v1
+    src.delete_where_pos(F.col("id") == 1)  # v2
+    src.append(_mk(spark, [(4, "b", "z")]))  # v3
+    rep = ManifestTable(
+        spark, str(tmp_path / "rep"), key_cols=["id"], partition_by=["part"]
+    )
+    rep.append(src.read(version=1))
+    feed = src.changes(1, 3).localCheckpoint(eager=True)
+    v_applied = rep.apply_content_changes(feed, txn=("app", 3))
+    state = sorted((r.id, r.v) for r in rep.read().collect())
+    # (a) full replay: same txn, zero commits, identical state
+    assert rep.apply_content_changes(feed, txn=("app", 3)) == v_applied
+    assert rep.current_version() == v_applied
+    assert sorted((r.id, r.v) for r in rep.read().collect()) == state
+    # (b) half-applied crash: new source delta, append made to crash
+    src.delete_where_pos(F.col("id") == 2)  # v4
+    src.append(_mk(spark, [(5, "b", "w")]))  # v5
+    feed2 = src.changes(3, 5).localCheckpoint(eager=True)
+    real_append = rep.append
+    monkeypatch.setattr(
+        type(rep),
+        "append",
+        lambda self, *a, **kw: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        rep.apply_content_changes(feed2, txn=("app", 5))
+    monkeypatch.undo()
+    # the delete committed, the insert did not — replica is mid-window
+    ids_mid = sorted(r.id for r in rep.read().collect())
+    assert 2 not in ids_mid and 5 not in [int(i) for i in ids_mid]
+    # replay converges: delete phase skipped by stamp, append lands
+    rep.apply_content_changes(feed2, txn=("app", 5))
+    assert sorted((r.id, r.v) for r in rep.read().collect()) == sorted(
+        (r.id, r.v) for r in src.read().collect()
+    )
