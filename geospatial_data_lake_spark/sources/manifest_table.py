@@ -1615,9 +1615,14 @@ class ManifestTable:
           surfaces as a delete+insert pair), so ``preimage=True``
           raises.
         - ``"auto"`` (default): ``"content"`` when the span involves
-          positional deletes (pending at either endpoint, or a
+          positional deletes (pending at either endpoint, a
           ``DELETE POS`` commit mid-span — even one a later rewrite
-          materialized), else ``"key"``.
+          materialized — or a GC'd mid-span commit whose kind is
+          unknowable), else ``"key"``.  Auto assumes the key-unique
+          contract otherwise: an APPEND-ONLY span over a
+          duplicate-key log carries no pos-delete signal, so such
+          consumers must pass ``mode="content"`` explicitly (the
+          st07 cursor loop's discipline).
 
         Scale shape: both modes read O(changed partitions); content
         mode shuffles those rows once on the full row (a wide group-by
@@ -2859,7 +2864,21 @@ class ManifestTable:
                 "content apply needs every column (a partial feed "
                 "would null-fill inserts and under-match deletes)"
             )
-        cols = schema_cols
+        # SCHEMA EVOLUTION rides through: the feed's data columns are
+        # the union of the SOURCE's schemas across the span (changes()
+        # aligns both sides), which may exceed this replica's current
+        # schema.  Dropping the extras would silently lose the evolved
+        # column from every applied insert, so ``cols`` is the feed's
+        # full data-column list — the append phase widens the replica
+        # exactly as a direct evolved append would, and the delete
+        # phase aligns the effective view with typed NULLs (an
+        # old-era row carries NULL for the new column on BOTH sides,
+        # so full-row matching is unaffected).
+        cols = [
+            c
+            for c in feed.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
         dels = feed.filter(F.col("_change_type") == "delete").select(*cols)
         ins = feed.filter(F.col("_change_type") == "insert").select(*cols)
         bad = feed.filter(
@@ -2879,6 +2898,14 @@ class ManifestTable:
 
             def matcher(eff: DataFrame) -> DataFrame:
                 e = eff
+                for c in cols:
+                    if c not in e.columns:
+                        # feed column from a source schema evolution the
+                        # replica has not seen yet: every live replica
+                        # row predates it, so typed NULL aligns exactly
+                        e = e.withColumn(
+                            c, F.lit(None).cast(dels.schema[c].dataType)
+                        )
                 keyed = []
                 for c in cols:
                     if c in canon:

@@ -3624,3 +3624,36 @@ def should_replay_content_apply_exactly_once(spark, tmp_path, monkeypatch):
     assert sorted((r.id, r.v) for r in rep.read().collect()) == sorted(
         (r.id, r.v) for r in src.read().collect()
     )
+
+
+def should_apply_content_feed_across_schema_evolution(spark, tmp_path):
+    """A source schema evolution rides through the content apply: the
+    feed's data columns are the SPAN-UNION of source schemas, so an
+    evolved column reaches the replica's appends (instead of being
+    silently dropped to the replica's pre-evolution schema), and
+    deletes of pre-evolution rows still match — both sides carry
+    typed NULL for the new column."""
+    src = ManifestTable(
+        spark, str(tmp_path / "src"), key_cols=["id"], partition_by=["part"]
+    )
+    src.append(_mk(spark, [(1, "a", "x"), (2, "a", "y")]))  # v1
+    src.append(
+        spark.createDataFrame(
+            [(3, "a", "z", 9.5)],
+            "id long, part string, v string, score double",
+        )
+    )  # v2: evolves schema
+    src.delete_where_pos(F.col("v") == "x")  # v3: pre-evolution row
+    rep = ManifestTable(
+        spark, str(tmp_path / "rep"), key_cols=["id"], partition_by=["part"]
+    )
+    rep.append(src.read(version=1))
+    rep.apply_content_changes(src.changes(1, 3))
+    got = sorted(
+        (r.id, r.v, r.score) for r in rep.read().collect()
+    )
+    assert got == [(2, "y", None), (3, "z", 9.5)]
+    # replica converged to the evolved source state exactly
+    assert got == sorted(
+        (r.id, r.v, r.score) for r in src.read().collect()
+    )
