@@ -2057,3 +2057,134 @@ def semantic_dedup_census(
         )
         .orderBy("cluster")
     )
+
+
+# -- ss12: PRODUCTION auto-k IVF — list count scales with the corpus --------
+
+_IVF_TARGET_LIST = 256  # target vectors per inverted list
+
+
+def ivf_auto_k(n_vectors: int, target_list: int = _IVF_TARGET_LIST) -> int:
+    """The production list count for an IVF index: k ~ N/target_list
+    keeps per-list population — and with it the per-query rerank work
+    at fixed nprobe/k fraction — constant as the corpus scales (the
+    same discipline as ``semdedup_auto_k``).  Pure driver arithmetic."""
+    return max(1, math.ceil(n_vectors / target_list))
+
+
+@register(
+    "ss12_autok_ivf_search",
+    # data-dependent k means the oracle cannot replay the Lloyd
+    # trajectory (the kmeans CTE prefix bakes a literal k), so this is
+    # AUDIT-gated like sd02/ss02b: the oracle recomputes the
+    # SQL-derivable scalars (query count, exact-pair count, the auto-k
+    # formula) and pins the recall floor to literal TRUE.  Any drift in
+    # the k arithmetic, the probe selection, the list assignment, or a
+    # recall collapse breaks the hash.
+    oracle=f"""
+        SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5)
+                   AS BIGINT) AS n_queries,
+               CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 3
+                   AS BIGINT) AS n_exact_pairs,
+               CAST(greatest(
+                   1, CAST(ceil(count(*) / {_IVF_TARGET_LIST}.0) AS BIGINT)
+               ) AS BIGINT) AS k_lists,
+               true AS recall_ok
+        FROM embeddings
+    """,
+    tags=("similarity", "ann", "ivf", "audit", "production"),
+)
+def ss12_autok_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss03/ss04's PRODUCTION arm: IVF ANN with the list count scaled
+    to the corpus (``ivf_auto_k`` — k ~ N/256) instead of the pinned
+    oracle-replayable k=8, searched at nprobe ~ k/4 and audit-gated on
+    recall@3 >= 0.5 against ss01's exact top-3 plus the k formula
+    itself.  This is the arm the vectorized assignment path
+    (``_assign_vectorized``) exists for: at production k the k-struct
+    expression plan is the bottleneck, and training/assignment must run
+    as matmuls.
+
+    Probe selection is DRIVER-side numpy over the trained centroid
+    matrix — (queries x k x dim) FLOPs on a model-sized object, the
+    same driver-state discipline as kmeans_fit's centroid update —
+    then (q_id, cid) probe rows broadcast into an equi-join on the
+    list id, exact-cosine rerank of ~nprobe/k of the corpus.  At
+    billions of vectors the corpus side is bucketed by cid at write
+    time (ss08's layout) and the probe becomes a pruned scan.
+
+    Scale shape: training is iters x (one corpus scan + a k x dim
+    partial-agg shuffle); search cost per query is k x dim driver
+    FLOPs + the probed fraction of the corpus.  Constant per-list
+    population means BOTH terms scale linearly with N at fixed
+    nprobe/k — the canonical IVF contract, now with k following the
+    corpus automatically."""
+    import numpy as np
+
+    from geospatial_data_lake_spark.operators.similarity import (
+        _dot as _cg_dot,
+    )
+    from geospatial_data_lake_spark.operators.similarity import (
+        ss01_cosine_topk,
+    )
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    k = ivf_auto_k(n)
+    fin, cents = kmeans_fit(e, k=k)
+    cids = sorted(int(c) for c in cents)
+    C = np.asarray([cents[c] for c in cids], dtype=np.float64)
+    nprobe = max(1, math.ceil(len(cids) / 4))
+    probe_rows = []
+    for r in e.filter(F.col("vec_id") < 5).collect():
+        qv = np.asarray(r.v, dtype=np.float64)
+        d = np.round(((C - qv) ** 2).sum(axis=1), 9)
+        order = np.lexsort((np.asarray(cids), d))  # dist, then cid
+        for j in order[:nprobe]:
+            probe_rows.append(
+                (int(r.vec_id), [float(x) for x in r.v], int(cids[j]))
+            )
+    probe = spark.createDataFrame(
+        probe_rows, "q_id long, qv array<double>, cid int"
+    )
+    cand = (
+        fin.select("vec_id", "v", "cid")
+        .join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        (
+            _cg_dot(F.col("v"), F.col("qv"))
+            / (
+                F.sqrt(_cg_dot(F.col("v"), F.col("v")))
+                * F.sqrt(_cg_dot(F.col("qv"), F.col("qv")))
+            )
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("c_id")
+    )
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "c_id")
+    )
+    exact = ss01_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    hit = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+    ).crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hits"))))
+    return stats.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("n_exact_pairs").cast("bigint").alias("n_exact_pairs"),
+        F.lit(k).cast("bigint").alias("k_lists"),
+        (F.col("n_hits") >= F.col("n_exact_pairs") * 0.5).alias(
+            "recall_ok"
+        ),
+    )

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "vs28_mapcol_change_feed",
     "vs29_content_feed_apply",
     "st07_stream_content_replication",
+    "ss12_autok_ivf_search",
     "vs25_posdelete_change_feed",
     "vs27_per_commit_change_feed",
     "vs18_cdc_replication_read",
