@@ -91,6 +91,12 @@ HEADLINE = [
     "ts03_time_weighted_avg",
     # r12 addition: hybrid fusion served from production ANN arms
     "rk02_rrf_fusion_serve",
+    # r14 additions: content-mode CDC over a pos-deleted duplicate-key
+    # log (the changed-partition multiset diff is recomputed per run),
+    # and the production auto-k IVF search (assignment + probe + rerank
+    # per run; training collects happen once at plan-build time)
+    "vs25_posdelete_change_feed",
+    "ss12_autok_ivf_search",
 ]
 
 
