@@ -38,7 +38,9 @@ COLLECT_ALLOWLIST = {
     "operators/lake_queries.py": 1, # CDC cursor bootstrap, 1 row
     "operators/textops.py": 1,      # trained BPE merge list, model-sized
     "operators/dedup.py": 1,        # <=512-doc dispatch sample, guarded raise
-    "operators/clustering.py": 4,   # k x dim centroids / codebooks, model-sized
+    "operators/clustering.py": 5,   # k x dim centroids / codebooks,
+                                    # model-sized; + ss12 query-vector
+                                    # probe (5 rows x dim)
     "operators/graph.py": 3,        # fixpoint convergence probes, 1-row aggs
     "operators/ordinal.py": 1,      # per-partition offsets, O(partitions)
     "operators/similarity.py": 1,   # k seed vectors, model-sized
@@ -58,6 +60,8 @@ CROSSJOIN_ALLOWLIST = {
     "operators/tpch_suite.py": 1,   # broadcast 1-row min-cost scalar (q2/q11)
     "operators/quality.py": 3,      # 1-row orphan-count aggs (dq03) + bc total
     "operators/similarity.py": 2,   # broadcast 1-row recall/stats rows
+    "operators/clustering.py": 1,   # ss12: broadcast 1-row hit-count agg
+                                    # (the similarity recall-audit shape)
 }
 
 RDD_ALLOWLIST = {
