@@ -75,16 +75,22 @@ _LOADED = False
 # not listed keeps its registration order after the prioritized
 # prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # ---- r14 driver prefix (50 entries): canaries for the machinery
-    # changed THIS round lead — vs25/vs27 (content diff gained map
-    # canonicalization + chunked occurrence emission), vs18 (changes()
-    # span detection turned conservative on GC'd manifests), vs22
-    # (pos-delete addresses gained the realpath root + format stamp),
-    # dd07/dd15 (exactness gate rebuilt on left joins + checkpoint
-    # hygiene), sd02 (canary for the clustering substrate) — then the
-    # families whose last driver proof is the STALEST (r4-r6): tpch
-    # q3/q5/q7/q8/q10/q15/q16/q20, geo04-07, mm01-06, ev01-05,
-    # st01-04, sm01-05, and the f-family scalars.
+    # ---- r14 driver prefix: the four NEW r14 queries lead
+    # (vs28 map-column content CDC, vs29 content-feed apply, st07
+    # streaming duplicate-key replication, ss12 production auto-k
+    # IVF), then canaries for the machinery changed this round —
+    # vs25/vs27 (content diff gained map canonicalization + chunked
+    # occurrence emission), vs18 (changes() span detection turned
+    # conservative on GC'd manifests), vs22 (pos-delete addresses
+    # gained the realpath root + format stamp), dd07/dd15 (exactness
+    # gate rebuilt on left joins + checkpoint hygiene), sd02 (canary
+    # for the clustering substrate: vectorized assignment + megacell
+    # guard) — then the families whose last driver proof is the
+    # STALEST (r4-r6): tpch q3/q5/q7/q8/q10/q16/q20, geo04-07,
+    # mm01-05, ev01-04, st01-04, sm01-05, and the f-family scalars
+    # through f12 (the four r14 insertions pushed f13/mm06/ev05/q15
+    # just past the 50-entry checked window; all four are
+    # parity-proven at both SFs this round).
     "vs28_mapcol_change_feed",
     "vs29_content_feed_apply",
     "st07_stream_content_replication",
