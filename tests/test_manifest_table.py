@@ -3657,3 +3657,83 @@ def should_apply_content_feed_across_schema_evolution(spark, tmp_path):
     assert got == sorted(
         (r.id, r.v, r.score) for r in src.read().collect()
     )
+
+
+def should_converge_replica_for_generated_content_histories(spark, tmp_path):
+    """Content-replication model check: for ANY generated source
+    history over a duplicate-key table (appends of small row multisets
+    interleaved with positional deletes), a replica seeded from ANY
+    mid-history snapshot converges to the source's exact multiset
+    state by applying the single net content feed — the algebra the
+    apply-changelog contract promises (multiset subtraction with exact
+    multiplicity, inserts by count)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),
+                    st.sampled_from(["a", "b"]),
+                    st.sampled_from(["x", "y"]),  # small value space ->
+                    # duplicate FULL rows across commits (the hard part)
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        st.tuples(
+            st.just("delete_pos"), st.sampled_from(["x", "y"])
+        ),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ops=st.lists(op, min_size=1, max_size=4),
+        seed_at=st.integers(1, 2),
+    )
+    def check(ops, seed_at):
+        counter[0] += 1
+        src = ManifestTable(
+            spark,
+            str(tmp_path / f"src_{counter[0]}"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+        src.append(
+            _mk(spark, [(1, "a", "x"), (1, "a", "x"), (2, "b", "y")])
+        )
+        for kind, arg in ops:
+            if kind == "append":
+                src.append(_mk(spark, list(arg)))
+            else:
+                # row-granular delete of every live row with value=arg
+                src.delete_where_pos(F.col("v") == arg)
+        head = src.current_version()
+        v0 = min(seed_at, head)
+        rep = ManifestTable(
+            spark,
+            str(tmp_path / f"rep_{counter[0]}"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+        rep.append(src.read(version=v0))
+        if head > v0:
+            rep.apply_content_changes(
+                src.changes(v0, head, mode="content")
+            )
+        assert sorted(
+            (r.id, r.part, r.v) for r in rep.read().collect()
+        ) == sorted(
+            (r.id, r.part, r.v) for r in src.read().collect()
+        ), (ops, v0)
+
+    check()
