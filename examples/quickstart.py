@@ -57,6 +57,22 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     counted = mt.partitions_meta().agg(F.sum("record_count")).first()[0]
     assert counted == mt.read().count()  # metadata-only count, truthful
     mt.expire_snapshots(older_than_seconds=86400.0)  # young commits stay
+    # r14 surfaces: content-mode CDC (the duplicate-key-safe multiset
+    # diff — here it also nets out the pos-delete + zorder rewrite) and
+    # the apply-changelog consumer: a replica seeded from v1 converges
+    # through ONE net feed, exactly-once under crash replay via txn
+    feed = mt.changes(v1, mt.current_version(), mode="content")
+    replica = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="quickstart_replica_"),
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    replica.append(mt.read(version=v1))
+    replica.apply_content_changes(feed, txn=("quickstart", 1))
+    replica.apply_content_changes(feed, txn=("quickstart", 1))  # replay: no-op
+    assert replica.read().count() == mt.read().count()
+    out["cdc_feed_rows"] = feed.count()
 
     # 2. The registry: run any declared query; each has a DuckDB oracle
     from geospatial_data_lake_spark import load_all_queries
@@ -111,6 +127,14 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
 
 
 if __name__ == "__main__":
+    import pathlib
+
+    # running as a script: python adds examples/ to sys.path, not the
+    # repo root the package lives under
+    _repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    if _repo not in sys.path:
+        sys.path.insert(0, _repo)
+
     from geospatial_data_lake_spark.session import get_spark
 
     session = get_spark(app_name="quickstart")
