@@ -2835,8 +2835,14 @@ class ManifestTable:
         Scale shape: the delete path joins the feed's distinct deleted
         rows against only the partitions holding them (full-row hash
         keys — uniform, no skew) and windows WITHIN identical-row
-        groups (tiny partitions by construction); cost is O(matched
-        rows + feed), never O(table)."""
+        groups; cost is O(matched rows + feed), never O(table).  Known
+        skew bound: the per-group row_number sorts each MATCHED
+        duplicate group on one task, so deleting a few copies out of a
+        single row duplicated millions of times serializes that
+        group's sort (it spills and completes; every other group is
+        untouched) — the multiset-exactness contract requires ordering
+        the group, and typical feeds delete whole near-dup groups whose
+        size is physically bounded."""
         gen0, manifest = self._current()
         if manifest is None:
             raise NotFoundError(f"table never committed: {self.root}")
