@@ -3737,3 +3737,96 @@ def should_converge_replica_for_generated_content_histories(spark, tmp_path):
         ), (ops, v0)
 
     check()
+
+
+def should_equate_per_commit_and_net_application(spark, tmp_path):
+    """Change-feed algebra: for ANY generated duplicate-key history,
+    applying each commit's own content feed IN ORDER (the
+    changes_per_commit consumer) and applying the single net
+    endpoint feed both converge a snapshot-seeded replica to the
+    source state — per-commit feeds are replayable increments, the
+    net feed is their multiset sum."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),
+                    st.sampled_from(["a", "b"]),
+                    st.sampled_from(["x", "y"]),
+                ),
+                min_size=1,
+                max_size=2,
+            ),
+        ),
+        st.tuples(st.just("delete_pos"), st.sampled_from(["x", "y"])),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=3))
+    def check(ops):
+        counter[0] += 1
+        src = ManifestTable(
+            spark,
+            str(tmp_path / f"s_{counter[0]}"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+        src.append(_mk(spark, [(1, "a", "x"), (1, "a", "x"), (2, "b", "y")]))
+        for kind, arg in ops:
+            if kind == "append":
+                src.append(_mk(spark, list(arg)))
+            else:
+                src.delete_where_pos(F.col("v") == arg)
+        head = src.current_version()
+
+        def seeded(name):
+            r = ManifestTable(
+                spark,
+                str(tmp_path / f"{name}_{counter[0]}"),
+                key_cols=["id"],
+                partition_by=["part"],
+            )
+            r.append(src.read(version=1))
+            return r
+
+        source_state = sorted(
+            (r.id, r.part, r.v) for r in src.read().collect()
+        )
+        if head > 1:
+            # per-commit consumer: one apply per stamped version
+            inc = seeded("inc")
+            pc = src.changes_per_commit(1, head, mode="content")
+            versions = sorted(
+                r._commit_version
+                for r in pc.select("_commit_version").distinct().collect()
+            )
+            for v in versions:
+                inc.apply_content_changes(
+                    pc.filter(F.col("_commit_version") == v).drop(
+                        "_commit_version"
+                    ),
+                    txn=("inc", int(v)),
+                )
+            # net consumer: one apply of the endpoint diff
+            net = seeded("net")
+            net.apply_content_changes(src.changes(1, head, mode="content"))
+            assert (
+                sorted((r.id, r.part, r.v) for r in inc.read().collect())
+                == source_state
+            ), ops
+            assert (
+                sorted((r.id, r.part, r.v) for r in net.read().collect())
+                == source_state
+            ), ops
+
+    check()
