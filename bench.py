@@ -182,6 +182,18 @@ def main() -> None:
         json.dumps(
             {
                 "raw_runs": raw_runs,
+                # per-query MIN of the raw runs: contamination-RESISTANT
+                # under this host's one-sided noise (a contention window
+                # can only inflate a run, never deflate it), so
+                # round-over-round regression adjudication should read
+                # min when "contended" is set; medians remain the
+                # steady-state estimate on a quiet host.  Lives on THIS
+                # line (not the final compact record) so the final line
+                # stays small enough for the driver's bounded
+                # stdout-tail capture — r14 put it on the final line and
+                # the driver recorded parsed: null (the r7 failure mode
+                # all over again).
+                "queries_min": minimums,
                 "sf": sf_val,
                 "calibration": {
                     "query": _CALIBRATION_QUERY,
@@ -202,13 +214,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # per-query MIN of the raw runs: contamination-RESISTANT
-                # under this host's one-sided noise (a contention window
-                # can only inflate a run, never deflate it), so
-                # round-over-round regression adjudication should read
-                # min when "contended" is set; medians remain the
-                # steady-state estimate on a quiet host.
-                "queries_min": minimums,
                 "sf": sf_val,
                 # host-contention sentinel: True means the fixed-cost
                 # calibration probe drifted >limit between the start and

@@ -55,20 +55,33 @@ def u02_union_discriminated(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u03_except",
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT p_partkey AS partkey FROM part
         EXCEPT
-        SELECT s_nationkey FROM supplier
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-02-01'
     """,
     tags=("setop", "U3"),
 )
 def u03_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (capability-parity U3: absence checks the reference does via
-    anti-join)."""
+    anti-join): parts NOT shipped in a given month.
+
+    The prior form (customer nationkeys EXCEPT supplier nationkeys) was
+    structurally empty at every driver scale factor (both sides cover
+    all 25 nations at sf>=0.01 — r14 judge finding), so its hash gate
+    carried no value signal.  Subtracting a narrow ship-window keeps the
+    result ~70% of part at every SF (145/1407/13898 rows at
+    sf{0.001,0.01,0.1}, measured) because lineitems-per-part is roughly
+    constant in SF while the window stays fixed."""
     t = tables(spark, sf_dir)
     # subtract == EXCEPT (set semantics); exceptAll would keep leftover
     # multiplicities, which is EXCEPT ALL
-    return t.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    shipped = t.lineitem.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-02-01")
+    )
+    return t.part.select(F.col("p_partkey").alias("partkey")).subtract(
+        shipped.select(F.col("l_partkey").alias("partkey"))
     )
 
 
