@@ -75,33 +75,75 @@ _LOADED = False
 # not listed keeps its registration order after the prioritized
 # prefix; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # ---- r14 driver prefix: the four NEW r14 queries lead
-    # (vs28 map-column content CDC, vs29 content-feed apply, st07
-    # streaming duplicate-key replication, ss12 production auto-k
-    # IVF), then canaries for the machinery changed this round —
-    # vs25/vs27 (content diff gained map canonicalization + chunked
-    # occurrence emission), vs18 (changes() span detection turned
-    # conservative on GC'd manifests), vs22 (pos-delete addresses
-    # gained the realpath root + format stamp), dd07/dd15 (exactness
-    # gate rebuilt on left joins + checkpoint hygiene), sd02 (canary
-    # for the clustering substrate: vectorized assignment + megacell
-    # guard) — then the families whose last driver proof is the
-    # STALEST (r4-r6): tpch q3/q5/q7/q8/q10/q16/q20, geo04-07,
-    # mm01-05, ev01-04, st01-04, sm01-05, and the f-family scalars
-    # through f12 (the four r14 insertions pushed f13/mm06/ev05/q15
-    # just past the 50-entry checked window; all four are
-    # parity-proven at both SFs this round).
-    "vs28_mapcol_change_feed",
+    # ---- r15 driver prefix (first 50 = the driver's checked window).
+    # Leads with the four queries the r14 insertions pushed just past
+    # the 50-entry window (f13/mm06/ev05/q15 — parity-proven both SFs
+    # in r14, never driver-green later than r13), then canaries for
+    # every piece of machinery r15 changes: the four fixtures loosened
+    # for driver-tier value signal (j05 anti-join bar, u03 EXCEPT
+    # window, q20 threshold, ct01/ct02/dd14 gram width 8->5), ss12
+    # (probe-fraction tightening), vs29/st07 (content-apply NULL guard
+    # + WAP-atomic apply), vs28/vs25/vs18 (changes() fan-out guard +
+    # addr-stamp era softening in manifest_table), sd02 (vectorized-
+    # assignment rounding parity) — then the families whose last
+    # driver proof is the STALEST (r7-r9): vs01-vs09 lake core,
+    # geo08-12, ss04-ss09, dq04-dq07, tx09/tx10, vb01-03, x05-x07,
+    # pr01.  Below the 50-mark the full registry order is now spelled
+    # out explicitly (prior rounds' relative order preserved).
+    "f13_rolling_hash",
+    "mm06_png_decode_stats",
+    "ev05_top_event_paths",
+    "tpch_q15_top_supplier",
+    "j05_anti_join",
+    "u03_except",
+    "tpch_q20_part_promotion",
+    "ct01_ngram_contamination",
+    "ct02_decontaminate",
+    "dd14_decontamination",
+    "ss12_autok_ivf_search",
     "vs29_content_feed_apply",
     "st07_stream_content_replication",
-    "ss12_autok_ivf_search",
+    "vs28_mapcol_change_feed",
     "vs25_posdelete_change_feed",
-    "vs27_per_commit_change_feed",
     "vs18_cdc_replication_read",
+    "sd02_semantic_dedup_autok",
+    "vs01_manifest_merge_roundtrip",
+    "vs02_manifest_time_travel",
+    "vs03_manifest_change_feed",
+    "vs04_clustered_pruned_read",
+    "vs05_bloom_point_read",
+    "vs06_incremental_view_maintenance",
+    "vs07_replace_where",
+    "vs08_version_drift",
+    "vs09_restore_constrained_lifecycle",
+    "geo08_wkb_point_in_polygon",
+    "geo09_wkb_multipolygon_holes",
+    "geo10_wkb_polyline_length",
+    "geo11_geoparquet_roundtrip",
+    "geo12_st_functions",
+    "ss04_ivf_trained_ann",
+    "ss05_pq_adc_search",
+    "ss06_ivfpq_search",
+    "ss07_ivfpq_residual_search",
+    "ss08_persisted_ivfpq_search",
+    "ss09_ivfpq_refined_search",
+    "dq04_chi2_drift",
+    "dq05_embedding_drift",
+    "dq06_constraint_suite",
+    "dq07_volume_anomalies",
+    "tx09_token_diversity",
+    "tx10_bigram_prob_score",
+    "vb01_vocab_coverage",
+    "vb02_bpe_merges",
+    "vb03_bpe_tokenize",
+    "x05_group_rank_normalize",
+    "x06_udtf_segment_split",
+    "x07_arrow_batch_norms",
+    "pr01_link_pagerank",
+    "vs27_per_commit_change_feed",
     "vs22_positional_delete_read",
     "dd07_duplicate_groups",
     "dd15_canonical_dedup_decision",
-    "sd02_semantic_dedup_autok",
     "vs26_delete_files_audit",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -109,7 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q16_supplier_part_counts",
-    "tpch_q20_part_promotion",
     "geo04_point_in_polygon",
     "geo05_polygon_intersect_pairs",
     "geo06_zorder_cells",
@@ -141,13 +182,6 @@ _PRIORITY: tuple[str, ...] = (
     "f09_json_map_explode",
     "f11_url_encode",
     "f12_case_mapping",
-    "f13_rolling_hash",
-    "mm06_png_decode_stats",
-    "ev05_top_event_paths",
-    "tpch_q15_top_supplier",
-    # ---- below the 50-entry mark: prior rounds' blocks keep
-    # deterministic positions; everything not listed keeps
-    # registration order after the prefix.
     "vs10_equality_delete_feed",
     "vs23_files_metadata_audit",
     "a08b_cube",
@@ -178,7 +212,6 @@ _PRIORITY: tuple[str, ...] = (
     "j02_fk_chain_join",
     "j03_left_outer_join",
     "j04_semi_join",
-    "j05_anti_join",
     "j06_graph_reachability",
     "o01_ordered_iteration",
     "o02_exists_shortcircuit",
@@ -192,14 +225,11 @@ _PRIORITY: tuple[str, ...] = (
     "s03_secondary_index_scan",
     "s11_pruned_scan",
     "u01_distinct",
-    "u03_except",
     "w01_ordinal_assignment",
     "vs21_zorder_clustered_read",
     "vs24_timestamp_pruned_read",
     "rk02_rrf_fusion_serve",
     "sd01_semantic_dedup",
-    "ss08_persisted_ivfpq_search",
-    "ss09_ivfpq_refined_search",
     "st05_stream_ann_index_maintenance",
     "rk01_rrf_fusion",
     "tpch_q21_waiting_suppliers",
@@ -213,22 +243,14 @@ _PRIORITY: tuple[str, ...] = (
     "w08_distribution_ranks",
     "o06_keyset_pagination",
     "p07_conjunctive_predicate",
-    "geo08_wkb_point_in_polygon",
-    "geo09_wkb_multipolygon_holes",
-    "geo10_wkb_polyline_length",
-    "geo12_st_functions",
     "mx03_token_budget_plan",
     "dd01_exact_dedup_summary",
     "dd10_substring_spans",
     "dd13_substring_removal",
     "cl01_kmeans_train",
     "ss01_cosine_topk",
-    "ss05_pq_adc_search",
-    "ss06_ivfpq_search",
     "em02_product_quantization",
     "em03_matryoshka_prefix_search",
-    "vb01_vocab_coverage",
-    "vb03_bpe_tokenize",
     "dq01_ks_drift",
     "pk01_sequence_packing",
     "pk02_shard_manifest",
@@ -236,8 +258,6 @@ _PRIORITY: tuple[str, ...] = (
     "j07_star_join_broadcast",
     "o04_topk",
     "dd03_jaccard_pairs",
-    "ss04_ivf_trained_ann",
-    "ss07_ivfpq_residual_search",
     "ts01_gap_fill_locf",
     "ts02_ohlc_downsample",
     "ts03_time_weighted_avg",
@@ -248,17 +268,7 @@ _PRIORITY: tuple[str, ...] = (
     "pl01_training_pipeline",
     "ss02_lsh_ann_topk",
     "ss03_ivf_ann_topk",
-    "dd14_decontamination",
     "ss10_binary_quant_search",
-    "vs01_manifest_merge_roundtrip",
-    "vs02_manifest_time_travel",
-    "vs03_manifest_change_feed",
-    "vs04_clustered_pruned_read",
-    "vs05_bloom_point_read",
-    "vs06_incremental_view_maintenance",
-    "vs07_replace_where",
-    "vs08_version_drift",
-    "vs09_restore_constrained_lifecycle",
     "vs11_hidden_partition_pruned_read",
     "vs12_tagged_snapshot_read",
     "vs13_wap_publish",
@@ -266,7 +276,6 @@ _PRIORITY: tuple[str, ...] = (
     "vs15_spec_evolution_read",
     "vs16_spec_rewrite_read",
     "vs17_partition_column_evolution_read",
-    "geo11_geoparquet_roundtrip",
     "dd09_incremental_dedup",
     "dd11_indexed_incremental_dedup",
     "dd12_dispatched_incremental",
@@ -274,16 +283,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q13_customer_distribution",
     "dq03_referential_integrity",
-    "dq04_chi2_drift",
-    "dq05_embedding_drift",
     "qf02_gopher_rules",
-    "tx09_token_diversity",
     "s12_orc_roundtrip",
     "j12_full_outer_join",
-    "x05_group_rank_normalize",
-    "x06_udtf_segment_split",
-    "x07_arrow_batch_norms",
-    "pr01_link_pagerank",
     "tx07_winnowing_fingerprints",
     "t03_session_window",
     "s01_point_lookup",
@@ -298,15 +300,40 @@ _PRIORITY: tuple[str, ...] = (
     "u05_duplicate_consistency",
     "x04_centroid_udaf",
     "t01_tumbling_window",
-    "vb02_bpe_merges",
-    "tx10_bigram_prob_score",
     "w03_rank_per_group",
-    "ct02_decontaminate",
-    "dq06_constraint_suite",
     "dq02_column_profile",
     "mx02_temperature_mixture",
     "tpch_q17_small_qty_revenue",
-    "dq07_volume_anomalies",
+    "a04_grouped_collect",
+    "a09_approx_distinct",
+    "gr01_triangle_count",
+    "tx02_quality_score",
+    "tx05_bigram_frequencies",
+    "tx06_regex_token_count",
+    "tx04_length_histogram",
+    "dd05_simhash_pairs",
+    "j01_lookup_join_broadcast",
+    "j08_range_join",
+    "pr01b_pagerank_audit",
+    "px01_pii_redaction",
+    "mx01_mixture_rebalance",
+    "qf01_quantile_filter",
+    "rep01_boilerplate_ngrams",
+    "rp01_repetition_metrics",
+    "s06_content_digest",
+    "u04_intersect",
+    "u07_intersect_all",
+    "ss02b_lsh_recall_audit",
+    "ss03b_ivf_recall_audit",
+    "em01_int8_quantization",
+    "sk01_salted_hotkey_agg",
+    "sk02_salted_dim_join",
+    "t02_sliding_window",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q2_min_acctbal_supplier",
+    "tpch_q11_important_parts",
+    "a14_sketch_percentiles",
+    "a15_hll_sketch_partitioned",
 )
 
 
