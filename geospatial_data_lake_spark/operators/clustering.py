@@ -188,7 +188,9 @@ def _assign_vectorized(
     kernel computing the full distance block per Arrow batch via the
     |v|^2 + |c|^2 - 2 v.c identity (BLAS matmul), argmin with ties to
     the LOWEST cid — the same (dist, cid) struct order and 9-dp
-    rounding as the expression path.  Row chunks are sized so the
+    HALF_UP rounding as the expression path (emulated via
+    floor(x*1e9+0.5)/1e9 on the non-negative distances; ``np.round``
+    alone would be banker's half-to-even).  Row chunks are sized so the
     n x k distance block stays ~32 MB regardless of k.  O(n x k x d)
     FLOPs either way; this path runs them at matmul speed and keeps
     the PLAN size O(1) in k.  Sub-9dp float-association differences vs
@@ -220,7 +222,13 @@ def _assign_vectorized(
                 e = min(s + chunk, n)
                 d2 = v2[s:e, None] + c2[None, :] - 2.0 * (V[s:e] @ C.T)
                 np.maximum(d2, 0.0, out=d2)  # identity can go -epsilon
-                np.round(d2, 9, out=d2)
+                # 9-dp HALF_UP to mirror Spark's F.round (np.round is
+                # banker's half-to-even; exact-half values would round
+                # differently).  Values are non-negative after the
+                # clamp, so floor(x*1e9 + 0.5)/1e9 IS HALF_UP.
+                d2 *= 1e9
+                np.floor(d2 + 0.5, out=d2)
+                d2 /= 1e9
                 idx = d2.argmin(axis=1)  # first min = lowest cid
                 out_cid[s:e] = cid_arr[idx]
                 out_dist[s:e] = d2[np.arange(e - s), idx]
@@ -2062,6 +2070,15 @@ def semantic_dedup_census(
 # -- ss12: PRODUCTION auto-k IVF — list count scales with the corpus --------
 
 _IVF_TARGET_LIST = 256  # target vectors per inverted list
+# nprobe = ceil(k / _IVF_PROBE_DIV).  r14 shipped div=4 (25% of lists
+# reranked per query — honest but far above the 1-5% production IVF
+# band).  The r15 sweep on the x100 fixture (k=782) measured recall@3
+# vs ss01's exact top-3 at div 4/8/16/32 -> 0.933/0.933/0.933/0.933:
+# the probed fraction can drop to ~3% with NO recall loss on this
+# geometry, so div=32 is adopted (at the small driver SFs k<=8, nprobe
+# bottoms out at 1 list and recall measured 0.867-1.0, still >= the
+# 0.5 floor).  The audit test pins the fraction and the floor.
+_IVF_PROBE_DIV = 32
 
 
 def ivf_auto_k(n_vectors: int, target_list: int = _IVF_TARGET_LIST) -> int:
@@ -2097,9 +2114,10 @@ def ivf_auto_k(n_vectors: int, target_list: int = _IVF_TARGET_LIST) -> int:
 def ss12_autok_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ss03/ss04's PRODUCTION arm: IVF ANN with the list count scaled
     to the corpus (``ivf_auto_k`` — k ~ N/256) instead of the pinned
-    oracle-replayable k=8, searched at nprobe ~ k/4 and audit-gated on
-    recall@3 >= 0.5 against ss01's exact top-3 plus the k formula
-    itself.  This is the arm the vectorized assignment path
+    oracle-replayable k=8, searched at nprobe ~ k/32 (~3% of the
+    corpus reranked per query, the production IVF serving band; see
+    the ``_IVF_PROBE_DIV`` sweep note) and audit-gated on recall@3 >=
+    0.5 against ss01's exact top-3 plus the k formula itself.  This is the arm the vectorized assignment path
     (``_assign_vectorized``) exists for: at production k the k-struct
     expression plan is the bottleneck, and training/assignment must run
     as matmuls.
@@ -2118,6 +2136,19 @@ def ss12_autok_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     population means BOTH terms scale linearly with N at fixed
     nprobe/k — the canonical IVF contract, now with k following the
     corpus automatically."""
+    return _autok_ivf_search(spark, sf_dir, probe_div=_IVF_PROBE_DIV)
+
+
+def _autok_ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_div: int,
+    with_hits: bool = False,
+) -> DataFrame:
+    """ss12's body with the probe fraction explicit (nprobe =
+    ceil(k / probe_div)); ``with_hits`` adds the raw hit count for the
+    probe-fraction sweep/audit (the registered query keeps the stable
+    4-column audit schema)."""
     import numpy as np
 
     from geospatial_data_lake_spark.operators.similarity import (
@@ -2137,7 +2168,7 @@ def ss12_autok_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin, cents = kmeans_fit(e, k=k)
     cids = sorted(int(c) for c in cents)
     C = np.asarray([cents[c] for c in cids], dtype=np.float64)
-    nprobe = max(1, math.ceil(len(cids) / 4))
+    nprobe = max(1, math.ceil(len(cids) / probe_div))
     probe_rows = []
     for r in e.filter(F.col("vec_id") < 5).collect():
         qv = np.asarray(r.v, dtype=np.float64)
@@ -2180,11 +2211,14 @@ def ss12_autok_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("q_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_exact_pairs"),
     ).crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hits"))))
-    return stats.select(
+    out = [
         F.col("n_queries").cast("bigint").alias("n_queries"),
         F.col("n_exact_pairs").cast("bigint").alias("n_exact_pairs"),
         F.lit(k).cast("bigint").alias("k_lists"),
         (F.col("n_hits") >= F.col("n_exact_pairs") * 0.5).alias(
             "recall_ok"
         ),
-    )
+    ]
+    if with_hits:
+        out.append(F.col("n_hits").cast("bigint").alias("n_hits"))
+    return stats.select(*out)

@@ -1790,6 +1790,29 @@ def should_match_expression_assignment_on_vectorized_path(spark, sf_dir):
     assert all(abs(vec[k][1] - expr[k][1]) <= 1e-9 for k in expr)
 
 
+def should_hold_ivf_recall_floor_at_production_probe_fraction(spark, sf_dir):
+    """ss12 serves at nprobe ~ k/_IVF_PROBE_DIV.  div=32 (~3% of lists
+    per query — inside the 1-5% production IVF serving band) was
+    adopted from the r15 sweep: recall@3 vs ss01's exact top-3 held at
+    0.933 on the x100 fixture (k=782) from div 4 all the way down to
+    32, and at the small SFs nprobe bottoms out at 1 list with recall
+    0.867-1.0.  Pin BOTH the adopted divisor and the 0.5 recall floor
+    so a drift in either re-opens the trade consciously instead of
+    silently serving garbage neighbors (or silently paying a 25%
+    rerank again)."""
+    import geospatial_data_lake_spark.operators.clustering as cl
+
+    assert cl._IVF_PROBE_DIV == 32
+    r = (
+        cl._autok_ivf_search(
+            spark, sf_dir, probe_div=cl._IVF_PROBE_DIV, with_hits=True
+        )
+        .collect()[0]
+    )
+    assert r.recall_ok
+    assert r.n_hits >= 0.5 * r.n_exact_pairs
+
+
 def should_bound_census_pair_work_on_megacells(spark):
     """The SemDeDup megacell guard (max_cell_compare): k-means gives no
     upper bound on cell population, and a degenerate corpus (here 3000
