@@ -275,6 +275,10 @@ class ManifestTable:
         # reclaim base-snapshot files the parent's live manifests still
         # reference.  begin_staged() flips this off.
         self._gc_enabled = True
+        # per-handle verdict cache for stampless pos-delete entries
+        # (address-era inspection, see _effective_df's addr guard):
+        # {delete-file relpath: addresses are root-relative}
+        self._stampless_pos_ok: dict[str, bool] = {}
 
     # -- manifest plumbing -------------------------------------------------
     def _current(self) -> tuple[int, dict | None]:
@@ -1268,23 +1272,48 @@ class ManifestTable:
             for d in entries
         }
         # address-format guard: a pending pos entry without the
-        # relative-path stamp recorded BASENAME addresses, which the
-        # current scan expression can never match — applying it would
-        # silently resurrect its deleted rows, so raise instead
-        stale_addr = sorted(
-            d["file"]
-            for entries in dmap.values()
-            for d in entries
-            if d.get("kind") == "pos" and d.get("addr") != _POS_ADDR_FORMAT
-        )
-        if stale_addr:
+        # relative-path stamp MAY have recorded BASENAME addresses,
+        # which the current scan expression can never match — applying
+        # one would silently resurrect its deleted rows.  But the stamp
+        # itself postdates root-relative addressing (the immediately
+        # prior release wrote valid root-relative addresses with no
+        # stamp), so stampless entries are distinguished by CONTENT:
+        # every root-relative address contains '/' (pos files are
+        # always written under a batch directory), basenames never do.
+        # One bounded probe per stampless file (limit-1 scan for a
+        # slash-free address), cached per handle; stamped entries skip
+        # the probe entirely, and one rewrite_position_deletes retires
+        # the legacy entries for good.
+        stale: set[str] = set()
+        for entries in dmap.values():
+            for d in entries:
+                if (
+                    d.get("kind") != "pos"
+                    or d.get("addr") == _POS_ADDR_FORMAT
+                ):
+                    continue
+                f = d["file"]
+                ok = self._stampless_pos_ok.get(f)
+                if ok is None:
+                    ok = (
+                        self._spark.read.parquet(
+                            os.path.join(self._data, f)
+                        )
+                        .filter(~F.col("__file").contains("/"))
+                        .limit(1)
+                        .isEmpty()
+                    )
+                    self._stampless_pos_ok[f] = ok
+                if not ok:
+                    stale.add(f)
+        if stale:
             raise ValidationError(
-                "pending positional-delete file(s) predate root-relative "
-                f"addressing (no addr={_POS_ADDR_FORMAT!r} stamp): "
-                f"{stale_addr}.  Their basename addresses no longer match "
-                "the scan's address expression, so applying them would "
-                "silently resurrect deleted rows.  Materialize the "
-                "deletes with the WRITING code version (optimize / "
+                "pending positional-delete file(s) carry BASENAME "
+                f"addresses (pre-relative-path era): {sorted(stale)}.  "
+                "Basename addresses no longer match the scan's address "
+                "expression, so applying them would silently resurrect "
+                "deleted rows.  Materialize the deletes with the "
+                "WRITING code version (optimize / "
                 "rewrite_position_deletes) before upgrading."
             )
         groups: dict[tuple, list[str]] = {}
@@ -1618,11 +1647,13 @@ class ManifestTable:
           positional deletes (pending at either endpoint, a
           ``DELETE POS`` commit mid-span — even one a later rewrite
           materialized — or a GC'd mid-span commit whose kind is
-          unknowable), else ``"key"``.  Auto assumes the key-unique
-          contract otherwise: an APPEND-ONLY span over a
-          duplicate-key log carries no pos-delete signal, so such
-          consumers must pass ``mode="content"`` explicitly (the
-          st07 cursor loop's discipline).
+          unknowable), else ``"key"``.  An APPEND-ONLY span over a
+          duplicate-key log carries no pos-delete signal for auto to
+          detect, so the key path additionally VERIFIES key-uniqueness
+          over the changed partitions before joining and raises with
+          the ``mode="content"`` hint on duplicates — such consumers
+          should pass ``mode="content"`` explicitly (the st07 cursor
+          loop's discipline).
 
         Scale shape: both modes read O(changed partitions); content
         mode shuffles those rows once on the full row (a wide group-by
@@ -1681,6 +1712,34 @@ class ManifestTable:
                 new = new.withColumn(c, F.lit(None))
         if mode == "content":
             return self._changes_content_diff(old, new, all_cols)
+        # Key-diff is defined only over key-unique state, and an
+        # APPEND-ONLY span over a duplicate-key log carries no
+        # pos-delete signal for auto-mode to detect — so before the
+        # join, each side's changed partitions are checked for
+        # duplicate keys (one small aggregation job over O(changed
+        # partitions); group-by treats NULL keys as equal, matching
+        # the join's null-safe condition).  Without this, the
+        # full-outer key join would silently cross-join each duplicate
+        # group into a garbage feed.
+        dup = (
+            old.select(*self.key_cols)
+            .withColumn("__side", F.lit(0))
+            .unionByName(
+                new.select(*self.key_cols).withColumn("__side", F.lit(1))
+            )
+            .groupBy("__side", *self.key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+        )
+        if not dup.isEmpty():
+            raise ValidationError(
+                "key-diff CDC is undefined over this span: the changed "
+                "partitions hold duplicate keys (an append-only "
+                "duplicate-key log carries no pos-delete signal for "
+                "mode='auto' to detect), so the per-key join would fan "
+                "out instead of classifying 1:1.  Use mode='content' "
+                "for the multiset change feed."
+            )
         # presence markers: keys may legitimately be NULL, so a missing
         # side is detected by its marker, never by null keys
         o = old.withColumn("__o", F.lit(True)).alias("__o_side")
@@ -2800,7 +2859,10 @@ class ManifestTable:
         raise CommitConflict("manifest-table contention: retries exhausted")
 
     def apply_content_changes(
-        self, feed: DataFrame, txn: tuple[str, int] | None = None
+        self,
+        feed: DataFrame,
+        txn: tuple[str, int] | None = None,
+        atomic: bool = False,
     ) -> int:
         """Apply a CONTENT-mode change feed to THIS table — the Iceberg
         apply-changelog / Delta MERGE-from-CDF pattern for
@@ -2820,9 +2882,16 @@ class ManifestTable:
         half-apply.  Map-typed columns group through the same
         canonicalization as the content diff itself.
 
-        Not atomic across the two commits (delete then append) — a
-        reader between them sees the deletes without the inserts — but
-        with ``txn`` it IS exactly-once under crash replay: the two
+        By default not atomic across the two commits (delete then
+        append) — a reader between them sees the deletes without the
+        inserts.  ``atomic=True`` closes that window by COMPOSING with
+        the WAP machinery: both phases commit to an anonymous staged
+        chain (``begin_staged``) and land on the parent as ONE
+        metadata-only FAST-FORWARD commit, so parent readers jump
+        straight from pre- to post-state; a concurrent parent commit
+        surfaces as CommitConflict at publish and the apply re-stages
+        against the new base (bounded retries).  With ``txn`` either
+        mode IS exactly-once under crash replay: the two
         phases stamp derived txn ids (``<app>#content-del`` /
         ``<app>#content-ins``, same version), so a replayed apply skips
         whatever already committed — including the half-applied case
@@ -2855,6 +2924,31 @@ class ManifestTable:
                 # the append phase is last: its stamp means the whole
                 # apply landed — replay reads nothing, commits nothing
                 return gen0
+        if atomic:
+            # WAP composition (see docstring).  The chain is seeded
+            # from the parent manifest, so the inner apply inherits
+            # the parent's txn ledger (replay short-circuits) and the
+            # published FAST-FORWARD manifest carries the two-phase
+            # stamps back onto the parent.  A crash before publish
+            # orphans only staging metadata (vacuum reclaims it); the
+            # replay re-stages from the unchanged parent state.
+            for _ in range(_MAX_RETRIES):
+                staged = self.begin_staged()
+                try:
+                    staged.table.apply_content_changes(feed, txn=txn)
+                except BaseException:
+                    self.abort_staged(staged)
+                    raise
+                try:
+                    return self.publish_staged(staged)
+                except CommitConflict:
+                    # a writer landed on the parent mid-stage: drop
+                    # the chain (and any files only it wrote) and
+                    # re-derive against the new base
+                    self.abort_staged(staged)
+            raise CommitConflict(
+                "manifest-table contention: retries exhausted"
+            )
         if "_change_type" not in feed.columns:
             raise ValidationError(
                 "not a change feed: missing _change_type column"
@@ -2888,12 +2982,16 @@ class ManifestTable:
         dels = feed.filter(F.col("_change_type") == "delete").select(*cols)
         ins = feed.filter(F.col("_change_type") == "insert").select(*cols)
         bad = feed.filter(
-            ~F.col("_change_type").isin("insert", "delete")
+            # isNull explicitly: ~isin() is NULL (not TRUE) for a NULL
+            # _change_type, which would silently drop the row from both
+            # phases instead of failing validation
+            F.col("_change_type").isNull()
+            | ~F.col("_change_type").isin("insert", "delete")
         ).count()
         if bad:
             raise ValidationError(
                 f"{bad} feed rows carry a non-content _change_type "
-                "(update_*): apply key-mode feeds through upsert/"
+                "(update_* or NULL): apply key-mode feeds through upsert/"
                 "delete_where_eq, or re-derive the span with "
                 "mode='content'"
             )

@@ -3395,13 +3395,20 @@ def should_treat_gcd_midspan_manifest_as_unknown(spark, tmp_path):
     assert feed == [("insert", 2), ("insert", 3)]
 
 
-def should_reject_stale_pos_delete_address_format(spark, tmp_path):
-    """Address-format guard: a pending positional-delete entry WITHOUT
-    the relative-path stamp (``addr``) predates root-relative
-    addressing — its recorded basename addresses can no longer match
-    the scan's address expression, so applying it would silently
-    RESURRECT deleted rows.  Reads must raise instead."""
+def should_distinguish_pos_address_eras_by_content(spark, tmp_path):
+    """Address-format guard, era-exact: the relative-path stamp
+    (``addr``) postdates root-relative addressing itself — the
+    immediately prior release wrote valid ROOT-RELATIVE addresses with
+    no stamp — so a stampless entry must be judged by its CONTENT.
+    Relpath addresses (contain '/') are accepted and keep deleting;
+    genuine basename-era addresses raise, because the scan expression
+    can never match them and applying them would silently RESURRECT
+    deleted rows."""
     import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from geospatial_data_lake_spark.plans.catalog import ValidationError
 
@@ -3409,18 +3416,52 @@ def should_reject_stale_pos_delete_address_format(spark, tmp_path):
     mt.append(_mk(spark, [(1, "a", "x"), (2, "a", "y")]))  # v1
     mt.delete_where_pos(F.col("v") == "x")  # v2: stamped entry
     assert {r.id for r in mt.read().collect()} == {2}
-    # strip the stamp in place — emulating a table written by the
-    # pre-relative-address code version
+    # strip the stamp in place — emulating a table persisted by the
+    # prior release (root-relative addresses, no addr stamp)
     mpath = _manifest_file(tmp_path / "mt", 2)
     with open(mpath) as fh:
         m = json.load(fh)
+    del_files = []
     for entries in m["deletes"].values():
         for d in entries:
             d.pop("addr", None)
+            del_files.append(d["file"])
     with open(mpath, "w") as fh:
         json.dump(m, fh)
-    with pytest.raises(ValidationError, match="predate root-relative"):
-        mt.read().collect()
+    # a FRESH handle (no cached verdicts) accepts the relpath-era entry
+    # and the deleted row stays deleted
+    assert {r.id for r in _table(spark, tmp_path).read().collect()} == {2}
+    # now rewrite the delete file's addresses to BASENAMES — the truly
+    # ancient era — and reads must raise loudly
+    for rel in del_files:
+        d = os.path.join(str(tmp_path / "mt"), "data", rel)
+        parts = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+        assert parts
+        for p in parts:
+            t = pq.read_table(p)
+            names = [
+                a.rsplit("/", 1)[-1] for a in t.column("__file").to_pylist()
+            ]
+            t = t.set_column(
+                t.schema.get_field_index("__file"), "__file", pa.array(names)
+            )
+            pq.write_table(t, p)
+            # drop Hadoop's checksum sidecar — stale after the rewrite
+            crc = os.path.join(
+                os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+    # the out-of-band rewrite changed file sizes under Spark's cached
+    # file-status — drop the stale metadata before re-reading
+    spark.catalog.refreshByPath(os.path.join(str(tmp_path / "mt"), "data"))
+    with pytest.raises(ValidationError, match="BASENAME"):
+        _table(spark, tmp_path).read().collect()
 
 
 def should_bound_per_commit_plan_over_long_history(spark, tmp_path):
@@ -3557,6 +3598,48 @@ def should_enforce_multiplicity_in_content_apply(spark, tmp_path):
         mt.apply_content_changes(keyfeed)
 
 
+def should_reject_null_change_type_rows_in_content_apply(spark, tmp_path):
+    """A NULL ``_change_type`` row must FAIL feed validation, not fall
+    through it: ``~isin(...)`` is NULL (not TRUE) for a NULL value, so
+    without the explicit isNull check the row would be silently dropped
+    from both the delete and insert phases — a quietly lossy apply."""
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x")]))
+    feed = spark.createDataFrame(
+        [("insert", 2, "a", "y"), (None, 3, "a", "z")],
+        "_change_type string, id long, part string, v string",
+    )
+    with pytest.raises(ValidationError, match="non-content _change_type"):
+        mt.apply_content_changes(feed)
+    # nothing committed by the failed apply
+    assert {r.id for r in mt.read().collect()} == {1}
+
+
+def should_raise_on_key_diff_over_duplicate_keys(spark, tmp_path):
+    """An APPEND-ONLY span over a duplicate-key log carries no
+    pos-delete signal, so mode='auto' resolves to key-diff — which
+    would silently CROSS-JOIN each duplicate group.  The key path now
+    verifies key-uniqueness over the changed partitions first and
+    raises with the mode='content' hint; the content feed over the
+    same span stays exact."""
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x"), (2, "a", "y")]))  # v1
+    mt.append(_mk(spark, [(1, "a", "x"), (3, "a", "z")]))  # v2: dup key 1
+    with pytest.raises(ValidationError, match="mode='content'"):
+        mt.changes(1, 2)
+    with pytest.raises(ValidationError, match="mode='content'"):
+        mt.changes(1, 2, mode="key")
+    feed = sorted(
+        (r._change_type, r.id)
+        for r in mt.changes(1, 2, mode="content").collect()
+    )
+    assert feed == [("insert", 1), ("insert", 3)]
+
+
 def should_apply_content_feed_with_map_columns(spark, tmp_path):
     """Map-typed columns flow through the apply via the same
     canonicalization as the content diff: a feed row whose map has the
@@ -3656,6 +3739,63 @@ def should_apply_content_feed_across_schema_evolution(spark, tmp_path):
     # replica converged to the evolved source state exactly
     assert got == sorted(
         (r.id, r.v, r.score) for r in src.read().collect()
+    )
+
+
+def should_apply_content_feed_atomically_via_wap(spark, tmp_path, monkeypatch):
+    """``atomic=True`` composes the apply with WAP: both phases commit
+    to a staged chain and land on the parent as ONE fast-forward
+    commit, so a parent reader NEVER observes the half-applied window
+    (deletes without inserts).  The spy reads the parent from inside
+    the append phase — i.e. strictly between the two phase commits —
+    and must see the full PRE-state; afterward the parent shows the
+    converged POST-state, the staging area is gone, and both txn
+    stamps rode into the published manifest (replay is a no-op)."""
+    import os
+
+    src = ManifestTable(
+        spark, str(tmp_path / "src"), key_cols=["id"], partition_by=["part"]
+    )
+    src.append(
+        _mk(spark, [(1, "a", "dup")] * 3 + [(2, "a", "x"), (3, "b", "y")])
+    )  # v1
+    src.delete_where_pos(F.col("id") == 1)  # v2
+    src.append(_mk(spark, [(1, "a", "dup"), (4, "b", "z")]))  # v3
+    rep = ManifestTable(
+        spark, str(tmp_path / "rep"), key_cols=["id"], partition_by=["part"]
+    )
+    rep.append(src.read(version=1))
+    pre = sorted((r.id, r.part, r.v) for r in rep.read().collect())
+    feed = src.changes(1, 3)
+
+    orig_append = ManifestTable.append
+    mid_views = []
+
+    def spying_append(self, batch, txn=None):
+        # called for the chain's INSERT phase: the delete phase has
+        # already committed (to the chain) — the parent must still
+        # show the untouched pre-state
+        mid_views.append(
+            sorted((r.id, r.part, r.v) for r in rep.read().collect())
+        )
+        return orig_append(self, batch, txn=txn)
+
+    monkeypatch.setattr(ManifestTable, "append", spying_append)
+    rep.apply_content_changes(feed, txn=("app", 3), atomic=True)
+    monkeypatch.undo()
+    assert mid_views == [pre]  # exactly one mid-window read, pre-state
+    post = sorted((r.id, r.part, r.v) for r in rep.read().collect())
+    assert post == sorted(
+        (r.id, r.part, r.v) for r in src.read().collect()
+    )
+    # staging area dropped at publish; stamps rode into the parent
+    assert not os.path.exists(str(tmp_path / "rep" / "staging")) or not (
+        os.listdir(str(tmp_path / "rep" / "staging"))
+    )
+    v = rep.current_version()
+    assert rep.apply_content_changes(feed, txn=("app", 3), atomic=True) == v
+    assert (
+        sorted((r.id, r.part, r.v) for r in rep.read().collect()) == post
     )
 
 

@@ -147,6 +147,7 @@ HEAVY: dict[str, tuple[str | None, str]] = {
     "vs28_mapcol_change_feed": (
         "should_join_content_diff_on_full_row_never_cartesian", "lake"),
     "vs29_content_feed_apply": (None, "lake"),
+    "st07_stream_content_replication": (None, "stream"),
     "ss12_autok_ivf_search": (None, "ann"),
     "vs24_timestamp_pruned_read": (
         "should_prune_vs24_window_to_intersecting_time_slices", "lake"),
