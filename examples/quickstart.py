@@ -69,8 +69,12 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         partition_by=["o_orderpriority"],
     )
     replica.append(mt.read(version=v1))
-    replica.apply_content_changes(feed, txn=("quickstart", 1))
-    replica.apply_content_changes(feed, txn=("quickstart", 1))  # replay: no-op
+    # atomic=True (r15): both phases land as ONE WAP fast-forward
+    # commit, so replica readers never see deletes-without-inserts
+    replica.apply_content_changes(feed, txn=("quickstart", 1), atomic=True)
+    replica.apply_content_changes(
+        feed, txn=("quickstart", 1), atomic=True
+    )  # replay: no-op
     assert replica.read().count() == mt.read().count()
     out["cdc_feed_rows"] = feed.count()
 
