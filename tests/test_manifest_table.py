@@ -3799,6 +3799,71 @@ def should_apply_content_feed_atomically_via_wap(spark, tmp_path, monkeypatch):
     )
 
 
+def should_retry_atomic_apply_after_racing_parent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The atomic apply's conflict path: a writer landing on the PARENT
+    between stage and publish makes the fast-forward raise
+    CommitConflict — the apply must abort the stale chain (dropping
+    chain-only files), re-stage against the new base, and converge;
+    the racing writer's rows survive untouched."""
+    src = ManifestTable(
+        spark, str(tmp_path / "src"), key_cols=["id"], partition_by=["part"]
+    )
+    src.append(_mk(spark, [(1, "a", "x"), (2, "a", "y")]))  # v1
+    src.append(_mk(spark, [(3, "b", "z")]))  # v2
+    rep = ManifestTable(
+        spark, str(tmp_path / "rep"), key_cols=["id"], partition_by=["part"]
+    )
+    rep.append(src.read(version=1))
+    feed = src.changes(1, 2, mode="content")
+
+    orig_publish = ManifestTable.publish_staged
+    raced = []
+
+    def racing_publish(self, staged):
+        if not raced:
+            raced.append(True)
+            # a concurrent writer lands on the parent first
+            self.append(_mk(spark, [(99, "c", "race")]))
+        return orig_publish(self, staged)
+
+    monkeypatch.setattr(ManifestTable, "publish_staged", racing_publish)
+    rep.apply_content_changes(feed, atomic=True)
+    monkeypatch.undo()
+    got = sorted((r.id, r.part, r.v) for r in rep.read().collect())
+    want = sorted(
+        [(r.id, r.part, r.v) for r in src.read().collect()]
+        + [(99, "c", "race")]
+    )
+    assert got == want
+    assert len(raced) == 1  # exactly one conflict -> one re-stage
+
+
+def should_drop_staging_when_atomic_apply_fails_validation(spark, tmp_path):
+    """The atomic apply's abort path: a feed that over-deletes fails
+    the multiplicity check INSIDE the staged chain — the parent must
+    be untouched AND the staging area dropped (no orphaned chain
+    metadata accumulating under <root>/staging)."""
+    import os
+
+    from geospatial_data_lake_spark.plans.catalog import ValidationError
+
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(7, "a", "d"), (8, "a", "k")]))
+    v0 = mt.current_version()
+    five = spark.createDataFrame(
+        [("delete", 7, "a", "d")] * 5,
+        "_change_type string, id long, part string, v string",
+    )
+    with pytest.raises(ValidationError, match="only 1 matching"):
+        mt.apply_content_changes(five, atomic=True)
+    assert mt.current_version() == v0
+    assert sorted(r.id for r in mt.read().collect()) == [7, 8]
+    staging = str(tmp_path / "mt" / "staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
+
 def should_converge_replica_for_generated_content_histories(spark, tmp_path):
     """Content-replication model check: for ANY generated source
     history over a duplicate-key table (appends of small row multisets
@@ -3867,8 +3932,11 @@ def should_converge_replica_for_generated_content_histories(spark, tmp_path):
         )
         rep.append(src.read(version=v0))
         if head > v0:
+            # alternate plain and WAP-atomic applies across examples:
+            # both modes must satisfy the identical convergence algebra
             rep.apply_content_changes(
-                src.changes(v0, head, mode="content")
+                src.changes(v0, head, mode="content"),
+                atomic=counter[0] % 2 == 0,
             )
         assert sorted(
             (r.id, r.part, r.v) for r in rep.read().collect()
