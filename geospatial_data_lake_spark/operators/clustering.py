@@ -190,7 +190,8 @@ def _assign_vectorized(
     the LOWEST cid — the same (dist, cid) struct order and 9-dp
     HALF_UP rounding as the expression path (emulated via
     floor(x*1e9+0.5)/1e9 on the non-negative distances; ``np.round``
-    alone would be banker's half-to-even).  Row chunks are sized so the
+    alone would be banker's half-to-even — see the in-kernel note for
+    the residual binary-vs-decimal half boundary).  Row chunks are sized so the
     n x k distance block stays ~32 MB regardless of k.  O(n x k x d)
     FLOPs either way; this path runs them at matmul speed and keeps
     the PLAN size O(1) in k.  Sub-9dp float-association differences vs
@@ -225,7 +226,15 @@ def _assign_vectorized(
                 # 9-dp HALF_UP to mirror Spark's F.round (np.round is
                 # banker's half-to-even; exact-half values would round
                 # differently).  Values are non-negative after the
-                # clamp, so floor(x*1e9 + 0.5)/1e9 IS HALF_UP.
+                # clamp, so floor(x*1e9 + 0.5)/1e9 is HALF_UP on the
+                # BINARY double — F.round goes through BigDecimal's
+                # shortest-DECIMAL repr, so a value whose decimal
+                # rendering ends in an exact half that the binary
+                # product lands just under can still differ by 1 ulp
+                # at the 9th place.  Materially closer than banker's
+                # rounding; residual divergence is confined to the
+                # audit-gated k>64 paths by the dispatch threshold
+                # (oracle-replayed queries never take this kernel).
                 d2 *= 1e9
                 np.floor(d2 + 0.5, out=d2)
                 d2 /= 1e9

@@ -81,7 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     # in r14, never driver-green later than r13), then canaries for
     # every piece of machinery r15 changes: the four fixtures loosened
     # for driver-tier value signal (j05 anti-join bar, u03 EXCEPT
-    # window, q20 threshold, ct01/ct02/dd14 gram width 8->5), ss12
+    # window, q20 threshold, ct01/ct02/pl01 gram width 8->5 (pl01's composed oracle
+    # interpolates _GRAM_N; dd14 keys on dedup.py's _SPAN_W, untouched)), ss12
     # (probe-fraction tightening), vs29/st07 (content-apply NULL guard
     # + WAP-atomic apply), vs28/vs25/vs18 (changes() fan-out guard +
     # addr-stamp era softening in manifest_table), sd02 (vectorized-
@@ -99,7 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q20_part_promotion",
     "ct01_ngram_contamination",
     "ct02_decontaminate",
-    "dd14_decontamination",
+    "pl01_training_pipeline",
     "ss12_autok_ivf_search",
     "vs29_content_feed_apply",
     "st07_stream_content_replication",
@@ -265,7 +266,7 @@ _PRIORITY: tuple[str, ...] = (
     "st06_stream_timeseries_rollup",
     "vs19_metadata_only_counts",
     "vs20_metadata_column_range",
-    "pl01_training_pipeline",
+    "dd14_decontamination",
     "ss02_lsh_ann_topk",
     "ss03_ivf_ann_topk",
     "ss10_binary_quant_search",

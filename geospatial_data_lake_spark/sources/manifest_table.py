@@ -1272,18 +1272,23 @@ class ManifestTable:
             for d in entries
         }
         # address-format guard: a pending pos entry without the
-        # relative-path stamp MAY have recorded BASENAME addresses,
-        # which the current scan expression can never match — applying
-        # one would silently resurrect its deleted rows.  But the stamp
-        # itself postdates root-relative addressing (the immediately
-        # prior release wrote valid root-relative addresses with no
-        # stamp), so stampless entries are distinguished by CONTENT:
-        # every root-relative address contains '/' (pos files are
-        # always written under a batch directory), basenames never do.
-        # One bounded probe per stampless file (limit-1 scan for a
-        # slash-free address), cached per handle; stamped entries skip
-        # the probe entirely, and one rewrite_position_deletes retires
-        # the legacy entries for good.
+        # relative-path stamp MAY have recorded addresses the current
+        # scan expression can never match — applying one would
+        # silently resurrect its deleted rows.  But the stamp itself
+        # postdates root-relative addressing (the immediately prior
+        # release wrote valid root-relative addresses with no stamp),
+        # so stampless entries are distinguished by CONTENT.  A valid
+        # root-relative address is RELATIVE (no leading '/') and
+        # contains a '/' (pos files always live under a batch
+        # directory); the two legacy eras both fail that shape —
+        # basenames have no '/', and the pre-realpath fallback era
+        # recorded scheme-stripped ABSOLUTE paths (leading '/') when
+        # Spark rendered a symlink-resolved root the old expression
+        # did not strip.  One bounded probe per stampless file
+        # (limit-1 scan for an out-of-shape address), cached per
+        # handle; stamped entries skip the probe entirely, and one
+        # rewrite_position_deletes retires the legacy entries for
+        # good.
         stale: set[str] = set()
         for entries in dmap.values():
             for d in entries:
@@ -1299,7 +1304,10 @@ class ManifestTable:
                         self._spark.read.parquet(
                             os.path.join(self._data, f)
                         )
-                        .filter(~F.col("__file").contains("/"))
+                        .filter(
+                            F.col("__file").startswith("/")
+                            | ~F.col("__file").contains("/")
+                        )
                         .limit(1)
                         .isEmpty()
                     )
@@ -1308,13 +1316,14 @@ class ManifestTable:
                     stale.add(f)
         if stale:
             raise ValidationError(
-                "pending positional-delete file(s) carry BASENAME "
-                f"addresses (pre-relative-path era): {sorted(stale)}.  "
-                "Basename addresses no longer match the scan's address "
-                "expression, so applying them would silently resurrect "
-                "deleted rows.  Materialize the deletes with the "
-                "WRITING code version (optimize / "
-                "rewrite_position_deletes) before upgrading."
+                "pending positional-delete file(s) carry non-root-"
+                f"relative addresses (basename or absolute — the "
+                f"pre-stamp eras): {sorted(stale)}.  Such addresses "
+                "no longer match the scan's address expression, so "
+                "applying them would silently resurrect deleted "
+                "rows.  Materialize the deletes with the WRITING "
+                "code version (optimize / rewrite_position_deletes) "
+                "before upgrading."
             )
         groups: dict[tuple, list[str]] = {}
         for pk, files in parts.items():
@@ -1596,16 +1605,29 @@ class ManifestTable:
         Content mode is correct (merely update-free) on key-unique
         tables, so the conservative answer costs classification detail,
         never soundness."""
-        for m in (m_from, m_to):
-            for entries in m.get("deletes", {}).values():
-                if any(d.get("kind") == "pos" for d in entries):
-                    return True
+        def _has_pending_pos(m: dict) -> bool:
+            return any(
+                d.get("kind") == "pos"
+                for entries in m.get("deletes", {}).values()
+                for d in entries
+            )
+
+        if _has_pending_pos(m_from) or _has_pending_pos(m_to):
+            return True
         for v in range(max(from_version, 0) + 1, to_version + 1):
             try:
-                if self._load_manifest(v).get("op") == "DELETE POS":
-                    return True
+                m = self._load_manifest(v)
             except NotFoundError:
                 return True  # GC'd mid-span commit: kind unknowable
+            # the op label catches a direct DELETE POS commit; the
+            # pending-entry check catches pos deletes that arrived
+            # under ANOTHER label — a WAP/branch publish lands the
+            # chain's delete state as one FAST-FORWARD commit (the
+            # atomic content apply's shape), which a label-only walk
+            # would miss once a later rewrite materialized the
+            # entries out of both endpoint manifests
+            if m.get("op") == "DELETE POS" or _has_pending_pos(m):
+                return True
         return False
 
     def changes(
@@ -2924,6 +2946,21 @@ class ManifestTable:
                 # the append phase is last: its stamp means the whole
                 # apply landed — replay reads nothing, commits nothing
                 return gen0
+        if "_change_type" not in feed.columns:
+            raise ValidationError(
+                "not a change feed: missing _change_type column"
+            )
+        schema_cols = [
+            f.name
+            for f in T.StructType.fromDDL(manifest["schema_ddl"]).fields
+        ]
+        missing = [c for c in schema_cols if c not in feed.columns]
+        if missing:
+            raise ValidationError(
+                f"change feed is missing table columns {missing}: a "
+                "content apply needs every column (a partial feed "
+                "would null-fill inserts and under-match deletes)"
+            )
         if atomic:
             # WAP composition (see docstring).  The chain is seeded
             # from the parent manifest, so the inner apply inherits
@@ -2948,21 +2985,6 @@ class ManifestTable:
                     self.abort_staged(staged)
             raise CommitConflict(
                 "manifest-table contention: retries exhausted"
-            )
-        if "_change_type" not in feed.columns:
-            raise ValidationError(
-                "not a change feed: missing _change_type column"
-            )
-        schema_cols = [
-            f.name
-            for f in T.StructType.fromDDL(manifest["schema_ddl"]).fields
-        ]
-        missing = [c for c in schema_cols if c not in feed.columns]
-        if missing:
-            raise ValidationError(
-                f"change feed is missing table columns {missing}: a "
-                "content apply needs every column (a partial feed "
-                "would null-fill inserts and under-match deletes)"
             )
         # SCHEMA EVOLUTION rides through: the feed's data columns are
         # the union of the SOURCE's schemas across the span (changes()

@@ -3460,7 +3460,35 @@ def should_distinguish_pos_address_eras_by_content(spark, tmp_path):
     # the out-of-band rewrite changed file sizes under Spark's cached
     # file-status — drop the stale metadata before re-reading
     spark.catalog.refreshByPath(os.path.join(str(tmp_path / "mt"), "data"))
-    with pytest.raises(ValidationError, match="BASENAME"):
+    with pytest.raises(ValidationError, match="non-root-relative"):
+        _table(spark, tmp_path).read().collect()
+    # the pre-realpath FALLBACK era recorded scheme-stripped ABSOLUTE
+    # addresses (leading '/') — they contain slashes, but the current
+    # relative-address scan can never match them either, so the probe
+    # must reject them too, not just basenames
+    for rel in del_files:
+        d = os.path.join(str(tmp_path / "mt"), "data", rel)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                pth = os.path.join(root, f)
+                t = pq.read_table(pth)
+                names = [
+                    "/abs/root/data/" + a.rsplit("/", 1)[-1]
+                    for a in t.column("__file").to_pylist()
+                ]
+                t = t.set_column(
+                    t.schema.get_field_index("__file"),
+                    "__file",
+                    pa.array(names),
+                )
+                pq.write_table(t, pth)
+                crc = os.path.join(root, "." + f + ".crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+    spark.catalog.refreshByPath(os.path.join(str(tmp_path / "mt"), "data"))
+    with pytest.raises(ValidationError, match="non-root-relative"):
         _table(spark, tmp_path).read().collect()
 
 
@@ -3797,6 +3825,34 @@ def should_apply_content_feed_atomically_via_wap(spark, tmp_path, monkeypatch):
     assert (
         sorted((r.id, r.part, r.v) for r in rep.read().collect()) == post
     )
+
+
+def should_detect_pos_deletes_landed_under_fast_forward_labels(
+    spark, tmp_path
+):
+    """Span classification must see pos deletes that arrived under a
+    NON-'DELETE POS' commit label: a WAP/branch publish (the atomic
+    content apply's shape) lands the chain's delete state as one
+    FAST-FORWARD commit.  Once a later rewrite materializes the
+    entries out of BOTH endpoint manifests, a label-only mid-span walk
+    would call the span pos-free and auto-route a duplicate-key log to
+    key-diff — the walk now also checks each mid-span manifest's own
+    pending entries."""
+    mt = _table(spark, tmp_path)
+    mt.append(_mk(spark, [(1, "a", "x"), (1, "a", "x"), (2, "a", "y")]))  # v1
+    staged = mt.begin_staged()
+    staged.table.delete_where_pos(F.col("id") == 2)
+    mt.publish_staged(staged)  # v2: FAST-FORWARD carrying pos entries
+    mt.rewrite_position_deletes()  # v3: entries materialized away
+    assert mt.current_version() == 3
+    hist_ops = [h["operation"] for h in mt.history()]
+    assert "DELETE POS" not in hist_ops  # only FF + rewrite labels
+    with pytest.raises(ValueError, match="positional deletes"):
+        mt.changes(1, 3, mode="key")
+    feed = sorted(
+        (r._change_type, r.id) for r in mt.changes(1, 3).collect()
+    )
+    assert feed == [("delete", 2)]  # auto routed to the content diff
 
 
 def should_retry_atomic_apply_after_racing_parent_commit(

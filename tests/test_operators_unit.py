@@ -1541,6 +1541,35 @@ def should_release_superseded_round_checkpoints(spark):
         assert n_persistent() <= baseline
 
 
+def should_free_checkpoint_blocks_through_private_rdd_handle(spark):
+    """free_local_checkpoint reaches the block manager through a py4j
+    PRIVATE chain (``df._jdf.queryExecution().analyzed().rdd()``)
+    guarded by a broad except that degrades to NO-OP — so a Spark
+    minor-version bump renaming any link would silently disable all
+    checkpoint hygiene.  Pin the handle directly: the unpersist is
+    blocking, so the checkpoint's specific RDD id must leave the
+    persistent set immediately — no ContextCleaner race (ids are
+    compared as sets so concurrent cleanup of OTHER tests' leftovers
+    cannot flake this)."""
+    from geospatial_data_lake_spark.session import free_local_checkpoint
+
+    def persistent_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+
+    before = persistent_ids()
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert df.count() == 1000
+    new_ids = persistent_ids() - before
+    assert len(new_ids) == 1  # the eager checkpoint's backing RDD
+    free_local_checkpoint(df)
+    assert not (new_ids & persistent_ids())
+
+
 def should_shuffle_sd01_pair_join_when_corpus_exceeds_budget(spark, sf_dir):
     """sd01's broadcast-budget guard (dd09's discipline): with the
     budget conf squeezed below any real corpus, the pair join must DROP
