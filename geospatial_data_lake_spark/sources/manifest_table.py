@@ -3955,6 +3955,13 @@ def _open_ref_chain(
         keep_versions=self.keep,
         bloom_cols=list(self.bloom_cols),
         partition_transforms=dict(self.partition_transforms),
+        # stats_cols must ride into the chain: per-file min/max for
+        # opt-in columns is recorded at WRITE time, and the chain's
+        # files are published to the parent by reference — a chain
+        # built without them would publish stats-less files and
+        # silently degrade the parent's data skipping / metadata-only
+        # range answers for those columns
+        stats_cols=list(self.stats_cols),
     )
     t._data = self._data  # shared data dir => publish is metadata-only
     t._gc_enabled = False

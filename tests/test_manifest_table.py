@@ -3827,6 +3827,30 @@ def should_apply_content_feed_atomically_via_wap(spark, tmp_path, monkeypatch):
     )
 
 
+def should_carry_stats_cols_into_staged_chain_writes(spark, tmp_path):
+    """Opt-in per-file stats (``stats_cols``) are recorded at WRITE
+    time, and WAP/branch chains publish their files to the parent BY
+    REFERENCE — so the chain handle must inherit stats_cols, or every
+    staged write would publish stats-less files and silently degrade
+    the parent's data skipping for those columns."""
+    mt = ManifestTable(
+        spark,
+        str(tmp_path / "mt"),
+        key_cols=["id"],
+        partition_by=["part"],
+        stats_cols=["v"],
+    )
+    mt.append(_mk(spark, [(1, "a", "bb")]))
+    staged = mt.begin_staged()
+    staged.table.append(_mk(spark, [(2, "a", "zz")]))
+    mt.publish_staged(staged)
+    stats = mt.file_stats()
+    assert len(stats) >= 2  # base file + chain-written file
+    assert all("v" in entry for entry in stats.values()), stats
+    # stats entries are [min, max, null_count]
+    assert any(entry["v"][:2] == ["zz", "zz"] for entry in stats.values())
+
+
 def should_detect_pos_deletes_landed_under_fast_forward_labels(
     spark, tmp_path
 ):
