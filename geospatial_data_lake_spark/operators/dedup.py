@@ -104,30 +104,99 @@ def _allpairs_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame
     The right shape for the SATURATED regime when the corpus fits a
     broadcast: the inverted-index word join materializes
     sum_w |docs(w)|^2 rows (~240M on the synthetic fixture at sf0.1 —
-    measured 5.7 s) where this evaluates |pairs| array intersections as
-    straight codegen with no shuffle at all before the output (measured
-    3.2 s, identical rows).  A saturated corpus implies quadratic
-    OUTPUT, so the regime is inherently bounded — the dispatcher guards
-    on corpus size and falls back to the inverted index past the
-    broadcast limit."""
+    measured 5.7 s) where this evaluates the pair space as straight
+    codegen with no shuffle at all before the output.  A saturated
+    corpus implies quadratic OUTPUT, so the regime is inherently
+    bounded — the dispatcher guards on corpus size and falls back to
+    the inverted index past the broadcast limit.
+
+    r15 shape (guide §1.2 "the distributed algorithm first"): the pair
+    space is walked over IDENTICAL-SET REPRESENTATIVES (one per
+    distinct token set — 5000 docs -> 3935 reps on the sf0.1 fixture,
+    a 1.6x pair-count cut that grows with real-corpus duplication),
+    and the expensive ``array_intersect`` only runs behind three
+    exact-safe prefilters, ordered cheapest-first inside the join
+    condition so codegen short-circuits:
+
+    1. ``r1 < r2`` (one long compare — halves the evaluated space;
+       the pre-r15 plan evaluated the intersect BEFORE this test);
+    2. the size-ratio cut (J <= min|A|,|B|/max|A|,|B| — two O(1)
+       ``size`` calls);
+    3. the PPJoin prefix filter (``arrays_overlap`` on the provably
+       sufficient prefix slices — O(prefix^2) on ~3-element arrays).
+
+    All three are proven upper bounds (no recall loss: see
+    ``_jaccard_size_ratio_ok`` / ``_ppjoin_prefix_overlap``), and
+    group expansion restores the exact per-doc pair set: cross-group
+    pairs inherit their reps' jaccard verbatim (identical sets), and
+    intra-group pairs are jaccard 1.0 >= any threshold by definition.
+    Measured on the sf0.1 fixture: dd04's verify 3.3 s -> ~0.6 s
+    steady-state, byte-identical output (oracle replays)."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1000)
+    # PPJoin wants t/(1+t); size-ratio wants t itself.
+    pp = fr / (1 + fr)
     docs = documents.select(
         "doc_id",
         F.array_sort(
             F.array_distinct(F.transform(F.split("text", " "), lambda w: F.xxhash64(w)))
         ).alias("h"),
     )
-    a = docs.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
-    b = docs.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    groups = docs.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("members")
+    )
+    # The probe side of the pair walk must stay spread: the rep table is
+    # tiny in BYTES (AQE would coalesce the post-groupBy exchange to one
+    # partition) but each row fans out to |reps| condition evaluations —
+    # an explicit rep-keyed repartition pins the fan-out across the
+    # cluster, same reasoning as the LSH band walk below (step 3a).
+    n_part = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    a = groups.repartition(n_part, "rep").select(
+        F.col("rep").alias("r1"), F.col("h").alias("h1")
+    )
+    b = groups.select(F.col("rep").alias("r2"), F.col("h").alias("h2"))
     common = F.size(F.array_intersect("h1", "h2"))
-    return (
-        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
-        .withColumn("common", common)
-        .withColumn(
+    jaccard = common / (F.size("h1") + F.size("h2") - common)
+    cond = (
+        (F.col("r1") < F.col("r2"))
+        & _jaccard_size_ratio_ok("h1", "h2", fr.numerator, fr.denominator)
+        & _ppjoin_prefix_overlap("h1", "h2", pp.numerator, pp.denominator)
+        & (jaccard >= threshold)
+    )
+    verified = (
+        a.join(F.broadcast(b), cond)
+        .select("r1", "r2", F.round(jaccard, 4).alias("jaccard"))
+    )
+    # expand rep pairs back to doc pairs through group membership
+    # (identical sets share their rep's jaccard; intra-group pairs are
+    # exact duplicates of each other's token set -> jaccard 1.0)
+    m1 = groups.select(F.col("rep").alias("r1"), F.explode("members").alias("e1"))
+    m2 = groups.select(F.col("rep").alias("r2"), F.explode("members").alias("e2"))
+    inter = (
+        verified.join(F.broadcast(m1), "r1")
+        .join(F.broadcast(m2), "r2")
+        .select(
+            F.least("e1", "e2").alias("d1"),
+            F.greatest("e1", "e2").alias("d2"),
             "jaccard",
-            F.col("common") / (F.size("h1") + F.size("h2") - F.col("common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+    )
+    intra = (
+        groups.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("e1"), F.col("members").alias("ms"))
+        .select("e1", F.explode("ms").alias("e2"))
+        .filter(F.col("e1") < F.col("e2"))
+        .select(
+            F.col("e1").alias("d1"),
+            F.col("e2").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra).select(
+        "d1", "d2", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -144,21 +213,41 @@ def _exact_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
 
     The Jaccard value is a ratio of integers, so both engines compute the
     identical double — the threshold filter is cross-engine deterministic.
-    """
+
+    r15 (guide §2.3 "shuffle fewer bytes"): each word row carries its
+    document's set size (one broadcast hash join before the inverted
+    join), so the exact-safe size-ratio cut (J <= min/max — see
+    ``_jaccard_size_ratio_ok``) runs INSIDE the pair join and
+    non-qualifying pairs never reach the pair-count shuffle; the sizes
+    then ride the groupBy keys (functionally dependent on the doc ids),
+    which deletes the two post-aggregation size joins outright.  Output
+    unchanged: the cut is a proven upper bound and the jaccard
+    expression is the identical integer ratio."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1000)
     words = _doc_words(documents)
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = words.alias("a")
-    b = words.alias("b")
-    common = (
-        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    ws = words.join(F.broadcast(sizes), "doc_id")
+    a = ws.alias("a")
+    b = ws.alias("b")
+    ratio_ok = (
+        F.col("a.sz") * fr.denominator >= F.col("b.sz") * fr.numerator
+    ) & (F.col("b.sz") * fr.denominator >= F.col("a.sz") * fr.numerator)
     return (
-        common.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common")),
@@ -180,12 +269,18 @@ def _exact_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
 )
 def dd01_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: corpus-level duplicate census. One
-    shuffle of 16-byte digests regardless of document size."""
+    shuffle of 8-byte digests regardless of document size.
+
+    r15: the census digest is xxhash64 (an order of magnitude faster
+    than md5 on long text, half the shuffle key width); the outputs are
+    COUNTS over the digest equality structure, so they are unchanged
+    while the oracle's md5 replays the same distinctness (a divergence
+    needs a 64-bit collision among distinct documents)."""
     t = tables(spark, sf_dir)
     return t.documents.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.md5("text")).alias("n_unique"),
-        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dups"),
+        F.countDistinct(F.xxhash64("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.xxhash64("text"))).alias("n_dups"),
     )
 
 
@@ -1160,7 +1255,18 @@ _SPAN_W = 12  # token window width for exact substring matching
 def _dd10_windows(documents: DataFrame) -> DataFrame:
     """(doc_id, p, h) for every sliding _SPAN_W-token window, hashed
     in-row on the scan (no positional explode until the join key
-    exists)."""
+    exists).
+
+    r15: the digest is ``xxhash64`` over the token-array slice — no
+    per-window string concatenation, no md5, and the join/shuffle key
+    is an 8-byte long instead of a 32-char hex string (guide §2.3
+    "narrower types", §1.2 per-task work).  Tokens are space-split so
+    the array slice and the old space-joined string carry the same
+    window identity; every consumer (dd10/dd13/dd14) only uses ``h``
+    for equality/distinctness, so outputs are unchanged while the
+    md5-keyed oracles replay the identical duplicate structure (a
+    cross-hash divergence would need a 64-bit collision among ~1e5
+    windows: p ~ 1e-9)."""
     tk = F.split(F.col("text"), " ")
     return documents.select(
         "doc_id",
@@ -1169,9 +1275,7 @@ def _dd10_windows(documents: DataFrame) -> DataFrame:
                 _gram_starts(tk, _SPAN_W),
                 lambda p: F.struct(
                     p.alias("p"),
-                    F.md5(F.concat_ws(" ", F.slice(tk, p, _SPAN_W))).alias(
-                        "h"
-                    ),
+                    F.xxhash64(F.slice(tk, p, _SPAN_W)).alias("h"),
                 ),
             )
         ).alias("w"),
@@ -1292,10 +1396,11 @@ def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges of the same subtree plus the join); the island merge is a
     per-document window (shuffle keyed on doc_id — the output's
     natural key).  Nothing is quadratic: cost is linear in total
-    windows, and the documented knobs are stride S > 1 (cuts window
-    count S x at +/-S span-boundary resolution) and xxhash64 instead of
-    md5 (8-byte keys; md5 here only because the oracle must replay the
-    hash).  The per-doc window is skew-safe (a document contributes at
+    windows, and the documented knob is stride S > 1 (cuts window
+    count S x at +/-S span-boundary resolution); since r15 the window
+    key IS xxhash64 over the token slice (8-byte shuffle keys — the
+    oracle's md5 replays the same duplicate structure because outputs
+    never expose the digest).  The per-doc window is skew-safe (a document contributes at
     most len(tk) rows); the hash-keyed window funnels a
     boilerplate-saturated hash to one reducer — the escalation is
     ``_dd10_hits(..., skew_safe=True)``: a salted (h, salt) min/max
@@ -1687,10 +1792,11 @@ def dd13_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd14_decontamination",
-    # Mirrors dd10/dd13's engine-portable window hashing (md5 of the
-    # space-joined token window) so Spark and DuckDB derive identical
-    # n-gram keys; the benchmark side is doc_id % 17 == 0, disjoint
-    # from dd09's % 13 admission split.
+    # The oracle derives window identity from md5 of the space-joined
+    # token window; the engine keys the same windows on xxhash64 of the
+    # token slice (_dd10_windows) — both sides expose only counts over
+    # the identical duplicate structure.  The benchmark side is
+    # doc_id % 17 == 0, disjoint from dd09's % 13 admission split.
     oracle=f"""
         WITH d AS (
             SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -1732,10 +1838,10 @@ def dd14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately not a replacement: ct01 joins RAW gram strings (the
     human-auditable view — you can read exactly which gram matched)
     and emits only contaminated docs; this operator keys on the
-    module's shared {_SPAN_W}-token md5 WINDOW DIGESTS (dd10/dd13's
+    module's shared {_SPAN_W}-token WINDOW DIGESTS (dd10/dd13's
     machinery — at 100 TB the broadcast set and any shuffle carry
-    16-byte digests instead of full 12-token strings, an order of
-    magnitude less traffic) and emits EVERY corpus document with its
+    8-byte xxhash64 digests instead of full 12-token strings, an order
+    of magnitude less traffic) and emits EVERY corpus document with its
     contaminated flag and distinct-shared-window count — the
     full-corpus audit table a removal decision signs off on.  Corpus
     split doc_id % 17, disjoint from ct01's % 97 and dd09's % 13.

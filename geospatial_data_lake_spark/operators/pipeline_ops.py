@@ -970,7 +970,10 @@ def pl01_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cont), "doc_id", "left_anti")
         .select("doc_id", "text", "n_tok")
     )
-    winners = clean.groupBy(F.md5("text")).agg(
+    # r15: group key is xxhash64 (8-byte shuffle key, no md5 cost); the
+    # winner set depends only on digest EQUALITY, so it is unchanged and
+    # the oracle's md5 grouping replays it (collision odds ~1e-11 here).
+    winners = clean.groupBy(F.xxhash64("text")).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
     kept = (
