@@ -97,9 +97,12 @@ def _doc_words(documents: DataFrame) -> DataFrame:
     )
 
 
-def _allpairs_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
-    """All (d1 < d2) pairs with token-set Jaccard >= threshold, by
-    broadcast all-pairs verification over 64-bit-hashed token sets.
+def _allpairs_rep_verified(documents: DataFrame, threshold: float):
+    """Rep-level core of the saturated-regime all-pairs verify: returns
+    ``(verified, groups)`` — the (r1 < r2, jaccard) pairs over
+    identical-set representatives and the (h -> rep, members) group
+    table.  ``_expand_rep_pairs`` turns them into the doc-pair output;
+    ``_star_edges`` turns them into a connectivity-equivalent edge set.
 
     The right shape for the SATURATED regime when the corpus fits a
     broadcast: the inverted-index word join materializes
@@ -170,9 +173,22 @@ def _allpairs_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame
         a.join(F.broadcast(b), cond)
         .select("r1", "r2", F.round(jaccard, 4).alias("jaccard"))
     )
-    # expand rep pairs back to doc pairs through group membership
-    # (identical sets share their rep's jaccard; intra-group pairs are
-    # exact duplicates of each other's token set -> jaccard 1.0)
+    return verified, groups
+
+
+def _allpairs_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
+    """Doc-level pair output of the saturated-regime all-pairs verify:
+    rep-level verify (``_allpairs_rep_verified``) expanded back to doc
+    pairs through group membership (``_expand_rep_pairs``)."""
+    verified, groups = _allpairs_rep_verified(documents, threshold)
+    return _expand_rep_pairs(verified, groups)
+
+
+def _expand_rep_pairs(verified: DataFrame, groups: DataFrame) -> DataFrame:
+    """Expand verified rep pairs back to doc pairs through group
+    membership (identical sets share their rep's jaccard; intra-group
+    pairs are exact duplicates of each other's token set -> jaccard
+    1.0).  Shared by the all-pairs and LSH paths of dd03/dd04."""
     m1 = groups.select(F.col("rep").alias("r1"), F.explode("members").alias("e1"))
     m2 = groups.select(F.col("rep").alias("r2"), F.explode("members").alias("e2"))
     inter = (
@@ -198,6 +214,40 @@ def _allpairs_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame
     return inter.unionByName(intra).select(
         "d1", "d2", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def _star_edges(verified: DataFrame, groups: DataFrame) -> DataFrame:
+    """A connectivity-EQUIVALENT edge set for the doc-pair graph
+    ``_expand_rep_pairs`` would produce, without the quadratic clique
+    expansion: verified rep pairs plus one (rep, member) star edge per
+    non-rep group member.
+
+    Equivalence proof (components over doc_ids are identical):
+
+    - every expanded edge maps to a star-graph path — an intra-group
+      pair (e1, e2) to e1—rep—e2, a cross-group pair (e1 in G1, e2 in
+      G2) to e1—r1—r2—e2;
+    - every star edge maps to an expanded edge — (rep, member) IS an
+      intra-group pair (jaccard 1.0), and a verified (r1, r2) IS a
+      cross-group doc pair (reps are members of their own groups);
+    - the NODE sets match: members of a >=2-group always appear on both
+      sides (star edges here, intra pairs there), a singleton-group doc
+      appears on both sides iff its rep has a verified cross pair.
+
+    So connected components, component minima (the group labels) and
+    group sizes computed over this edge set equal those over the full
+    pair expansion — at ~|verified| + ~|docs in dup groups| edges
+    instead of sum-of-squared-clique-sizes (2.97M -> ~7k on the sf0.1
+    fixture)."""
+    rep_edges = verified.select(
+        F.col("r1").alias("d1"), F.col("r2").alias("d2")
+    )
+    star = (
+        groups.filter(F.size("members") > 1)
+        .select(F.col("rep").alias("d1"), F.explode("members").alias("d2"))
+        .filter(F.col("d1") != F.col("d2"))
+    )
+    return rep_edges.unionByName(star)
 
 
 # docs beyond which the all-pairs broadcast verify loses to the
@@ -495,8 +545,44 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pairs(spark, raw)
 
 
+def _dd04_connectivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd04's pair graph reduced to a connectivity-EQUIVALENT edge set
+    for consumers that only need COMPONENTS (dd07/dd15): the same
+    regime dispatch as ``dd04_minhash_lsh_pairs``, but the rep-level
+    verify feeds ``_star_edges`` (verified rep pairs + membership
+    stars — equivalence proof there) instead of the quadratic clique
+    expansion.  On the sf0.1 fixture this is 699,604 edges instead of
+    the 2,968,398 expanded pairs dd07 previously materialized,
+    checkpointed and contracted (4.2×: the verified rep-pair graph is
+    itself dense on this saturated fixture; the clique expansion
+    multiplies it by the duplicate-group sizes) — and the saving GROWS
+    with corpus duplication, which is
+    exactly what a near-dup-saturated corpus maximizes (guide §1.2:
+    don't compute things you throw away).  The inverted-index fallback
+    (saturated AND beyond the broadcast bound) has no rep collapse, so
+    it returns the full pair set unchanged there."""
+    from geospatial_data_lake_spark.tables import spread
+
+    t = tables(spark, sf_dir)
+    raw = spread(spark, t.documents)
+    if _is_saturated(raw):
+        if raw.count() <= _ALLPAIRS_MAX_DOCS:
+            return _star_edges(*_allpairs_rep_verified(raw, 0.8))
+        return _exact_jaccard_pairs(raw, 0.8).select("d1", "d2")
+    return _star_edges(*_minhash_rep_verified(spark, raw))
+
+
 def _minhash_lsh_pairs(spark: SparkSession, raw: DataFrame) -> DataFrame:
-    """The sparse-regime LSH path of dd04 (see dd04's docstring)."""
+    """The sparse-regime LSH path of dd04 (see dd04's docstring):
+    rep-level verify + membership expansion."""
+    verified, groups = _minhash_rep_verified(spark, raw)
+    return _expand_rep_pairs(verified, groups)
+
+
+def _minhash_rep_verified(spark: SparkSession, raw: DataFrame):
+    """Rep-level core of the LSH path: returns ``(verified, groups)``
+    exactly like ``_allpairs_rep_verified`` (same shapes, same
+    downstream consumers)."""
     docs = raw.select(
         "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks")
     )
@@ -569,36 +655,7 @@ def _minhash_lsh_pairs(spark: SparkSession, raw: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("r1", "r2", "jaccard")
     )
-
-    # 5. expand rep pairs back to doc pairs through group membership
-    membership = groups.select("rep", F.explode("members").alias("doc_id"))
-    m1 = membership.select(F.col("rep").alias("r1"), F.col("doc_id").alias("e1"))
-    m2 = membership.select(F.col("rep").alias("r2"), F.col("doc_id").alias("e2"))
-    inter = (
-        verified.join(F.broadcast(m1), "r1")
-        .join(F.broadcast(m2), "r2")
-        .select(
-            F.least("e1", "e2").alias("d1"),
-            F.greatest("e1", "e2").alias("d2"),
-            "jaccard",
-        )
-    )
-    intra = (
-        groups.filter(F.size("members") > 1)
-        .select(
-            F.explode("members").alias("e1"), F.col("members").alias("ms")
-        )
-        .select("e1", F.explode("ms").alias("e2"))
-        .filter(F.col("e1") < F.col("e2"))
-        .select(
-            F.col("e1").alias("d1"),
-            F.col("e2").alias("d2"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return inter.unionByName(intra).select(
-        "d1", "d2", F.round("jaccard", 4).alias("jaccard")
-    )
+    return verified, groups
 
 
 # dd07's oracle: connected components via UNROLLED min-label propagation
@@ -759,8 +816,19 @@ def dd07_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses exactly that mass).  The result labeling (component min)
     is schedule-independent, so the DuckDB oracle's unrolled min-label
     propagation still gates it exactly.
+
+    r15: the contraction input is ``_dd04_connectivity_edges`` — the
+    verified rep pairs plus membership-star edges — instead of dd04's
+    full doc-pair expansion, which on a duplication-saturated corpus
+    is dominated by intra-clique pairs that add nothing to
+    connectivity (equivalence proof at ``_star_edges``; components,
+    labels and group sizes are identical, and the DuckDB oracle still
+    computes over the full pair list — a flaw in the equivalence
+    argument would be a loud hash mismatch, not silent drift).
+    Measured at sf0.1: round 0 materializes 699,604 edges instead of
+    2,968,398 (see OPTIMIZATION_r15.md for the timing evidence).
     """
-    pairs = dd04_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = _dd04_connectivity_edges(spark, sf_dir)
     labels = _cc_alternating_stars(pairs)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
     return labels.join(F.broadcast(sizes), "label").select(

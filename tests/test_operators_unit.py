@@ -1865,3 +1865,53 @@ def should_bound_census_pair_work_on_megacells(spark):
     assert row.n_members == 3000
     assert row.n_removed == 3000 - 30  # each of 30 sub-cells keeps one
     assert row.n_kept == 30
+
+
+def should_produce_identical_components_from_star_edge_reduction(spark):
+    """dd07's r15 contraction input (`_star_edges`: verified rep pairs +
+    membership stars) must yield the SAME components, component-min
+    labels, group sizes and node set as the full doc-pair clique
+    expansion (`_expand_rep_pairs`) it replaces — on a corpus that
+    exercises every case in the equivalence proof: a >=2 identical-set
+    group with a verified cross pair, one without, a singleton rep with
+    a cross pair, and a singleton rep with none (absent from both)."""
+    from geospatial_data_lake_spark.operators.dedup import (
+        _allpairs_rep_verified,
+        _cc_alternating_stars,
+        _expand_rep_pairs,
+        _star_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # group G1: three identical docs (rep 1), near-dup of rep 4
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),
+            (3, "a b c d e f g h i j"),
+            # group G2: two identical docs, jaccard 9/11 >= 0.8 vs G1
+            (4, "a b c d e f g h i k"),
+            (5, "a b c d e f g h i k"),
+            # group G3: two identical docs, similar to NOTHING else
+            (6, "p q r s t u v w x y"),
+            (7, "p q r s t u v w x y"),
+            # singleton, similar to nothing: in NEITHER edge set
+            (8, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0"),
+        ],
+        "doc_id long, text string",
+    )
+    verified, groups = _allpairs_rep_verified(docs, 0.8)
+    expanded = _expand_rep_pairs(verified, groups).select("d1", "d2")
+    stars = _star_edges(verified, groups)
+    lab_exp = {
+        r.node: r.label for r in _cc_alternating_stars(expanded).collect()
+    }
+    lab_star = {
+        r.node: r.label for r in _cc_alternating_stars(stars).collect()
+    }
+    assert lab_star == lab_exp  # same nodes, same labels
+    assert lab_star == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,  # G1+G2 merged, min label 1
+        6: 6, 7: 6,                     # G3 alone, no cross pair
+    }
+    # the star set is strictly smaller than the expansion here
+    assert stars.count() < expanded.count()
