@@ -2021,12 +2021,23 @@ def semantic_dedup_census(
     m = fin.select("vec_id", "v", "cid").withColumn(
         "n", F.sqrt(_cg_dot(F.col("v"), F.col("v")))
     )
+    # ONE cell-size aggregation serves both the megacell salt (nsub)
+    # and the census member counts (mem below): the pre-r15 shape
+    # aggregated ``fin`` twice with different post-processing, and the
+    # assignment subtree below each (scan + k x dim distance evaluation
+    # — the expensive part of a census run) was recomputed per branch.
+    # Identical exchange subtrees let ReusedExchange evaluate the
+    # assignment once for both consumers (r15, guide §2.4).
+    mem = fin.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
     join_keys = ["cid"]
     if max_cell_compare is not None:
-        nsub = fin.groupBy("cid").agg(
+        nsub = mem.select(
+            "cid",
             F.ceil(
-                F.count(F.lit(1)) / F.lit(int(max_cell_compare))
-            ).cast("int").alias("__nsub")
+                F.col("n_members") / F.lit(int(max_cell_compare))
+            ).cast("int").alias("__nsub"),
         )
         m = m.join(F.broadcast(nsub), "cid").withColumn(
             "__salt",
@@ -2056,9 +2067,6 @@ def semantic_dedup_census(
         .distinct()
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
-    )
-    mem = fin.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
     return (
         mem.join(F.broadcast(removed), "cid", "left")

@@ -705,8 +705,8 @@ def geo06_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- geo07: KNN-within-radius join ----------------------------------------
 
-_KNN_R = 2.0  # search radius, degrees — must stay <= _CELL for the
-# one-ring neighbor probe to be complete
+_KNN_R = 2.0  # search radius, degrees — geo07 probes on a grid of
+# exactly this cell size (one-ring completeness needs cell >= radius)
 
 
 @register(
@@ -749,7 +749,8 @@ def geo07_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the CENTER (dimension) side replicates to its cell
     plus the 8 neighbors — 9 broadcast-side rows per center, complete
-    for any radius <= the 5-degree cell size — while the point (fact)
+    for any radius <= the cell size (the grid is radius-sized) — while
+    the point (fact)
     side stays un-replicated in its single cell; the cell equi-join
     prunes candidates before the exact distance test, and the per-point
     argmin folds as min(struct(d2, doc_id)) inside a partial-then-final
@@ -759,14 +760,22 @@ def geo07_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers.  Skewed cells (dense regions) split under AQE; the radius
     bounds the probe ring by construction."""
     t = tables(spark, sf_dir)
+    # r15 (guide §3: prune candidates before the expensive test): the
+    # probe grid is query-LOCAL at exactly the search radius instead of
+    # the shared 5-degree ``_CELL``.  One-ring completeness only needs
+    # cell >= radius, and candidate density per point scales with
+    # cell^2 — (2/5)^2 ≈ 6x fewer exact distance tests for the same
+    # (internal, never emitted) cell keys.  Replication stays 9x on the
+    # dimension side only.
+    cell = _KNN_R
     px = ((F.col("event_id") * 7919) % 900) / 10.0 - 45.0
     py = ((F.col("event_id") * 104729) % 425) / 10.0 - 21.25
     points = t.events.select(
         "event_id", px.alias("px"), py.alias("py")
     ).withColumns(
         {
-            "cx": F.floor(F.col("px") / _CELL),
-            "cy": F.floor(F.col("py") / _CELL),
+            "cx": F.floor(F.col("px") / cell),
+            "cy": F.floor(F.col("py") / cell),
         }
     )
     qx = ((F.col("doc_id") * 7919) % 900) / 10.0 - 45.0
@@ -774,8 +783,8 @@ def geo07_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     ring = F.array(
         *[
             F.struct(
-                (F.floor(F.col("qx") / _CELL) + dx).alias("cx"),
-                (F.floor(F.col("qy") / _CELL) + dy).alias("cy"),
+                (F.floor(F.col("qx") / cell) + dx).alias("cx"),
+                (F.floor(F.col("qy") / cell) + dy).alias("cy"),
             )
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)

@@ -99,13 +99,18 @@ def ct01_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = (
         grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % 97 != 0).dropDuplicates(
-        ["doc_id", "gram"]
-    )
+    # r15 (guide §2.3: shuffle fewer bytes): the corpus gram stream is
+    # filtered by the BROADCAST benchmark join BEFORE any dedup — the
+    # pre-r15 shape dropDuplicates'd the ENTIRE corpus gram stream
+    # (a full shuffle of every gram in the corpus) ahead of the join.
+    # count_distinct(gram) per doc over the matched stream computes the
+    # identical per-doc distinct-shared-gram count while shuffling only
+    # the grams that actually hit the benchmark set.
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
     return (
         corpus.join(F.broadcast(benchmark), "gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
         .orderBy("doc_id")
     )
 
