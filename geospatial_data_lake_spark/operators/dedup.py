@@ -1653,6 +1653,16 @@ def dd11_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         cands.join(F.broadcast(bh), "new_id")
         .join(ch, "old_id")
+        # r15 (guide §3.1, dd09's discipline): the two exact-safe cuts
+        # run BEFORE the full set intersection — on this saturated
+        # fixture the band probe materializes a quadratic-dense
+        # candidate stream and most candidates fail 0.8, so dropping
+        # them on integer size arithmetic / a prefix-slice overlap
+        # saves the ~2x100-element array_intersect per dropped pair.
+        # Both filters are proven upper bounds (no recall loss): the
+        # verified output is exactly unchanged.
+        .filter(_jaccard_size_ratio_ok("h1", "h2", num=4, den=5))
+        .filter(_ppjoin_prefix_overlap("h1", "h2", num=4, den=9))
         .withColumn("nc", nc)
         .withColumn(
             "jaccard",

@@ -96,22 +96,30 @@ def a14_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     when a group holds billions of rows. Correctness gate: group sizes +
     sketch-within-0.5%-of-exact booleans (see oracle comment)."""
     t = tables(spark, sf_dir)
+    # r15 (guide §5.1): ONE exact-percentile aggregate evaluating all
+    # three points from a single per-group value buffer — the pre-r15
+    # shape ran three separate F.percentile aggregates, each building
+    # (and sorting) its own copy of the full group buffer.  Spark's
+    # Percentile evaluates every requested point from the same sorted
+    # counts map with the same interpolation, so the three values are
+    # bit-identical to the three single-point calls.
     agg = t.lineitem.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        ).alias("epcts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    within = lambda i, e: (  # noqa: E731
-        F.abs(F.element_at("pcts", i) - F.col(e)) <= F.abs(F.col(e)) * 0.005
+    within = lambda i: (  # noqa: E731
+        F.abs(F.element_at("pcts", i) - F.element_at("epcts", i))
+        <= F.abs(F.element_at("epcts", i)) * 0.005
     )
     return agg.select(
         "l_returnflag",
         "n_rows",
-        within(1, "e50").alias("p50_within_bound"),
-        within(2, "e95").alias("p95_within_bound"),
-        within(3, "e99").alias("p99_within_bound"),
+        within(1).alias("p50_within_bound"),
+        within(2).alias("p95_within_bound"),
+        within(3).alias("p99_within_bound"),
     )
 
 
