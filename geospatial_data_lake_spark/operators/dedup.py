@@ -1164,7 +1164,16 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: the build side broadcasts and the probe side runs
     through spread() — the embeddings fixture is a single row group, and
     without the spread the ~2M-pair x 64-dim loop runs on ONE core
-    (measured 82 s at sf0.1; ~3 s spread across the cluster)."""
+    (measured 82 s at sf0.1; ~3 s spread across the cluster).
+
+    r15 (the dd04 condition-ordering fix, guide §3.1): the cosine
+    threshold is stated IN the join condition AFTER the cheap
+    ``vec_id <`` test — when it was left as a post-join filter,
+    Catalyst pushed it into the BNLJ condition AHEAD of the id test
+    (plan-verified), so every ORDERED pair — both orientations — paid
+    the 64-term dot before the one-long compare that drops half of
+    them.  Cheapest-first halves the dot evaluations; the surviving
+    pair set and the emitted cosine are identical."""
     from geospatial_data_lake_spark.operators.similarity import _dot
     from geospatial_data_lake_spark.tables import spread
 
@@ -1176,15 +1185,15 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = spread(spark, e).alias("a")
     b = e.alias("b")
-    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.4),
+    )
+    return pairs.select(
         F.col("a.vec_id").alias("v1"),
         F.col("b.vec_id").alias("v2"),
-        (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
-            "cos_raw"
-        ),
-    )
-    return pairs.filter(F.col("cos_raw") >= 0.4).select(
-        "v1", "v2", F.round("cos_raw", 4).alias("cosine")
+        F.round(cos, 4).alias("cosine"),
     )
 
 
