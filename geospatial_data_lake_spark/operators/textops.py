@@ -361,25 +361,61 @@ def tx09_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     log() transform could differ in the last ulp between libm
     implementations (same reasoning as tx08's rational tf-idf).
 
-    Scale shape: entirely in-row (counts via nested array functions
-    over the token array — O(types × tokens) per document, fine for
-    the ≤10k-token documents curation operates on); zero shuffles.
+    Scale shape: entirely in-row, zero shuffles.  Counts come from RUN
+    LENGTHS over the sorted token array — O(T log T) per document —
+    instead of the r11 `transform(distinct, d -> size(filter(tk, x ==
+    d)))` nest, which evaluated O(types × tokens) interpreted lambdas
+    per document (HOFs never reach whole-stage codegen; at the fixture's
+    54-token/23-type average that was ~1.2k lambda evals per doc vs ~80
+    here).  The count MULTISET is identical (each sorted run is exactly
+    one type's occurrences) and every consumer is order-insensitive —
+    size, array_max, and an INTEGER Σc² — so the emitted values are
+    bit-for-bit unchanged while the per-doc work drops by types×.
     For book-length outliers the explode + count + window reshape is
-    the escalation, at the price of two shuffles."""
+    the escalation, at the price of shuffling the token stream."""
     from geospatial_data_lake_spark.tables import spread
 
     t = tables(spark, sf_dir)
     tk = F.split(F.col("text"), " ")
     d = spread(spark, t.documents).select("doc_id", tk.alias("tk"))
-    n = F.size("tk")
-    cnts = F.transform(
-        F.array_distinct("tk"),
-        lambda dd: F.size(F.filter("tk", lambda x: x == dd)),
+    # Each alias below is materialized by its own Project (CollapseProject
+    # keeps non-cheap multiply-referenced aliases in separate projects),
+    # so array_sort/filter run once per row, not once per lambda call.
+    sorted_ = d.select(
+        "doc_id", F.size("tk").alias("n"), F.array_sort("tk").alias("st")
     )
-    c = d.select(
+    # 0-based positions where a new run (= a distinct type) starts.
+    with_starts = sorted_.select(
         "doc_id",
-        n.alias("n"),
-        cnts.alias("cnts"),
+        "n",
+        F.filter(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            # At i == 0 the left arm decides; greatest() keeps the
+            # element_at index >= 1 (index 0 would raise) without
+            # relying on Or short-circuiting.
+            lambda i: (i == 0)
+            | (
+                F.element_at(F.col("st"), i + 1)
+                != F.element_at(F.col("st"), F.greatest(i, F.lit(1)))
+            ),
+        ).alias("starts"),
+    )
+    # Run length = next start (or T) minus this start.
+    c = with_starts.select(
+        "doc_id",
+        "n",
+        F.zip_with(
+            F.col("starts"),
+            F.concat(
+                F.slice(
+                    F.col("starts"),
+                    2,
+                    F.greatest(F.size("starts") - 1, F.lit(0)),
+                ),
+                F.array(F.col("n")),
+            ),
+            lambda a, b: b - a,
+        ).alias("cnts"),
     )
     return c.select(
         "doc_id",

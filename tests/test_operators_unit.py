@@ -1915,3 +1915,70 @@ def should_produce_identical_components_from_star_edge_reduction(spark):
     }
     # the star set is strictly smaller than the expansion here
     assert stars.count() < expanded.count()
+
+
+def should_count_types_via_sorted_run_lengths_in_tx09(spark, tmp_path):
+    """r15: tx09's per-type counts come from run lengths over the
+    sorted token array (O(T log T)/doc) instead of the quadratic
+    transform(distinct, d -> size(filter(tk, x == d))) nest.  The count
+    MULTISET is identical and every consumer is order-insensitive, so
+    all five emitted metrics must match the quadratic reference exactly
+    — including the edge shapes: single token, empty string (split ->
+    [""]), all-identical, all-distinct."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "only", "en", "s", 4),                # single token
+        (2, "", "en", "s", 0),                    # split -> [""]
+        (3, "a a a a", "en", "s", 7),             # all identical
+        (4, "w x y z", "en", "s", 7),             # all distinct
+        (5, "b a b c a b", "en", "s", 11),        # mixed multiplicities
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_lake_spark.registry import load_all_queries
+
+    got = load_all_queries()["tx09_token_diversity"].fn(spark, sf)
+
+    # Quadratic reference (the pre-r15 formulation), same consumers.
+    tk = F.split(F.col("text"), " ")
+    d = df.select("doc_id", tk.alias("tk"))
+    n = F.size("tk")
+    cnts = F.transform(
+        F.array_distinct("tk"),
+        lambda dd: F.size(F.filter("tk", lambda x: x == dd)),
+    )
+    c = d.select("doc_id", n.alias("n"), cnts.alias("cnts"))
+    ref = c.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("cnts").cast("bigint").alias("n_types"),
+        F.round(F.size("cnts") / F.col("n"), 4).alias("type_token_ratio"),
+        F.round(F.array_max("cnts") / F.col("n"), 4).alias("top_token_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.aggregate(
+                F.transform("cnts", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("n") * F.col("n")),
+            4,
+        ).alias("simpson_diversity"),
+    ).orderBy("doc_id")
+
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # spot-pin the mixed row: 6 tokens, 3 types, top 'b' x3
+    r5 = {r.doc_id: r for r in got.collect()}[5]
+    assert (r5.n_tokens, r5.n_types) == (6, 3)
+    assert r5.top_token_frac == 0.5
+    # simpson: 1 - (9 + 4 + 1)/36 = 0.6111
+    assert r5.simpson_diversity == 0.6111
