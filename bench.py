@@ -133,10 +133,23 @@ def main() -> None:
     calib_start = _calibrate(
         registry[_CALIBRATION_QUERY], spark, sf_dir, n_runs
     )
+    # r16: per-run query-order ROTATION (r15 verdict item 5).  The fixed
+    # HEADLINE order made a host-contention window at run start look
+    # like a uniform regression of the join/TPC-H block (they always
+    # ran first).  Rotating the starting point per invocation
+    # decorrelates throttle windows from any fixed query block across
+    # runs; within one invocation the timing methodology is unchanged
+    # (same warmup + n_runs timed noop writes per query, consecutive).
+    # The rotation used is recorded on both output lines so artifacts
+    # remain comparable; SPARK_GRAFT_ROTATION pins it for A/B replay.
+    rotation = int(
+        os.environ.get("SPARK_GRAFT_ROTATION", str(int(time.time())))
+    ) % len(HEADLINE)
+    order = HEADLINE[rotation:] + HEADLINE[:rotation]
     timings: dict[str, float] = {}
     minimums: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in order:
         spec = registry[name]
         df = spec.fn(spark, sf_dir)
         # warmup (untimed): whole-stage-codegen compile + JIT
@@ -194,6 +207,8 @@ def main() -> None:
                 # the driver recorded parsed: null (the r7 failure mode
                 # all over again).
                 "queries_min": minimums,
+                "order_rotation": rotation,
+                "order": order,
                 "sf": sf_val,
                 "calibration": {
                     "query": _CALIBRATION_QUERY,
@@ -224,6 +239,7 @@ def main() -> None:
                 "contended": contended,
                 "calibration_drift": drift,
                 "suspects": suspects,
+                "order_rotation": rotation,
             }
         )
     )

@@ -2018,6 +2018,26 @@ def semantic_dedup_census(
     from geospatial_data_lake_spark.tables import spread
 
     fin, _ = kmeans_fit(e, k=k)
+    # r16: ONE-SHOT materialization of the assignment table.  The
+    # census consumes ``fin`` through four physically DIFFERENT
+    # subtrees — the pair join's stream side (behind spread()'s
+    # round-robin exchange), its build side (broadcast), the member
+    # census aggregation, and (megacell arm) the salt table — and
+    # r15's exchange-reuse hope only deduped the two identical
+    # aggregation branches: the r15 runtime plan still evaluated the
+    # k x dim assignment (the mapInPandas matmul at production k, the
+    # dominant census cost) THREE times, plus once more eagerly in
+    # ``_embedding_broadcast_bytes``.  localCheckpoint computes the
+    # assignment exactly once per census invocation and every consumer
+    # (including the broadcast-budget probe) reads the materialized
+    # rows; values are untouched, so oracles replay unchanged.  This is
+    # the same per-invocation checkpoint discipline the iterative
+    # operators (dd07 components, pr01, vb02) already use — nothing is
+    # reused across invocations, and kmeans_fit's training collects
+    # already materialize this subtree's inputs eagerly.  Cost: one
+    # write of N x (id + 64 doubles + cid + dist) rows (~30 MB at
+    # sf0.1) to local block storage, vs three matmul evaluations.
+    fin = fin.localCheckpoint()
     m = fin.select("vec_id", "v", "cid").withColumn(
         "n", F.sqrt(_cg_dot(F.col("v"), F.col("v")))
     )

@@ -319,18 +319,28 @@ def _exact_jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
 )
 def dd01_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: corpus-level duplicate census. One
-    shuffle of 8-byte digests regardless of document size.
+    shuffle of 16-byte digests regardless of document size.
 
     r15: the census digest is xxhash64 (an order of magnitude faster
-    than md5 on long text, half the shuffle key width); the outputs are
-    COUNTS over the digest equality structure, so they are unchanged
-    while the oracle's md5 replays the same distinctness (a divergence
-    needs a 64-bit collision among distinct documents)."""
+    than md5 on long text); the outputs are COUNTS over the digest
+    equality structure, so they are unchanged while the oracle's md5
+    replays the same distinctness.
+
+    r16: the digest is a TWO-SEED xxhash64 pair (128 bits).  A single
+    64-bit digest is not collision-safe at the 100 TB design point
+    (~1e9 documents -> ~3% birthday odds of one wrong dedup decision);
+    two independent seeds restore md5's collision class at ~unchanged
+    hash throughput (the distinct-shuffle key is 16 bytes vs md5's
+    32-char string).  ``count(DISTINCT a, b)`` counts distinct PAIRS —
+    the same equality classes as distinct single digests, since
+    xxhash64 never returns NULL (null-safe hash of the seed), so no
+    row is dropped by the multi-column distinct's null rule."""
     t = tables(spark, sf_dir)
+    digest = (F.xxhash64("text"), F.xxhash64(F.lit(1), "text"))
     return t.documents.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.xxhash64("text")).alias("n_unique"),
-        (F.count(F.lit(1)) - F.countDistinct(F.xxhash64("text"))).alias("n_dups"),
+        F.countDistinct(*digest).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(*digest)).alias("n_dups"),
     )
 
 
@@ -1345,23 +1355,39 @@ def _dd10_windows(documents: DataFrame) -> DataFrame:
     cross-hash divergence would need a 64-bit collision among ~1e5
     windows: p ~ 1e-9).
 
-    r15b (hash-of-hashes): each token is xxhash64'd ONCE into ``tkh``
+    r15b (hash-of-hashes): each token is hashed ONCE into ``tkh``
     (materialized per row in its own Project — verified not inlined by
-    CollapseProject), and the window digest is xxhash64 over the
-    12-LONG slice of ``tkh`` instead of the 12-string slice of the
-    token array: the old shape re-hashed every token ~12x (once per
-    overlapping window) over variable-width strings; this hashes each
-    token once and each window over 96 fixed-width bytes.  Equality
-    structure is preserved (windows collide iff their token-hash
-    sequences collide — the same 64-bit class as hashing the strings
-    directly), and consumers remain equality-only.  Measured 3.4x on
-    the raw derivation, 1.6x on dd14 end-to-end (interleaved A/B,
-    min of 5, sf0.1 — tools/ab_windows_r15.py)."""
+    CollapseProject), and the window digest hashes the 12-element slice
+    of ``tkh`` instead of the 12-string slice of the token array: the
+    old shape re-hashed every token ~12x (once per overlapping window)
+    over variable-width strings; this hashes each token once and each
+    window over fixed-width bytes.  Measured 3.4x on the raw
+    derivation, 1.6x on dd14 end-to-end (interleaved A/B, min of 5,
+    sf0.1 — tools/ab_windows_r15.py).
+
+    r16 (128-bit keys): a single 64-bit window digest is not
+    collision-safe at the design point (~1e12 windows at 100 TB ->
+    ~1e4 expected colliding pairs by the birthday bound, each one a
+    wrong span/decontamination decision; md5's 128 bits were safe,
+    r15's 64 were not).  Both levels are widened to TWO-SEED xxhash64
+    pairs: each token hashes to a (seed-0, seed-1) struct, and the
+    window key is a struct of two seeded hashes over the token-digest
+    slice.  A cross-window key collision now needs a simultaneous
+    128-bit collision either at the token level or at the window
+    level (~2^-128 per pair) — the md5 collision class, at xxhash64
+    throughput.  Consumers (dd10/dd13/dd14) use ``h`` only for
+    equality/grouping, where a struct key behaves exactly like the
+    long key did; shuffle/broadcast keys are 16 bytes vs md5's
+    32-char strings."""
     tkh_docs = documents.select(
         "doc_id",
-        F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok)).alias(
-            "tkh"
-        ),
+        F.transform(
+            F.split("text", " "),
+            lambda tok: F.struct(
+                F.xxhash64(tok).alias("a"),
+                F.xxhash64(F.lit(1), tok).alias("b"),
+            ),
+        ).alias("tkh"),
     )
     return tkh_docs.select(
         "doc_id",
@@ -1370,7 +1396,12 @@ def _dd10_windows(documents: DataFrame) -> DataFrame:
                 _gram_starts(F.col("tkh"), _SPAN_W),
                 lambda p: F.struct(
                     p.alias("p"),
-                    F.xxhash64(F.slice("tkh", p, _SPAN_W)).alias("h"),
+                    F.struct(
+                        F.xxhash64(F.slice("tkh", p, _SPAN_W)).alias("h1"),
+                        F.xxhash64(
+                            F.lit(1), F.slice("tkh", p, _SPAN_W)
+                        ).alias("h2"),
+                    ).alias("h"),
                 ),
             )
         ).alias("w"),

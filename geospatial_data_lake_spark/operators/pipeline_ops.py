@@ -975,10 +975,16 @@ def pl01_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cont), "doc_id", "left_anti")
         .select("doc_id", "text", "n_tok")
     )
-    # r15: group key is xxhash64 (8-byte shuffle key, no md5 cost); the
+    # r15: group key is xxhash64 (narrow shuffle key, no md5 cost); the
     # winner set depends only on digest EQUALITY, so it is unchanged and
-    # the oracle's md5 grouping replays it (collision odds ~1e-11 here).
-    winners = clean.groupBy(F.xxhash64("text")).agg(
+    # the oracle's md5 grouping replays it.  r16: TWO-SEED xxhash64 pair
+    # (128 bits) — a lone 64-bit key has ~3% birthday odds of one wrong
+    # winner at the 1e9-doc design point; the seeded pair restores
+    # md5's collision class at xxhash64 throughput (16-byte group key
+    # vs md5's 32-char string).
+    winners = clean.groupBy(
+        F.xxhash64("text"), F.xxhash64(F.lit(1), "text")
+    ).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
     kept = (

@@ -917,13 +917,26 @@ def tx10_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines in the last ulp, a ratio mean does not — what makes an LM
     quality score hash-gateable at all.
 
-    Scale shape: two passes over the scan-side bigram stream — one
-    partial-agg shuffle per count table (bigram- and unigram-keyed),
-    then scoring re-meets the model in a bigram-keyed join (broadcast
+    Scale shape: ONE model pass over the scan-side bigram stream — the
+    bigram- and unigram-count tables come out of a single GROUPING SETS
+    ((w1,w2),(w1)) aggregation (r16: the pre-r16 shape ran one
+    partial-agg shuffle per count table, i.e. two full scan+explode
+    passes; grouping sets trades the second corpus pass for a 2x
+    in-stage Expand that partial aggregation collapses to model size
+    before the exchange, and the two count branches read the SAME
+    exchange via ReusedExchange — r15's attempt to derive c1 from c12
+    by a second aggregation hop measured a wash because it stacked a
+    new exchange on top; this derives both counts in the pass itself).
+    Scoring then re-meets the model in a bigram-keyed join (broadcast
     when the min-count-pruned model fits — the deployment default —
     else shuffle on the same key) and folds per-doc in decimal.  In
     production the model tables persist once and amortize over every
-    scoring run; nothing here is quadratic."""
+    scoring run; nothing here is quadratic.
+
+    Count equivalence is exact and integer: the (w1,w2) grouping set
+    reproduces c12 verbatim, and the (w1) set counts every bigram
+    occurrence grouped by head word — the definition of c1 — so p and
+    the decimal fold are bit-identical to the two-pass shape."""
     t = tables(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     b = t.documents.select(
@@ -938,8 +951,13 @@ def tx10_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    c12 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    g = b.groupingSets(
+        [[F.col("w1"), F.col("w2")], [F.col("w1")]], "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+    c12 = g.filter(F.col("gid") == 0).select(
+        "w1", "w2", F.col("n").alias("n12")
+    )
+    c1 = g.filter(F.col("gid") == 1).select("w1", F.col("n").alias("n1"))
     m = c12.join(c1, "w1").select(
         "w1", "w2", (F.col("n12").cast("double") / F.col("n1")).alias("p")
     )
